@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle compare.
+
+Dev-only tool (not part of the shipped library): runs each
+oracle_sql.json query in DuckDB over the sf-dir parquet tables and
+compares with the Verify parquet dumps (column names sorted, values
+normalized, rows sorted) so oracle mismatches surface before the
+driver's round gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: str(v) if not isinstance(v, (list,)) else json.dumps(list(v)))
+    try:
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    except Exception:
+        pass
+    return df.reset_index(drop=True)
+
+
+def main() -> None:
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = norm(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        try:
+            got = norm(pd.read_parquet(f"{out_dir}/{name}"))
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            continue
+        if list(exp.columns) != list(got.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            continue
+        if len(exp) != len(got):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            continue
+        mismatch = None
+        for c in exp.columns:
+            e_col, g_col = exp[c], got[c]
+            if e_col.dtype.kind == "f" or g_col.dtype.kind == "f":
+                ok = ((e_col - g_col).abs() < 1e-9) | (e_col.isna() & g_col.isna())
+            else:
+                ok = (e_col == g_col) | (e_col.isna() & g_col.isna())
+            if not ok.all():
+                i = int((~ok).idxmax())
+                mismatch = f"col {c} row {i}: spark={got[c][i]!r} duck={exp[c][i]!r}"
+                break
+        if mismatch:
+            print(f"FAIL {name}: {mismatch}")
+        else:
+            n_ok += 1
+            print(f"OK   {name} ({len(exp)} rows)")
+    print(f"{n_ok}/{len(oracle)} queries match")
+
+
+if __name__ == "__main__":
+    main()
