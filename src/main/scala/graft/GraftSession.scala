@@ -21,6 +21,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read as epoch-nanos LONG and convert in Tables.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Read ms/µs parquet timestamps as session-TZ timestamps (UTC) so
+      // unix_millis & friends apply directly.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

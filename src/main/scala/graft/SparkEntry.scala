@@ -11,26 +11,255 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (Relational.q1 _)
+    "q1_agg"            -> (Relational.q1 _),
+    "q2_filter_project" -> (Relational.q2 _),
+    "q3_join_agg"       -> (Relational.q3 _),
+    "q4_topk"           -> (Relational.q4 _),
+    "q5_star_join"      -> (Relational.q5 _),
+    "q6_window_rank"    -> (Relational.q6 _),
+    "q7_semi_anti"      -> (Relational.q7 _),
+    "q8_rollup"         -> (Relational.q8 _),
+    "q9_distinct"       -> (Relational.q9 _),
+    "q10_cond_agg"      -> (Relational.q10 _),
+    "q11_setops"        -> (Relational.q11 _),
+    "q12_percentile"    -> (Relational.q12 _),
+    "q13_sessionize"    -> (Relational.q13 _),
+    "q14_scalar_funcs"  -> (Relational.q14 _),
+    "hr_parse"           -> (Health.hrParse _),
+    "hr_classify"        -> (Health.hrClassify _),
+    "hr_window_tumbling" -> (Health.hrWindowTumbling _),
+    "hr_window_sliding"  -> (Health.hrWindowSliding _),
+    "hr_alert_stats"     -> (Health.hrAlertStats _)
   )
 
+  // Shared SQL fragments for the DuckDB oracle (exact-decimal money
+  // arithmetic mirrored from graft.Exact).
+  private val sumDisc =
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+  private def moneyAvgSql(c: String) =
+    s"ROUND(CAST(CAST(SUM(CAST($c AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / COUNT(*), 4)"
+  private val classifySql =
+    "CASE WHEN avg_hr > 100.0 THEN 'tachycardia' WHEN avg_hr < 50.0 THEN 'bradycardia' ELSE 'normal' END"
+
   /** DuckDB-runnable oracle SQL per query (same table names, same
-    * output column names/ordering — the driver hash-compares).
+    * output column names — the driver hash-compares values with
+    * columns sorted by name).
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST($sumDisc AS DOUBLE) AS sum_disc_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
         |  ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-        |  ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_price,
-        |  ROUND(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_disc,
+        |  ${moneyAvgSql("l_extendedprice")} AS avg_price,
+        |  ${moneyAvgSql("l_discount")} AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_discount >= 0.05 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_join_agg" ->
+      s"""SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority,
+        |  CAST($sumDisc AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "q4_topk" ->
+      """SELECT o_orderkey, o_totalprice, epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderstatus
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50""".stripMargin,
+
+    "q5_star_join" ->
+      s"""SELECT n_name, CAST($sumDisc AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_extendedprice,
+        |    CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+        |    LAG(l_extendedprice) OVER w AS prev_price
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+        |) WHERE rn <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q7_semi_anti" ->
+      """SELECT c_custkey, c_name, CAST(1 AS BIGINT) AS has_big_order
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |UNION ALL
+        |SELECT c_custkey, c_name, CAST(0 AS BIGINT) AS has_big_order
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q8_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q9_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q10_cond_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS sum_f_price,
+        |  COUNT(*) AS n_total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q11_setops" ->
+      """SELECT nationkey, 'both' AS tag FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' AS tag FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |ORDER BY tag, nationkey""".stripMargin,
+
+    "q12_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  ROUND(quantile_cont(l_quantity, 0.99), 4) AS p99_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q13_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |    CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts_ms,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM y)
+        |SELECT user_id, session_id,
+        |  MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms,
+        |  COUNT(*) AS n_events
+        |FROM z
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q14_scalar_funcs" ->
+      """SELECT event_id,
+        |  CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+        |  CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h,
+        |  epoch_ms(date_trunc('day', ts)) AS day_ms,
+        |  upper(event_type) AS type_upper,
+        |  substring(event_type, 1, 3) AS type_pfx,
+        |  CAST(length(event_type) AS BIGINT) AS type_len,
+        |  concat_ws('#', event_type, CAST(user_id AS VARCHAR)) AS type_user,
+        |  CAST(FLOOR(value) AS BIGINT) AS value_floor,
+        |  CAST(CEIL(value) AS BIGINT) AS value_ceil,
+        |  sqrt(value) AS value_sqrt
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "hr_parse" ->
+      """SELECT event_id,
+        |  'p' || CAST(user_id AS VARCHAR) AS patient_id,
+        |  CAST(FLOOR(value) AS BIGINT) AS heart_rate_bpm,
+        |  epoch_ms(ts) AS event_time
+        |FROM events
+        |WHERE event_id % 13 <> 0 AND FLOOR(value) > 0
+        |ORDER BY event_id""".stripMargin,
+
+    "hr_classify" ->
+      """SELECT event_id, user_id, value AS hr,
+        |  CASE WHEN value > 100.0 THEN 'tachycardia'
+        |       WHEN value < 50.0 THEN 'bradycardia'
+        |       ELSE 'normal' END AS alert_type
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "hr_window_tumbling" ->
+      s"""SELECT user_id, window_start_ms, window_end_ms, avg_hr, min_hr, max_hr, n_readings,
+        |  $classifySql AS alert_type
+        |FROM (
+        |  SELECT user_id,
+        |    (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+        |    (epoch_ms(ts) // 3600000) * 3600000 + 3600000 AS window_end_ms,
+        |    ${moneyAvgSql("value")} AS avg_hr,
+        |    MIN(value) AS min_hr, MAX(value) AS max_hr, COUNT(*) AS n_readings
+        |  FROM events
+        |  GROUP BY user_id, (epoch_ms(ts) // 3600000) * 3600000)
+        |ORDER BY user_id, window_start_ms""".stripMargin,
+
+    "hr_window_sliding" ->
+      s"""SELECT user_id, window_start_ms,
+        |  ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_hr,
+        |  MIN(value) AS min_hr, MAX(value) AS max_hr, COUNT(*) AS n_readings
+        |FROM (
+        |  SELECT user_id, value,
+        |    ((epoch_ms(ts) // 900000) - k.k) * 900000 AS window_start_ms
+        |  FROM events
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
+        |GROUP BY user_id, window_start_ms
+        |ORDER BY user_id, window_start_ms""".stripMargin,
+
+    "hr_alert_stats" ->
+      s"""SELECT user_id, alert_type, COUNT(*) AS n_alerts
+        |FROM (
+        |  SELECT user_id, $classifySql AS alert_type
+        |  FROM (
+        |    SELECT user_id, ${moneyAvgSql("value")} AS avg_hr
+        |    FROM events
+        |    GROUP BY user_id, (epoch_ms(ts) // 3600000) * 3600000))
+        |GROUP BY user_id, alert_type
+        |ORDER BY user_id, alert_type""".stripMargin
   )
 }

@@ -40,4 +40,233 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
+
+  /** q2_filter_project — pushdown scan: predicate + projection reach
+    * the parquet reader (explain shows PushedFilters/ReadSchema).
+    * At 100 TB this is the pattern that decides scan cost: only 4 of
+    * 16 columns read, row groups skipped via min/max stats.
+    */
+  def q2(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.filter(
+        col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")) &&
+        col("l_discount") >= lit(0.05) && col("l_quantity") < lit(24))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"),
+        col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q3_join_agg — TPC-H Q3 shape: selective dim filter, two shuffle
+    * joins on the fact keys, aggregate, top-k. Customer side is
+    * filtered before the join (Catalyst pushes it below); at scale
+    * the two fact joins shuffle-hash on orderkey only.
+    */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+    val ord = t.orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = t.lineitem.filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), epochMs(col("o_orderdate")).as("o_orderdate_ms"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  /** q4_topk — global top-k: Catalyst plans TakeOrderedAndProject
+    * (per-partition heap + driver merge of k rows), never a full
+    * sort — the only scale-safe global ordering.
+    */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    o.select(col("o_orderkey"), col("o_totalprice"),
+        epochMs(col("o_orderdate")).as("o_orderdate_ms"), col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  /** q5_star_join — TPC-H Q5 shape: star join where every dimension
+    * (region/nation/supplier) is broadcast — no shuffle for the dim
+    * edges even at 100 TB; only orders⋈lineitem shuffles, on the
+    * fact key.
+    */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val nations = t.nation.join(
+      broadcast(t.region.filter(col("r_name") === "ASIA")),
+      col("n_regionkey") === col("r_regionkey"))
+    val li = t.lineitem
+    val ord = t.orders.filter(
+      col("o_orderdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** q6_window_rank — window functions: one shuffle on the partition
+    * key, then rank/lag inside each partition. Total order inside
+    * the frame (price desc, orderkey, linenumber) keeps results
+    * deterministic at any parallelism.
+    */
+  def q6(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    li.select(col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_price", lag(col("l_extendedprice"), 1).over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** q7_semi_anti — EXISTS / NOT EXISTS as left-semi / left-anti
+    * joins (no row multiplication, build side only needs the key).
+    */
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bigOrders = t.orders.filter(col("o_totalprice") > lit(300000.0))
+    val semi = t.customer
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("has_big_order", lit(1L))
+    val anti = t.customer
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("has_big_order", lit(0L))
+    semi.unionByName(anti)
+      .select(col("c_custkey"), col("c_name"), col("has_big_order"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q8_rollup — ROLLUP grouping sets; subtotal rows surfaced with
+    * 'ALL' placeholders so the output has no null sort-key
+    * ambiguity across engines.
+    */
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(intSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** q9_distinct — exact distinct aggregation (Catalyst expands to a
+    * two-phase aggregate; partial distinct on the map side).
+    */
+  def q9(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q10_cond_agg — conditional aggregation (CASE pivot): one scan,
+    * no joins, map-side partials.
+    */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"),
+        moneySum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0)))
+          .as("sum_f_price"),
+        count(lit(1)).as("n_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q11_setops — INTERSECT / EXCEPT (hash-based set ops) plus a
+    * UNION ALL combining the tagged results.
+    */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val custN = t.customer.select(col("c_nationkey").cast("long").as("nationkey"))
+    val suppN = t.supplier.select(col("s_nationkey").cast("long").as("nationkey"))
+    val both = custN.intersect(suppN).withColumn("tag", lit("both"))
+    val custOnly = custN.except(suppN).withColumn("tag", lit("cust_only"))
+    both.unionByName(custOnly).orderBy(col("tag"), col("nationkey"))
+  }
+
+  /** q12_percentile — exact interpolated percentiles per group (sort-
+    * based aggregate; quantities are integer-valued so interpolation
+    * is cross-engine exact at 4 decimals).
+    */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_quantity, 0.99)"), 4).as("p99_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q13_sessionize — gap-based sessionization: lag + cumulative sum
+    * over a per-user window (single shuffle on user_id), then one
+    * aggregate per session. The Flink keyed-state analog in pure
+    * declarative form.
+    */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val gapMs = 30L * 60 * 1000
+    ev.select(col("user_id"), col("event_id"), epochMs(col("ts")).as("ts_ms"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("is_new", when(
+        col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts_ms")).as("session_start_ms"),
+        max(col("ts_ms")).as("session_end_ms"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** q14_scalar_funcs — scalar function pack over events: date parts,
+    * string functions, and IEEE-deterministic math (floor/ceil/sqrt
+    * — bit-identical across engines; no libm-dependent funcs).
+    */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    ev.select(
+        col("event_id"),
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        dayofmonth(col("ts")).cast("long").as("d"),
+        hour(col("ts")).cast("long").as("h"),
+        epochMs(date_trunc("day", col("ts"))).as("day_ms"),
+        upper(col("event_type")).as("type_upper"),
+        substring(col("event_type"), 1, 3).as("type_pfx"),
+        length(col("event_type")).cast("long").as("type_len"),
+        concat_ws("#", col("event_type"), col("user_id")).as("type_user"),
+        floor(col("value")).cast("long").as("value_floor"),
+        ceil(col("value")).cast("long").as("value_ceil"),
+        sqrt(col("value")).as("value_sqrt"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator semantic checks at sf0.001 (the DuckDB oracle at
+  * sf0.01 is the driver's gate; these pin the semantics locally).
+  */
+class QueryPackSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  test("every registered query runs and is non-degenerate") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("classify_window thresholds match the reference") {
+    // reference tests/test_flink_logic.py:26-35
+    import graft.functions.HealthFunctions.classifyWindow
+    import spark.implicits._
+    val got = Seq(120.0, 40.0, 75.0, 100.0, 50.0).toDF("avg")
+      .select(classifyWindow(col("avg"))).as[String].collect()
+    assert(got.toSeq == Seq("tachycardia", "bradycardia", "normal", "normal", "normal"))
+  }
+
+  test("parse_event: valid payload parses, invalid JSON and missing fields yield null") {
+    // reference tests/test_flink_logic.py:6-23
+    import graft.functions.HealthFunctions.parseEvent
+    import spark.implicits._
+    val rows = Seq(
+      """{"patient_id":"p001","timestamp":"2025-11-19T07:15:23.123456+00:00","heart_rate_bpm":85}""",
+      "not-json",
+      """{"patient_id":"p001"}""").toDF("raw")
+      .select(parseEvent(col("raw")).as("p")).collect()
+    assert(rows(0).getStruct(0) != null)
+    assert(rows(0).getStruct(0).getAs[String]("patient_id") == "p001")
+    assert(rows(0).getStruct(0).getAs[Long]("heart_rate_bpm") == 85L)
+    assert(rows(0).getStruct(0).getAs[Long]("event_time") == 1763536523123L)
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("sessionize: session boundaries respect the 30min gap") {
+    val df = SparkEntry.queries("q13_sessionize")(spark, sf)
+    import spark.implicits._
+    // within a user, consecutive sessions must be > gap apart
+    val bad = df
+      .withColumn("prev_end", lag(col("session_end_ms"), 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("session_id"))))
+      .filter(col("prev_end").isNotNull &&
+        col("session_start_ms") - col("prev_end") <= 30L * 60 * 1000)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("tumbling windows: starts are hour-aligned and stats are consistent") {
+    val df = SparkEntry.queries("hr_window_tumbling")(spark, sf)
+    assert(df.filter(col("window_start_ms") % 3600000L =!= 0).count() == 0)
+    assert(df.filter(col("min_hr") > col("max_hr")).count() == 0)
+    assert(df.filter(col("window_end_ms") - col("window_start_ms") =!= 3600000L).count() == 0)
+  }
+
+  test("topk is ordered and bounded") {
+    val rows = SparkEntry.queries("q4_topk")(spark, sf).collect()
+    assert(rows.length == 50)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sliding(2).forall(p => p(0) >= p(1)))
+  }
+}
