@@ -29,7 +29,19 @@ object SparkEntry {
     "hr_classify"        -> (Health.hrClassify _),
     "hr_window_tumbling" -> (Health.hrWindowTumbling _),
     "hr_window_sliding"  -> (Health.hrWindowSliding _),
-    "hr_alert_stats"     -> (Health.hrAlertStats _)
+    "hr_alert_stats"     -> (Health.hrAlertStats _),
+    "dedup_exact"     -> (Text.dedupExact _),
+    "ngram_jaccard"   -> (Text.ngramJaccard _),
+    "lang_id"         -> (Text.langId _),
+    "quality_score"   -> (Text.qualityScore _),
+    "token_count"     -> (Text.tokenCount _),
+    "fingerprint"     -> (Text.fingerprint _),
+    "dedup_minhash"   -> (Dedup.minhash _),
+    "dedup_simhash"   -> (Dedup.simhash _),
+    "dedup_embedding" -> (Dedup.embedding _),
+    "ann_topk"        -> ((s, d) => SimilaritySearch.annTopK(s, d)),
+    "ann_lsh"         -> ((s, d) => SimilaritySearch.annLsh(s, d)),
+    "mm_meta"         -> (graft.multimodal.Multimodal.mmMeta _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -40,6 +52,15 @@ object SparkEntry {
     s"ROUND(CAST(CAST(SUM(CAST($c AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / COUNT(*), 4)"
   private val classifySql =
     "CASE WHEN avg_hr > 100.0 THEN 'tachycardia' WHEN avg_hr < 50.0 THEN 'bradycardia' ELSE 'normal' END"
+  // normalized text + word list + portable 60-bit md5 hash (DuckDB forms)
+  private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+  private val wordsSql = s"string_split($normSql, ' ')"
+  private def hash60Sql(c: String) = s"CAST('0x' || substr(md5($c), 1, 15) AS BIGINT)"
+  private def hitsSql(vocab: Seq[String]) = {
+    val arr = vocab.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"CAST(len(list_filter(w, x -> list_contains($arr, x))) AS BIGINT)"
+  }
+  private val profiles = graft.functions.TextFunctions.stopwordProfiles
 
   /** DuckDB-runnable oracle SQL per query (same table names, same
     * output column names — the driver hash-compares values with
@@ -260,6 +281,110 @@ object SparkEntry {
         |    FROM events
         |    GROUP BY user_id, (epoch_ms(ts) // 3600000) * 3600000))
         |GROUP BY user_id, alert_type
-        |ORDER BY user_id, alert_type""".stripMargin
+        |ORDER BY user_id, alert_type""".stripMargin,
+
+    "dedup_exact" ->
+      s"""SELECT md5($normSql) AS fingerprint,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY keep_id""".stripMargin,
+
+    "ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM d WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT d1, d2,
+        |    ROUND(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+        |  FROM pr JOIN sz s1 ON pr.d1 = s1.doc_id JOIN sz s2 ON pr.d2 = s2.doc_id)
+        |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+
+    "lang_id" ->
+      s"""WITH d AS (SELECT doc_id, lang AS labeled_lang, $wordsSql AS w FROM documents),
+        |h AS (SELECT doc_id, labeled_lang,
+        |  ${profiles.map { case (l, v) => s"${hitsSql(v)} AS hits_$l" }.mkString(",\n  ")}
+        |  FROM d)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+        |       WHEN hits_es >= hits_de AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+        |       WHEN hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+        |       WHEN hits_fr >= hits_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  hits_en, hits_es, hits_de, hits_fr, hits_zh
+        |FROM h
+        |ORDER BY doc_id""".stripMargin,
+
+    "quality_score" ->
+      s"""WITH e AS (
+        |  SELECT doc_id, $wordsSql AS w,
+        |    CAST(length($normSql) AS BIGINT) AS n_chars_norm,
+        |    CAST(len($wordsSql) AS BIGINT) AS n_words
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_chars_norm, n_words,
+        |    ROUND(CAST(n_chars_norm - (n_words - 1) AS DOUBLE) / n_words + 1e-9, 4) AS avg_word_len,
+        |    ROUND(CAST(${hitsSql(profiles.head._2)} AS DOUBLE) / n_words + 1e-9, 4) AS stopword_ratio
+        |  FROM e),
+        |g AS (SELECT doc_id, n_chars_norm, n_words, avg_word_len, stopword_ratio,
+        |    ROUND(least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 +
+        |          least(1.0, stopword_ratio * 5.0) * 0.5 + 1e-9, 4) AS score
+        |  FROM f)
+        |SELECT doc_id, n_chars_norm, n_words, avg_word_len, stopword_ratio, score,
+        |  CASE WHEN score >= 0.6 THEN 'high' WHEN score >= 0.3 THEN 'medium' ELSE 'low' END AS bucket
+        |FROM g
+        |ORDER BY doc_id""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+        |  CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "fingerprint" ->
+      s"""SELECT doc_id,
+        |  md5($normSql) AS fp_md5,
+        |  ${hash60Sql(normSql)} AS fp60
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_embedding" ->
+      """SELECT id1, id2, cos FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
+
+    "ann_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+        |s AS (
+        |  SELECT qid, vec_id AS nid,
+        |    list_cosine_similarity(qv, embedding::DOUBLE[]) AS rawsim
+        |  FROM q, embeddings WHERE vec_id <> qid),
+        |r AS (
+        |  SELECT qid, nid, rawsim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rawsim DESC, nid) AS rk
+        |  FROM s)
+        |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, ROUND(rawsim, 6) AS sim
+        |FROM r WHERE rk <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    "mm_meta" ->
+      s"""SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  fp60 % 640 + 1 AS stub_width,
+        |  (fp60 // 640) % 480 + 1 AS stub_height
+        |FROM (SELECT doc_id, text, ${hash60Sql(normSql)} AS fp60 FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection pack (SURVEY §2 #24-26).
+  *
+  * Scale shape shared by all three: candidate generation is always a
+  * shuffle on a SMALL bucket key (LSH band hash, simhash block,
+  * embedding bucket) followed by within-bucket pairing and exact
+  * verification on candidates only — never an O(n²) comparison.
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime
+  private val NumPerm = 128
+  private val Bands = 16
+  private val RowsPerBand = NumPerm / Bands
+
+  /** Seeded universal-hash parameters (a*h + b mod P). */
+  private val perms: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    IndexedSeq.fill(NumPerm)((rnd.nextLong(P - 1) + 1, rnd.nextLong(P)))
+  }
+
+  /** Distinct (doc_id, shingle-hash) pairs — the MinHash input. */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs.withColumn("w", words(col("text")))
+      .select(col("doc_id"), explode(shingles("w")).as("shingle"))
+      .select(col("doc_id"), (hash60(col("shingle")) % P).as("h"))
+
+  /** dedup_minhash — MinHash(128) + LSH banding (16 bands × 8 rows)
+    * → candidate pairs → exact-Jaccard verification on candidates.
+    * One shuffle keyed on (band, band-hash); minhash signatures are
+    * computed as 128 map-side partial mins (one aggregation, no
+    * per-permutation passes).
+    */
+  def minhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val sh = shingleHashes(docs).cache()
+
+    val mhCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"mh$i")
+    }
+    val sigs = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+
+    val bandCols = (0 until Bands).map { bId =>
+      val rowCols = (0 until RowsPerBand).map(r => col(s"mh${bId * RowsPerBand + r}"))
+      struct(lit(bId).as("band"), md5(concat_ws(",", rowCols: _*)).as("key"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+
+    // exact-Jaccard verify, restricted to candidates
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val SimBits = 60
+  private val Blocks = 4
+  private val BlockBits = SimBits / Blocks // hamming ≤ Blocks-1 guaranteed found
+
+  /** Per-document 60-bit SimHash (frequency-weighted bit majority
+    * over word hashes).
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val wordHashes = docs.withColumn("w", words(col("text")))
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .select(col("doc_id"), hash60(col("word")).as("h"))
+    val bitCols = (0 until SimBits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val sums = wordHashes.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val sim = (0 until SimBits).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** dedup_simhash — SimHash near-dup: per-doc signature, block-key
+    * candidate join (pigeonhole: hamming ≤ 3 pairs always share a
+    * 15-bit block), per-doc near-dup partner count. Output is one
+    * row per document (signature + n_near_dups) so the operator is
+    * informative even when a corpus has no near-dups.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val sigs = simhashSignatures(docs).cache()
+    val blockCols = (0 until Blocks).map { j =>
+      struct(lit(j).as("blk"),
+        shiftright(col("simhash"), j * BlockBits).bitwiseAND((1L << BlockBits) - 1).as("key"))
+    }
+    val blocked = sigs.select(col("doc_id"), col("simhash"),
+        explode(array(blockCols: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.key").as("key"))
+    val pairs = blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("other"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+    sigs.join(pairs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_near_dups")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** dedup_embedding — cosine near-dup pairs over the embedding
+    * column. This is the exact small-SF baseline (pairwise with a
+    * key-inequality join); the bucketed scale path is
+    * [[SimilaritySearch.annLsh]]'s signature join.
+    */
+  def embedding(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(cosineSim(col("a.v"), col("b.v")), 4))
+      .filter(col("cos") >= 0.4)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos"))
+      .orderBy(col("id1"), col("id2"))
+  }
+}

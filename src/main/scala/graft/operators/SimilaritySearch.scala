@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (SURVEY §2 #27-28).
+  */
+object SimilaritySearch {
+
+  /** Query set: every 50th vector (deterministic, scale-stable). */
+  private def queriesOf(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+
+  private def embDouble(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** ann_topk — brute-force cosine top-k: the exact baseline. The
+    * query side is broadcast (queries ≪ corpus); scoring is a map-
+    * only pass over the corpus with the codegen'd cosine kernel, and
+    * top-k is a per-query window over a (small) qid-keyed shuffle.
+    * At 100 TB the corpus never shuffles.
+    */
+  def annTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val q = queriesOf(emb)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("sim", cosineSim(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val Tables_ = 8  // LSH hash tables
+  private val PlanesPerTable = 8
+  private val Dim = 64
+
+  /** Seeded random hyperplanes: [table][plane][dim]. */
+  private val hyperplanes: IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(7)
+    IndexedSeq.fill(Tables_)(IndexedSeq.fill(PlanesPerTable)(
+      Seq.fill(Dim)(rnd.nextGaussian())))
+  }
+
+  /** 8-bit signature of a vector under one table's hyperplanes. */
+  private def signature(v: Column, t: Int): Column =
+    (0 until PlanesPerTable).map { j =>
+      when(dotProduct(v, typedLit(hyperplanes(t)(j))) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Probe masks: all 8-bit patterns with ≤ maxFlips bits set
+    * (multi-probe LSH — query-side only, so the corpus keeps ONE
+    * signature per table and never expands).
+    */
+  private def probeMasks(maxFlips: Int): Seq[Long] =
+    (0L until (1L << PlanesPerTable)).filter(m => java.lang.Long.bitCount(m) <= maxFlips)
+
+  /** ann_lsh — random-hyperplane multi-probe LSH: 8 tables × 8-bit
+    * signatures; the corpus shuffles once on (table, signature) —
+    * 2^8 buckets × 8 tables — and each query probes every signature
+    * within hamming ≤ 2 of its own (37 probes/table, broadcast).
+    * Exact cosine re-ranks candidates only. This is the 100 TB path:
+    * corpus-side work is one signature pass + bucket join, never an
+    * n×q scoring sweep; recall/cost tunes via probe radius without
+    * touching the corpus layout.
+    */
+  def annLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val sigCols = (0 until Tables_).map(t =>
+      struct(lit(t).as("t"), signature(col("v"), t).as("sig")))
+    val corpus = emb.select(col("vec_id"), col("v"), explode(array(sigCols: _*)).as("s"))
+      .select(col("vec_id"), col("v"), col("s.t").as("t"), col("s.sig").as("sig"))
+    val q = queriesOf(emb)
+    val masks = probeMasks(2)
+    val qSig = q.select(col("qid"), col("qv"),
+        explode(array((0 until Tables_).map(t =>
+          struct(lit(t).as("t"), signature(col("qv"), t).as("sig"))): _*)).as("s"))
+      .select(col("qid"), col("qv"), col("s.t").as("t"),
+        explode(array(masks.map(m => col("s.sig").bitwiseXOR(lit(m))): _*)).as("sig"))
+    val candidates = corpus.join(broadcast(qSig),
+        corpus("t") === qSig("t") && corpus("sig") === qSig("sig") &&
+          col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id"), col("v"))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    candidates
+      .withColumn("sim", cosineSim(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}

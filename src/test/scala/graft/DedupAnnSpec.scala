@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the non-oracle (rows-only) operators: LSH/minhash
+  * recall against their exact counterparts, simhash determinism,
+  * multimodal decode plumbing.
+  */
+class DedupAnnSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  test("minhash-LSH finds all high-jaccard pairs found exactly (recall on verified candidates)") {
+    val exact = SparkEntry.queries("ngram_jaccard")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact jaccard found no pairs — threshold too high for testdata")
+    // LSH output is verified with exact jaccard, so no false positives:
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 (${exact.size} exact, ${lsh.size} lsh)")
+  }
+
+  test("ann_lsh recall vs brute-force ann_topk") {
+    val exact = SparkEntry.queries("ann_topk")(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("ann_lsh")(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    // multi-probe (hamming ≤ 2) over 8 tables; this synthetic corpus
+    // has only weak neighbors (cos ≈ 0.4) so recall is the hard case.
+    assert(recall >= 0.7, s"recall $recall < 0.7")
+    // every LSH hit must rank by true cosine: spot-check ordering
+    val byQ = SparkEntry.queries("ann_lsh")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid"))
+    byQ.values.foreach { rows =>
+      val sims = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("simhash signatures are deterministic and near-dup counts symmetric-consistent") {
+    val a = SparkEntry.queries("dedup_simhash")(spark, sf).collect()
+    val b = SparkEntry.queries("dedup_simhash")(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.forall(r => r.getAs[Long]("simhash") >= 0))
+    // total near-dup incidences must be even (pairs counted from both sides)
+    assert(a.map(_.getAs[Long]("n_near_dups")).sum % 2 == 0)
+  }
+
+  test("multimodal decode pipeline: partition-batched stub decode is deterministic and complete") {
+    import spark.implicits._
+    import graft.multimodal._
+    val media = Multimodal.mediaTable(spark, sf).as[MediaItem]
+    val feats = Multimodal.decodeAll(media).collect()
+    assert(feats.length == media.count())
+    assert(feats.forall(f => f.width >= 1 && f.width <= 640))
+    assert(feats.forall(f => f.height >= 1 && f.height <= 480))
+    assert(feats.forall(f => f.feature.length == 8))
+    val again = Multimodal.decodeAll(media).collect()
+    assert(feats.sortBy(_.doc_id).map(_.feature.toSeq).toSeq ==
+      again.sortBy(_.doc_id).map(_.feature.toSeq).toSeq)
+  }
+
+  test("cosine kernel matches an independent scala computation") {
+    import graft.functions.VectorFunctions._
+    val emb = Tables(spark, sf).embeddings.limit(20)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val rows = emb.as("a").crossJoin(emb.as("b"))
+      .select(col("a.v").as("x"), col("b.v").as("y"), cosineSim(col("a.v"), col("b.v")).as("c"))
+      .collect()
+    rows.foreach { r =>
+      val x = r.getSeq[Double](0); val y = r.getSeq[Double](1)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- x.indices) { dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i) }
+      val expect = dot / (math.sqrt(na) * math.sqrt(nb))
+      assert(r.getDouble(2) == expect)
+    }
+  }
+}
