@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.functions.HealthFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** The reference streaming job (/root/reference/src/flink_job.py)
+  * re-expressed as Structured Streaming:
+  *
+  *  - Kafka value-only string source       (flink_job.py:66-73)
+  *  - parse_event + drop invalid           (flink_job.py:94-100)
+  *  - event-time + bounded-lateness        (flink_job.py:75-84):
+  *    `withWatermark(5 seconds)` ≙ Flink's bounded out-of-orderness
+  *  - keyed tumbling window avg/min/max    (flink_job.py:104-111)
+  *  - classify_window on the window avg    (flink_job.py:113-122)
+  *  - alert JSON to Kafka sink             (flink_job.py:131-143)
+  *
+  * The pipeline core is source-agnostic (any DataFrame with a
+  * string `value` column), so the identical plan runs from Kafka in
+  * production and from MemoryStream/files in tests — Spark's
+  * incremental execution handles state, triggers and recovery.
+  */
+object HealthMonitor {
+
+  val DefaultWatermark = "5 seconds"
+  val DefaultWindow = "1 minute"
+
+  /** Kafka source with the reference's topic/consumer settings
+    * (requires the spark-sql-kafka connector on the classpath).
+    */
+  def kafkaSource(
+      spark: SparkSession,
+      bootstrap: String = "localhost:9092",
+      topic: String = "heart_rate_events"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+      .select(col("value").cast("string").as("value"))
+
+  /** Raw JSON strings → per-window alert records. */
+  def alerts(
+      raw: DataFrame,
+      watermark: String = DefaultWatermark,
+      windowSize: String = DefaultWindow): DataFrame =
+    raw
+      .select(parseEvent(col("value")).as("e"))
+      .filter(col("e").isNotNull)
+      .select(
+        col("e.patient_id").as("patient_id"),
+        col("e.heart_rate_bpm").as("hr"),
+        timestamp_millis(col("e.event_time")).as("event_ts"))
+      .withWatermark("event_ts", watermark)
+      .groupBy(col("patient_id"), window(col("event_ts"), windowSize).as("w"))
+      .agg(
+        avg(col("hr")).as("avg_hr"),
+        min(col("hr")).as("min_hr"),
+        max(col("hr")).as("max_hr"),
+        count(lit(1)).as("n_readings"))
+      .select(
+        col("patient_id"),
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("avg_hr"), col("min_hr"), col("max_hr"), col("n_readings"),
+        classifyWindow(col("avg_hr")).as("alert_type"))
+
+  /** Alert rows → the reference's JSON alert payload
+    * (flink_job.py:113-122).
+    */
+  def alertJson(alerts: DataFrame): DataFrame =
+    alerts.select(to_json(struct(
+      col("patient_id"),
+      unix_millis(col("window_start")).as("window_start"),
+      unix_millis(col("window_end")).as("window_end"),
+      col("avg_hr"), col("min_hr"), col("max_hr"),
+      col("alert_type"))).as("value"))
+
+  /** Kafka sink for the alert topic (flink_job.py:131-143). */
+  def kafkaSink(
+      alertsJson: DataFrame,
+      bootstrap: String = "localhost:9092",
+      topic: String = "heart_rate_alerts",
+      checkpoint: String = "/tmp/graft-hm-checkpoint"): DataStreamWriter[Row] =
+    alertsJson.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+
+  /** Test/debug sink: in-memory table, synchronous drain. */
+  def memorySink(alerts: DataFrame, name: String, mode: String = "append"): StreamingQuery =
+    alerts.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+}
