@@ -1,19 +1,45 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every registered query on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line.
+  *
+  * Timing methodology: a warmup pass at sf0.001 first (JIT + codegen
+  * caches + FileSystem init are Spark fixed costs, not operator
+  * cost), then each query materialized fully through the `noop`
+  * datasource (forces every column/row to be produced, unlike
+  * count() which lets Catalyst prune the plan).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    // warmup (not timed): small-SF pass over every query
+    SparkEntry.queries.keys.foreach(runOnce(_, "/root/testdata/sf0.001"))
+
+    // min of two timed runs: single-run numbers at this scale carry
+    // multi-second GC/JIT noise (observed 8× swings on a 1s query)
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+      val a = runOnce(n, sfDir); val b = runOnce(n, sfDir)
+      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

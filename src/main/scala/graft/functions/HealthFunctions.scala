@@ -30,6 +30,12 @@ object HealthFunctions {
     * event_time). Any failure (malformed JSON, missing field,
     * unparseable timestamp, non-positive rate) yields NULL, matching
     * the reference's None (tests/test_flink_logic.py:14-23).
+    *
+    * Usage note (measured): alias the result ONCE (`.as("e")`) and
+    * filter on `e.isNotNull` — a multi-conjunct filter on the parsed
+    * fields gets predicate-pushed with one full copy of this tree
+    * per conjunct (Catalyst substitutes trees, not DAGs), which
+    * multiplied the JSON parse ~6× on the batch path.
     */
   def parseEvent(raw: Column): Column = {
     val j = from_json(raw, eventSchema)
