@@ -14,6 +14,7 @@ object GraftSession {
     SparkSession
       .builder()
       .master(master)
+      .withExtensions(new GraftExtensions)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

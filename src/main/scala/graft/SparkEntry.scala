@@ -25,6 +25,8 @@ object SparkEntry {
     "q12_percentile"    -> (Relational.q12 _),
     "q13_sessionize"    -> (Relational.q13 _),
     "q14_scalar_funcs"  -> (Relational.q14 _),
+    "q15_skew_salted"   -> (Relational.q15 _),
+    "q16_sketch"        -> (Relational.q16 _),
     "hr_parse"           -> (Health.hrParse _),
     "hr_classify"        -> (Health.hrClassify _),
     "hr_window_tumbling" -> (Health.hrWindowTumbling _),
@@ -229,6 +231,16 @@ object SparkEntry {
         |  sqrt(value) AS value_sqrt
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "q15_skew_salted" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value,
+        |  MAX(value) AS max_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "hr_parse" ->
       """SELECT event_id,

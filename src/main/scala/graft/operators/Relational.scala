@@ -247,6 +247,50 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** q15_skew_salted — two-phase salted aggregation: the pattern for
+    * hot grouping keys at 100 TB. events has only 5 event_type values
+    * (extreme skew: a naive groupBy lands 20% of all rows on one
+    * reducer); phase 1 aggregates on (key, salt) spreading each hot
+    * key over 64 reducers, phase 2 combines 5×64 tiny partials.
+    * Salt is derived from event_id — deterministic, unlike rand().
+    * Output equals a plain GROUP BY (the oracle runs exactly that).
+    */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    ev.withColumn("salt", pmod(col("event_id"), lit(64)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(dec2(col("value"))).as("psum"),
+        min(col("value")).as("pmin"),
+        max(col("value")).as("pmax"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("pn")).as("n_events"),
+        sum(col("psum")).cast("double").as("sum_value"),
+        min(col("pmin")).as("min_value"),
+        max(col("pmax")).as("max_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q16_sketch — sketch-based approximation operators (HLL
+    * count-distinct, quantile sketch): the constant-memory answers
+    * at 100 TB where exact distinct/percentile would shuffle the
+    * world. No SQL oracle (approximate by nature) — accuracy bounds
+    * are asserted against exact values in ScalaTest.
+    */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50_price"),
+        expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("approx_p99_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q14_scalar_funcs — scalar function pack over events: date parts,
     * string functions, and IEEE-deterministic math (floor/ceil/sqrt
     * — bit-identical across engines; no libm-dependent funcs).

@@ -75,6 +75,41 @@ class QueryPackSpec extends AnyFunSuite {
     assert(df.filter(col("window_end_ms") - col("window_start_ms") =!= 3600000L).count() == 0)
   }
 
+  test("SQL extension functions are registered (cosine_sim, dot_product)") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
+        "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 11.0)
+  }
+
+  test("sketch aggregates stay within tolerance of exact answers") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q16_sketch")(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("approx_orders"), r.getAs[Double]("approx_p50_price"))).toMap
+    val exact = Tables(spark, sf).lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p50"))).toMap
+    for ((k, (en, ep)) <- exact) {
+      val (an, ap) = approx(k)
+      assert(math.abs(an - en).toDouble / en < 0.05, s"$k approx_count_distinct off >5%")
+      assert(math.abs(ap - ep) / ep < 0.05, s"$k approx_percentile off >5%")
+    }
+  }
+
+  test("salted aggregation equals the plain groupBy") {
+    import org.apache.spark.sql.functions._
+    val salted = SparkEntry.queries("q15_skew_salted")(spark, sf).collect()
+    val plain = Tables(spark, sf).events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events")).orderBy(col("event_type")).collect()
+    assert(salted.map(r => (r.getString(0), r.getAs[Long]("n_events"))).toSeq ==
+      plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
   test("topk is ordered and bounded") {
     val rows = SparkEntry.queries("q4_topk")(spark, sf).collect()
     assert(rows.length == 50)
