@@ -19,7 +19,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
+      spark.catalog.clearCache() // isolate: cached shingle/sig RDDs
+      val t0 = System.nanoTime() //  from earlier queries distort GC
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

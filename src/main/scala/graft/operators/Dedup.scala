@@ -26,11 +26,15 @@ object Dedup {
     IndexedSeq.fill(NumPerm)((rnd.nextLong(P - 1) + 1, rnd.nextLong(P)))
   }
 
-  /** Distinct (doc_id, shingle-hash) pairs — the MinHash input. */
+  /** Distinct (doc_id, shingle-hash) pairs — the MinHash input.
+    * xxhash64 (codegen'd, no hex round-trip) — this operator is not
+    * oracle-replicated, so the portable-but-slow md5 hash isn't
+    * needed; pmod keeps the value in [0, P) for the permutations.
+    */
   private def shingleHashes(docs: DataFrame): DataFrame =
     docs.withColumn("w", words(col("text")))
       .select(col("doc_id"), explode(shingles("w")).as("shingle"))
-      .select(col("doc_id"), (hash60(col("shingle")) % P).as("h"))
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
 
   /** dedup_minhash — MinHash(128) + LSH banding (16 bands × 8 rows)
     * → candidate pairs → exact-Jaccard verification on candidates.
@@ -49,7 +53,7 @@ object Dedup {
 
     val bandCols = (0 until Bands).map { bId =>
       val rowCols = (0 until RowsPerBand).map(r => col(s"mh${bId * RowsPerBand + r}"))
-      struct(lit(bId).as("band"), md5(concat_ws(",", rowCols: _*)).as("key"))
+      struct(lit(bId).as("band"), xxhash64(rowCols: _*).as("key"))
     }
     val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
@@ -84,9 +88,11 @@ object Dedup {
     * over word hashes).
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
+    // xxhash64: bits 0..59 of the signed 64-bit hash (rows-only
+    // operator — no cross-engine replication constraint)
     val wordHashes = docs.withColumn("w", words(col("text")))
       .select(col("doc_id"), explode(col("w")).as("word"))
-      .select(col("doc_id"), hash60(col("word")).as("h"))
+      .select(col("doc_id"), xxhash64(col("word")).as("h"))
     val bitCols = (0 until SimBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }
@@ -133,10 +139,15 @@ object Dedup {
     * [[SimilaritySearch.annLsh]]'s signature join.
     */
   def embedding(spark: SparkSession, dir: String): DataFrame = {
+    // norms precomputed once per vector (n values, not n² — 3× fewer
+    // pair FLOPs); dot/(sqrt·sqrt) keeps the oracle engine's exact
+    // formula and fold order, so results stay bit-identical.
     val emb = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", dotProduct(col("v"), col("v")))
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(cosineSim(col("a.v"), col("b.v")), 4))
+      .withColumn("cos", round(
+        dotProduct(col("a.v"), col("b.v")) / (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 4))
       .filter(col("cos") >= 0.4)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos"))
       .orderBy(col("id1"), col("id2"))
