@@ -27,6 +27,8 @@ object SparkEntry {
     "q14_scalar_funcs"  -> (Relational.q14 _),
     "q15_skew_salted"   -> (Relational.q15 _),
     "q16_sketch"        -> (Relational.q16 _),
+    "q17_running"       -> (Relational.q17 _),
+    "hr_episodes"       -> (Health.hrEpisodes _),
     "hr_parse"           -> (Health.hrParse _),
     "hr_classify"        -> (Health.hrClassify _),
     "hr_window_tumbling" -> (Health.hrWindowTumbling _),
@@ -294,6 +296,47 @@ object SparkEntry {
         |    GROUP BY user_id, (epoch_ms(ts) // 3600000) * 3600000))
         |GROUP BY user_id, alert_type
         |ORDER BY user_id, alert_type""".stripMargin,
+
+    "q17_running" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events)
+        |SELECT user_id, event_id, ts_ms,
+        |  CAST(SUM(v) OVER w AS DOUBLE) AS running_sum,
+        |  ROUND(CAST(CAST(SUM(v) OVER w4 * 100 AS BIGINT) AS DOUBLE) / 100.0
+        |    / (COUNT(*) OVER w4) + 1e-9, 4) AS moving_avg
+        |FROM e
+        |WINDOW
+        |  w AS (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING),
+        |  w4 AS (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+
+    "hr_episodes" ->
+      s"""WITH t AS (
+        |  SELECT user_id, window_start_ms, window_end_ms, avg_hr,
+        |    $classifySql AS alert_type
+        |  FROM (
+        |    SELECT user_id,
+        |      (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+        |      (epoch_ms(ts) // 3600000) * 3600000 + 3600000 AS window_end_ms,
+        |      ${moneyAvgSql("value")} AS avg_hr
+        |    FROM events
+        |    GROUP BY user_id, (epoch_ms(ts) // 3600000) * 3600000)),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY window_start_ms)
+        |      - ROW_NUMBER() OVER (PARTITION BY user_id, alert_type ORDER BY window_start_ms) AS grp
+        |  FROM t)
+        |SELECT user_id, alert_type,
+        |  MIN(window_start_ms) AS episode_start_ms,
+        |  MAX(window_end_ms) AS episode_end_ms,
+        |  COUNT(*) AS n_windows,
+        |  MAX(avg_hr) AS peak_avg_hr
+        |FROM r
+        |WHERE alert_type <> 'normal'
+        |GROUP BY user_id, alert_type, grp
+        |ORDER BY user_id, episode_start_ms, alert_type""".stripMargin,
 
     "dedup_exact" ->
       s"""SELECT md5($normSql) AS fingerprint,

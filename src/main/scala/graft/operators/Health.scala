@@ -110,6 +110,33 @@ object Health {
       .orderBy(col("user_id"), col("window_start_ms"))
   }
 
+  /** hr_episodes — batch episode detection (gaps-and-islands): maximal
+    * runs of consecutive same-type abnormal windows per patient,
+    * purely declarative (island id = difference of two row_numbers —
+    * one shuffle, no state store). The streaming twin with real keyed
+    * state is [[graft.streaming.EpisodeTracker]].
+    */
+  def hrEpisodes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alerts = hrWindowTumbling(spark, dir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("window_start_ms"))
+    val byUserType = Window.partitionBy(col("user_id"), col("alert_type"))
+      .orderBy(col("window_start_ms"))
+    alerts
+      .withColumn("grp",
+        row_number().over(byUser) - row_number().over(byUserType))
+      .filter(col("alert_type") =!= "normal")
+      .groupBy(col("user_id"), col("alert_type"), col("grp"))
+      .agg(
+        min(col("window_start_ms")).as("episode_start_ms"),
+        max(col("window_end_ms")).as("episode_end_ms"),
+        count(lit(1)).as("n_windows"),
+        max(col("avg_hr")).as("peak_avg_hr"))
+      .select(col("user_id"), col("alert_type"), col("episode_start_ms"),
+        col("episode_end_ms"), col("n_windows"), col("peak_avg_hr"))
+      .orderBy(col("user_id"), col("episode_start_ms"), col("alert_type"))
+  }
+
   /** hr_alert_stats — the reference's Spark batch analysis
     * (src/spark_batch_analysis.py:22-26): alerts grouped by
     * patient × alert_type with counts.

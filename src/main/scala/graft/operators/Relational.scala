@@ -291,6 +291,28 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q17_running — window frames: cumulative sum and a 4-row moving
+    * average per user over event time (ROWS BETWEEN). One shuffle on
+    * the partition key; frames evaluate incrementally inside each
+    * partition.
+    */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"), epochMs(col("ts")).as("ts_ms"),
+        dec2(col("value")).as("v"))
+      .withColumn("running_sum",
+        sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("moving_avg", round(
+        (sum(col("v")).over(w.rowsBetween(-3, Window.currentRow)) * lit(100)).cast("long")
+          .cast("double") / lit(100.0) /
+          count(lit(1)).over(w.rowsBetween(-3, Window.currentRow)) + lit(1e-9), 4))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("running_sum"), col("moving_avg"))
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
   /** q14_scalar_funcs — scalar function pack over events: date parts,
     * string functions, and IEEE-deterministic math (floor/ceil/sqrt
     * — bit-identical across engines; no libm-dependent funcs).

@@ -110,6 +110,49 @@ class QueryPackSpec extends AnyFunSuite {
       plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("alert store: JSON/CSV round-trip preserves the batch analysis result") {
+    import graft.sources.AlertStore
+    val alerts = SparkEntry.queries("hr_window_tumbling")(spark, sf)
+    val expected = AlertStore.analyze(alerts).collect().map(_.toSeq).toSeq
+    val base = "target/tmp/alertstore"
+    AlertStore.writeJson(alerts, s"$base/json")
+    AlertStore.writeCsv(alerts, s"$base/csv")
+    val fromJson = AlertStore.analyze(AlertStore.readJson(spark, s"$base/json"))
+      .collect().map(_.toSeq).toSeq
+    val fromCsv = AlertStore.analyze(AlertStore.readCsv(spark, s"$base/csv"))
+      .collect().map(_.toSeq).toSeq
+    assert(fromJson == expected)
+    assert(fromCsv == expected)
+    // and it matches the registered hr_alert_stats operator
+    val stats = SparkEntry.queries("hr_alert_stats")(spark, sf).collect().map(_.toSeq).toSeq
+    assert(fromJson == stats)
+  }
+
+  test("hr_episodes matches the streaming EpisodeTracker on closed runs") {
+    import spark.implicits._
+    import graft.streaming._
+    val batch = SparkEntry.queries("hr_episodes")(spark, sf).collect()
+    // feed the same tumbling alerts through the streaming state machine
+    val alerts = SparkEntry.queries("hr_window_tumbling")(spark, sf)
+      .select(concat(lit("u"), col("user_id")).as("patient_id"),
+        timestamp_millis(col("window_start_ms")).as("window_start"),
+        timestamp_millis(col("window_end_ms")).as("window_end"),
+        col("avg_hr"), col("alert_type"))
+      .as[WindowAlert]
+    val streamed = EpisodeTracker.episodes(alerts).collect()
+    // streaming emits only runs closed by a following window; batch
+    // (gaps-and-islands) also reports runs still open at data end —
+    // so streamed episodes must be a subset with identical bounds
+    val batchKeys = batch.map(r => (s"u${r.getAs[Long]("user_id")}",
+      r.getAs[Long]("episode_start_ms"), r.getAs[Long]("episode_end_ms"),
+      r.getAs[Long]("n_windows"))).toSet
+    val streamKeys = streamed.map(e => (e.patient_id, e.start.getTime, e.end.getTime,
+      e.n_windows.toLong)).toSet
+    assert(streamKeys.nonEmpty)
+    assert(streamKeys.subsetOf(batchKeys),
+      s"streaming episodes not found in batch: ${streamKeys -- batchKeys}")
+  }
+
   test("topk is ordered and bounded") {
     val rows = SparkEntry.queries("q4_topk")(spark, sf).collect()
     assert(rows.length == 50)
