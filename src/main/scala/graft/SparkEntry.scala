@@ -28,6 +28,7 @@ object SparkEntry {
     "q15_skew_salted"   -> (Relational.q15 _),
     "q16_sketch"        -> (Relational.q16 _),
     "q17_running"       -> (Relational.q17 _),
+    "q18_topk_custom"   -> (Relational.q18 _),
     "hr_episodes"       -> (Health.hrEpisodes _),
     "hr_parse"           -> (Health.hrParse _),
     "hr_classify"        -> (Health.hrClassify _),
@@ -311,6 +312,16 @@ object SparkEntry {
         |  w AS (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING),
         |  w4 AS (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+
+    "q18_topk_custom" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
 
     "hr_episodes" ->
       s"""WITH t AS (

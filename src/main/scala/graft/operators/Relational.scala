@@ -313,6 +313,25 @@ object Relational {
       .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
   }
 
+  /** q18_topk_custom — q6's top-3-per-supplier via the engine's own
+    * [[graft.plans.TopKPerKey]] operator: bounded per-key heap,
+    * shuffle-only (no partition sort). Same rows as the window
+    * formulation; the physical plan contains TopKPerKeyExec and no
+    * Sort below it.
+    */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"), col("l_extendedprice"))
+    graft.plans.TopK.topKPerKey(li,
+        keys = Seq(col("l_suppkey")),
+        order = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc),
+        k = 3)
+      .orderBy(col("l_suppkey"), col("l_extendedprice").desc,
+        col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** q14_scalar_funcs — scalar function pack over events: date parts,
     * string functions, and IEEE-deterministic math (floor/ceil/sqrt
     * — bit-identical across engines; no libm-dependent funcs).

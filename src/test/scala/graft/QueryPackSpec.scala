@@ -153,6 +153,23 @@ class QueryPackSpec extends AnyFunSuite {
       s"streaming episodes not found in batch: ${streamKeys -- batchKeys}")
   }
 
+  test("custom TopKPerKey operator: same rows as the window formulation, no sort in plan") {
+    val custom = SparkEntry.queries("q18_topk_custom")(spark, sf)
+    val viaWindow = SparkEntry.queries("q6_window_rank")(spark, sf)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_suppkey"), col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    assert(custom.collect().map(_.toSeq).toSeq == viaWindow.collect().map(_.toSeq).toSeq)
+    // AQE's toString appends an "== Initial Plan ==" copy — examine
+    // only the final plan section
+    val plan = custom.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TopKPerKey"), s"custom exec missing from plan:\n$plan")
+    // the heap replaces the partition sort; the only Sort allowed is
+    // the final output orderBy ABOVE the custom node
+    val belowTopK = plan.substring(plan.indexOf("TopKPerKey"))
+    assert(!belowTopK.contains("Sort ["),
+      s"found a Sort below TopKPerKey — the heap should have replaced it:\n$belowTopK")
+  }
+
   test("topk is ordered and bounded") {
     val rows = SparkEntry.queries("q4_topk")(spark, sf).collect()
     assert(rows.length == 50)
