@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // dozens of codegen-heavy queries in one JVM: default code cache
+  // fills and triggers JIT deopt storms (multi-second timing noise)
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseParallelGC", // throughput GC for batch workloads
 )

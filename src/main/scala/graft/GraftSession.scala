@@ -21,6 +21,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // default 100-entry generated-class cache thrashes across a
+      // 30+-query workload → Janino recompiles mid-run
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read as epoch-nanos LONG and convert in Tables.

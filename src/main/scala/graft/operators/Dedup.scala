@@ -42,8 +42,11 @@ object Dedup {
     * computed as 128 map-side partial mins (one aggregation, no
     * per-permutation passes).
     */
-  def minhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+  def minhash(spark: SparkSession, dir: String): DataFrame =
+    minhashOn(Tables(spark, dir).documents)
+
+  /** Same pipeline over any (doc_id, text) DataFrame. */
+  def minhashOn(docs: DataFrame): DataFrame = {
     val sh = shingleHashes(docs).cache()
 
     val mhCols = perms.zipWithIndex.map { case ((a, b), i) =>
