@@ -46,6 +46,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.embedding _),
     "ann_topk"        -> ((s, d) => SimilaritySearch.annTopK(s, d)),
     "ann_lsh"         -> ((s, d) => SimilaritySearch.annLsh(s, d)),
+    "ann_ivf"         -> ((s, d) => SimilaritySearch.annIvf(s, d)),
     "mm_meta"         -> (graft.multimodal.Multimodal.mmMeta _)
   )
 

@@ -38,6 +38,41 @@ object SimilaritySearch {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** ann_ivf — IVF (inverted-file) ANN: a deterministic coarse
+    * quantizer (every 50th vector, offset 7, ≈√n centroids) assigns
+    * each corpus vector to its nearest-centroid cell; queries probe
+    * their `nprobe` nearest cells and re-rank exactly within them.
+    *
+    * Scale shape: one n×√n centroid-scoring pass (centroids
+    * broadcast), one shuffle keyed by cell, then each query touches
+    * nprobe/√n of the corpus — the other classic ANN layout next to
+    * LSH, with recall tuned by nprobe instead of probe radius.
+    */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val centroids = emb.filter(col("vec_id") % 50 === 7)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    def nearestCells(df: DataFrame, idCol: String, vCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("csim", cosineSim(col(vCol), col("cv")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .drop("cv", "csim", "crank")
+    }
+    val cells = nearestCells(emb, "vec_id", "v", 1) // corpus: 1 cell each
+    val q = queriesOf(emb)
+    val qCells = nearestCells(q, "qid", "qv", nprobe)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    cells.join(broadcast(qCells), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", cosineSim(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   private val Tables_ = 8  // LSH hash tables
   private val PlanesPerTable = 8
   private val Dim = 64

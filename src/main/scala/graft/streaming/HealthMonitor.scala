@@ -42,11 +42,8 @@ object HealthMonitor {
       .load()
       .select(col("value").cast("string").as("value"))
 
-  /** Raw JSON strings → per-window alert records. */
-  def alerts(
-      raw: DataFrame,
-      watermark: String = DefaultWatermark,
-      windowSize: String = DefaultWindow): DataFrame =
+  /** Parsed, validated, event-timestamped readings. */
+  private def readings(raw: DataFrame, watermark: String): DataFrame =
     raw
       .select(parseEvent(col("value")).as("e"))
       .filter(col("e").isNotNull)
@@ -55,7 +52,43 @@ object HealthMonitor {
         col("e.heart_rate_bpm").as("hr"),
         timestamp_millis(col("e.event_time")).as("event_ts"))
       .withWatermark("event_ts", watermark)
-      .groupBy(col("patient_id"), window(col("event_ts"), windowSize).as("w"))
+
+  /** Raw JSON strings → per-window alert records. `slide` turns the
+    * tumbling window into the reference README's suggested sliding
+    * variant (e.g. 1 minute sliding every 10 seconds).
+    */
+  def alerts(
+      raw: DataFrame,
+      watermark: String = DefaultWatermark,
+      windowSize: String = DefaultWindow,
+      slide: Option[String] = None): DataFrame =
+    readings(raw, watermark)
+      .groupBy(col("patient_id"),
+        slide.fold(window(col("event_ts"), windowSize))(s =>
+          window(col("event_ts"), windowSize, s)).as("w"))
+      .agg(
+        avg(col("hr")).as("avg_hr"),
+        min(col("hr")).as("min_hr"),
+        max(col("hr")).as("max_hr"),
+        count(lit(1)).as("n_readings"))
+      .select(
+        col("patient_id"),
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("avg_hr"), col("min_hr"), col("max_hr"), col("n_readings"),
+        classifyWindow(col("avg_hr")).as("alert_type"))
+
+  /** Session-window variant: per-patient activity sessions closed by
+    * `gap` of silence (Spark's native session_window state merging —
+    * the dynamic-window complement to the fixed tumbling/sliding
+    * forms).
+    */
+  def sessionAlerts(
+      raw: DataFrame,
+      watermark: String = DefaultWatermark,
+      gap: String = "5 minutes"): DataFrame =
+    readings(raw, watermark)
+      .groupBy(col("patient_id"), session_window(col("event_ts"), gap).as("w"))
       .agg(
         avg(col("hr")).as("avg_hr"),
         min(col("hr")).as("min_hr"),

@@ -77,6 +77,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows: one event lands in size/slide windows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[String]
+    val alerts = HealthMonitor.alerts(input.toDF().toDF("value"),
+      windowSize = "1 minute", slide = Some("15 seconds"))
+    val q = HealthMonitor.memorySink(alerts, "alerts_sl", "update")
+    try {
+      input.addData(ev("p1", "2025-01-01T00:01:00+00:00", 90))
+      q.processAllAvailable()
+      val rows = spark.table("alerts_sl").collect()
+      assert(rows.length == 4, s"expected 4 sliding windows, got ${rows.length}")
+      assert(rows.forall(_.getAs[Long]("n_readings") == 1L))
+    } finally q.stop()
+  }
+
+  test("session windows: readings within the gap merge, a silent gap splits") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[String]
+    // session aggregation only supports append mode: sessions emit
+    // once the watermark passes their close
+    val alerts = HealthMonitor.sessionAlerts(input.toDF().toDF("value"), gap = "5 minutes")
+    val q = HealthMonitor.memorySink(alerts, "alerts_se", "append")
+    try {
+      input.addData(
+        ev("p1", "2025-01-01T00:00:00+00:00", 80),
+        ev("p1", "2025-01-01T00:03:00+00:00", 90), // within gap → same session
+        ev("p1", "2025-01-01T00:20:00+00:00", 70)) // 17 min silence → new session
+      q.processAllAvailable()
+      // advance the watermark far past both p1 sessions so they close
+      input.addData(ev("p2", "2025-01-01T02:00:00+00:00", 85))
+      q.processAllAvailable()
+      val rows = spark.table("alerts_se").filter(col("patient_id") === "p1").collect()
+      assert(rows.length == 2, s"expected 2 closed p1 sessions, got ${rows.length}")
+      val byN = rows.map(_.getAs[Long]("n_readings")).sorted.toSeq
+      assert(byN == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("episode tracker merges consecutive abnormal windows and closes on normal") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
