@@ -29,11 +29,17 @@ object SimilaritySearch {
   def annTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = embDouble(spark, dir)
     val q = queriesOf(emb)
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("sim", cosineSim(col("qv"), col("v")))
+      .select(col("qid"), col("vec_id"), col("sim"))
+    // top-k via the engine's heap operator (no per-query sort of the
+    // full scored corpus); ranks assigned afterwards over k×q rows
+    val topk = graft.plans.TopK.topKPerKey(scored,
+      keys = Seq(col("qid")),
+      order = Seq(col("sim").desc, col("vec_id").asc), k = k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    topk
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id").as("nid"), col("rank"), round(col("sim"), 6).as("sim"))
       .orderBy(col("qid"), col("rank"))
   }

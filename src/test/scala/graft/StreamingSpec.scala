@@ -117,6 +117,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hello pipeline adds processed_by like the reference hello job") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = HealthMonitor.memorySink(
+      HelloPipeline.transform(input.toDF().toDF("value")), "hello_t", "append")
+    try {
+      input.addData("""{"id": "0", "message": "hello spark"}""", "not json")
+      q.processAllAvailable()
+      val out = spark.table("hello_t").as[String].collect().sorted
+      assert(out.exists(_.contains(""""processed_by":"hello_spark_job"""")))
+      assert(out.contains("not json")) // defensive passthrough
+    } finally q.stop()
+  }
+
   test("episode tracker merges consecutive abnormal windows and closes on normal") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
