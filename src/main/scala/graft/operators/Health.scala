@@ -45,12 +45,12 @@ object Health {
     // of the parse tree per conjunct (measured 8× slower).
     ev.filter(col("event_id") % 13 =!= 0 && floor(col("value")) > 0)
       .withColumn("raw", rawPayload(("user_id", "ts", "value")))
-      .select(col("event_id"), from_json(col("raw"), eventSchema).as("j"))
+      .select(col("event_id"), parseEventFast(col("raw")).as("e"))
       .select(
         col("event_id"),
-        col("j.patient_id").as("patient_id"),
-        col("j.heart_rate_bpm").as("heart_rate_bpm"),
-        unix_millis(to_timestamp(col("j.timestamp"))).as("event_time"))
+        col("e.patient_id").as("patient_id"),
+        col("e.heart_rate_bpm").as("heart_rate_bpm"),
+        col("e.event_time").as("event_time"))
       .orderBy(col("event_id"))
   }
 

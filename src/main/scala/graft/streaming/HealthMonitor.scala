@@ -45,7 +45,7 @@ object HealthMonitor {
   /** Parsed, validated, event-timestamped readings. */
   private def readings(raw: DataFrame, watermark: String): DataFrame =
     raw
-      .select(parseEvent(col("value")).as("e"))
+      .select(parseEventFast(col("value")).as("e"))
       .filter(col("e").isNotNull)
       .select(
         col("e.patient_id").as("patient_id"),
