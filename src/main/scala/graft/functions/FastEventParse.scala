@@ -52,9 +52,13 @@ object FastEventParse {
     var ts: String = null
     var rate = Long.MinValue
     var done = false
+    var afterComma = false // strict JSON: ",}" is malformed
     while (!done) {
       i = skipWs(s, i)
-      if (i < n && s.charAt(i) == '}') { i += 1; done = true }
+      if (i < n && s.charAt(i) == '}') {
+        if (afterComma) return null // trailing comma — Jackson rejects
+        i += 1; done = true
+      }
       else {
         // key
         if (i >= n || s.charAt(i) != '"') return null
@@ -77,16 +81,19 @@ object FastEventParse {
         } else {
           val start = i
           if (s.charAt(i) == '-') i += 1
+          val digitsStart = i
           while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
-          if (i == start || (i < n && (s.charAt(i) == '.' || s.charAt(i) == 'e' ||
+          if (i == digitsStart || (i < n && (s.charAt(i) == '.' || s.charAt(i) == 'e' ||
               s.charAt(i) == 'E'))) return null // not a plain integer
+          // leading zeros (085) are malformed JSON — Jackson rejects
+          if (i - digitsStart > 1 && s.charAt(digitsStart) == '0') return null
           if (key == "heart_rate_bpm") {
             try rate = java.lang.Long.parseLong(s.substring(start, i))
             catch { case _: NumberFormatException => return null }
           } else if (key == "patient_id" || key == "timestamp") return null
         }
         i = skipWs(s, i)
-        if (i < n && s.charAt(i) == ',') i += 1
+        if (i < n && s.charAt(i) == ',') { i += 1; afterComma = true }
         else if (i < n && s.charAt(i) == '}') { i += 1; done = true }
         else return null
       }
@@ -105,14 +112,15 @@ object FastEventParse {
     i
   }
 
-  /** End index of a string value with NO escapes (escape ⇒ -1 ⇒
-    * fall back to the general parser).
+  /** End index of a string value with NO escapes and no raw control
+    * characters (either ⇒ -1 ⇒ fall back: escapes need real
+    * unescaping, and Jackson rejects unescaped control chars).
     */
   private def scanString(s: String, from: Int): Int = {
     var i = from
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\\') return -1
+      if (c == '\\' || c < ' ') return -1
       if (c == '"') return i
       i += 1
     }

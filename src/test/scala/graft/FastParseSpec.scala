@@ -26,13 +26,18 @@ class FastParseSpec extends AnyFunSuite {
     """{"patient_id":"p1","timestamp":"2025-01-01T00:00:00Z","heart_rate_bpm":0}""",
     """{"patient_id":"p1","timestamp":"2025-01-01T00:00:00Z","heart_rate_bpm":-5}""",
     """{"patient_id":"p1","timestamp":"garbage","heart_rate_bpm":85}""",
-    // fast-profile escapes (escape chars, no offset, nested) — must
-    // fall back to the general parser, not mis-parse
-    """{"patient_id":"p1","timestamp":"2025-01-01T00:00:00Z","heart_rate_bpm":85}""",
-    """{"patient_id":"p1","timestamp":"2025-01-01 00:00:00","heart_rate_bpm":85}""",
+    // fast-profile edges — must fall back or reject exactly like
+    // Jackson, never be laxer
+    """{"patient_id":"p\"1","timestamp":"2025-01-01T00:00:00Z","heart_rate_bpm":85}""", // escape → fallback
+    """{"patient_id":"p1","timestamp":"2025-01-01 00:00:00","heart_rate_bpm":85}""", // no offset → fallback
     """{"patient_id":{"nested":"p1"},"timestamp":"2025-01-01T00:00:00Z","heart_rate_bpm":85}""",
     """[1,2,3]""",
-    """{"patient_id":"p1","timestamp":"2025-01-01T00:00:00Z","heart_rate_bpm":85}trailing""")
+    """{"patient_id":"p1","timestamp":"2025-01-01T00:00:00Z","heart_rate_bpm":85}trailing""",
+    // malformed-JSON cases Jackson rejects that a lax scanner might accept
+    """{"patient_id":"p1","timestamp":"2025-01-01T00:00:00Z","heart_rate_bpm":85,}""", // trailing comma
+    "{\"patient_id\":\"p\n1\",\"timestamp\":\"2025-01-01T00:00:00Z\",\"heart_rate_bpm\":85}", // raw control char
+    """{"patient_id":"p1","timestamp":"2025-01-01T00:00:00Z","heart_rate_bpm":085}""", // leading zero
+    """{"patient_id":"p1","timestamp":"2025-01-01T00:00:00Z","heart_rate_bpm":85,"x":-}""") // bare minus
 
   test("parseEventFast ≡ parseEvent on every payload class") {
     import spark.implicits._
