@@ -30,8 +30,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup (not timed): small-SF pass over every query
-    SparkEntry.queries.keys.foreach(runOnce(_, "/root/testdata/sf0.001"))
+    // warmup (not timed): smallest-SF sibling pass over every query,
+    // falling back to the target dir so a relocated dataset tree
+    // still gets JIT/codegen warmup rather than silently none
+    val warmupDir = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.getPath else sfDir
+    }
+    SparkEntry.queries.keys.foreach(runOnce(_, warmupDir))
 
     // min of two timed runs: single-run numbers at this scale carry
     // multi-second GC/JIT noise (observed 8× swings on a 1s query)

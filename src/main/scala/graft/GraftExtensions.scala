@@ -12,15 +12,23 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * (`spark.sql.extensions=graft.GraftExtensions`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def binary(name: String)(mk: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { args =>
+    if (args.length != 2)
+      throw new IllegalArgumentException(
+        s"$name requires exactly 2 arguments, got ${args.length}")
+    mk(args(0), args(1))
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      binary("cosine_sim")(CosineSimilarity)))
     e.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      binary("dot_product")(DotProduct)))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

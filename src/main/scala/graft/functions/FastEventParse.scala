@@ -139,7 +139,14 @@ object FastEventParse {
         ts.lastIndexOf('-') > tPos)
     }
     if (!hasOffset) return Long.MinValue
+    // DateTimeParseException for malformed input; ArithmeticException
+    // for valid ISO dates beyond the epoch-millis Long range (e.g.
+    // 9-digit years) — both must mean "fall back", never a task crash
     try java.time.OffsetDateTime.parse(ts).toInstant.toEpochMilli
-    catch { case _: java.time.format.DateTimeParseException => Long.MinValue }
+    catch {
+      case _: java.time.format.DateTimeParseException => Long.MinValue
+      case _: ArithmeticException => Long.MinValue
+      case _: java.time.DateTimeException => Long.MinValue
+    }
   }
 }

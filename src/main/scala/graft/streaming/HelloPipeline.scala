@@ -12,6 +12,7 @@ import org.apache.spark.sql.types.{MapType, StringType}
   */
 object HelloPipeline {
   val ProcessedBy = "hello_spark_job"
+  val ProcessedByKey = "processed_by"
 
   /** value:String JSON in → value:String JSON out with the
     * processed_by marker appended (invalid JSON passes through
@@ -19,9 +20,13 @@ object HelloPipeline {
     */
   def transform(raw: DataFrame): DataFrame = {
     val parsed = from_json(col("value"), MapType(StringType, StringType))
+    // drop any pre-existing processed_by first: map_concat THROWS on
+    // duplicate keys under the default mapKeyDedupPolicy=EXCEPTION,
+    // and overwrite is the reference job's behavior anyway
+    val cleaned = map_filter(parsed, (k, _) => k =!= ProcessedByKey)
     raw.select(
       when(parsed.isNotNull,
-        to_json(map_concat(parsed, map(lit("processed_by"), lit(ProcessedBy)))))
+        to_json(map_concat(cleaned, map(lit(ProcessedByKey), lit(ProcessedBy)))))
         .otherwise(col("value"))
         .as("value"))
   }

@@ -37,7 +37,10 @@ class FastParseSpec extends AnyFunSuite {
     """{"patient_id":"p1","timestamp":"2025-01-01T00:00:00Z","heart_rate_bpm":85,}""", // trailing comma
     "{\"patient_id\":\"p\n1\",\"timestamp\":\"2025-01-01T00:00:00Z\",\"heart_rate_bpm\":85}", // raw control char
     """{"patient_id":"p1","timestamp":"2025-01-01T00:00:00Z","heart_rate_bpm":085}""", // leading zero
-    """{"patient_id":"p1","timestamp":"2025-01-01T00:00:00Z","heart_rate_bpm":85,"x":-}""") // bare minus
+    """{"patient_id":"p1","timestamp":"2025-01-01T00:00:00Z","heart_rate_bpm":85,"x":-}""", // bare minus
+    // valid ISO with 9-digit year: OffsetDateTime parses it but
+    // epoch-millis overflows Long — must fall back, not crash the task
+    """{"patient_id":"p1","timestamp":"+292278995-01-01T00:00:00Z","heart_rate_bpm":85}""")
 
   test("parseEventFast ≡ parseEvent on every payload class") {
     import spark.implicits._

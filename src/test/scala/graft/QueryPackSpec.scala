@@ -81,6 +81,9 @@ class QueryPackSpec extends AnyFunSuite {
         "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 11.0)
+    // wrong arity must fail with a clear message, not IndexOutOfBounds
+    val e = intercept[Exception](spark.sql("SELECT cosine_sim(array(1.0d))").head())
+    assert(e.getMessage.contains("requires exactly 2 arguments"), e.getMessage)
   }
 
   test("sketch aggregates stay within tolerance of exact answers") {

@@ -124,10 +124,12 @@ class StreamingSpec extends AnyFunSuite {
     val q = HealthMonitor.memorySink(
       HelloPipeline.transform(input.toDF().toDF("value")), "hello_t", "append")
     try {
-      input.addData("""{"id": "0", "message": "hello spark"}""", "not json")
+      input.addData("""{"id": "0", "message": "hello spark"}""", "not json",
+        """{"processed_by": "someone_else"}""") // pre-existing key: overwrite, don't crash
       q.processAllAvailable()
       val out = spark.table("hello_t").as[String].collect().sorted
-      assert(out.exists(_.contains(""""processed_by":"hello_spark_job"""")))
+      assert(out.count(_.contains(""""processed_by":"hello_spark_job"""")) == 2)
+      assert(!out.exists(_.contains("someone_else")))
       assert(out.contains("not json")) // defensive passthrough
     } finally q.stop()
   }
