@@ -29,6 +29,8 @@ object SparkEntry {
     "q16_sketch"        -> (Relational.q16 _),
     "q17_running"       -> (Relational.q17 _),
     "q18_topk_custom"   -> (Relational.q18 _),
+    "q19_pivot"         -> (Relational.q19 _),
+    "q20_subquery"      -> (Relational.q20 _),
     "hr_episodes"       -> (Health.hrEpisodes _),
     "hr_parse"           -> (Health.hrParse _),
     "hr_classify"        -> (Health.hrClassify _),
@@ -323,6 +325,24 @@ object SparkEntry {
         |  FROM lineitem)
         |WHERE rn <= 3
         |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
+    "q19_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q20_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders, (
+        |  SELECT COUNT(*) AS cnt,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+        |  FROM orders) t
+        |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * cnt > total_cents
+        |ORDER BY o_orderkey""".stripMargin,
 
     "hr_episodes" ->
       s"""WITH t AS (

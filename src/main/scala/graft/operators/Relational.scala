@@ -332,6 +332,40 @@ object Relational {
         col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q19_pivot — relational pivot with a FIXED value list (Spark
+    * skips the extra distinct-values job and plans a single pivot
+    * aggregate; never pivot on unbounded cardinality at scale).
+    */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    o.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"),
+        col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q20_subquery — scalar-subquery shape: rows above the global
+    * average (the aggregate is a 1-row broadcast, not a per-row
+    * recomputation). Threshold arithmetic is decimal-exact so the
+    * comparison is cross-engine deterministic.
+    */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    // price > avg expressed integer-exactly (price_cents × n >
+    // total_cents): decimal-division scale rules differ per engine,
+    // integer arithmetic doesn't
+    val thresh = o.agg(
+      count(lit(1)).as("cnt"),
+      (sum(dec2(col("o_totalprice"))) * lit(100)).cast("long").as("total_cents"))
+    o.join(broadcast(thresh),
+        (dec2(col("o_totalprice")) * lit(100)).cast("long") * col("cnt") > col("total_cents"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** q14_scalar_funcs — scalar function pack over events: date parts,
     * string functions, and IEEE-deterministic math (floor/ceil/sqrt
     * — bit-identical across engines; no libm-dependent funcs).

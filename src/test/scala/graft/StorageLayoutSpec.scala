@@ -18,10 +18,28 @@ class StorageLayoutSpec extends AnyFunSuite {
   }
   val sf = "/root/testdata/sf0.001"
 
+  /** Drop the table AND its physical location: the suites share one
+    * session (getOrCreate), so this spec's warehouse config may not
+    * win, and an orphaned location from a crashed run would otherwise
+    * fail CREATE with LOCATION_ALREADY_EXISTS.
+    */
+  private def dropHard(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = new java.io.File(wh, name)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("bucketed tables join without a shuffle on either side") {
     val t = Tables(spark, sf)
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS ord_b")
+    dropHard("li_b")
+    dropHard("ord_b")
     t.lineitem.select("l_orderkey", "l_quantity")
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("li_b")
