@@ -142,17 +142,45 @@ object Dedup {
     * [[SimilaritySearch.annLsh]]'s signature join.
     */
   def embedding(spark: SparkSession, dir: String): DataFrame = {
-    // norms precomputed once per vector (n values, not n² — 3× fewer
-    // pair FLOPs); dot/(sqrt·sqrt) keeps the oracle engine's exact
-    // formula and fold order, so results stay bit-identical.
+    // Exact all-pairs is inherently O(n²); a join formulation pays
+    // per-PAIR row materialization, which dominates the arithmetic
+    // (~4.5s at sf0.1). This is the documented case for the
+    // mapPartitions escape hatch: the corpus broadcasts once
+    // (n ≪ memory for the SFs where exact all-pairs is sane — the
+    // scale path is annLsh/annIvf), each partition loops a tight
+    // scalar kernel, and only above-threshold pairs materialize.
+    // Arithmetic is the identical sequential fold + dot/(sqrt·sqrt)
+    // + HALF_UP rounding, so results stay bit-identical to the
+    // oracle engine.
+    import spark.implicits._
     val emb = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("n2", dotProduct(col("v"), col("v")))
-    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(
-        dotProduct(col("a.v"), col("b.v")) / (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 4))
-      .filter(col("cos") >= 0.4)
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos"))
+      .as[(Long, Array[Double])]
+    val corpus = emb.collect().sortBy(_._1)
+    val withNorm = corpus.map { case (id, v) =>
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      (id, v, math.sqrt(n2))
+    }
+    val bc = spark.sparkContext.broadcast(withNorm)
+    emb.mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { case (id1, v1) =>
+        var n2 = 0.0; var i = 0
+        while (i < v1.length) { n2 += v1(i) * v1(i); i += 1 }
+        val norm1 = math.sqrt(n2)
+        all.iterator.filter(_._1 > id1).flatMap { case (id2, v2, norm2) =>
+          var dot = 0.0; var j = 0
+          val n = math.min(v1.length, v2.length)
+          while (j < n) { dot += v1(j) * v2(j); j += 1 }
+          val cos = dot / (norm1 * norm2)
+          // same rounding Spark's round() applies (BigDecimal HALF_UP)
+          val r = java.math.BigDecimal.valueOf(cos)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (r >= 0.4) Some((id1, id2, r)) else None
+        }
+      }
+    }.toDF("id1", "id2", "cos")
       .orderBy(col("id1"), col("id2"))
   }
 }
