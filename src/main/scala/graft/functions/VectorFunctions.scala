@@ -92,6 +92,52 @@ case class DotProduct(left: Expression, right: Expression) extends VectorKernel 
     copy(left = l, right = r)
 }
 
+/** All LSH table signatures of a vector in ONE expression.
+  *
+  * Building signatures from per-plane `typedLit` columns inlines
+  * tables×planes×dim literal arrays into the expression tree —
+  * analyzer/optimizer/codegen cost grows with the constant data.
+  * Here the plane matrix rides along as a field of the expression
+  * (serialized once per task), and the output is one
+  * array<long> of per-table signatures.
+  */
+case class HyperplaneSignatures(
+    child: Expression,
+    planes: Array[Array[Double]],
+    planesPerTable: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val nTables = planes.length / planesPerTable
+    val sigs = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var sig = 0L
+      var j = 0
+      while (j < planesPerTable) {
+        val p = planes(t * planesPerTable + j)
+        var dot = 0.0
+        val n = math.min(v.numElements(), p.length)
+        var i = 0
+        while (i < n) { dot += v.getDouble(i) * p(i); i += 1 }
+        if (dot > 0) sig |= (1L << j)
+        j += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneSignatures =
+    copy(child = c)
+}
+
 object VectorFunctions {
   /** Column API: cosine similarity of two array<double> columns
     * (cast float arrays with `.cast("array<double>")` — exact).
@@ -101,4 +147,9 @@ object VectorFunctions {
 
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Per-table LSH signatures (array of longs) of a vector column. */
+  def hyperplaneSignatures(v: Column, planes: Array[Array[Double]],
+      planesPerTable: Int): Column =
+    Bridge.column(HyperplaneSignatures(Bridge.expression(v), planes, planesPerTable))
 }

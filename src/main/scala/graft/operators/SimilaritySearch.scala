@@ -83,18 +83,20 @@ object SimilaritySearch {
   private val PlanesPerTable = 8
   private val Dim = 64
 
-  /** Seeded random hyperplanes: [table][plane][dim]. */
-  private val hyperplanes: IndexedSeq[IndexedSeq[Seq[Double]]] = {
+  /** Seeded random hyperplanes, flat [table*planesPerTable][dim]. */
+  private val hyperplanes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
-    IndexedSeq.fill(Tables_)(IndexedSeq.fill(PlanesPerTable)(
-      Seq.fill(Dim)(rnd.nextGaussian())))
+    Array.fill(Tables_ * PlanesPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
   }
 
-  /** 8-bit signature of a vector under one table's hyperplanes. */
-  private def signature(v: Column, t: Int): Column =
-    (0 until PlanesPerTable).map { j =>
-      when(dotProduct(v, typedLit(hyperplanes(t)(j))) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** (table, signature) rows for a vector column — one expression
+    * carrying the plane matrix as data (inlining 64 literal arrays
+    * into the tree made analysis+codegen the dominant cost).
+    */
+  private def tableSigs(df: DataFrame, vCol: String): DataFrame =
+    df.select(df.columns.map(col) :+
+        posexplode(hyperplaneSignatures(col(vCol), hyperplanes, PlanesPerTable))
+          .as(Seq("t", "sig")): _*)
 
   /** Probe masks: all 8-bit patterns with ≤ maxFlips bits set
     * (multi-probe LSH — query-side only, so the corpus keeps ONE
@@ -114,17 +116,12 @@ object SimilaritySearch {
     */
   def annLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = embDouble(spark, dir)
-    val sigCols = (0 until Tables_).map(t =>
-      struct(lit(t).as("t"), signature(col("v"), t).as("sig")))
-    val corpus = emb.select(col("vec_id"), col("v"), explode(array(sigCols: _*)).as("s"))
-      .select(col("vec_id"), col("v"), col("s.t").as("t"), col("s.sig").as("sig"))
+    val corpus = tableSigs(emb, "v")
     val q = queriesOf(emb)
     val masks = probeMasks(2)
-    val qSig = q.select(col("qid"), col("qv"),
-        explode(array((0 until Tables_).map(t =>
-          struct(lit(t).as("t"), signature(col("qv"), t).as("sig"))): _*)).as("s"))
-      .select(col("qid"), col("qv"), col("s.t").as("t"),
-        explode(array(masks.map(m => col("s.sig").bitwiseXOR(lit(m))): _*)).as("sig"))
+    val qSig = tableSigs(q, "qv")
+      .select(col("qid"), col("qv"), col("t"),
+        explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
     val candidates = corpus.join(broadcast(qSig),
         corpus("t") === qSig("t") && corpus("sig") === qSig("sig") &&
           col("vec_id") =!= col("qid"))
