@@ -21,9 +21,10 @@ object Dedup {
   private val RowsPerBand = NumPerm / Bands
 
   /** Seeded universal-hash parameters (a*h + b mod P). */
-  private val perms: IndexedSeq[(Long, Long)] = {
+  private val (permA, permB): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(42)
-    IndexedSeq.fill(NumPerm)((rnd.nextLong(P - 1) + 1, rnd.nextLong(P)))
+    val ab = Array.fill(NumPerm)((rnd.nextLong(P - 1) + 1, rnd.nextLong(P)))
+    (ab.map(_._1), ab.map(_._2))
   }
 
   /** Distinct (doc_id, shingle-hash) pairs — the MinHash input.
@@ -49,13 +50,13 @@ object Dedup {
   def minhashOn(docs: DataFrame): DataFrame = {
     val sh = shingleHashes(docs).cache()
 
-    val mhCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % P).as(s"mh$i")
-    }
-    val sigs = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    // single custom aggregate: whole 128-perm signature in one buffer
+    // (the composed 128-min-columns form made the plan 128 wide)
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhashAgg(col("h"), permA, permB, P).as("mh"))
 
     val bandCols = (0 until Bands).map { bId =>
-      val rowCols = (0 until RowsPerBand).map(r => col(s"mh${bId * RowsPerBand + r}"))
+      val rowCols = (0 until RowsPerBand).map(r => col("mh").getItem(bId * RowsPerBand + r))
       struct(lit(bId).as("band"), xxhash64(rowCols: _*).as("key"))
     }
     val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
