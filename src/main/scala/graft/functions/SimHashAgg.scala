@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** SimHash as one custom aggregate: per-bit signed counters in a
+  * single buffer (one pass per word hash, additive merges), final
+  * evaluation assembles the signature long — replaces 60 separate
+  * sum(CASE) aggregate columns.
+  */
+case class SimHashAgg(
+    child: Expression,
+    bits: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bits)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val h = child.eval(input)
+    if (h != null) {
+      val hv = h.asInstanceOf[Long]
+      var i = 0
+      while (i < bits) {
+        buf(i) += (if (((hv >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < bits) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var sig = 0L
+    var i = 0
+    while (i < bits) { if (buf(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(o: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SimHashAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): SimHashAgg =
+    copy(child = c)
+}
+
+object SimHashAgg {
+  def simhashAgg(h: Column, bits: Int): Column =
+    Bridge.column(SimHashAgg(Bridge.expression(h), bits).toAggregateExpression())
+}

@@ -97,14 +97,9 @@ object Dedup {
     val wordHashes = docs.withColumn("w", words(col("text")))
       .select(col("doc_id"), explode(col("w")).as("word"))
       .select(col("doc_id"), xxhash64(col("word")).as("h"))
-    val bitCols = (0 until SimBits).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val sums = wordHashes.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    val sim = (0 until SimBits).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    sums.select(col("doc_id"), sim.as("simhash"))
+    // one custom aggregate instead of 60 sum(CASE) columns
+    wordHashes.groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhashAgg(col("h"), SimBits).as("simhash"))
   }
 
   /** dedup_simhash — SimHash near-dup: per-doc signature, block-key
