@@ -54,16 +54,8 @@ case class MinHashAgg(
 
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
-    buf.foreach(bb.putLong)
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    Array.fill(bytes.length / 8)(bb.getLong())
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] = LongArrayCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = LongArrayCodec.read(bytes)
 
   override def dataType: DataType = ArrayType(LongType)
   override def nullable: Boolean = false
@@ -74,6 +66,19 @@ case class MinHashAgg(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): MinHashAgg =
     copy(child = c)
+}
+
+/** Shared buffer codec for Array[Long]-buffered aggregates. */
+private[functions] object LongArrayCodec {
+  def write(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  def read(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
 }
 
 object MinHashAgg {

@@ -48,16 +48,8 @@ case class SimHashAgg(
     sig
   }
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
-    buf.foreach(bb.putLong)
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    Array.fill(bytes.length / 8)(bb.getLong())
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] = LongArrayCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = LongArrayCodec.read(bytes)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -152,31 +151,39 @@ object Dedup {
     val emb = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
-    val corpus = emb.collect().sortBy(_._1)
+    // null vectors are not comparable — drop them like the null-
+    // intolerant SQL formulation did
+    val corpus = emb.collect().filter(_._2 != null).sortBy(_._1)
     val withNorm = corpus.map { case (id, v) =>
       var n2 = 0.0; var i = 0
       while (i < v.length) { n2 += v(i) * v(i); i += 1 }
       (id, v, math.sqrt(n2))
     }
     val bc = spark.sparkContext.broadcast(withNorm)
-    emb.mapPartitions { it =>
-      val all = bc.value
-      it.flatMap { case (id1, v1) =>
-        var n2 = 0.0; var i = 0
-        while (i < v1.length) { n2 += v1(i) * v1(i); i += 1 }
-        val norm1 = math.sqrt(n2)
-        all.iterator.filter(_._1 > id1).flatMap { case (id2, v2, norm2) =>
-          var dot = 0.0; var j = 0
-          val n = math.min(v1.length, v2.length)
-          while (j < n) { dot += v1(j) * v2(j); j += 1 }
-          val cos = dot / (norm1 * norm2)
-          // same rounding Spark's round() applies (BigDecimal HALF_UP)
-          val r = java.math.BigDecimal.valueOf(cos)
-            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (r >= 0.4) Some((id1, id2, r)) else None
+    // iterate the broadcast by index range: one source scan total,
+    // norms computed once per vector, work split across partitions
+    spark.range(withNorm.length).repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val all = bc.value
+        it.flatMap { idx =>
+          val (id1, v1, norm1) = all(idx.toInt)
+          all.iterator.drop(idx.toInt + 1).flatMap { case (id2, v2, norm2) =>
+            var dot = 0.0; var j = 0
+            val n = math.min(v1.length, v2.length)
+            while (j < n) { dot += v1(j) * v2(j); j += 1 }
+            val cos = dot / (norm1 * norm2)
+            // zero-norm/NaN pairs are dropped, as Spark's round+filter
+            // did (BigDecimal.valueOf(NaN) would throw instead)
+            if (!java.lang.Double.isFinite(cos)) None
+            else {
+              // same rounding Spark's round() applies (BigDecimal HALF_UP)
+              val r = java.math.BigDecimal.valueOf(cos)
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+              if (r >= 0.4) Some((id1, id2, r)) else None
+            }
+          }
         }
-      }
-    }.toDF("id1", "id2", "cos")
+      }.toDF("id1", "id2", "cos")
       .orderBy(col("id1"), col("id2"))
   }
 }

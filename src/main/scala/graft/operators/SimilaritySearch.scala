@@ -92,6 +92,9 @@ object SimilaritySearch {
   /** (table, signature) rows for a vector column — one expression
     * carrying the plane matrix as data (inlining 64 literal arrays
     * into the tree made analysis+codegen the dominant cost).
+    * Null vectors drop out here (null-intolerant expression → no
+    * exploded rows) — intentional: a null embedding can't score and
+    * would only pollute the signature-0 bucket.
     */
   private def tableSigs(df: DataFrame, vCol: String): DataFrame =
     df.select(df.columns.map(col) :+
