@@ -1,0 +1,48 @@
+package graft
+
+import graft.plans.TopK
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-case behavior of the custom TopKPerKey operator. */
+class TopKPerKeySpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("local[4]", 4).getOrCreate()
+
+  private def df(rows: (String, Long, Double)*) = {
+    import spark.implicits._
+    rows.toDF("k", "id", "score")
+  }
+
+  test("k larger than every group returns all rows") {
+    val in = df(("a", 1, 5.0), ("a", 2, 3.0), ("b", 3, 9.0))
+    val out = TopK.topKPerKey(in, Seq(col("k")),
+      Seq(col("score").desc, col("id").asc), k = 100)
+    assert(out.count() == 3)
+  }
+
+  test("ties resolve deterministically by the tie-break column") {
+    val in = df(("a", 10, 1.0), ("a", 11, 1.0), ("a", 12, 1.0), ("a", 13, 1.0))
+    val out = TopK.topKPerKey(in, Seq(col("k")),
+      Seq(col("score").desc, col("id").asc), k = 2)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(10L, 11L)) // lowest ids win the tie
+  }
+
+  test("many groups, k=1 returns exactly the per-group max") {
+    import spark.implicits._
+    val in = (1 to 1000).map(i => (s"g${i % 50}", i.toLong, (i * 37 % 101).toDouble)).toDF("k", "id", "score")
+    val out = TopK.topKPerKey(in, Seq(col("k")),
+      Seq(col("score").desc, col("id").asc), k = 1)
+    val expect = in.groupBy(col("k")).agg(max(col("score")).as("m"))
+    val joined = out.join(expect, "k").filter(col("score") =!= col("m"))
+    assert(out.count() == 50)
+    assert(joined.count() == 0)
+  }
+
+  test("empty input produces empty output") {
+    val in = df().filter(lit(false))
+    val out = TopK.topKPerKey(in, Seq(col("k")),
+      Seq(col("score").desc), k = 3)
+    assert(out.count() == 0)
+  }
+}
