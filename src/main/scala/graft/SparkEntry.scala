@@ -45,7 +45,7 @@ object SparkEntry {
     "fingerprint"     -> (Text.fingerprint _),
     "dedup_minhash"   -> (Dedup.minhash _),
     "dedup_simhash"   -> (Dedup.simhash _),
-    "dedup_embedding" -> (Dedup.embedding _),
+    "dedup_embedding" -> ((s, d) => Dedup.embedding(s, d)),
     "ann_topk"        -> ((s, d) => SimilaritySearch.annTopK(s, d)),
     "ann_lsh"         -> ((s, d) => SimilaritySearch.annLsh(s, d)),
     "ann_ivf"         -> ((s, d) => SimilaritySearch.annIvf(s, d)),
@@ -452,7 +452,8 @@ object SparkEntry {
 
     "ann_topk" ->
       """WITH q AS (
-        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+        |  WHERE vec_id % 50 = 0 AND vec_id < 1600),
         |s AS (
         |  SELECT qid, vec_id AS nid,
         |    list_cosine_similarity(qv, embedding::DOUBLE[]) AS rawsim

@@ -22,15 +22,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class MinHashAgg(
     child: Expression,
-    permA: Array[Long],
-    permB: Array[Long],
+    permA: Seq[Long],
+    permB: Seq[Long],
     p: Long,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
+  // Seq fields (structural equality) keep semanticEquals/
+  // canonicalization working; the hot loop runs on cached arrays.
+  @transient private lazy val pa: Array[Long] = permA.toArray
+  @transient private lazy val pb: Array[Long] = permB.toArray
+
   override def createAggregationBuffer(): Array[Long] =
-    Array.fill(permA.length)(Long.MaxValue)
+    Array.fill(pa.length)(Long.MaxValue)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val h = child.eval(input)
@@ -38,7 +43,7 @@ case class MinHashAgg(
       val hv = h.asInstanceOf[Long]
       var i = 0
       while (i < buf.length) {
-        val v = (permA(i) * hv + permB(i)) % p
+        val v = (pa(i) * hv + pb(i)) % p
         if (v < buf(i)) buf(i) = v
         i += 1
       }
@@ -85,7 +90,7 @@ object MinHashAgg {
   /** Aggregate Column: array<long> minhash signature of a
     * hash-valued column under the given permutations.
     */
-  def minhashAgg(h: Column, permA: Array[Long], permB: Array[Long], p: Long): Column =
+  def minhashAgg(h: Column, permA: Seq[Long], permB: Seq[Long], p: Long): Column =
     Bridge.column(MinHashAgg(Bridge.expression(h), permA, permB, p)
       .toAggregateExpression())
 }

@@ -100,10 +100,15 @@ case class DotProduct(left: Expression, right: Expression) extends VectorKernel 
   * Here the plane matrix rides along as a field of the expression
   * (serialized once per task), and the output is one
   * array<long> of per-table signatures.
+  *
+  * Constant fields are Seq (structural equals/hashCode), not Array
+  * (reference equals) — semanticEquals/canonicalization between
+  * identical instances must hold or subexpression elimination and
+  * exchange reuse silently stop working.
   */
 case class HyperplaneSignatures(
     child: Expression,
-    planes: Array[Array[Double]],
+    planes: Seq[Seq[Double]],
     planesPerTable: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -111,16 +116,18 @@ case class HyperplaneSignatures(
   override def dataType: DataType = ArrayType(LongType)
   override def nullIntolerant: Boolean = true
 
+  @transient private lazy val mat: Array[Array[Double]] = planes.map(_.toArray).toArray
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val nTables = planes.length / planesPerTable
+    val nTables = mat.length / planesPerTable
     val sigs = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {
       var sig = 0L
       var j = 0
       while (j < planesPerTable) {
-        val p = planes(t * planesPerTable + j)
+        val p = mat(t * planesPerTable + j)
         var dot = 0.0
         val n = math.min(v.numElements(), p.length)
         var i = 0
@@ -138,6 +145,79 @@ case class HyperplaneSignatures(
     copy(child = c)
 }
 
+/** The `nprobe` nearest centroids (by cosine, ties broken by lower
+  * centroid id) of a vector — IVF cell assignment as ONE map-side
+  * expression.
+  *
+  * The centroid matrix rides along as expression data (the
+  * [[HyperplaneSignatures]] pattern): cell assignment is a pure
+  * projection inside the scan stage — no (vector × centroid)
+  * expansion, no window, no shuffle. The matrix is √n-sized
+  * quantizer metadata, the same driver/executor footprint class as
+  * a broadcast dimension.
+  *
+  * Scoring uses the identical sequential fold as [[CosineSimilarity]]
+  * so cell assignment agrees bit-exactly with any re-ranking pass;
+  * NaN similarities (zero-norm vectors) rank FIRST, matching Spark's
+  * descending double sort order the previous window formulation had.
+  */
+case class NearestCentroids(
+    child: Expression,
+    centroidIds: Seq[Long],
+    centroids: Seq[Seq[Double]],
+    nprobe: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val ids: Array[Long] = centroidIds.toArray
+  @transient private lazy val mat: Array[Array[Double]] = centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = mat.length
+    val n = math.min(nprobe, m)
+    val best = new Array[Int](n)
+    val bestSim = new Array[Double](n)
+    var filled = 0
+    var c = 0
+    while (c < m) {
+      val p = mat(c)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val len = math.min(v.numElements(), p.length)
+      var i = 0
+      while (i < len) {
+        val xi = v.getDouble(i); val yi = p(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+      // bounded insertion under (sim desc, cid asc): centroids arrive
+      // in ascending-cid order, so strict > keeps the earlier cid on
+      // ties; Double.compare puts NaN above all finite values.
+      var pos = filled
+      while (pos > 0 && java.lang.Double.compare(sim, bestSim(pos - 1)) > 0) pos -= 1
+      if (pos < n) {
+        var j = math.min(filled, n - 1)
+        while (j > pos) { bestSim(j) = bestSim(j - 1); best(j) = best(j - 1); j -= 1 }
+        bestSim(pos) = sim
+        best(pos) = c
+        if (filled < n) filled += 1
+      }
+      c += 1
+    }
+    val out = new Array[Long](filled)
+    var k = 0
+    while (k < filled) { out(k) = ids(best(k)); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroids =
+    copy(child = c)
+}
+
 object VectorFunctions {
   /** Column API: cosine similarity of two array<double> columns
     * (cast float arrays with `.cast("array<double>")` — exact).
@@ -149,7 +229,14 @@ object VectorFunctions {
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
   /** Per-table LSH signatures (array of longs) of a vector column. */
-  def hyperplaneSignatures(v: Column, planes: Array[Array[Double]],
+  def hyperplaneSignatures(v: Column, planes: Seq[Seq[Double]],
       planesPerTable: Int): Column =
     Bridge.column(HyperplaneSignatures(Bridge.expression(v), planes, planesPerTable))
+
+  /** The `nprobe` nearest centroid ids of a vector column (cosine,
+    * ties to the lower id). Pass centroids sorted by id.
+    */
+  def nearestCentroids(v: Column, centroidIds: Seq[Long],
+      centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    Bridge.column(NearestCentroids(Bridge.expression(v), centroidIds, centroids, nprobe))
 }

@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
-  /** Query set: every 50th vector (deterministic, scale-stable). */
+  /** Fixed query budget: the query set must NOT grow with the corpus
+    * or the brute-force baseline degenerates to O(n²/50). Every 50th
+    * vector, capped at [[MaxQueries]] — deterministic at every SF and
+    * O(n·q) with constant q at any scale.
+    */
+  val MaxQueries = 32
+
   private def queriesOf(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") % 50 === 0)
+    emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < lit(50L * MaxQueries))
       .select(col("vec_id").as("qid"), col("v").as("qv"))
 
   private def embDouble(spark: SparkSession, dir: String): DataFrame =
@@ -49,26 +55,29 @@ object SimilaritySearch {
     * each corpus vector to its nearest-centroid cell; queries probe
     * their `nprobe` nearest cells and re-rank exactly within them.
     *
-    * Scale shape: one n×√n centroid-scoring pass (centroids
-    * broadcast), one shuffle keyed by cell, then each query touches
-    * nprobe/√n of the corpus — the other classic ANN layout next to
-    * LSH, with recall tuned by nprobe instead of probe radius.
+    * Cell assignment is the [[graft.functions.NearestCentroids]]
+    * expression carrying the centroid matrix — a pure map-side
+    * projection inside the scan stage. The earlier formulation
+    * (crossJoin(broadcast(centroids)) + row_number window) shuffled
+    * the full n×√n scored expansion just to pick one argmax per
+    * vector; now the corpus-side plan is scan → project → one
+    * shuffle keyed by cell. The quantizer is √n-sized metadata
+    * collected once to the driver — the same footprint class as a
+    * broadcast dimension (and how any IVF/KMeans model is held).
     */
   def annIvf(spark: SparkSession, dir: String, k: Int = 10, nprobe: Int = 4): DataFrame = {
     val emb = embDouble(spark, dir)
-    val centroids = emb.filter(col("vec_id") % 50 === 7)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    def nearestCells(df: DataFrame, idCol: String, vCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("csim", cosineSim(col(vCol), col("cv")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .drop("cv", "csim", "crank")
-    }
-    val cells = nearestCells(emb, "vec_id", "v", 1) // corpus: 1 cell each
+    val cents = emb.filter(col("vec_id") % 50 === 7)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val cids: Seq[Long] = cents.map(_._1).toSeq
+    val cvecs: Seq[Seq[Double]] = cents.map(_._2).toSeq
+    val cells = emb
+      .withColumn("cid", element_at(nearestCentroids(col("v"), cids, cvecs, 1), 1))
     val q = queriesOf(emb)
-    val qCells = nearestCells(q, "qid", "qv", nprobe)
+    val qCells = q.select(col("qid"), col("qv"),
+      explode(nearestCentroids(col("qv"), cids, cvecs, nprobe)).as("cid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     cells.join(broadcast(qCells), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
@@ -83,10 +92,13 @@ object SimilaritySearch {
   private val PlanesPerTable = 8
   private val Dim = 64
 
-  /** Seeded random hyperplanes, flat [table*planesPerTable][dim]. */
-  private val hyperplanes: Array[Array[Double]] = {
+  /** Seeded random hyperplanes, flat [table*planesPerTable][dim]
+    * (immutable Seqs: the expression fields need structural equality
+    * for canonicalization/plan reuse).
+    */
+  private val hyperplanes: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7)
-    Array.fill(Tables_ * PlanesPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
+    Vector.fill(Tables_ * PlanesPerTable)(Vector.fill(Dim)(rnd.nextGaussian()))
   }
 
   /** (table, signature) rows for a vector column — one expression

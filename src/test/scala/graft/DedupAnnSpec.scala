@@ -54,6 +54,26 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall < 0.4")
   }
 
+  test("ann_ivf cell assignment is map-side: no exchange keyed by vec_id (the n×√n expansion)") {
+    val plan = graft.operators.SimilaritySearch.annIvf(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("nearestcentroids") || plan.contains("NearestCentroids"),
+      s"cell assignment expression missing from plan:\n$plan")
+    // the old formulation shuffled every (vector × centroid) scored row
+    // on vec_id for a row_number argmax; the fixed plan never
+    // partitions by vec_id at all
+    assert(!plan.toLowerCase.contains("hashpartitioning(vec_id"),
+      s"vector-keyed exchange found:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "centroid cross join resurfaced")
+  }
+
+  test("dedup_embedding block decomposition is exact: block-count invariant") {
+    val a = graft.operators.Dedup.embedding(spark, sf, blocks = 3).collect().map(_.toSeq).toSeq
+    val b = graft.operators.Dedup.embedding(spark, sf, blocks = 16).collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty, "no near-dup pairs found at all")
+    assert(a == b, "block decomposition changed the exact result")
+  }
+
   test("simhash signatures are deterministic and near-dup counts symmetric-consistent") {
     val a = SparkEntry.queries("dedup_simhash")(spark, sf).collect()
     val b = SparkEntry.queries("dedup_simhash")(spark, sf).collect()
