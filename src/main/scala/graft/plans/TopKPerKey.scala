@@ -37,17 +37,40 @@ case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     child: SparkPlan) extends UnaryExecNode {
+  import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+
   override def output: Seq[Attribute] = child.output
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numKeys" -> SQLMetrics.createMetric(sparkContext, "distinct keys held in heaps"),
+    "heapRows" -> SQLMetrics.createMetric(sparkContext, "peak rows held in heaps"),
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
 
   /** Shuffle on the grouping key only — no sort requirement. */
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
+
+  /** Memory contract: a task holds at most k rows per distinct key it
+    * sees — O(k × keys-per-partition) with NO spill path. That's the
+    * operator's domain (small bounded k; a sort-based plan is the
+    * right tool when k×keys approaches partition size). The guard
+    * below fails fast with an actionable message instead of slowly
+    * dying in GC when the bound is violated; the `heapRows`/`numKeys`
+    * SQLMetrics expose the actual footprint per run.
+    */
+  def maxRowsPerPartition: Long =
+    session.sessionState.conf
+      .getConfString(TopKPerKeyExec.MaxRowsKey, "16000000").toLong
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val keyExprs = keys
     val sortOrder = order
     val childOutput = child.output
+    val maxRows = maxRowsPerPartition
+    val numKeys = longMetric("numKeys")
+    val heapRows = longMetric("heapRows")
+    val numOutputRows = longMetric("numOutputRows")
     child.execute().mapPartitions { iter =>
       val ordering = RowOrdering.create(sortOrder, childOutput)
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -55,6 +78,7 @@ case class TopKPerKeyExec(
       // is at the head and can be evicted in O(log k)
       val heaps = scala.collection.mutable.HashMap.empty[
         UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
+      var held = 0L
       iter.foreach { row =>
         val ur = row.asInstanceOf[UnsafeRow]
         val key = keyProj(ur)
@@ -66,12 +90,21 @@ case class TopKPerKeyExec(
             heaps.put(key.copy(), h)
             h
         }
-        if (heap.size < kLocal) heap.enqueue(ur.copy())
-        else if (ordering.compare(ur, heap.head) < 0) {
+        if (heap.size < kLocal) {
+          held += 1
+          if (held > maxRows) throw new IllegalStateException(
+            s"TopKPerKeyExec holds > $maxRows rows in one task " +
+              s"(k=$kLocal × ${heaps.size} keys so far): repartition on more keys, " +
+              s"lower k, use a sort-based plan, or raise ${TopKPerKeyExec.MaxRowsKey}")
+          heap.enqueue(ur.copy())
+        } else if (ordering.compare(ur, heap.head) < 0) {
           heap.dequeue()
           heap.enqueue(ur.copy())
         }
       }
+      numKeys += heaps.size
+      heapRows += held
+      numOutputRows += held
       // emit each key's rows in rank order (deterministic given a
       // total order in `order`)
       heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
@@ -80,6 +113,11 @@ case class TopKPerKeyExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** Session conf key bounding rows a single task may hold. */
+  val MaxRowsKey = "graft.topKPerKey.maxRowsPerPartition"
 }
 
 /** Planner strategy mapping the logical node to the exec node. */

@@ -45,4 +45,50 @@ class TopKPerKeySpec extends AnyFunSuite {
       Seq(col("score").desc), k = 3)
     assert(out.count() == 0)
   }
+
+  test("metrics report the k×keys memory footprint (many keys)") {
+    import spark.implicits._
+    val nKeys = 20000
+    val in = spark.range(100000)
+      .select((col("id") % nKeys).as("k"), col("id"), (col("id") % 97).cast("double").as("score"))
+    val out = TopK.topKPerKey(in, Seq(col("k")),
+      Seq(col("score").desc, col("id").asc), k = 2)
+    // collect() (not count()) so the inspected queryExecution is the
+    // one that actually ran — count() builds a separate plan
+    assert(out.collect().length == 2 * nKeys)
+    // AQE wraps stages in AdaptiveSparkPlanExec / QueryStageExec whose
+    // inner plan is a field, not a child — recurse through them
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findExecs(p: SparkPlan): Seq[graft.plans.TopKPerKeyExec] = p match {
+      case a: AdaptiveSparkPlanExec => findExecs(a.executedPlan)
+      case q: QueryStageExec => findExecs(q.plan)
+      case e: graft.plans.TopKPerKeyExec => e +: e.children.flatMap(findExecs)
+      case other => other.children.flatMap(findExecs)
+    }
+    val execs = findExecs(out.queryExecution.executedPlan)
+    assert(execs.nonEmpty, "TopKPerKeyExec missing from executed plan")
+    val m = execs.head.metrics
+    assert(m("numKeys").value == nKeys)
+    assert(m("heapRows").value == 2L * nKeys,
+      s"heapRows=${m("heapRows").value}") // the O(k×keys) bound, metered
+  }
+
+  test("guard fails fast when a task would hold more than the configured row bound") {
+    import spark.implicits._
+    val key = graft.plans.TopKPerKeyExec.MaxRowsKey
+    spark.conf.set(key, "100")
+    try {
+      val in = spark.range(10000)
+        .select((col("id") % 5000).as("k"), col("id"), col("id").cast("double").as("score"))
+      val out = TopK.topKPerKey(in, Seq(col("k")), Seq(col("score").desc), k = 2)
+      val e = intercept[Throwable] { out.count() }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(e).exists(t =>
+        t.isInstanceOf[IllegalStateException] &&
+          t.getMessage.contains(key)),
+        s"expected the $key guard, got: $e")
+    } finally spark.conf.unset(key)
+  }
 }
