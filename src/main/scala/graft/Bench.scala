@@ -43,7 +43,9 @@ object Bench {
     // multi-second GC/JIT noise (observed 8× swings on a 1s query)
     val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
       val a = runOnce(n, sfDir); val b = runOnce(n, sfDir)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      // either run failing marks the query failed (-1) in the JSON —
+      // reporting the surviving run would hide intermittent failures
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -255,6 +255,7 @@ object SparkEntry {
         |  epoch_ms(ts) AS event_time
         |FROM events
         |WHERE event_id % 13 <> 0 AND FLOOR(value) > 0
+        |  AND ts IS NOT NULL AND user_id IS NOT NULL
         |ORDER BY event_id""".stripMargin,
 
     "hr_classify" ->

@@ -46,6 +46,12 @@ object Health {
     ev.filter(col("event_id") % 13 =!= 0 && floor(col("value")) > 0)
       .withColumn("raw", rawPayload(("user_id", "ts", "value")))
       .select(col("event_id"), parseEventFast(col("raw")).as("e"))
+      // Null-safety: a NULL ts/user_id survives the scan pre-filter but
+      // fails the JSON round-trip (field omitted → parse returns null);
+      // drop those rows here so both engines agree — the oracle mirrors
+      // this with ts/user_id IS NOT NULL, which is exactly the set of
+      // rows whose parse fails given the pre-filter above.
+      .filter(col("e").isNotNull)
       .select(
         col("event_id"),
         col("e.patient_id").as("patient_id"),

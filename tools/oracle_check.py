@@ -7,7 +7,11 @@ compares with the Verify parquet dumps (column names sorted, values
 normalized, rows sorted) so oracle mismatches surface before the
 driver's round gate.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Float columns compare BIT-EXACTLY by default, mirroring the driver's
+hash compare; pass --approx for the old 1e-9 tolerance when triaging
+whether a failure is a logic bug or pure float drift.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [--approx]
 """
 import json
 import sys
@@ -34,7 +38,9 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> None:
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    approx = "--approx" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir, out_dir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -62,7 +68,11 @@ def main() -> None:
         for c in exp.columns:
             e_col, g_col = exp[c], got[c]
             if e_col.dtype.kind == "f" or g_col.dtype.kind == "f":
-                ok = ((e_col - g_col).abs() < 1e-9) | (e_col.isna() & g_col.isna())
+                if approx:
+                    ok = ((e_col - g_col).abs() < 1e-9) | (e_col.isna() & g_col.isna())
+                else:  # bit-exact, like the driver's hash compare
+                    ok = (e_col.astype("float64").map(lambda v: v.hex() if v == v else "nan")
+                          == g_col.astype("float64").map(lambda v: v.hex() if v == v else "nan"))
             else:
                 ok = (e_col == g_col) | (e_col.isna() & g_col.isna())
             if not ok.all():
