@@ -31,6 +31,7 @@ object SparkEntry {
     "q18_topk_custom"   -> (Relational.q18 _),
     "q19_pivot"         -> (Relational.q19 _),
     "q20_subquery"      -> (Relational.q20 _),
+    "q21_skew_join"     -> ((s, d) => Relational.q21(s, d)),
     "hr_episodes"       -> (Health.hrEpisodes _),
     "hr_parse"           -> (Health.hrParse _),
     "hr_classify"        -> (Health.hrClassify _),
@@ -344,6 +345,15 @@ object SparkEntry {
         |  FROM orders) t
         |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * cnt > total_cents
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the salted replicate-and-join must equal the plain join
+    "q21_skew_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST($sumDisc AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "hr_episodes" ->
       s"""WITH t AS (

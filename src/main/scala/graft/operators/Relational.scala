@@ -388,4 +388,43 @@ object Relational {
         sqrt(col("value")).as("value_sqrt"))
       .orderBy(col("event_id"))
   }
+
+  /** q21_skew_join — deterministic salt replicate-and-join: the q15
+    * two-phase pattern extended from aggregation to a fact-fact JOIN.
+    * When a join key is hot enough that one reducer drowns (and AQE's
+    * skew split can't help, e.g. a single key larger than any split
+    * target), the manual fix is: probe side gets a deterministic salt
+    * in [0, S) derived from non-key columns; build side replicates
+    * each row S times (explode over the salt range); the join key
+    * widens to (key, salt) so each hot key spreads over S reducers.
+    * Replication costs S× the build side — use the smallest S that
+    * levels the histogram, and only for the skewed key range in
+    * production (uniform keys join unsalted; here the whole table is
+    * salted so the oracle covers every row).
+    *
+    * The SHUFFLE_HASH hint pins the physical shape the pattern
+    * targets (salting a broadcast join would be pointless — broadcast
+    * has no reducer to drown). Output equals the plain unsalted join
+    * (the oracle runs exactly that); QueryPackSpec also asserts
+    * equality against the unsalted Spark plan.
+    */
+  def q21(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("l_discount"))
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)).cast("int"))
+    val ord = t.orders
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    li.hint("shuffle_hash")
+      .join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

@@ -113,6 +113,20 @@ class QueryPackSpec extends AnyFunSuite {
       plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("salted fact-fact join equals the plain unsalted join") {
+    import org.apache.spark.sql.functions._
+    import graft.Exact._
+    val salted = SparkEntry.queries("q21_skew_join")(spark, sf).collect()
+    val t = Tables(spark, sf)
+    val plain = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority")).collect()
+    assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
+
   test("alert store: JSON/CSV round-trip preserves the batch analysis result") {
     import graft.sources.AlertStore
     val alerts = SparkEntry.queries("hr_window_tumbling")(spark, sf)
