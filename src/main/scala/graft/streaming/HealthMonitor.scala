@@ -27,8 +27,24 @@ object HealthMonitor {
   val DefaultWatermark = "5 seconds"
   val DefaultWindow = "1 minute"
 
+  /** The reference consumer's source options (flink_job.py:66-73):
+    * subscribe to the event topic, read from the latest offset.
+    * Exposed separately from [[kafkaSource]] so the wiring is
+    * assertable in-sandbox, where the spark-sql-kafka connector jar
+    * is absent and `.load()` cannot run (KafkaPathSpec documents
+    * that boundary).
+    */
+  def kafkaSourceOptions(
+      bootstrap: String = "localhost:9092",
+      topic: String = "heart_rate_events"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> "latest")
+
   /** Kafka source with the reference's topic/consumer settings
     * (requires the spark-sql-kafka connector on the classpath).
+    * Value-only cast: the payload is the JSON event string, keys and
+    * headers are unused — same as the reference's value deserializer.
     */
   def kafkaSource(
       spark: SparkSession,
@@ -36,9 +52,7 @@ object HealthMonitor {
       topic: String = "heart_rate_events"): DataFrame =
     spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "latest")
+      .options(kafkaSourceOptions(bootstrap, topic))
       .load()
       .select(col("value").cast("string").as("value"))
 
@@ -112,6 +126,19 @@ object HealthMonitor {
       col("avg_hr"), col("min_hr"), col("max_hr"),
       col("alert_type"))).as("value"))
 
+  /** The reference producer's sink options (flink_job.py:131-143):
+    * alert topic plus the checkpoint dir that makes delivery
+    * resumable. Assertable without the connector jar, like
+    * [[kafkaSourceOptions]].
+    */
+  def kafkaSinkOptions(
+      bootstrap: String = "localhost:9092",
+      topic: String = "heart_rate_alerts",
+      checkpoint: String = "/tmp/graft-hm-checkpoint"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "topic" -> topic,
+    "checkpointLocation" -> checkpoint)
+
   /** Kafka sink for the alert topic (flink_job.py:131-143). */
   def kafkaSink(
       alertsJson: DataFrame,
@@ -120,9 +147,7 @@ object HealthMonitor {
       checkpoint: String = "/tmp/graft-hm-checkpoint"): DataStreamWriter[Row] =
     alertsJson.writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpoint)
+      .options(kafkaSinkOptions(bootstrap, topic, checkpoint))
       .outputMode("append")
       .trigger(Trigger.ProcessingTime("5 seconds"))
 
