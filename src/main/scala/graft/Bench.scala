@@ -41,15 +41,39 @@ object Bench {
 
     // min of two timed runs: single-run numbers at this scale carry
     // multi-second GC/JIT noise (observed 8× swings on a 1s query)
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
-      val a = runOnce(n, sfDir); val b = runOnce(n, sfDir)
-      // either run failing marks the query failed (-1) in the JSON —
-      // reporting the surviving run would hide intermittent failures
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-    }
+    def minOfTwo(dir: String): Seq[(String, Double)] =
+      SparkEntry.queries.keys.toSeq.sorted.map { n =>
+        val a = runOnce(n, dir); val b = runOnce(n, dir)
+        // either run failing marks the query failed (-1) in the JSON —
+        // reporting the surviving run would hide intermittent failures
+        n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      }
+    val results = minOfTwo(sfDir)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // scaling slope: time ratio vs the 10×-smaller sf0.01 sibling.
+    // Data grows 10×, so a scan/shuffle-linear query must stay well
+    // under ratio 10 (fixed JVM/planning overhead pushes it lower);
+    // ratio > 10 means superlinear work — candidate-pair blowup,
+    // O(n²) kernels — exactly the failure class that kills a 100 TB
+    // run while still looking fine at one SF.
+    val slopeJson = {
+      val small = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
+      if (!small.isDirectory || small.getPath == new java.io.File(sfDir).getPath) ""
+      else {
+        val base = minOfTwo(small.getPath).toMap
+        val slopes = results.collect {
+          case (n, t) if t > 0 && base.getOrElse(n, -1.0) > 0 =>
+            n -> BigDecimal(t / base(n)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        }
+        val sl = slopes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        val sup = slopes.collect { case (n, r) if r > 10 => "\"" + n + "\"" }
+          .mkString("[", ",", "]")
+        s""","slope_vs":"${small.getPath}","slope":$sl,"superlinear":$sup"""
+      }
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$slopeJson}""")
     spark.stop()
   }
 }
