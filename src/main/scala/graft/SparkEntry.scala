@@ -32,6 +32,8 @@ object SparkEntry {
     "q19_pivot"         -> (Relational.q19 _),
     "q20_subquery"      -> (Relational.q20 _),
     "q21_skew_join"     -> ((s, d) => Relational.q21(s, d)),
+    "q22_asof"          -> (Temporal.q22 _),
+    "q23_range_join"    -> ((s, d) => Temporal.q23(s, d)),
     "hr_episodes"       -> (Health.hrEpisodes _),
     "hr_parse"           -> (Health.hrParse _),
     "hr_classify"        -> (Health.hrClassify _),
@@ -50,7 +52,11 @@ object SparkEntry {
     "ann_topk"        -> ((s, d) => SimilaritySearch.annTopK(s, d)),
     "ann_lsh"         -> ((s, d) => SimilaritySearch.annLsh(s, d)),
     "ann_ivf"         -> ((s, d) => SimilaritySearch.annIvf(s, d)),
-    "mm_meta"         -> (graft.multimodal.Multimodal.mmMeta _)
+    "mm_meta"         -> (graft.multimodal.Multimodal.mmMeta _),
+    "doc_chunk"         -> (Curation.docChunk _),
+    "pii_scrub"         -> (Curation.piiScrub _),
+    "tfidf"             -> ((s, d) => Curation.tfidf(s, d)),
+    "sample_stratified" -> (Curation.sampleStratified _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -355,6 +361,33 @@ object SparkEntry {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // independent formulation: DuckDB's native ASOF LEFT JOIN
+    "q22_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_ms(ts) AS click_ts_ms, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |), purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS ts_ms
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.purchase_id, p.user_id, p.ts_ms,
+        |  c.click_id, c.click_ts_ms, p.ts_ms - c.click_ts_ms AS gap_ms
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts_ms >= c.click_ts_ms
+        |ORDER BY p.purchase_id""".stripMargin,
+
+    // independent formulation: plain inequality join (DuckDB plans
+    // its own range join; Spark runs the bin-and-refine equi-join)
+    "q23_range_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+        |  COUNT(c.event_id) AS n_nearby_clicks
+        |FROM events p LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        |  AND abs(epoch_ms(c.ts) - epoch_ms(p.ts)) <= 300000
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2, 3
+        |ORDER BY purchase_id""".stripMargin,
+
     "hr_episodes" ->
       s"""WITH t AS (
         |  SELECT user_id, window_start_ms, window_end_ms, avg_hr,
@@ -484,6 +517,66 @@ object SparkEntry {
         |  fp60 % 640 + 1 AS stub_width,
         |  (fp60 // 640) % 480 + 1 AS stub_height
         |FROM (SELECT doc_id, text, ${hash60Sql(normSql)} AS fp60 FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "doc_chunk" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, $wordsSql AS w FROM documents
+        |), c AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(0, (len(w) + 79) // 80 - 1)) AS chunk_id
+        |  FROM t
+        |)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(w[CAST(chunk_id*80+1 AS INT) : CAST(chunk_id*80+100 AS INT)]) AS BIGINT)
+        |    AS n_chunk_words,
+        |  array_to_string(w[CAST(chunk_id*80+1 AS INT) : CAST(chunk_id*80+100 AS INT)], ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "pii_scrub" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199 ' || text
+        |    ELSE text END AS aug
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g') AS scrubbed
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "tfidf" ->
+      s"""WITH terms AS (
+        |  SELECT doc_id, unnest($wordsSql) AS word FROM documents
+        |), t2 AS (SELECT doc_id, word FROM terms WHERE word <> ''),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+        |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |    (tf.tf * 1000000) // df.df AS score_ppm
+        |  FROM tf JOIN df USING (word)
+        |)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, word) AS BIGINT) AS rk,
+        |  word, tf, df, score_ppm
+        |FROM s QUALIFY rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+
+    "sample_stratified" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ${hash60Sql("'smpl:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 150000 WHEN 'zh' THEN 500000
+        |  WHEN 'es' THEN 500000 WHEN 'de' THEN 500000 WHEN 'fr' THEN 500000
+        |  ELSE 0 END
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively: as-of join and
+  * banded range join (SURVEY §2 #21l/21m). Both are composed from
+  * existing operators (shuffle + window / grid-cell equi-join) per
+  * the extension preference order — no custom plan node needed, and
+  * both shapes scale: one shuffle each, never a broadcast-nested-
+  * loop or per-row scan.
+  */
+object Temporal {
+  import Exact._
+
+  /** Generic as-of join: for each left row, the single most recent
+    * right row with `rightTime <= leftTime` within the same `keys`
+    * group (inclusive, ties broken by the right side being unique
+    * per (keys, time) — dedup the right side first, as [[q22]] does).
+    *
+    * Shape: union both sides tagged, ONE shuffle on `keys`, and a
+    * running `last(_, ignoreNulls)` over (time, side) order carries
+    * the latest right row forward into each left row — the sort-merge
+    * formulation of ASOF JOIN (DuckDB executes the same plan class).
+    * At 100 TB: no expansion, no range probe per row; cost is the
+    * shuffle plus a per-partition sort, identical to any windowed
+    * aggregate. Right-side columns surface as `right_<name>`
+    * (NULL when no right row precedes the left row).
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val payload = struct(rightCols.map(right(_)): _*)
+    val taggedRight = right.select(
+      keyCols :+ right(rightTime).as("__t") :+ lit(0).as("__side") :+
+        payload.as("__r"): _*)
+    val leftOut = left.columns.toSeq
+    val taggedLeft = left.select(
+      keyCols :+ left(leftTime).as("__t") :+ lit(1).as("__side") :+
+        lit(null).cast(taggedRight.schema("__r").dataType).as("__r") :+
+        struct(leftOut.map(left(_)): _*).as("__l"): _*)
+    val unioned = taggedRight.withColumn("__l", lit(null).cast(taggedLeft.schema("__l").dataType))
+      .unionByName(taggedLeft)
+    // side 0 (right) sorts before side 1 (left) at equal time → the
+    // match is inclusive (right_time <= left_time), like ASOF JOIN
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    matched.select(
+      leftOut.map(c => col(s"__l.$c").as(c)) ++
+        rightCols.map(c => col(s"__m.$c").as(s"right_$c")): _*)
+  }
+
+  /** q22_asof — click-to-purchase attribution: each purchase event
+    * matched to the same user's most recent click at-or-before it.
+    * Clicks are deduped to one per (user, ts) — greatest event_id
+    * wins — so the as-of pick is well-defined in both engines.
+    * Oracle: DuckDB's native ASOF LEFT JOIN over the same dedup.
+    */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        epochMs(col("ts")).as("ts_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), epochMs(col("ts")).as("click_ts_ms"), col("event_id"))
+      .groupBy(col("user_id"), col("click_ts_ms"))
+      .agg(max(col("event_id")).as("click_id"))
+    asOfJoin(purchases, clicks, Seq("user_id"), "ts_ms", "click_ts_ms",
+        Seq("click_id", "click_ts_ms"))
+      .select(col("purchase_id"), col("user_id"), col("ts_ms"),
+        col("right_click_id").as("click_id"),
+        col("right_click_ts_ms").as("click_ts_ms"),
+        (col("ts_ms") - col("right_click_ts_ms")).as("gap_ms"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** q23_range_join — banded temporal range join: for each purchase,
+    * how many clicks by the same user landed within ±5 minutes.
+    *
+    * The naive formulation is an inequality join — Spark would plan
+    * a broadcast-nested-loop (O(n·m) comparisons). Instead time is
+    * bucketed into band-width grid cells: each purchase probes its
+    * cell ±1, clicks keep ONE cell each, and the join is a plain
+    * equi-join on (user, cell) followed by the exact |Δt| ≤ band
+    * refine — the standard bin-and-refine range-join plan. Any
+    * qualifying click is within one band of the purchase, so cell
+    * distance ≤ 1 guarantees completeness; each click has a single
+    * cell so no pair is counted twice. One shuffle on (user, cell).
+    */
+  def q23(spark: SparkSession, dir: String, bandMs: Long = 300000L): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        epochMs(col("ts")).as("ts_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), epochMs(col("ts")).as("c_ms"))
+      .withColumn("cell", floor(col("c_ms") / bandMs))
+    val probes = purchases.withColumn("cell",
+      explode(array(Seq(-1, 0, 1).map(d => floor(col("ts_ms") / bandMs) + d): _*)))
+    val counts = probes.join(clicks, Seq("user_id", "cell"))
+      .filter(abs(col("c_ms") - col("ts_ms")) <= bandMs)
+      .groupBy(col("purchase_id")).agg(count(lit(1)).as("n_nearby_clicks"))
+    purchases.join(counts, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("ts_ms"),
+        coalesce(col("n_nearby_clicks"), lit(0L)).as("n_nearby_clicks"))
+      .orderBy(col("purchase_id"))
+  }
+}
