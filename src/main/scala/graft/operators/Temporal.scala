@@ -17,16 +17,18 @@ object Temporal {
 
   /** Generic as-of join: for each left row, the single most recent
     * right row with `rightTime <= leftTime` within the same `keys`
-    * group (inclusive, ties broken by the right side being unique
-    * per (keys, time) — dedup the right side first, as [[q22]] does).
+    * group (inclusive). Right rows sharing (keys, time) resolve by
+    * `rightTieBreak` ascending, LAST wins — so e.g. tie-break on an
+    * id column picks the greatest id, with no separate dedup
+    * aggregation (and no extra shuffle) over the right side.
     *
     * Shape: union both sides tagged, ONE shuffle on `keys`, and a
-    * running `last(_, ignoreNulls)` over (time, side) order carries
-    * the latest right row forward into each left row — the sort-merge
-    * formulation of ASOF JOIN (DuckDB executes the same plan class).
-    * At 100 TB: no expansion, no range probe per row; cost is the
-    * shuffle plus a per-partition sort, identical to any windowed
-    * aggregate. Right-side columns surface as `right_<name>`
+    * running `last(_, ignoreNulls)` over (time, side, tie) order
+    * carries the latest right row forward into each left row — the
+    * sort-merge formulation of ASOF JOIN (DuckDB executes the same
+    * plan class). At 100 TB: no expansion, no range probe per row;
+    * cost is the shuffle plus a per-partition sort, identical to any
+    * windowed aggregate. Right-side columns surface as `right_<name>`
     * (NULL when no right row precedes the left row).
     */
   def asOfJoin(
@@ -35,22 +37,27 @@ object Temporal {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String],
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
     val keyCols = keys.map(col)
     val payload = struct(rightCols.map(right(_)): _*)
+    val tb = if (rightTieBreak.isEmpty) lit(0L).as("__tb")
+      else struct(rightTieBreak.map(right(_)): _*).as("__tb")
     val taggedRight = right.select(
-      keyCols :+ right(rightTime).as("__t") :+ lit(0).as("__side") :+
+      keyCols :+ right(rightTime).as("__t") :+ lit(0).as("__side") :+ tb :+
         payload.as("__r"): _*)
     val leftOut = left.columns.toSeq
     val taggedLeft = left.select(
       keyCols :+ left(leftTime).as("__t") :+ lit(1).as("__side") :+
+        lit(null).cast(taggedRight.schema("__tb").dataType).as("__tb") :+
         lit(null).cast(taggedRight.schema("__r").dataType).as("__r") :+
         struct(leftOut.map(left(_)): _*).as("__l"): _*)
     val unioned = taggedRight.withColumn("__l", lit(null).cast(taggedLeft.schema("__l").dataType))
       .unionByName(taggedLeft)
     // side 0 (right) sorts before side 1 (left) at equal time → the
-    // match is inclusive (right_time <= left_time), like ASOF JOIN
-    val w = Window.partitionBy(keyCols: _*).orderBy(col("__t"), col("__side"))
+    // match is inclusive (right_time <= left_time), like ASOF JOIN;
+    // equal-time right rows resolve by tie-break ascending, last wins
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("__t"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
@@ -61,10 +68,11 @@ object Temporal {
   }
 
   /** q22_asof — click-to-purchase attribution: each purchase event
-    * matched to the same user's most recent click at-or-before it.
-    * Clicks are deduped to one per (user, ts) — greatest event_id
-    * wins — so the as-of pick is well-defined in both engines.
-    * Oracle: DuckDB's native ASOF LEFT JOIN over the same dedup.
+    * matched to the same user's most recent click at-or-before it;
+    * same-timestamp clicks resolve to the greatest event_id via the
+    * join's tie-break (no dedup aggregation, no extra shuffle of the
+    * click fact). Oracle: DuckDB's native ASOF LEFT JOIN over an
+    * explicit MAX(event_id) dedup — same semantics.
     */
   def q22(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
@@ -72,11 +80,10 @@ object Temporal {
       .select(col("event_id").as("purchase_id"), col("user_id"),
         epochMs(col("ts")).as("ts_ms"))
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), epochMs(col("ts")).as("click_ts_ms"), col("event_id"))
-      .groupBy(col("user_id"), col("click_ts_ms"))
-      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), epochMs(col("ts")).as("click_ts_ms"),
+        col("event_id").as("click_id"))
     asOfJoin(purchases, clicks, Seq("user_id"), "ts_ms", "click_ts_ms",
-        Seq("click_id", "click_ts_ms"))
+        Seq("click_id", "click_ts_ms"), rightTieBreak = Seq("click_id"))
       .select(col("purchase_id"), col("user_id"), col("ts_ms"),
         col("right_click_id").as("click_id"),
         col("right_click_ts_ms").as("click_ts_ms"),

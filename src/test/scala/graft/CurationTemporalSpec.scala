@@ -26,6 +26,18 @@ class CurationTemporalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", Some(10.0)), ("b", Some(20.0)), ("c", None)))
   }
 
+  test("asOfJoin tie-break: greatest tie-break value wins among equal-time right rows") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 100L, 7L, 1.0), (1L, 100L, 9L, 2.0), (1L, 100L, 8L, 3.0))
+      .toDF("k", "rt", "id", "v")
+    val out = Temporal.asOfJoin(left, right, Seq("k"), "t", "rt",
+      Seq("id", "v"), rightTieBreak = Seq("id")).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("right_id") == 9L)
+    assert(out.head.getAs[Double]("right_v") == 2.0)
+  }
+
   test("q23 range join bin-and-refine plans no broadcast-nested-loop") {
     val plan = Temporal.q23(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), "range join fell back to BNLJ")
