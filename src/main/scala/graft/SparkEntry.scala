@@ -52,6 +52,7 @@ object SparkEntry {
     "ann_topk"        -> ((s, d) => SimilaritySearch.annTopK(s, d)),
     "ann_lsh"         -> ((s, d) => SimilaritySearch.annLsh(s, d)),
     "ann_ivf"         -> ((s, d) => SimilaritySearch.annIvf(s, d)),
+    "vec_quant"       -> (SimilaritySearch.vecQuant _),
     "mm_meta"         -> (graft.multimodal.Multimodal.mmMeta _),
     "doc_chunk"         -> (Curation.docChunk _),
     "pii_scrub"         -> (Curation.piiScrub _),
@@ -518,6 +519,21 @@ object SparkEntry {
         |  (fp60 // 640) % 480 + 1 AS stub_height
         |FROM (SELECT doc_id, text, ${hash60Sql(normSql)} AS fp60 FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "vec_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), s AS (
+        |  SELECT vec_id, v,
+        |    127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM e
+        |)
+        |SELECT vec_id,
+        |  ROUND(sqrt(list_dot_product(v, v)), 6) AS norm,
+        |  list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+        |FROM s WHERE isfinite(scale)
+        |ORDER BY vec_id""".stripMargin,
 
     "doc_chunk" ->
       s"""WITH t AS (

@@ -88,6 +88,29 @@ object SimilaritySearch {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** vec_quant — embedding storage prep: L2 norm plus symmetric
+    * int8 quantization (q_i = round-half-up(v_i · 127/max|v|)) — the
+    * 4× footprint reduction applied before shipping vectors to an
+    * ANN index. Map-side only (no shuffle before the output sort);
+    * the norm reuses the codegen'd [[graft.functions.DotProduct]]
+    * kernel, and max|v| is order-independent so the whole row is
+    * cross-engine exact: round-half-up is floor(x+0.5) on both
+    * sides, never a locale/banker's round.
+    */
+  def vecQuant(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir).filter(col("v").isNotNull)
+    val scale = lit(127.0) / aggregate(col("v"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x)))
+    emb
+      .withColumn("scale", scale)
+      .filter(col("scale") =!= Double.PositiveInfinity) // all-zero vectors
+      .select(
+        col("vec_id"),
+        round(sqrt(dotProduct(col("v"), col("v"))), 6).as("norm"),
+        transform(col("v"), x => floor(x * col("scale") + lit(0.5)).cast("long")).as("q"))
+      .orderBy(col("vec_id"))
+  }
+
   private val Tables_ = 8  // LSH hash tables
   private val PlanesPerTable = 8
   private val Dim = 64

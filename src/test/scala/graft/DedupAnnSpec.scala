@@ -97,6 +97,25 @@ class DedupAnnSpec extends AnyFunSuite {
       again.sortBy(_.doc_id).map(_.feature.toSeq).toSeq)
   }
 
+  test("vec_quant: int8 range respected and dequantization error within half a step") {
+    val out = graft.operators.SimilaritySearch.vecQuant(spark, sf)
+    val orig = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val joined = out.join(orig, "vec_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val q = r.getSeq[Long](r.fieldIndex("q"))
+      val v = r.getSeq[Double](r.fieldIndex("v"))
+      assert(q.forall(x => x >= -127 && x <= 127), s"int8 range violated: ${q.max}")
+      val maxAbs = v.map(math.abs).max
+      val step = maxAbs / 127.0
+      v.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x - qi * step) <= step / 2 + 1e-12,
+          s"dequant error ${math.abs(x - qi * step)} > ${step / 2}")
+      }
+    }
+  }
+
   test("cosine kernel matches an independent scala computation") {
     import graft.functions.VectorFunctions._
     val emb = Tables(spark, sf).embeddings.limit(20)
