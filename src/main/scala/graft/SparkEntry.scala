@@ -57,7 +57,8 @@ object SparkEntry {
     "doc_chunk"         -> (Curation.docChunk _),
     "pii_scrub"         -> (Curation.piiScrub _),
     "tfidf"             -> ((s, d) => Curation.tfidf(s, d)),
-    "sample_stratified" -> (Curation.sampleStratified _)
+    "sample_stratified" -> (Curation.sampleStratified _),
+    "sample_quota"      -> ((s, d) => Curation.sampleQuota(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -534,6 +535,19 @@ object SparkEntry {
         |  list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
         |FROM s WHERE isfinite(scale)
         |ORDER BY vec_id""".stripMargin,
+
+    "sample_quota" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ${hash60Sql("'quota:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang, bucket,
+        |    row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rk
+        |  FROM b
+        |)
+        |SELECT doc_id, lang, bucket FROM r WHERE rk <= 40
+        |ORDER BY lang, bucket, doc_id""".stripMargin,
 
     "doc_chunk" ->
       s"""WITH t AS (

@@ -108,6 +108,26 @@ object Curation {
     * 100 TB the sample decision needs no shuffle at all — it's a
     * scan-level filter.
     */
+  /** sample_quota — exact per-stratum quotas: exactly K documents
+    * per language (or all of a smaller stratum), selected by seeded
+    * hash order so the draw is uniform, deterministic, and stable
+    * under corpus growth in expectation. Runs on the engine's own
+    * [[graft.plans.TopKPerKey]] operator — bounded per-key heaps,
+    * one shuffle on lang, NO per-stratum sort — so the quota draw
+    * costs the same as any grouped aggregation at 100 TB. Oracle:
+    * row_number over the same hash order.
+    */
+  def sampleQuota(spark: SparkSession, dir: String, k: Int = 40): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .withColumn("bucket",
+        pmod(hash60(concat(lit("quota:"), col("doc_id").cast("string"))), lit(1000000L)))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+    graft.plans.TopK.topKPerKey(docs,
+        keys = Seq(col("lang")),
+        order = Seq(col("bucket").asc, col("doc_id").asc), k = k)
+      .orderBy(col("lang"), col("bucket"), col("doc_id"))
+  }
+
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val bucket = pmod(hash60(concat(lit("smpl:"), col("doc_id").cast("string"))), lit(1000000L))
