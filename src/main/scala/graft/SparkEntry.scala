@@ -41,7 +41,7 @@ object SparkEntry {
     "hr_window_sliding"  -> (Health.hrWindowSliding _),
     "hr_alert_stats"     -> (Health.hrAlertStats _),
     "dedup_exact"     -> (Text.dedupExact _),
-    "ngram_jaccard"   -> (Text.ngramJaccard _),
+    "ngram_jaccard"   -> ((s, d) => Text.ngramJaccard(s, d)),
     "lang_id"         -> (Text.langId _),
     "quality_score"   -> (Text.qualityScore _),
     "token_count"     -> (Text.tokenCount _),

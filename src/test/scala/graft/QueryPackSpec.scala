@@ -113,6 +113,14 @@ class QueryPackSpec extends AnyFunSuite {
       plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("prefix-filtered jaccard equals the plain inverted-index jaccard") {
+    import org.apache.spark.sql.functions._
+    val plain = graft.operators.Text.ngramJaccard(spark, sf).collect().map(_.toSeq).toSeq
+    val prefix = graft.operators.Text.ngramJaccardPrefix(spark, sf).collect().map(_.toSeq).toSeq
+    assert(plain.nonEmpty)
+    assert(prefix == plain)
+  }
+
   test("salted fact-fact join equals the plain unsalted join") {
     import org.apache.spark.sql.functions._
     import graft.Exact._
