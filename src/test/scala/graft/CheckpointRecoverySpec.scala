@@ -101,4 +101,64 @@ class CheckpointRecoverySpec extends AnyFunSuite {
       s"straddling window saw ${w4.head.getAs[Long]("n_readings")} readings, state not recovered")
     assert(w4.head.getAs[String]("alert_type") == "bradycardia")
   }
+
+  test("fused window+episode pipeline recovers BOTH state stores across a restart") {
+    import spark.implicits._
+    import graft.streaming.{EpisodeTracker, WindowAlert}
+    val base = "target/tmp/ckpt-recovery-fused"
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(base))
+    new java.io.File(inDir).mkdirs()
+
+    // p1 runs tachycardic for minutes 0-2; phase 2 breaks the run at
+    // minute 3 and flushes. The episode spans the restart: its first
+    // two windows close in run 1 (inside the window-agg AND episode
+    // state stores), the third window and the break arrive in run 2 —
+    // a correct 3-window episode REQUIRES both stores to resume.
+    val phase1 =
+      (0 until 3).flatMap(m => (0 until 6).map(s => payload("p1", at(m, s * 10), 130))) ++
+      Seq(payload("p1", at(10, 0), 120)) // watermark pusher: closes 00-02
+    val phase2 =
+      Seq(payload("p1", at(10, 10), 120)) ++ // extend window 10 (tachy run cont.)
+      (0 until 6).map(s => payload("p1", at(11, s * 10), 80)) ++ // normal: breaks the run
+      Seq(payload("p1", at(30, 0), 80)) // flush windows below 30:00
+
+    def writeInput(name: String, rows: Seq[String]): Unit = {
+      val f = new java.io.PrintWriter(s"$inDir/$name")
+      try rows.foreach(f.println) finally f.close()
+    }
+    def runOnce(): Unit = {
+      val streamIn = spark.readStream.schema("value STRING").text(inDir)
+      val eps = EpisodeTracker.episodes(
+        graft.streaming.HealthMonitor.alerts(streamIn)
+          .select(col("patient_id"), col("window_start"), col("window_end"),
+            col("avg_hr"), col("alert_type")).as[WindowAlert])
+      val q = eps.writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "stream did not finish")
+      q.stop()
+    }
+
+    writeInput("part1.txt", phase1)
+    runOnce()
+    writeInput("part2.txt", phase2)
+    runOnce()
+
+    val eps = spark.read.parquet(outDir).collect()
+    assert(eps.map(_.toSeq).toSeq.size == eps.map(_.toSeq).toSet.size, "duplicate episodes")
+    // the tachy episode: windows 00,01,02 (4 windows incl. 10? no —
+    // 10:00-11:00 avg 120 is also tachy and consecutive-by-order, so
+    // the run is windows 00,01,02,10 → broken by window 11 (normal)
+    val tachy = eps.filter(r => r.getAs[String]("episode_type") == "tachycardia")
+    assert(tachy.length == 1, s"expected one episode: ${eps.toSeq}")
+    assert(tachy.head.getAs[Int]("n_windows") == 4,
+      s"episode merged ${tachy.head.getAs[Int]("n_windows")} windows — state lost across restart")
+  }
 }
