@@ -532,7 +532,7 @@ object SparkEntry {
         |)
         |SELECT vec_id,
         |  ROUND(sqrt(list_dot_product(v, v)), 6) AS norm,
-        |  list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+        |  array_to_string(list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)), ',') AS q
         |FROM s WHERE isfinite(scale)
         |ORDER BY vec_id""".stripMargin,
 

@@ -107,7 +107,11 @@ object SimilaritySearch {
       .select(
         col("vec_id"),
         round(sqrt(dotProduct(col("v"), col("v"))), 6).as("norm"),
-        transform(col("v"), x => floor(x * col("scale") + lit(0.5)).cast("long")).as("q"))
+        // codes ship as a joined string: scalar columns hash uniformly
+        // in any downstream compare, unlike engine-specific list types
+        array_join(
+          transform(col("v"), x => floor(x * col("scale") + lit(0.5)).cast("long")), ",")
+          .as("q"))
       .orderBy(col("vec_id"))
   }
 

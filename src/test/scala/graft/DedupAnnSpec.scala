@@ -104,7 +104,7 @@ class DedupAnnSpec extends AnyFunSuite {
     val joined = out.join(orig, "vec_id").collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
-      val q = r.getSeq[Long](r.fieldIndex("q"))
+      val q = r.getAs[String]("q").split(",").map(_.toLong).toSeq
       val v = r.getSeq[Double](r.fieldIndex("v"))
       assert(q.forall(x => x >= -127 && x <= 127), s"int8 range violated: ${q.max}")
       val maxAbs = v.map(math.abs).max
