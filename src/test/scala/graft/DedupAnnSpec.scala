@@ -97,6 +97,37 @@ class DedupAnnSpec extends AnyFunSuite {
       again.sortBy(_.doc_id).map(_.feature.toSeq).toSeq)
   }
 
+  test("dedup_clusters matches a driver-side union-find on the pair graph") {
+    val pairs = graft.operators.Text.ngramJaccard(spark, sf)
+      .select(col("d1"), col("d2")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = graft.operators.Dedup.clusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent union-find over the same (tiny) pair list
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    members.foreach { d =>
+      val root = find(d)
+      val expectCluster = members.filter(find(_) == root).min
+      assert(clusters(d)._1 == expectCluster,
+        s"doc $d: cluster ${clusters(d)._1} != union-find $expectCluster")
+    }
+    // docs not in any pair are their own singleton keeper
+    val inPairs = members.toSet
+    clusters.foreach { case (d, (c, keep)) =>
+      if (!inPairs(d)) assert(c == d && keep == 1L)
+      assert((keep == 1L) == (c == d)) // keeper iff canonical
+    }
+    assert(pairs.nonEmpty)
+  }
+
   test("vec_quant: int8 range respected and dequantization error within half a step") {
     val out = graft.operators.SimilaritySearch.vecQuant(spark, sf)
     val orig = Tables(spark, sf).embeddings
