@@ -603,7 +603,8 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM ch
         |)
-        |SELECT pack_id, COUNT(*) AS n_chunks, SUM(n_chunk_words) AS n_words,
+        |SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(n_chunk_words) AS BIGINT) AS n_words,
         |  MIN(CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_id AS VARCHAR)) AS first_chunk
         |FROM (SELECT *, CAST(ceil(CAST(cum AS DOUBLE) / 256) AS BIGINT) - 1 AS pack_id FROM p)
         |GROUP BY pack_id

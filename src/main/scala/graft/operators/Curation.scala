@@ -28,43 +28,85 @@ object Curation {
     docChunkOn(Tables(spark, dir).documents)
 
   /** Same chunking over any (doc_id, text) DataFrame. */
-  def docChunkOn(docs: DataFrame): DataFrame = {
+  def docChunkOn(docs: DataFrame): DataFrame =
+    chunksOf(docs).orderBy(col("doc_id"), col("chunk_id"))
+
+  /** The unsorted map-side chunking (shared by doc_chunk and
+    * seq_pack, which imposes its own ordering). A doc whose word
+    * list is empty produces no chunks — the `when` guard keeps
+    * `sequence(0, -1)` (which Spark evaluates as [0, -1], step
+    * defaulting to -1) from fabricating chunk ids, matching
+    * DuckDB's empty generate_series(0, -1).
+    */
+  private[graft] def chunksOf(docs: DataFrame): DataFrame = {
     val start = col("chunk_id") * ChunkStride + 1 // slice() is 1-based
     docs.withColumn("w", words(col("text")))
       .withColumn("chunk_id",
-        explode(sequence(lit(0L),
-          floor((size(col("w")) + lit(ChunkStride - 1)) / lit(ChunkStride)).cast("long") - 1)))
+        explode(when(size(col("w")) > 0, sequence(lit(0L),
+          floor((size(col("w")) + lit(ChunkStride - 1)) / lit(ChunkStride)).cast("long") - 1))))
       .select(
         col("doc_id"), col("chunk_id"),
         size(slice(col("w"), start, lit(ChunkWords))).cast("long").as("n_chunk_words"),
         concat_ws(" ", slice(col("w"), start, lit(ChunkWords))).as("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   val PackBudget = 256 // words per training sequence
 
+  val PackShards = 32 // parallelism of the seq_pack prefix sum
+
   /** seq_pack — sequence packing: assign chunks to fixed-budget
     * training sequences by contiguous fill in canonical (doc_id,
     * chunk_id) order — pack p holds the chunks whose running word
-    * total lands in (p·budget, (p+1)·budget]. One window over a
-    * single global ordering; deterministic, and the pack id doubles
-    * as the shard key for the training-shard write. (True first-fit
-    * bin packing is inherently sequential; contiguous fill is the
-    * standard distributed approximation — waste is bounded by the
-    * max chunk size per boundary and the fill factor is reported per
-    * pack.) At 100 TB the single global window would serialize;
-    * partition the running sum by shard (e.g. doc_id div N) and the
-    * same plan runs embarrassingly parallel — the global form is
-    * registered because the oracle's window must see the identical
-    * total order.
+    * total lands in (p·budget, (p+1)·budget]. Deterministic, and the
+    * pack id doubles as the shard key for the training-shard write.
+    * (True first-fit bin packing is inherently sequential; contiguous
+    * fill is the standard distributed approximation — waste is
+    * bounded by the max chunk size per boundary and the fill factor
+    * is reported per pack.)
+    *
+    * The running sum is a TWO-LEVEL prefix sum, never a global
+    * window: docs are split into [[PackShards]] contiguous doc_id
+    * ranges (so shard order == global order); level 1 is a per-shard
+    * cumulative sum (one hash shuffle, all shards in parallel);
+    * level 2 folds the ≤ PackShards per-shard totals into exclusive
+    * offsets on the driver (bounded by the constant shard count, like
+    * a broadcast) and broadcast-joins them back. cum = local + offset
+    * is bit-identical to the serial global window at any
+    * parallelism — and the plan has no single-partition exchange
+    * (asserted in CurationTemporalSpec).
     */
   def seqPack(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = docChunk(spark, dir)
+    val docs = Tables(spark, dir).documents
+    // shard span from a single-column scan of the raw table (min/max
+    // pushdown-friendly; never touches the exploded chunks)
+    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, (hi - lo) / PackShards + 1)
+    val chunks = chunksOf(docs)
       .select(col("doc_id"), col("chunk_id"), col("n_chunk_words"))
-    val order = Window.orderBy(col("doc_id"), col("chunk_id"))
+      // integer div, not `/`: Spark's `/` is double division and a
+      // 53-bit mantissa misplaces rows near shard boundaries for
+      // very large ids; `div` is exact at any id magnitude
+      .withColumn("shard", expr(s"(doc_id - $lo) div $span"))
+    // level 2 first: per-shard totals → exclusive prefix offsets.
+    // Driver sees ≤ PackShards rows — constant, independent of data.
+    val totals = chunks.groupBy(col("shard"))
+      .agg(sum(col("n_chunk_words")).as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = {
+      var acc = 0L
+      val rows = totals.map { case (s, t) => val o = acc; acc += t; (s, o) }
+      import spark.implicits._
+      rows.toSeq.toDF("shard", "offset")
+    }
+    // level 1: per-shard running sum, shifted by the shard's offset
+    val perShard = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val packed = chunks
-      .withColumn("cum", sum(col("n_chunk_words"))
-        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("scum", sum(col("n_chunk_words")).over(perShard))
+      .join(broadcast(offsets), "shard")
+      .withColumn("cum", col("scum") + col("offset"))
       // ceil(cum/budget) - 1: the pack whose (p+1)·budget the running
       // total first fits under; pure integer arithmetic both engines
       .withColumn("pack_id", ceil(col("cum").cast("double") / PackBudget).cast("long") - 1)

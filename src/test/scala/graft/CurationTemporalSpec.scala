@@ -67,6 +67,44 @@ class CurationTemporalSpec extends AnyFunSuite {
     assert((1 to 250).forall(i => covered(s"t$i")))
   }
 
+  test("seq_pack: two-level prefix sum matches the serial packing, no single-partition exchange") {
+    val out = Curation.seqPack(spark, sf)
+    // the distributed plan must not serialize: no global-window
+    // single-partition exchange anywhere in the physical plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), "seq_pack plan has a single-partition exchange")
+    // bit-identical to the serial reference: global running sum
+    // computed on the driver over the collected chunks
+    val chunks = Curation.docChunk(spark, sf)
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_words"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    var cum = 0L
+    val expected = chunks.map { case (d, c, n) =>
+      cum += n
+      val pack = math.ceil(cum.toDouble / Curation.PackBudget).toLong - 1
+      (pack, d, c, n)
+    }.groupBy(_._1).map { case (p, rows) =>
+      (p, rows.length.toLong, rows.map(_._4).sum,
+        rows.map(r => s"${r._2}#${r._3}").min)
+    }.toSeq.sortBy(_._1)
+    val got = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expected)
+    // packs actually fill toward the budget (not one chunk per pack);
+    // a boundary-straddling chunk may overhang by < ChunkWords
+    assert(got.map(_._3).max <= Curation.PackBudget + Curation.ChunkWords - 1)
+    assert(got.count(_._3 > Curation.PackBudget / 2) > got.length / 2)
+  }
+
+  test("doc_chunk: empty word list yields no chunks (no fabricated ids)") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val out = Curation.docChunkOn(docs).collect()
+    assert(out.forall(_.getLong(1) >= 0), "negative chunk_id fabricated")
+    assert(!out.exists(_.getLong(0) == 2L) || out.filter(_.getLong(0) == 2L).forall(_.getLong(1) == 0L))
+  }
+
   test("pii_scrub removes every injected email/phone and counts them") {
     val out = Curation.piiScrub(spark, sf)
     val injected = out.filter(col("doc_id") % 7 === 0)
