@@ -203,8 +203,10 @@ object Dedup {
     * into B buckets and once more replicating each bucket across its
     * B(B+1)/2 pair tasks (≈ B/2 replication, the standard exact
     * all-pairs layout). `blocks` scales the task grid and bounds
-    * per-task memory at 2·n/B vectors; pick B ≈ n·bytes/64MB at
-    * large n. The O(n²) ARITHMETIC is inherent to the exact
+    * per-task memory at 2·n/B vectors; `blocks = 0` (the default and
+    * the registered entry) derives B from the measured corpus via
+    * [[autoBlocks]] so the memory bound holds at any SF without the
+    * caller sizing it. The O(n²) ARITHMETIC is inherent to the exact
     * operator — at 100 TB near-dup detection runs the LSH candidate
     * path ([[minhash]], [[SimilaritySearch.annLsh]]); this is the
     * exact counterpart kept scalable in everything but the
@@ -216,15 +218,41 @@ object Dedup {
     * oracle engine. A per-pair JOIN materialization was measured
     * ~6× slower than this array-kernel form at sf0.1.
     */
-  def embedding(spark: SparkSession, dir: String, blocks: Int = 16): DataFrame = {
+  /** Per-block payload target for [[autoBlocks]]: one block of
+    * vectors ≈ 64 MB, so a pair task holds ≤ 128 MB of vector data.
+    */
+  val BlockTargetBytes: Long = 64L << 20
+
+  /** Block count from the measured corpus: enough blocks that each
+    * holds ≈ [[BlockTargetBytes]] of vectors, but never so few that
+    * the B(B+1)/2 task grid underfills the cluster — the floor keeps
+    * ≥ `parallelism` pair tasks. Deterministic in (n, dim), and the
+    * result is B-invariant (asserted in DedupAnnSpec), so auto-sizing
+    * never changes output.
+    */
+  def autoBlocks(n: Long, dim: Int, parallelism: Int): Int = {
+    val byMemory = math.ceil(n.toDouble * dim * 8 / BlockTargetBytes).toInt
+    val byGrid = math.ceil((math.sqrt(8.0 * parallelism + 1) - 1) / 2).toInt
+    math.max(1, math.max(byMemory, byGrid))
+  }
+
+  def embedding(spark: SparkSession, dir: String, blocks: Int = 0): DataFrame = {
     import spark.implicits._
     val emb = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       // null vectors are not comparable — drop them like the null-
       // intolerant SQL formulation did
       .filter(col("v").isNotNull)
+    val b =
+      if (blocks > 0) blocks
+      else {
+        // one metadata-sized aggregation (count + max dim) sizes the grid
+        val r = emb.agg(count(lit(1)), max(size(col("v")))).head
+        autoBlocks(r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1),
+          spark.sparkContext.defaultParallelism)
+      }
     val packed = emb
-      .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
+      .withColumn("blk", pmod(col("vec_id"), lit(b)).cast("int"))
       .groupBy(col("blk"))
       .agg(sort_array(collect_list(struct(col("vec_id").as("vec_id"), col("v").as("v"))))
         .as("vecs"))

@@ -50,24 +50,37 @@ object SimilaritySearch {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Fixed quantizer budget: the centroid set must NOT grow with the
+    * corpus — an unbounded quantizer makes the driver collect linear
+    * in n and cell assignment O(n·centroids) = O(n²/50). Capped like
+    * [[MaxQueries]]: every 50th vector (offset 7, so the centroid and
+    * query sets are disjoint), first [[MaxCentroids]] by id. At any
+    * scale the model is ≤ MaxCentroids·dim doubles — the footprint
+    * class of a broadcast dimension (and how any IVF/KMeans model is
+    * held). Real deployments size this ≈√n up to a memory bound; the
+    * registered entry pins it for determinism across SFs.
+    */
+  val MaxCentroids = 64
+
   /** ann_ivf — IVF (inverted-file) ANN: a deterministic coarse
-    * quantizer (every 50th vector, offset 7, ≈√n centroids) assigns
-    * each corpus vector to its nearest-centroid cell; queries probe
-    * their `nprobe` nearest cells and re-rank exactly within them.
+    * quantizer ([[MaxCentroids]]-bounded) assigns each corpus vector
+    * to its nearest-centroid cell; queries probe their `nprobe`
+    * nearest cells and re-rank exactly within them.
     *
     * Cell assignment is the [[graft.functions.NearestCentroids]]
     * expression carrying the centroid matrix — a pure map-side
     * projection inside the scan stage. The earlier formulation
     * (crossJoin(broadcast(centroids)) + row_number window) shuffled
-    * the full n×√n scored expansion just to pick one argmax per
-    * vector; now the corpus-side plan is scan → project → one
-    * shuffle keyed by cell. The quantizer is √n-sized metadata
-    * collected once to the driver — the same footprint class as a
-    * broadcast dimension (and how any IVF/KMeans model is held).
+    * the full n×centroids scored expansion just to pick one argmax
+    * per vector; now the corpus-side plan is scan → project → one
+    * shuffle keyed by cell.
     */
   def annIvf(spark: SparkSession, dir: String, k: Int = 10, nprobe: Int = 4): DataFrame = {
     val emb = embDouble(spark, dir)
-    val cents = emb.filter(col("vec_id") % 50 === 7)
+    val cents = emb
+      .filter(col("vec_id") % 50 === 7 &&
+        col("vec_id") < lit(7L + 50L * MaxCentroids) &&
+        col("v").isNotNull) // a null embedding can't serve as a centroid
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)

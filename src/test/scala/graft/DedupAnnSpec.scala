@@ -67,11 +67,44 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "centroid cross join resurfaced")
   }
 
-  test("dedup_embedding block decomposition is exact: block-count invariant") {
+  test("ann_ivf quantizer is bounded: centroid count capped regardless of corpus size") {
+    import graft.operators.SimilaritySearch.MaxCentroids
+    // the exact predicate the operator collects — at ANY corpus size
+    // it admits at most MaxCentroids ids (one per 50-id stride below
+    // the cap), so the driver-side model footprint is constant
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val n = Tables(spark, d).embeddings
+        .filter(col("vec_id") % 50 === 7 &&
+          col("vec_id") < lit(7L + 50L * MaxCentroids) &&
+          col("embedding").isNotNull)
+        .count()
+      assert(n <= MaxCentroids, s"$d: $n centroids > cap $MaxCentroids")
+      assert(n > 0, s"$d: empty quantizer")
+    }
+  }
+
+  test("dedup_embedding block decomposition is exact: block-count invariant (incl. auto-sizing)") {
     val a = graft.operators.Dedup.embedding(spark, sf, blocks = 3).collect().map(_.toSeq).toSeq
     val b = graft.operators.Dedup.embedding(spark, sf, blocks = 16).collect().map(_.toSeq).toSeq
+    val auto = graft.operators.Dedup.embedding(spark, sf).collect().map(_.toSeq).toSeq
     assert(a.nonEmpty, "no near-dup pairs found at all")
     assert(a == b, "block decomposition changed the exact result")
+    assert(auto == b, "auto-sized block count changed the exact result")
+  }
+
+  test("dedup_embedding auto block count honors the 64MB memory bound and scales with the corpus") {
+    import graft.operators.Dedup.{autoBlocks, BlockTargetBytes}
+    // memory-bound regime: blocks grow linearly with corpus bytes
+    val small = autoBlocks(1000000L, 1024, 32)   //   8 GB of vectors
+    val big = autoBlocks(100000000L, 1024, 32)   // 800 GB of vectors
+    assert(small < big, "block count does not grow with the corpus")
+    Seq(small, big).zip(Seq(1000000L, 100000000L)).foreach { case (bN, n) =>
+      val perBlock = n.toDouble * 1024 * 8 / bN
+      assert(perBlock <= BlockTargetBytes, s"block of $perBlock bytes exceeds target")
+    }
+    // grid-floor regime: tiny corpus still fills 32 cores with pair tasks
+    val tiny = autoBlocks(500L, 64, 32)
+    assert(tiny.toLong * (tiny + 1) / 2 >= 32, s"only ${tiny * (tiny + 1) / 2} pair tasks for 32 cores")
   }
 
   test("simhash signatures are deterministic and near-dup counts symmetric-consistent") {

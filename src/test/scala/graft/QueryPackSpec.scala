@@ -121,6 +121,53 @@ class QueryPackSpec extends AnyFunSuite {
     assert(prefix == plain)
   }
 
+  test("jaccard auto-select: Zipfian corpus routes to prefix filter, candidates stay bounded, result exact") {
+    import spark.implicits._
+    import graft.operators.Text
+    // Zipf-ish corpus: token i drawn with weight ∝ 1/(i+1) from a
+    // 150-word vocabulary — head tokens dominate, so head shingles
+    // hit most docs (the plain-index blowup case)
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 150).map(i => s"w$i")
+    val weights = vocab.indices.map(i => 1.0 / (i + 1))
+    val cdf = weights.scanLeft(0.0)(_ + _).tail.map(_ / weights.sum)
+    def draw(): String = { val u = rnd.nextDouble(); vocab(cdf.indexWhere(u <= _)) }
+    // every doc opens with the same boilerplate header — the
+    // real-world source of df≈n shingles (site chrome, licenses)
+    val boiler = (0 until 12).map(i => s"b$i")
+    val base = (0L until 100L).map(d => (d, boiler ++ Seq.fill(40)(draw())))
+    // docs 100-119 are near-copies of docs 0-19 (last 3 tokens
+    // replaced) so high-jaccard pairs exist to verify losslessness on
+    val dupes = (0L until 20L).map(d =>
+      (100L + d, base(d.toInt)._2.dropRight(3) ++ Seq.fill(3)(draw())))
+    val docs = (base ++ dupes).map { case (d, t) => (d, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val sh = Text.shingleSetOf(docs).cache()
+    val plainEst = Text.plainPairEstimate(sh)
+    // the guard actually fires on this corpus…
+    assert(plainEst > Text.MaxCandidateAmplification * sh.count(),
+      s"corpus not skewed enough to exercise the guard: $plainEst pairs")
+    // …and the prefix index it routes to collapses the candidate set
+    val prefixEst = Text.plainPairEstimate(Text.prefixIndex(sh, 0.5))
+    assert(prefixEst < plainEst / 4,
+      s"prefix filter did not tame the blowup: $prefixEst vs $plainEst")
+    // losslessness on the skewed corpus: auto output == brute-force
+    // exact Jaccard over all doc pairs (driver-side, 120 docs)
+    val got = Text.ngramJaccardOn(sh, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sets = sh.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = (for {
+      d1 <- sets.keys; d2 <- sets.keys if d1 < d2
+      inter = (sets(d1) & sets(d2)).size
+      j = inter.toDouble / (sets(d1).size + sets(d2).size - inter)
+      jr = math.floor(j * 1e6 + 0.5) / 1e6 if jr >= 0.5
+    } yield (d1, d2, jr)).toSet
+    assert(expect.nonEmpty, "no high-jaccard pairs in the synthetic corpus")
+    assert(got == expect)
+    sh.unpersist()
+  }
+
   test("salted fact-fact join equals the plain unsalted join") {
     import org.apache.spark.sql.functions._
     import graft.Exact._
