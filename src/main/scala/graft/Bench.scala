@@ -73,7 +73,18 @@ object Bench {
         s""","slope_vs":"${small.getPath}","slope":$sl,"superlinear":$sup"""
       }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$slopeJson}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$slopeJson}"""
+    println(line)
+    // also persist to a file: log capture truncates long lines (r02's
+    // tail lost the front half of the per-query map), the file never
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] wrote ${out.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

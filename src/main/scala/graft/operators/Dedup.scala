@@ -101,19 +101,38 @@ object Dedup {
     * with (pairs alone can't dedup transitively: a~b, b~c must drop
     * both b and c).
     *
-    * Algorithm: iterative min-label propagation — each round every
-    * node takes the min of its own and its neighbors' labels; data
-    * stays distributed (joins on the edge list), the driver only
-    * checks the converged-row count per round, and rounds needed =
-    * component diameter (near-dup clusters are shallow; guarded by
-    * `maxIters`). This is the standard large-scale CC shape; for
-    * planet-scale graphs swap the per-round join for the
-    * alternating-star variant — same skeleton. Oracle: transitive
-    * closure via DuckDB recursive CTE.
+    * Algorithm (default): iterative min-label propagation — each
+    * round every node takes the min of its own and its neighbors'
+    * labels; data stays distributed (joins on the edge list), the
+    * driver only checks the converged-row count per round, and rounds
+    * needed = component diameter (near-dup clusters are shallow;
+    * guarded by `maxIters`). `star = true` switches to alternating
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"), which contracts path length
+    * geometrically — O(log d) rounds — for DEEP graphs where
+    * propagation's one-hop-per-round would exhaust `maxIters`
+    * (asserted on a diameter-40 chain in DedupAnnSpec). Oracle:
+    * transitive closure via DuckDB recursive CTE.
     */
-  def clusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+  def clusters(spark: SparkSession, dir: String, maxIters: Int = 20,
+      star: Boolean = false): DataFrame = {
     val docs = Tables(spark, dir).documents.select(col("doc_id"))
     val pairs = Text.ngramJaccard(spark, dir).select(col("d1"), col("d2"))
+    clustersOf(docs, pairs, maxIters, star)
+  }
+
+  /** Same clustering over any (doc_id) node set + (d1, d2) pair list. */
+  private[graft] def clustersOf(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int, star: Boolean): DataFrame = {
+    val labels = if (star) starLabels(docs, pairs, maxIters)
+      else propagateLabels(docs, pairs, maxIters)
+    labels
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).cast("long").as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def propagateLabels(docs: DataFrame, pairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
       .toDF("src", "dst").cache()
     var labels = docs.withColumn("label", col("doc_id")).cache()
@@ -122,10 +141,15 @@ object Dedup {
     while (!converged && it < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      // localCheckpoint, not cache: the round's plan references
+      // `labels` twice (here and in the changed-count below), so
+      // without lineage truncation the LOGICAL plan doubles per round
+      // and optimizer time goes exponential past ~10 rounds — cache
+      // only dodges recomputation, not re-planning
       val updated = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint(true)
       val changed = updated.as("u")
         .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
         .filter(col("label") =!= col("old")).count()
@@ -137,9 +161,71 @@ object Dedup {
     require(converged, s"label propagation did not converge in $maxIters rounds")
     edges.unpersist()
     labels
-      .select(col("doc_id"), col("label").as("cluster_id"),
-        (col("doc_id") === col("label")).cast("long").as("is_keeper"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** Alternating large-star/small-star rounds. Invariant: every edge
+    * points from the greater node to the lesser (big → small), so
+    * both operations see every edge. large-star hangs each
+    * greater-than-center neighbor off the neighborhood min;
+    * small-star re-hangs the lesser neighbors — paths halve every
+    * alternation instead of shrinking one hop. At convergence the
+    * edge set is a star per component (each node → component min);
+    * the round fingerprint (edge count + order-independent hash sum)
+    * is one tiny aggregate per round, like propagation's changed
+    * count.
+    */
+  private def starLabels(docs: DataFrame, pairs: DataFrame, maxIters: Int): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v"), col("u"))).toDF("u", "v")
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val mins = s.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      s.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // invariant gives v < u for every edge, so this sees them all
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      val hangNbrs = e.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val hangSelf = mins.select(col("u"), col("m").as("v"))
+      hangNbrs.union(hangSelf).distinct()
+    }
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and overflow-free under ANSI
+      // (edges are distinct, so xor can't self-cancel a duplicate)
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    // localCheckpoint (not cache) each round: a round's plan nests
+    // the previous round's — cache dodges recomputation but the
+    // LOGICAL plan still grows and optimizer time compounds per
+    // round; checkpointing truncates the lineage to the materialized
+    // partitions (propagation's one-join rounds tolerate the growth,
+    // these multi-op rounds do not)
+    var edges = pairs
+      .select(greatest(col("d1"), col("d2")).as("u"), least(col("d1"), col("d2")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var fp = fingerprint(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      edges.unpersist()
+      edges = next
+      converged = nfp == fp
+      fp = nfp
+      it += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIters rounds")
+    // star state: every non-root points straight at its component min
+    val nonRoots = edges.groupBy(col("u")).agg(min(col("v")).as("label"))
+      .select(col("u").as("doc_id"), col("label"))
+    docs.join(nonRoots, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
   }
 
   private val SimBits = 60

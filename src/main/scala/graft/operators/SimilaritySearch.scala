@@ -110,7 +110,29 @@ object SimilaritySearch {
     * cross-engine exact: round-half-up is floor(x+0.5) on both
     * sides, never a locale/banker's round.
     */
-  def vecQuant(spark: SparkSession, dir: String): DataFrame = {
+  def vecQuant(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .select(
+        col("vec_id"), col("norm"),
+        // codes ship as a joined string: scalar columns hash uniformly
+        // in any downstream compare, unlike engine-specific list types
+        array_join(col("codes").cast("array<long>"), ",").as("q"))
+      .orderBy(col("vec_id"))
+
+  /** vec_quant's STORAGE form: codes as `array<tinyint>` — one byte
+    * per dimension, the actual 4× (vs float32) / 8× (vs float64)
+    * footprint the quantization buys, where the oracle projection's
+    * joined string would spend ~4 bytes/dim on ASCII. This is what a
+    * real index build writes; the registered [[vecQuant]] is its
+    * hash-comparable projection (byte-width and value equivalence
+    * asserted in DedupAnnSpec).
+    */
+  def vecQuantCodes(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .select(col("vec_id"), col("norm"), col("codes"))
+      .orderBy(col("vec_id"))
+
+  private def quantized(spark: SparkSession, dir: String): DataFrame = {
     val emb = embDouble(spark, dir).filter(col("v").isNotNull)
     val scale = lit(127.0) / aggregate(col("v"), lit(0.0),
       (acc, x) => greatest(acc, abs(x)))
@@ -120,12 +142,8 @@ object SimilaritySearch {
       .select(
         col("vec_id"),
         round(sqrt(dotProduct(col("v"), col("v"))), 6).as("norm"),
-        // codes ship as a joined string: scalar columns hash uniformly
-        // in any downstream compare, unlike engine-specific list types
-        array_join(
-          transform(col("v"), x => floor(x * col("scale") + lit(0.5)).cast("long")), ",")
-          .as("q"))
-      .orderBy(col("vec_id"))
+        transform(col("v"), x => floor(x * col("scale") + lit(0.5)).cast("tinyint"))
+          .as("codes"))
   }
 
   private val Tables_ = 8  // LSH hash tables

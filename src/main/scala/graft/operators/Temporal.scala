@@ -30,6 +30,15 @@ object Temporal {
     * cost is the shuffle plus a per-partition sort, identical to any
     * windowed aggregate. Right-side columns surface as `right_<name>`
     * (NULL when no right row precedes the left row).
+    *
+    * NULL semantics match SQL ASOF JOIN (the DuckDB oracle): a right
+    * row with NULL time never matches anything and is dropped before
+    * tagging — without the filter Spark's ascending-nulls-first sort
+    * would carry it forward as the "most recent" match for left rows
+    * preceding every real right row. NULL keys, by contrast, GROUP
+    * together (window partitionBy is null-safe), so a null-keyed left
+    * row can match a null-keyed right row — callers wanting the SQL
+    * never-match-on-null-key behavior should pre-filter their keys.
     */
   def asOfJoin(
       left: DataFrame,
@@ -43,7 +52,7 @@ object Temporal {
     val payload = struct(rightCols.map(right(_)): _*)
     val tb = if (rightTieBreak.isEmpty) lit(0L).as("__tb")
       else struct(rightTieBreak.map(right(_)): _*).as("__tb")
-    val taggedRight = right.select(
+    val taggedRight = right.filter(right(rightTime).isNotNull).select(
       keyCols :+ right(rightTime).as("__t") :+ lit(0).as("__side") :+ tb :+
         payload.as("__r"): _*)
     val leftOut = left.columns.toSeq

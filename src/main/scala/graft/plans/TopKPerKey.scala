@@ -53,10 +53,14 @@ case class TopKPerKeyExec(
   /** Memory contract: a task holds at most k rows per distinct key it
     * sees — O(k × keys-per-partition) with NO spill path. That's the
     * operator's domain (small bounded k; a sort-based plan is the
-    * right tool when k×keys approaches partition size). The guard
-    * below fails fast with an actionable message instead of slowly
-    * dying in GC when the bound is violated; the `heapRows`/`numKeys`
-    * SQLMetrics expose the actual footprint per run.
+    * right tool when k×keys approaches partition size). Three layers
+    * enforce it: [[TopKPerKeyStrategy]] declines to the window form
+    * when compile-time stats prove the violation; AQE's post-shuffle
+    * re-optimization re-consults the strategy with REAL row counts
+    * and swaps plans mid-query (both asserted in TopKPerKeySpec); and
+    * this guard fails fast with an actionable message instead of
+    * slowly dying in GC when neither saw it coming. The
+    * `heapRows`/`numKeys` SQLMetrics expose the actual footprint.
     */
   def maxRowsPerPartition: Long =
     session.sessionState.conf
@@ -118,14 +122,63 @@ case class TopKPerKeyExec(
 object TopKPerKeyExec {
   /** Session conf key bounding rows a single task may hold. */
   val MaxRowsKey = "graft.topKPerKey.maxRowsPerPartition"
+
+  val DefaultMaxRows = 16000000L
 }
 
-/** Planner strategy mapping the logical node to the exec node. */
+/** Planner strategy mapping the logical node to the exec node —
+  * UNLESS the plan's own statistics say the heap contract can't
+  * hold. A task holds up to k rows per distinct key; when the
+  * estimated per-task footprint (k × distinct keys from CBO column
+  * stats when present, else the known row count as the all-keys-
+  * distinct worst case, spread over the shuffle partitions) exceeds
+  * the [[TopKPerKeyExec.MaxRowsKey]] bound, the strategy plans the
+  * SORT-BASED equivalent instead — a row_number window + filter,
+  * which sorts but spills — rather than shipping a plan that would
+  * fail its runtime guard. Estimate-free sources (parquet scans
+  * without ANALYZE expose only sizeInBytes) keep the heap plan; the
+  * runtime guard still backstops them.
+  */
 object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, CurrentRow, LessThanOrEqual, Literal, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window => LogicalWindow}
+  import org.apache.spark.sql.internal.SQLConf
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(k, keys, order, child) =>
-      TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
+      if (heapOverBudget(k, keys, child)) planLater(windowForm(k, keys, order, child)) :: Nil
+      else TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
     case _ => Nil
+  }
+
+  private def heapOverBudget(k: Int, keys: Seq[Expression], child: LogicalPlan): Boolean = {
+    val conf = SQLConf.get
+    val maxRows = conf.getConfString(TopKPerKeyExec.MaxRowsKey,
+      TopKPerKeyExec.DefaultMaxRows.toString).toLong
+    val parts = math.max(1, conf.numShufflePartitions)
+    val stats = child.stats
+    val distinctKeys: Option[BigInt] = {
+      val per = keys.map {
+        case a: Attribute => stats.attributeStats.get(a).flatMap(_.distinctCount)
+        case _ => None
+      }
+      if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.product) else None
+    }
+    val estHeld = distinctKeys.map(_ * k) // k rows per key…
+      .map(e => stats.rowCount.fold(e)(_.min(e))) // …but never more than the input
+      .orElse(stats.rowCount) // no column stats: all-distinct worst case
+    estHeld.exists(_ / parts > maxRows)
+  }
+
+  /** The logical plan of the sort-based fallback: row_number over
+    * (keys, order) ≤ k, projected back to the child's columns.
+    */
+  private def windowForm(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
+      child: LogicalPlan): LogicalPlan = {
+    val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    val rn = Alias(WindowExpression(RowNumber(), WindowSpecDefinition(keys, order, frame)), "__rank")()
+    val win = LogicalWindow(Seq(rn), keys, order, child)
+    Project(child.output, Filter(LessThanOrEqual(rn.toAttribute, Literal(k)), win))
   }
 }
 

@@ -38,6 +38,19 @@ class CurationTemporalSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("right_v") == 2.0)
   }
 
+  test("asOfJoin: a null-time right row never matches (SQL ASOF semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "early"), (1L, 300L, "late")).toDF("k", "t", "tag")
+    val right = Seq((1L, Some(200L), 20.0), (1L, None, 99.0))
+      .toDF("k", "rt", "v")
+    val out = Temporal.asOfJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy(col("t"))
+      .collect().map(r => (r.getAs[String]("tag"), Option(r.getAs[Any]("right_v"))))
+    // nulls-first sort would otherwise hand the null-time row (v=99)
+    // to t=100 as its "most recent predecessor"; ASOF says no match
+    assert(out.toSeq == Seq(("early", None), ("late", Some(20.0))))
+  }
+
   test("q23 range join bin-and-refine plans no broadcast-nested-loop") {
     val plan = Temporal.q23(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), "range join fell back to BNLJ")

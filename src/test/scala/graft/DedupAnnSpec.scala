@@ -180,6 +180,52 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("star-contraction clusters converge on a diameter-40 chain where propagation cannot") {
+    import spark.implicits._
+    // path graph 0–1–2–…–40: one component, diameter 40 — deeper
+    // than the default 20-round budget of one-hop label propagation
+    val docs = (0L to 40L).toDF("doc_id")
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val star = graft.operators.Dedup.clustersOf(docs, pairs, maxIters = 20, star = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(star.length == 41)
+    assert(star.forall(_._2 == 0L), s"not one cluster: ${star.filter(_._2 != 0L).toSeq}")
+    assert(star.count(_._3 == 1L) == 1 && star.find(_._3 == 1L).get._1 == 0L)
+    // the flag exists because propagation genuinely can't do this in
+    // the same budget: one hop per round × 40 hops > 20 rounds
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.clustersOf(docs, pairs, maxIters = 20, star = false).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("star and propagation clusters agree on the real pair graph") {
+    val a = graft.operators.Dedup.clusters(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.operators.Dedup.clusters(spark, sf, star = true)
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty)
+    assert(a == b, "star variant diverges from propagation on the corpus graph")
+  }
+
+  test("vec_quant storage form: one byte per dimension, values identical to the oracle projection") {
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    val codes = graft.operators.SimilaritySearch.vecQuantCodes(spark, sf)
+    // the storage column is genuinely tinyint — 1 byte/dim, the
+    // footprint the quantization exists to buy
+    assert(codes.schema("codes").dataType == ArrayType(ByteType),
+      s"codes is ${codes.schema("codes").dataType}, not array<tinyint>")
+    val str = graft.operators.SimilaritySearch.vecQuant(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("q")).toMap
+    val rows = codes.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val got = r.getSeq[Byte](r.fieldIndex("codes")).map(_.toLong)
+      val expect = str(r.getLong(0)).split(",").map(_.toLong).toSeq
+      assert(got == expect, s"vec ${r.getLong(0)}: codes diverge from string form")
+    }
+  }
+
   test("cosine kernel matches an independent scala computation") {
     import graft.functions.VectorFunctions._
     val emb = Tables(spark, sf).embeddings.limit(20)

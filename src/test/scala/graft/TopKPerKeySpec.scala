@@ -78,9 +78,18 @@ class TopKPerKeySpec extends AnyFunSuite {
     import spark.implicits._
     val key = graft.plans.TopKPerKeyExec.MaxRowsKey
     spark.conf.set(key, "100")
+    // a parquet scan exposes only sizeInBytes (no row count), so the
+    // compile-time strategy can't see the violation coming; with AQE
+    // disabled there is no runtime re-plan either — the RUNTIME guard
+    // is the last line this test pins (stats-rich inputs are caught by
+    // the strategy fallback, AQE re-plans are covered below)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val dir = java.nio.file.Files.createTempDirectory("topk_guard").toString
     try {
-      val in = spark.range(10000)
+      spark.range(10000)
         .select((col("id") % 5000).as("k"), col("id"), col("id").cast("double").as("score"))
+        .write.mode("overwrite").parquet(dir)
+      val in = spark.read.parquet(dir)
       val out = TopK.topKPerKey(in, Seq(col("k")), Seq(col("score").desc), k = 2)
       val e = intercept[Throwable] { out.count() }
       def chain(t: Throwable): List[Throwable] =
@@ -89,6 +98,72 @@ class TopKPerKeySpec extends AnyFunSuite {
         t.isInstanceOf[IllegalStateException] &&
           t.getMessage.contains(key)),
         s"expected the $key guard, got: $e")
+    } finally {
+      spark.conf.unset(key)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("AQE runtime stats swap the heap for the window form mid-query (no guard trip)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findExecs(p: SparkPlan): Seq[graft.plans.TopKPerKeyExec] = p match {
+      case a: AdaptiveSparkPlanExec => findExecs(a.executedPlan)
+      case q: QueryStageExec => findExecs(q.plan)
+      case e: graft.plans.TopKPerKeyExec => e +: e.children.flatMap(findExecs)
+      case other => other.children.flatMap(findExecs)
+    }
+    val key = graft.plans.TopKPerKeyExec.MaxRowsKey
+    spark.conf.set(key, "100")
+    val dir = java.nio.file.Files.createTempDirectory("topk_aqe").toString
+    try {
+      spark.range(10000)
+        .select((col("id") % 5000).as("k"), col("id"), col("id").cast("double").as("score"))
+        .write.mode("overwrite").parquet(dir)
+      // same stats-blind input as the guard test, but with AQE on the
+      // post-shuffle re-optimization sees the real row count, the
+      // strategy declines, and the query finishes on the window plan
+      // instead of failing — the 100 TB safety net in action
+      val out = TopK.topKPerKey(spark.read.parquet(dir),
+        Seq(col("k")), Seq(col("score").desc, col("id").asc), k = 2)
+      val rows = out.collect()
+      assert(rows.length == 10000) // k=2 ≥ rows per key → all rows survive
+      val plan = out.queryExecution.executedPlan
+      assert(findExecs(plan).isEmpty, s"heap exec survived AQE re-plan:\n$plan")
+      assert(plan.toString.contains("Window"), s"no window fallback in final plan:\n$plan")
+    } finally {
+      spark.conf.unset(key)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("strategy plans the sort-based window form when stats say the heap bound can't hold") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findExecs(p: SparkPlan): Seq[graft.plans.TopKPerKeyExec] = p match {
+      case a: AdaptiveSparkPlanExec => findExecs(a.executedPlan)
+      case q: QueryStageExec => findExecs(q.plan)
+      case e: graft.plans.TopKPerKeyExec => e +: e.children.flatMap(findExecs)
+      case other => other.children.flatMap(findExecs)
+    }
+    val key = graft.plans.TopKPerKeyExec.MaxRowsKey
+    spark.conf.set(key, "100")
+    try {
+      // range carries an exact row count in its stats: 10k rows over
+      // 32 shuffle partitions > 100-row bound → the strategy must
+      // decline the heap and emit the window+filter fallback
+      val in = spark.range(10000)
+        .select((col("id") % 50).as("k"), col("id"), (col("id") % 97).cast("double").as("score"))
+      val out = TopK.topKPerKey(in, Seq(col("k")), Seq(col("score").desc, col("id").asc), k = 2)
+      val rows = out.collect()
+      val plan = out.queryExecution.executedPlan
+      assert(findExecs(plan).isEmpty, s"heap exec planned despite stats over budget:\n$plan")
+      assert(plan.toString.contains("Window"), s"no window fallback in plan:\n$plan")
+      // fallback result is the same top-k contract
+      assert(rows.length == 2 * 50)
+      val best = rows.groupBy(_.getLong(0)).values.map(_.map(_.getDouble(2)).max)
+      assert(best.forall(_ >= 95.0)) // per-key max of (id % 97) over 200 ids/key
     } finally spark.conf.unset(key)
   }
 }
