@@ -60,7 +60,10 @@ object SparkEntry {
     "tfidf"             -> ((s, d) => Curation.tfidf(s, d)),
     "sample_stratified" -> (Curation.sampleStratified _),
     "sample_quota"      -> ((s, d) => Curation.sampleQuota(s, d)),
-    "seq_pack"          -> (Curation.seqPack _)
+    "seq_pack"          -> (Curation.seqPack _),
+    "decontaminate"     -> (Text.decontaminate _),
+    "rep_stats"         -> (Text.repStats _),
+    "corpus_shuffle"    -> (Curation.corpusShuffle _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -609,6 +612,52 @@ object SparkEntry {
         |FROM (SELECT *, CAST(ceil(CAST(cum AS DOUBLE) / 256) AS BIGINT) - 1 AS pack_id FROM p)
         |GROUP BY pack_id
         |ORDER BY pack_id""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH $ngramCtes,
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 3),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 <> 3),
+        |dsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM tr GROUP BY 1),
+        |dov AS (SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |  FROM tr JOIN ev ON tr.shingle = ev.shingle GROUP BY 1)
+        |SELECT dsz.doc_id, dsz.n_shingles,
+        |  CAST(COALESCE(dov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(COALESCE(dov.n_overlap, 0) * 4 >= dsz.n_shingles AS BIGINT) AS contaminated
+        |FROM dsz LEFT JOIN dov ON dsz.doc_id = dov.doc_id
+        |ORDER BY dsz.doc_id""".stripMargin,
+
+    "rep_stats" ->
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        |wc AS (SELECT doc_id, unnest(w) AS word FROM d),
+        |tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM wc GROUP BY doc_id, word),
+        |top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_c,
+        |    CAST(SUM(c) AS BIGINT) AS n_words
+        |  FROM tc GROUP BY doc_id),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM d),
+        |gs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_gd
+        |  FROM g GROUP BY doc_id),
+        |f AS (
+        |  SELECT top.doc_id, top.n_words,
+        |    ROUND(CAST(top.top_c AS DOUBLE) / top.n_words + 1e-9, 4) AS top_word_frac,
+        |    ROUND(COALESCE(CAST(gs.n_g - gs.n_gd AS DOUBLE) / gs.n_g, 0.0) + 1e-9, 4)
+        |      AS dup_2gram_frac
+        |  FROM top LEFT JOIN gs ON top.doc_id = gs.doc_id
+        |)
+        |SELECT doc_id, n_words, top_word_frac, dup_2gram_frac,
+        |  CAST(top_word_frac > 0.3 OR dup_2gram_frac > 0.2 AS BIGINT) AS flagged
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "corpus_shuffle" ->
+      s"""WITH s AS (SELECT doc_id,
+        |    ${hash60Sql("'shuffle7:' || CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 64 AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
 
     "pii_scrub" ->
       """WITH a AS (

@@ -50,6 +50,36 @@ object Curation {
         concat_ws(" ", slice(col("w"), start, lit(ChunkWords))).as("chunk_text"))
   }
 
+  val ShuffleShards = 64 // training-order shards of corpus_shuffle
+
+  /** corpus_shuffle — deterministic global training-order
+    * permutation: every doc gets a portable 60-bit hash of a seeded
+    * key, a shard (hash mod [[ShuffleShards]]), and a position
+    * within its shard — (shard, pos) IS the training read order, and
+    * a trainer streams shard files in index order. Changing the seed
+    * string re-shuffles; same seed is bit-identical across runs,
+    * engines, and parallelism.
+    *
+    * Scale shape: the per-shard row_number windows partition by
+    * shard — [[ShuffleShards]]-way parallel, NO global window (the
+    * same reasoning as seq_pack's sharded prefix sum); everything
+    * before them is map-side hashing. This is how a 100 TB corpus
+    * gets a reproducible epoch order without a global sort.
+    */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    corpusShuffleOn(Tables(spark, dir).documents)
+
+  private[graft] def corpusShuffleOn(docs: DataFrame): DataFrame = {
+    val h = hash60(concat(lit("shuffle7:"), col("doc_id").cast("string")))
+    val perShard = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"))
+      .withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(ShuffleShards.toLong)))
+      .withColumn("pos", row_number().over(perShard).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   val PackBudget = 256 // words per training sequence
 
   val PackShards = 32 // parallelism of the seq_pack prefix sum

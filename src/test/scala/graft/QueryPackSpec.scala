@@ -168,6 +168,60 @@ class QueryPackSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("decontaminate: a training doc copying benchmark text is flagged, unrelated text is not") {
+    import spark.implicits._
+    import graft.operators.Text
+    // doc 3 (3 % 17 == 3) is benchmark; doc 18 (≡ 1) copies it
+    // verbatim, doc 1 shares nothing (ids must avoid ≡ 3 mod 17)
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),
+      (3L, bench),
+      (18L, bench),
+      (21L, "nine ten eleven " + bench)).toDF("doc_id", "text")
+    val out = Text.decontaminateOn(Text.shingleSetOf(docs)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!out.contains(3L), "benchmark doc leaked into the training output")
+    assert(out(1L)._2 == 0 && out(1L)._3 == 0, s"clean doc flagged: ${out(1L)}")
+    assert(out(18L)._2 == out(18L)._1 && out(18L)._3 == 1, s"verbatim copy not flagged: ${out(18L)}")
+    assert(out(21L)._3 == 1, s"mostly-copied doc not flagged: ${out(21L)}")
+  }
+
+  test("rep_stats: degenerate repetition is measured and flagged exactly") {
+    import spark.implicits._
+    import graft.operators.Text
+    val docs = Seq(
+      (1L, "a a a a b"), // top word 4/5; 2-grams [a a, a a, a a, a b] → dup 2/4
+      (2L, "the quick brown fox jumps over the lazy dog")) // top 2/9, no dup 2-grams
+      .toDF("doc_id", "text")
+    val out = Text.repStatsOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out(1L) == ((5L, 0.8, 0.5, 1L)), s"got ${out(1L)}")
+    assert(out(2L)._1 == 9L && out(2L)._3 == 0.0 && out(2L)._4 == 0L, s"got ${out(2L)}")
+  }
+
+  test("corpus_shuffle: a deterministic permutation — every doc once, contiguous shard positions") {
+    import graft.operators.Curation
+    val docs = Tables(spark, sf).documents
+    val shuffled = Curation.corpusShuffleOn(docs)
+    // sharded windows, never a global one — same contract as seq_pack
+    assert(!shuffled.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      "corpus_shuffle plan has a single-partition exchange")
+    val a = shuffled.collect()
+    val b = Curation.corpusShuffleOn(docs).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "shuffle is not deterministic")
+    assert(a.map(_.getLong(0)).toSet.size == a.length)
+    assert(a.length == docs.count())
+    // per shard: positions are exactly 1..n_shard
+    a.groupBy(_.getLong(1)).values.foreach { rows =>
+      val pos = rows.map(_.getLong(2)).sorted.toSeq
+      assert(pos == (1L to rows.length.toLong), s"gapped positions: ${pos.take(5)}")
+    }
+    // it actually permutes: doc order within shard 0 differs from id order
+    val s0 = a.filter(_.getLong(1) == 0L).sortBy(_.getLong(2)).map(_.getLong(0)).toSeq
+    assert(s0 != s0.sorted, "shard order degenerated to id order")
+  }
+
   test("salted fact-fact join equals the plain unsalted join") {
     import org.apache.spark.sql.functions._
     import graft.Exact._
