@@ -63,7 +63,10 @@ object SparkEntry {
     "seq_pack"          -> (Curation.seqPack _),
     "decontaminate"     -> (Text.decontaminate _),
     "rep_stats"         -> (Text.repStats _),
-    "corpus_shuffle"    -> (Curation.corpusShuffle _)
+    "corpus_shuffle"    -> (Curation.corpusShuffle _),
+    "dedup_lines"       -> (Text.dedupLines _),
+    "dedup_incremental" -> (Text.dedupIncremental _),
+    "sample_mixture"    -> (Curation.sampleMixture _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -691,6 +694,80 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, word) AS BIGINT) AS rk,
         |  word, tf, df, score_ppm
         |FROM s QUALIFY rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+
+    "dedup_lines" ->
+      s"""WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN '${operators.Text.BoilerLine} ' || text ELSE text END AS text
+        |  FROM documents
+        |), d AS (SELECT doc_id, $wordsSql AS w FROM aug),
+        |l AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(0, (len(w) + 19) // 20 - 1)) AS line_id
+        |  FROM d WHERE len(w) > 0
+        |), lt AS (
+        |  SELECT doc_id, line_id,
+        |    array_to_string(w[CAST(line_id*20+1 AS INT) : CAST(line_id*20+20 AS INT)], ' ')
+        |      AS line_text
+        |  FROM l
+        |), r AS (
+        |  SELECT doc_id, line_id, line_text,
+        |    row_number() OVER (PARTITION BY line_text ORDER BY doc_id, line_id) AS rk
+        |  FROM lt
+        |), tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lt GROUP BY 1),
+        |reb AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(line_text, ' ' ORDER BY line_id) AS new_text
+        |  FROM r WHERE rk = 1 GROUP BY 1)
+        |SELECT doc.doc_id,
+        |  CAST(COALESCE(tot.n_lines, 0) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(reb.new_text, '') AS new_text
+        |FROM documents doc
+        |LEFT JOIN tot ON doc.doc_id = tot.doc_id
+        |LEFT JOIN reb ON doc.doc_id = reb.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fingerprint FROM documents),
+        |hist AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 4 <> 0),
+        |batch AS (
+        |  SELECT doc_id, fingerprint FROM f WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, fingerprint FROM f WHERE doc_id % 8 = 0
+        |), fib AS (SELECT fingerprint, MIN(doc_id) AS first_id FROM batch GROUP BY 1)
+        |SELECT b.doc_id, b.fingerprint,
+        |  CASE WHEN hist.fingerprint IS NOT NULL THEN 'dup_history'
+        |       WHEN b.doc_id <> fib.first_id THEN 'dup_batch'
+        |       ELSE 'kept' END AS status
+        |FROM batch b
+        |LEFT JOIN hist ON b.fingerprint = hist.fingerprint
+        |JOIN fib ON b.fingerprint = fib.fingerprint
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "sample_mixture" -> {
+      val shareCase = operators.Curation.MixtureSharesPpm
+        .map { case (l, p) => s"WHEN '$l' THEN $p" }.mkString(" ")
+      s"""WITH d AS (
+        |  SELECT doc_id, lang, CAST(len($wordsSql) AS BIGINT) AS nw FROM documents
+        |), caps AS (
+        |  SELECT lang, SUM(nw) AS wl,
+        |    CASE lang $shareCase ELSE 0 END AS sppm
+        |  FROM d GROUP BY lang
+        |), caps2 AS (SELECT * FROM caps WHERE sppm > 0),
+        |t AS (SELECT MIN(wl * 1000000 // sppm) AS t FROM caps2),
+        |rates AS (
+        |  SELECT lang,
+        |    least(1000000, CAST(CAST(sppm AS HUGEINT) * t.t // wl AS BIGINT)) AS rate_ppm
+        |  FROM caps2, t)
+        |SELECT d.doc_id, d.lang, d.nw,
+        |  ${hash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket,
+        |  CAST(rates.rate_ppm AS BIGINT) AS rate_ppm
+        |FROM d JOIN rates ON d.lang = rates.lang
+        |WHERE ${hash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < rates.rate_ppm
+        |ORDER BY d.doc_id""".stripMargin
+    },
 
     "sample_stratified" ->
       s"""WITH b AS (

@@ -235,6 +235,63 @@ object Curation {
       .orderBy(col("lang"), col("bucket"), col("doc_id"))
   }
 
+  /** Target token shares (ppm, summing to 10⁶) per language for
+    * [[sampleMixture]] — the "data mixture" spec a training run
+    * fixes up front. Literal so both engines see the same CASE.
+    */
+  val MixtureSharesPpm: Seq[(String, Long)] =
+    Seq("en" -> 300000L, "zh" -> 175000L, "es" -> 175000L, "de" -> 175000L, "fr" -> 175000L)
+
+  /** sample_mixture — mixture-weighted downsampling: pick per-stratum
+    * keep rates so the SAMPLED corpus hits the target token-share mix
+    * ([[MixtureSharesPpm]]) at the largest total the corpus supports.
+    * The bottleneck stratum is the one with the least supply relative
+    * to its target (min over l of Wₗ·10⁶ div shareₗ); it keeps
+    * everything (rate 10⁶) and every other stratum downsamples to
+    * shareₗ·T div Wₗ. Documents are then kept by the usual seeded
+    * hash draw — so the realized mix matches the target in
+    * expectation, token-weighted, with no sorting and no global
+    * coordination.
+    *
+    * Determinism: all rate arithmetic is integer (the intermediate
+    * shareₗ·T runs in DECIMAL(38,0) / HUGEINT — at 100 TB scale
+    * Wₗ·10⁶ exceeds an int64, the seq_pack `div` lesson one level
+    * up); the draw is the md5-derived 60-bit hash. Scale shape: one
+    * words-per-doc aggregation to ≤|langs| rows, a broadcast of the
+    * rate table, then a scan-level filter — the sample itself costs
+    * no shuffle, exactly like sample_stratified.
+    */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame =
+    sampleMixtureOn(Tables(spark, dir).documents)
+
+  private[graft] def sampleMixtureOn(docs: DataFrame): DataFrame = {
+    val withW = docs.select(col("doc_id"), col("lang"),
+      size(words(col("text"))).cast("long").as("nw"))
+    val share = MixtureSharesPpm.foldLeft(lit(0L)) { case (acc, (lang, ppm)) =>
+      when(col("lang") === lang, lit(ppm)).otherwise(acc)
+    }
+    // capacity_l = the largest total sampled-token count stratum l can
+    // support at its target share; the realizable total T is the min.
+    val caps = withW.groupBy(col("lang")).agg(sum(col("nw")).as("wl"))
+      .withColumn("sppm", share)
+      .filter(col("sppm") > 0)
+      .withColumn("cap", expr("wl * 1000000 div sppm"))
+    val t = caps.agg(min(col("cap")).as("t"))
+    // rate_ppm = share·T div W, computed in 38-digit decimals: share·T
+    // alone can exceed int64 once W reaches ~10¹² words (a few TB of
+    // text); `div` on decimals yields an exact integral BIGINT.
+    val rates = caps.crossJoin(broadcast(t))
+      .select(col("lang"), least(lit(1000000L),
+        expr("CAST(sppm AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)) div wl")).as("rate_ppm"))
+    withW
+      .join(broadcast(rates), "lang")
+      .withColumn("bucket",
+        pmod(hash60(concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000000L)))
+      .filter(col("bucket") < col("rate_ppm"))
+      .select(col("doc_id"), col("lang"), col("nw"), col("bucket"), col("rate_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val bucket = pmod(hash60(concat(lit("smpl:"), col("doc_id").cast("string"))), lit(1000000L))

@@ -222,6 +222,80 @@ class QueryPackSpec extends AnyFunSuite {
     assert(s0 != s0.sorted, "shard order degenerated to id order")
   }
 
+  test("dedup_lines: boilerplate survives only once, kept lines = distinct lines") {
+    import graft.functions.TextFunctions.words
+    val out = operators.Text.dedupLines(spark, sf).cache()
+    val docs = Tables(spark, sf).documents
+    // every 5th doc got the injected boilerplate line; only the first
+    // (doc_id 0) keeps it — later fixture docs lose ≥1 line
+    val fixture = out.filter(col("doc_id") % 5 === 0 && col("doc_id") > 0)
+    assert(fixture.count() > 0)
+    assert(fixture.filter(col("n_kept") >= col("n_lines")).count() == 0,
+      "a later boilerplate occurrence was not removed")
+    assert(out.filter(col("doc_id") === 0).head
+      .getAs[String]("new_text").contains("subscribe"))
+    assert(out.filter(col("doc_id") =!= 0 && col("new_text").contains("subscribe"))
+      .count() == 0, "boilerplate text survived outside its first occurrence")
+    // defining property: each distinct line survives exactly once
+    // corpus-wide (short tail-lines collide across docs too, so this
+    // is the exact global invariant — recomputed independently here)
+    val kept = out.agg(sum(col("n_kept"))).head.getLong(0)
+    val lw = operators.Text.LineWords
+    val start = col("line_id") * lw + 1
+    val nDistinct = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(operators.Text.BoilerLine + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      .withColumn("w", words(col("text")))
+      .withColumn("line_id", explode(when(size(col("w")) > 0,
+        sequence(lit(0L),
+          floor((size(col("w")) + lit(lw - 1)) / lit(lw)).cast("long") - 1))))
+      .select(concat_ws(" ", slice(col("w"), start, lit(lw))).as("line_text"))
+      .distinct().count()
+    assert(kept == nDistinct, s"kept $kept lines but corpus has $nDistinct distinct lines")
+    assert(kept < out.agg(sum(col("n_lines"))).head.getLong(0), "nothing was deduplicated")
+    out.unpersist()
+  }
+
+  test("dedup_incremental: statuses partition the batch by construction") {
+    val out = operators.Text.dedupIncremental(spark, sf).cache()
+    val eo = operators.Text.EchoOffset
+    // echoed docs duplicate an earlier same-fingerprint batch doc that
+    // is NOT in history (base doc_id % 8 == 0 → % 4 == 0)
+    assert(out.filter(col("doc_id") >= eo && col("status") =!= "dup_batch").count() == 0)
+    // batch docs with doc_id % 4 == 2 are in history
+    assert(out.filter(col("doc_id") < eo && col("doc_id") % 4 === 2 &&
+      col("status") =!= "dup_history").count() == 0)
+    // batch docs with doc_id % 4 == 0 are new and first → kept
+    assert(out.filter(col("doc_id") < eo && col("doc_id") % 4 === 0 &&
+      col("status") =!= "kept").count() == 0)
+    // all three classes occur
+    assert(out.select(col("status")).distinct().count() == 3)
+    out.unpersist()
+  }
+
+  test("sample_mixture: bottleneck stratum keeps everything, rates hit the target shares") {
+    import graft.functions.TextFunctions.words
+    val rates = operators.Curation.sampleMixture(spark, sf)
+      .groupBy(col("lang")).agg(max(col("rate_ppm")).as("rate_ppm"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the bottleneck stratum keeps (almost) everything: its rate is
+    // sppm·(wl·10⁶ div sppm) div wl — two integer floors shy of 10⁶
+    assert(rates.values.max >= 999000L,
+      s"no stratum keeps ~everything — T is not the binding min (max rate ${rates.values.max})")
+    assert(rates.values.forall(r => r > 0 && r <= 1000000L))
+    // expected sampled token mass per lang ≈ share · T: recompute the
+    // closed form and check the operator's rates match it exactly
+    val wl = Tables(spark, sf).documents
+      .select(col("lang"), size(words(col("text"))).cast("long").as("nw"))
+      .groupBy(col("lang")).agg(sum(col("nw")).as("wl"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val shares = operators.Curation.MixtureSharesPpm.toMap
+    val t = shares.collect { case (l, s) if wl.contains(l) => wl(l) * 1000000L / s }.min
+    for ((l, r) <- rates)
+      assert(r == math.min(1000000L, shares(l) * t / wl(l)), s"rate mismatch for $l")
+  }
+
   test("salted fact-fact join equals the plain unsalted join") {
     import org.apache.spark.sql.functions._
     import graft.Exact._
