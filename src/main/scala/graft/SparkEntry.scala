@@ -66,7 +66,10 @@ object SparkEntry {
     "corpus_shuffle"    -> (Curation.corpusShuffle _),
     "dedup_lines"       -> (Text.dedupLines _),
     "dedup_incremental" -> (Text.dedupIncremental _),
-    "sample_mixture"    -> (Curation.sampleMixture _)
+    "sample_mixture"    -> (Curation.sampleMixture _),
+    "pq_codes"          -> (SimilaritySearch.pqCodes _),
+    "ann_pq"            -> ((s, d) => SimilaritySearch.annPq(s, d)),
+    "semdedup"          -> (Clustering.semdedup _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -561,6 +564,33 @@ object SparkEntry {
         |  ROUND(sqrt(list_dot_product(v, v)), 6) AS norm,
         |  array_to_string(list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)), ',') AS q
         |FROM s WHERE isfinite(scale)
+        |ORDER BY vec_id""".stripMargin,
+
+    // integer-lattice PQ assignment (ann_pq itself is rows-only: ADC
+    // is approximate; its recall bound lives in DedupAnnSpec)
+    "pq_codes" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS lv
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), cb AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, lv AS cv
+        |  FROM (SELECT vec_id, lv FROM e ORDER BY vec_id LIMIT 16)
+        |), ms AS (SELECT unnest(range(0, 8)) AS m),
+        |d AS (
+        |  SELECT e.vec_id, ms.m, cb.j,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (e.lv[ms.m*8+i] - cb.cv[ms.m*8+i]) * (e.lv[ms.m*8+i] - cb.cv[ms.m*8+i])))
+        |      AS dist
+        |  FROM e CROSS JOIN ms CROSS JOIN cb
+        |), a AS (
+        |  SELECT vec_id, m, j,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rk
+        |  FROM d)
+        |SELECT vec_id, string_agg(CAST(j AS VARCHAR), ',' ORDER BY m) AS q
+        |FROM a WHERE rk = 1
+        |GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
 
     "sample_quota" ->

@@ -146,6 +146,102 @@ object SimilaritySearch {
           .as("codes"))
   }
 
+  /** Product-quantization geometry: 64-d vectors → [[PQSubspaces]]
+    * subspaces of 8 dims, [[PQCentroids]] centroids per subspace.
+    * Codebook = the first PQCentroids vectors by id (deterministic
+    * "training sample", the [[MaxCentroids]] bounding discipline —
+    * NEVER corpus-proportional). [[PQLattice]] is the integer lattice
+    * `l(x) = floor(x·10⁴ + 0.5)` all distances run on: 64-bit integer
+    * sums are order-independent and engine-exact, which is what makes
+    * pq_codes oracle-checkable where float PQ wouldn't be.
+    */
+  val PQSubspaces = 8
+  val PQCentroids = 16
+  val PQLattice = 10000.0
+
+  /** The lattice-quantized PQ codebook: first [[PQCentroids]] non-null
+    * vectors by vec_id — a bounded TakeOrdered collect (model size
+    * PQCentroids×dim longs, broadcast-dimension class).
+    */
+  private def pqCodebook(emb: DataFrame): Seq[Seq[Long]] =
+    emb.filter(col("v").isNotNull).orderBy(col("vec_id")).limit(PQCentroids)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).map(x => math.floor(x * PQLattice + 0.5).toLong).toSeq)
+      .toSeq
+
+  /** pq_codes — product quantization: each vector compresses to
+    * [[PQSubspaces]] centroid indices (4 bits each here — 64 dims of
+    * float32 become 8 small codes, a 64× storage cut). Assignment is
+    * the [[graft.functions.PQCodes]] expression carrying the codebook:
+    * a pure map-side projection inside the scan stage, no join, no
+    * shuffle before the output sort. Codes ship as a joined string
+    * (the vec_quant convention) so the oracle hash-compare stays
+    * engine-agnostic.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir).filter(col("v").isNotNull)
+    val cb = pqCodebook(emb)
+    emb.select(col("vec_id"),
+        array_join(graft.functions.PQFunctions.pqCodes(col("v"), cb, PQSubspaces, PQLattice),
+          ",").as("q"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** ann_pq — ADC (asymmetric distance computation) nearest-neighbor
+    * search over PQ codes with exact refinement: each query
+    * precomputes one distance table ([[graft.functions.PQDistTable]],
+    * subspaces×centroids longs, broadcast with the query), scoring a
+    * corpus vector is [[PQSubspaces]] array lookups — no vector
+    * arithmetic per pair — and the `refine·k` ADC survivors are
+    * re-ranked by EXACT lattice L2 (the standard IVFADC+refine
+    * shape). This is the memory-bound ANN a 100 TB index serves
+    * from: the full scan touches only codes (bytes/vector); floats
+    * are read for refine·k·q rows, a constant.
+    *
+    * Both stages run on the engine's bounded-heap operator with
+    * (distance asc, vec_id) order — deterministic end to end.
+    * Rows-only (recall vs the exact baseline asserted in
+    * DedupAnnSpec — ADC candidate generation is approximate).
+    */
+  def annPq(spark: SparkSession, dir: String, k: Int = 10, refine: Int = 4): DataFrame = {
+    val emb = embDouble(spark, dir).filter(col("v").isNotNull)
+    val cb = pqCodebook(emb)
+    val codes = emb.select(col("vec_id"),
+      graft.functions.PQFunctions.pqCodes(col("v"), cb, PQSubspaces, PQLattice).as("codes"))
+    val q = queriesOf(emb).select(col("qid"), col("qv"))
+    val qTables = q.select(col("qid"),
+      graft.functions.PQFunctions.pqDistTable(col("qv"), cb, PQSubspaces, PQLattice).as("dt"))
+    // Σ over subspaces of table[m·centroids + code_m]: array subscripts
+    // are 0-based in Spark SQL, and the whole reduction stays inside
+    // whole-stage codegen as a higher-order aggregate
+    val adc = expr(s"aggregate(sequence(0, $PQSubspaces - 1), 0L, " +
+      s"(acc, m) -> acc + dt[m * $PQCentroids + CAST(codes[m] AS INT)])")
+    val scored = codes.join(broadcast(qTables), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adc.as("adist"))
+    val candidates = graft.plans.TopK.topKPerKey(scored,
+      keys = Seq(col("qid")),
+      order = Seq(col("adist").asc, col("vec_id").asc), k = refine * k)
+    // exact refinement: fetch floats for the refine·k·q candidate rows
+    // only (candidates broadcast; the corpus is the streamed side) and
+    // re-rank by exact integer lattice L2 — same units as ADC, so the
+    // two stages compose into one metric
+    val lat = (c: Column) =>
+      transform(c, x => floor(x * lit(PQLattice) + lit(0.5)).cast("long"))
+    val exact = emb.join(broadcast(candidates.select(col("qid"), col("vec_id"))), "vec_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        aggregate(zip_with(lat(col("qv")), lat(col("v")), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, e) => acc + e).as("dist"))
+    val topk = graft.plans.TopK.topKPerKey(exact,
+      keys = Seq(col("qid")),
+      order = Seq(col("dist").asc, col("vec_id").asc), k = k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vec_id"))
+    topk
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("dist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   private val Tables_ = 8  // LSH hash tables
   private val PlanesPerTable = 8
   private val Dim = 64

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the embedding-clustering pack (semdedup): k-means
+  * determinism at any parallelism, containment in the exact near-dup
+  * relation, and co-cluster recall vs the exact all-pairs operator.
+  */
+class ClusteringSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  private def emb = Tables(spark, sf).embeddings
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("kmeans centroids are bit-identical under repartition (decimal-exact means)") {
+    import graft.operators.Clustering._
+    val e = emb.filter(col("v").isNotNull)
+    val k = autoK(e.count())
+    val (ids1, c1) = kmeansCentroids(e, k, KmeansIters)
+    val (ids2, c2) = kmeansCentroids(e.repartition(7), k, KmeansIters)
+    assert(ids1 == ids2)
+    assert(c1 == c2, "means drifted across partitionings — decimal accumulation broken")
+  }
+
+  test("autoK: cells scale with the corpus but stay capped") {
+    import graft.operators.Clustering._
+    assert(autoK(10) == 2)
+    assert(autoK(50) == 6)
+    assert(autoK(500) == 32)
+    assert(autoK(5000000L) == KmeansK, "cap not enforced")
+  }
+
+  test("semdedup output is deterministic and cells are bounded by K") {
+    import graft.operators.Clustering._
+    val a = semdedupOn(emb).collect().map(_.toSeq).toSeq
+    val b = semdedupOn(emb.repartition(5)).collect().map(_.toSeq).toSeq
+    assert(a == b, "semdedup diverges across partitionings")
+    val cells = a.map(_(1).asInstanceOf[Long]).distinct
+    assert(cells.size <= KmeansK)
+    assert(a.map(_.head.asInstanceOf[Long]).distinct.size == a.size, "a vector appears twice")
+  }
+
+  test("semdedup drops only true near-dups (containment in dedup_embedding)") {
+    val out = graft.operators.Clustering.semdedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exactPairs = SparkEntry.queries("dedup_embedding")(spark, sf)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(exactPairs.nonEmpty)
+    // soundness: every dropped vector is the higher id of SOME exact
+    // near-dup pair (identical kernel, rounding, and threshold as
+    // dedup_embedding, so cell-local pairs are a subset of exact pairs)
+    val dupTargets = exactPairs.map(_._2).toSet
+    val dropped = out.collect { case (id, (_, keep)) if keep == 0L => id }.toSet
+    assert(dropped.nonEmpty, "nothing pruned — threshold never fired")
+    assert(dropped.subsetOf(dupTargets),
+      s"dropped non-duplicates: ${dropped -- dupTargets}")
+  }
+
+  test("semdedup prunes injected near-exact duplicates (the semantic-duplicate class)") {
+    // fixture: every 10th vector re-appears under a new id with a tiny
+    // uniform scaling — cosine is scale-invariant, so each copy is a
+    // PERFECT semantic duplicate (cos = 1) of its source. SemDeDup's
+    // contract is exactly this class: the copy must land in its
+    // source's cell (assignment is cosine-based) and be pruned. The
+    // corpus's own weak cos≈0.4 pairs are NOT the operator's target —
+    // k-means cells neither should nor do respect them.
+    val base = emb.filter(col("v").isNotNull)
+    val offset = 10000L
+    val dups = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + offset).as("vec_id"),
+        transform(col("v"), x => x * lit(1.000001)).as("v"))
+    val out = graft.operators.Clustering.semdedupOn(base.unionAll(dups))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val injected = out.keys.filter(_ >= offset).toSeq
+    assert(injected.nonEmpty)
+    injected.foreach { id =>
+      assert(out(id)._1 == out(id - offset)._1,
+        s"copy $id landed in cell ${out(id)._1}, source in ${out(id - offset)._1}")
+      assert(out(id)._2 == 0L, s"perfect duplicate $id was kept")
+    }
+  }
+}

@@ -226,6 +226,69 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("pq_codes: codes match an independent scala PQ, map-side plan, deterministic under repartition") {
+    import graft.operators.SimilaritySearch.{PQCentroids, PQLattice, PQSubspaces}
+    val emb = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    // independent reference: same lattice, same argmin, plain scala
+    val all = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    val lat = all.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * PQLattice + 0.5).toLong).toArray
+    }
+    val cb = lat.take(PQCentroids).map(_._2)
+    val subDim = cb(0).length / PQSubspaces
+    def expectCodes(lv: Array[Long]): Seq[Long] =
+      (0 until PQSubspaces).map { m =>
+        cb.zipWithIndex.map { case (c, j) =>
+          var d = 0L
+          for (i <- m * subDim until (m + 1) * subDim) {
+            val diff = lv(i) - c(i); d += diff * diff
+          }
+          (d, j.toLong)
+        }.min._2
+      }
+    val got = graft.operators.SimilaritySearch.pqCodes(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("q")).toMap
+    lat.foreach { case (id, lv) =>
+      assert(got(id) == expectCodes(lv).mkString(","), s"vec $id codes diverge")
+    }
+    // the assignment is a pure projection: no exchange keyed by vec_id
+    val plan = graft.operators.SimilaritySearch.pqCodes(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("hashpartitioning(vec_id"),
+      s"vector-keyed exchange in a map-side operator:\n$plan")
+  }
+
+  test("ann_pq: ADC recall vs brute-force lattice-L2 top-k, deterministic ranks") {
+    import graft.operators.SimilaritySearch.{PQLattice}
+    // exact integer-lattice L2 baseline over the same query set
+    val emb = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    val all = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).map(x => math.floor(x * PQLattice + 0.5).toLong).toArray)
+    val qs = all.filter { case (id, _) => id % 50 == 0 && id < 50L * 32 }
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L
+      for (i <- a.indices) { val x = a(i) - b(i); d += x * x }
+      d
+    }
+    val exact = qs.flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid).map { case (id, v) => (qid, id, l2(qv, v)) }
+        .sortBy(t => (t._3, t._2)).take(10).map(t => (qid, t._2))
+    }.toSet
+    val pq = SparkEntry.queries("ann_pq")(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    // 16 centroids × 8 subspaces on weakly-clustered synthetic data:
+    // ADC is coarse by design; this pins the machinery, not SOTA recall
+    assert(recall >= 0.3, s"ADC recall $recall < 0.3 (${exact.size} exact, ${pq.size} pq)")
+    // determinism across runs
+    val again = SparkEntry.queries("ann_pq")(spark, sf).collect().map(_.toSeq).toSeq
+    assert(again == SparkEntry.queries("ann_pq")(spark, sf).collect().map(_.toSeq).toSeq)
+  }
+
   test("cosine kernel matches an independent scala computation") {
     import graft.functions.VectorFunctions._
     val emb = Tables(spark, sf).embeddings.limit(20)
