@@ -296,6 +296,30 @@ class QueryPackSpec extends AnyFunSuite {
       assert(r == math.min(1000000L, shares(l) * t / wl(l)), s"rate mismatch for $l")
   }
 
+  test("round-4 operators keep their scale shapes: no single-partition exchange anywhere") {
+    // dedup_lines: hash joins on line-md5 and doc_id; dedup_incremental:
+    // fingerprint-keyed joins. Neither may plan a SinglePartition
+    // exchange (the seq_pack lesson: a global window serializes the
+    // whole corpus through one task).
+    Seq(
+      "dedup_lines" -> operators.Text.dedupLines(spark, sf),
+      "dedup_incremental" -> operators.Text.dedupIncremental(spark, sf)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"),
+        s"$name plans a single-partition exchange:\n$plan")
+    }
+    // sample_mixture DOES plan exactly one SinglePartition exchange —
+    // the min over the ≤|strata| per-language capacity rows (metadata-
+    // sized, corpus-independent). The corpus itself must never feed
+    // one: every corpus-side exchange is the lang aggregation or the
+    // output sort.
+    val pm = operators.Curation.sampleMixture(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pm.split("Exchange SinglePartition").length - 1 == 1,
+      s"sample_mixture: expected exactly the one strata-min single-partition exchange:\n$pm")
+  }
+
   test("salted fact-fact join equals the plain unsalted join") {
     import org.apache.spark.sql.functions._
     import graft.Exact._
