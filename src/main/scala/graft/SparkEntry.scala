@@ -69,7 +69,9 @@ object SparkEntry {
     "sample_mixture"    -> (Curation.sampleMixture _),
     "pq_codes"          -> (SimilaritySearch.pqCodes _),
     "ann_pq"            -> ((s, d) => SimilaritySearch.annPq(s, d)),
-    "semdedup"          -> (Clustering.semdedup _)
+    "ann_ivf_pq"        -> ((s, d) => SimilaritySearch.annIvfPq(s, d)),
+    "semdedup"          -> (Clustering.semdedup _),
+    "pipeline_e2e"      -> (Pipeline.pipelineE2e _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -797,6 +799,84 @@ object SparkEntry {
         |FROM d JOIN rates ON d.lang = rates.lang
         |WHERE ${hash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < rates.rate_ppm
         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // the composed curation chain: every fragment mirrors an already-
+    // hash-matched per-operator oracle, chained on survivors
+    "pipeline_e2e" -> {
+      val shareCase = operators.Curation.MixtureSharesPpm
+        .map { case (l, p) => s"WHEN '$l' THEN $p" }.mkString(" ")
+      s"""WITH e0 AS (
+        |  SELECT doc_id, $wordsSql AS w,
+        |    CAST(len($wordsSql) AS BIGINT) AS n_words
+        |  FROM documents
+        |), f0 AS (
+        |  SELECT doc_id, n_words,
+        |    ROUND(CAST(${hitsSql(profiles.head._2)} AS DOUBLE) / n_words + 1e-9, 4)
+        |      AS stopword_ratio
+        |  FROM e0
+        |), g0 AS (
+        |  SELECT doc_id,
+        |    ROUND(least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 +
+        |          least(1.0, stopword_ratio * 5.0) * 0.5 + 1e-9, 4) AS score
+        |  FROM f0
+        |), s1 AS (
+        |  SELECT d.doc_id, d.text, d.lang FROM documents d
+        |  JOIN g0 USING (doc_id) WHERE g0.score >= 0.3
+        |), k2 AS (SELECT MIN(doc_id) AS doc_id FROM s1 GROUP BY md5($normSql)),
+        |s2 AS (SELECT s1.* FROM s1 JOIN k2 USING (doc_id)),
+        |d2 AS (SELECT doc_id, $wordsSql AS w FROM s2),
+        |sh2 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM d2 WHERE len(w) >= 3
+        |), ev AS (SELECT DISTINCT shingle FROM sh2 WHERE doc_id % 17 = 3),
+        |tr AS (SELECT doc_id, shingle FROM sh2 WHERE doc_id % 17 <> 3),
+        |dsz AS (SELECT doc_id, COUNT(*) AS n FROM tr GROUP BY 1),
+        |dov AS (SELECT tr.doc_id, COUNT(*) AS o FROM tr JOIN ev USING (shingle) GROUP BY 1),
+        |contam AS (
+        |  SELECT dsz.doc_id FROM dsz LEFT JOIN dov USING (doc_id)
+        |  WHERE COALESCE(dov.o, 0) * 4 >= dsz.n
+        |), s3 AS (
+        |  SELECT * FROM s2 WHERE doc_id % 17 <> 3
+        |    AND doc_id NOT IN (SELECT doc_id FROM contam)
+        |), d3 AS (SELECT doc_id, lang, CAST(len($wordsSql) AS BIGINT) AS nw FROM s3),
+        |caps AS (
+        |  SELECT lang, SUM(nw) AS wl, CASE lang $shareCase ELSE 0 END AS sppm
+        |  FROM d3 GROUP BY lang
+        |), caps2 AS (SELECT * FROM caps WHERE sppm > 0),
+        |tm AS (SELECT MIN(wl * 1000000 // sppm) AS t FROM caps2),
+        |rates AS (
+        |  SELECT lang,
+        |    least(1000000, CAST(CAST(sppm AS HUGEINT) * tm.t // wl AS BIGINT)) AS rate_ppm
+        |  FROM caps2, tm
+        |), s4 AS (
+        |  SELECT s3.doc_id, s3.text FROM s3
+        |  JOIN d3 USING (doc_id) JOIN rates ON d3.lang = rates.lang
+        |  WHERE ${hash60Sql("'mix:' || CAST(s3.doc_id AS VARCHAR)")} % 1000000 < rates.rate_ppm
+        |), t4 AS (SELECT doc_id, $wordsSql AS w FROM s4),
+        |c4 AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(0, (len(w) + 79) // 80 - 1)) AS chunk_id
+        |  FROM t4
+        |), ch AS (
+        |  SELECT doc_id, chunk_id,
+        |    CAST(len(w[CAST(chunk_id*80+1 AS INT) : CAST(chunk_id*80+100 AS INT)]) AS BIGINT)
+        |      AS n_chunk_words
+        |  FROM c4
+        |), p AS (
+        |  SELECT doc_id, chunk_id, n_chunk_words,
+        |    SUM(n_chunk_words) OVER (ORDER BY doc_id, chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM ch
+        |)
+        |SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(n_chunk_words) AS BIGINT) AS n_words,
+        |  MIN(CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_id AS VARCHAR)) AS first_chunk
+        |FROM (SELECT *, CAST(ceil(CAST(cum AS DOUBLE) / 256) AS BIGINT) - 1 AS pack_id FROM p)
+        |GROUP BY pack_id
+        |ORDER BY pack_id""".stripMargin
     },
 
     "sample_stratified" ->

@@ -105,8 +105,11 @@ object Curation {
     * parallelism — and the plan has no single-partition exchange
     * (asserted in CurationTemporalSpec).
     */
-  def seqPack(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    seqPackOn(Tables(spark, dir).documents)
+
+  private[graft] def seqPackOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     // shard span from a single-column scan of the raw table (min/max
     // pushdown-friendly; never touches the exploded chunks)
     val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head

@@ -242,6 +242,73 @@ object SimilaritySearch {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** ann_ivf_pq — the composed IVF+ADC index (the production shape
+    * of billion-vector ANN: FAISS's IVFADC): the IVF coarse
+    * quantizer routes vectors into cells, vectors are STORED as PQ
+    * codes, and a query scans only its `nprobe` cells by ADC table
+    * lookup, exact-refining the refine·k survivors. The index a
+    * 100 TB deployment actually serves: per vector it keeps one cell
+    * id + 8 code bytes — scan cost is nprobe/cells of the corpus at
+    * 8 lookups/vector, floats are touched for refine·k·q rows only.
+    *
+    * Everything is composition: the [[MaxCentroids]]-bounded IVF
+    * quantizer and [[graft.functions.NearestCentroids]] cell routing
+    * from [[annIvf]]; the codebook, [[graft.functions.PQCodes]]
+    * storage and [[graft.functions.PQDistTable]] scoring from
+    * [[annPq]]; the bounded-heap top-k from [[graft.plans.TopK]].
+    * Rows-only (two approximations stack: cell pruning + ADC;
+    * recall vs exact lattice-L2 asserted in DedupAnnSpec).
+    */
+  def annIvfPq(spark: SparkSession, dir: String, k: Int = 10, nprobe: Int = 4,
+      refine: Int = 4): DataFrame = {
+    val emb = embDouble(spark, dir)
+    // IVF coarse quantizer — identical selection to annIvf
+    val cents = emb
+      .filter(col("vec_id") % 50 === 7 &&
+        col("vec_id") < lit(7L + 50L * MaxCentroids) &&
+        col("v").isNotNull)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val cids: Seq[Long] = cents.map(_._1).toSeq
+    val cvecs: Seq[Seq[Double]] = cents.map(_._2).toSeq
+    val nonNull = emb.filter(col("v").isNotNull)
+    val cb = pqCodebook(nonNull)
+    // the stored index: cell id + PQ codes per vector (both map-side
+    // expressions — building the index is one scan, no shuffle)
+    val index = nonNull.select(col("vec_id"),
+      element_at(nearestCentroids(col("v"), cids, cvecs, 1), 1).as("cid"),
+      graft.functions.PQFunctions.pqCodes(col("v"), cb, PQSubspaces, PQLattice).as("codes"))
+    val q = queriesOf(nonNull).select(col("qid"), col("qv"))
+    val probes = q.select(col("qid"),
+      graft.functions.PQFunctions.pqDistTable(col("qv"), cb, PQSubspaces, PQLattice).as("dt"),
+      explode(nearestCentroids(col("qv"), cids, cvecs, nprobe)).as("cid"))
+    val adc = expr(s"aggregate(sequence(0, $PQSubspaces - 1), 0L, " +
+      s"(acc, m) -> acc + dt[m * $PQCentroids + CAST(codes[m] AS INT)])")
+    val scored = index.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adc.as("adist"))
+    val candidates = graft.plans.TopK.topKPerKey(scored,
+      keys = Seq(col("qid")),
+      order = Seq(col("adist").asc, col("vec_id").asc), k = refine * k)
+    val lat = (c: Column) =>
+      transform(c, x => floor(x * lit(PQLattice) + lit(0.5)).cast("long"))
+    val exact = nonNull
+      .join(broadcast(candidates.select(col("qid"), col("vec_id"))), "vec_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        aggregate(zip_with(lat(col("qv")), lat(col("v")), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, e) => acc + e).as("dist"))
+    val topk = graft.plans.TopK.topKPerKey(exact,
+      keys = Seq(col("qid")),
+      order = Seq(col("dist").asc, col("vec_id").asc), k = k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vec_id"))
+    topk
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("dist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   private val Tables_ = 8  // LSH hash tables
   private val PlanesPerTable = 8
   private val Dim = 64

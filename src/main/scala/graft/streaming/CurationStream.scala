@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming ingest curation — the batch curation chain's front half
+  * applied as documents ARRIVE (the shape of a crawl-ingest service):
+  * quality gate and fingerprinting are the batch operators' own
+  * column expressions (identical semantics, same codegen), and
+  * admission is exactly-once per CONTENT via
+  * `dropDuplicatesWithinWatermark` on the content fingerprint — a
+  * re-crawled page admitted once, state bounded by the watermark
+  * horizon instead of growing with the corpus.
+  *
+  * The heavy corpus-statistics stages (decontamination df, mixture
+  * rates, packing) stay batch — they need corpus totals a stream
+  * doesn't have yet; this is the standard lambda split: stream
+  * admits and normalizes, batch periodically re-curates.
+  */
+object CurationStream {
+
+  /** Same gate as the batch pipeline ([[graft.operators.Pipeline.MinQuality]]). */
+  val MinQuality: Double = graft.operators.Pipeline.MinQuality
+
+  /** Curate a streaming (doc_id, text, lang, event_ts) frame:
+    * score → gate → scrub → fingerprint → watermarked content dedup.
+    * Works unchanged on a batch frame minus the dedup-state bound
+    * (used by the batch-equivalence spec).
+    */
+  def curate(docs: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val en = stopwordProfiles.head._2
+    val scored = docs
+      .withColumn("norm", normalize(col("text")))
+      .withColumn("w", split(col("norm"), " "))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("stopword_ratio", round(
+        hitCount("w", en).cast("double") / col("n_words") + lit(1e-9), 4))
+      .withColumn("score", round(
+        least(lit(1.0), col("n_words").cast("double") / 100.0) * 0.5 +
+          least(lit(1.0), col("stopword_ratio") * 5.0) * 0.5 + lit(1e-9), 4))
+      .filter(col("score") >= MinQuality)
+      .withColumn("fingerprint", md5(col("norm")))
+      .select(col("doc_id"), col("event_ts"), col("lang"),
+        col("score"), col("fingerprint"))
+    if (docs.isStreaming)
+      scored
+        .withWatermark("event_ts", watermark)
+        .dropDuplicatesWithinWatermark("fingerprint")
+    else scored
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.streaming.CurationStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ingest curation end-to-end: documents (with injected
+  * re-crawl duplicates) stream in from files, the quality gate +
+  * content dedup admit each surviving CONTENT exactly once, and the
+  * admitted set equals the batch operators' answer on the same data.
+  */
+class CurationStreamSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("local[4]", 4).getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  test("file-streamed curation admits each quality-passing content exactly once, matching batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = "target/tmp/curationstream"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(base))
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+
+    // ingest fixture: the corpus plus a re-crawl echo of every 4th
+    // document (new ids, same text — the duplicate class the stream
+    // must admit exactly once), all timestamped inside one watermark
+    // horizon
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"), col("lang"))
+    val echoes = docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"), col("lang"))
+    val ingest = docs.unionAll(echoes)
+      .withColumn("event_ts",
+        expr("timestamp_micros(CAST(1700000000000000 + doc_id * 1000 AS BIGINT))"))
+    ingest.coalesce(2).write.mode("overwrite").parquet(inDir)
+
+    val streamIn = spark.readStream.schema(ingest.schema).parquet(inDir)
+    val q = CurationStream.curate(streamIn).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish")
+
+    val admitted = spark.read.parquet(outDir).collect()
+    assert(admitted.nonEmpty)
+    // exactly-once per content
+    val byFp = admitted.groupBy(_.getAs[String]("fingerprint"))
+    assert(byFp.forall(_._2.length == 1),
+      s"content admitted twice: ${byFp.filter(_._2.length > 1).keys.take(3)}")
+    // the admitted CONTENT set equals the batch answer (quality gate +
+    // distinct fingerprint) on the same ingest — which admission of a
+    // duplicate won is arrival-order-dependent, the content set is not
+    val batch = CurationStream.curate(ingest)
+    val expectFps = batch.select("fingerprint").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(byFp.keySet == expectFps,
+      s"admitted content diverges from batch: ±${(byFp.keySet diff expectFps).size}/${(expectFps diff byFp.keySet).size}")
+    // the gate really fired: some documents were rejected
+    assert(expectFps.size < ingest.count(), "quality gate admitted everything")
+  }
+}

@@ -289,6 +289,45 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(again == SparkEntry.queries("ann_pq")(spark, sf).collect().map(_.toSeq).toSeq)
   }
 
+  test("ann_ivf_pq: composed IVF+ADC recall vs exact lattice-L2, index is one map-side scan") {
+    import graft.operators.SimilaritySearch.PQLattice
+    val emb = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    val all = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).map(x => math.floor(x * PQLattice + 0.5).toLong).toArray)
+    val qs = all.filter { case (id, _) => id % 50 == 0 && id < 50L * 32 }
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L
+      for (i <- a.indices) { val x = a(i) - b(i); d += x * x }
+      d
+    }
+    val exact = qs.flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid).map { case (id, v) => (qid, id, l2(qv, v)) }
+        .sortBy(t => (t._3, t._2)).take(10).map(t => (qid, t._2))
+    }.toSet
+    val got = SparkEntry.queries("ann_ivf_pq")(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // two approximations stack (cell pruning × ADC quantization) —
+    // the composed index trades recall for the nprobe/cells scan cut
+    assert(recall >= 0.2, s"IVFADC recall $recall < 0.2 (${exact.size} exact)")
+    // empirical pin on this fixed corpus (not a theorem — the two
+    // refine stages rank different candidate pools): cell pruning
+    // costs some recall vs the unpruned ADC run; if this ever flips,
+    // the probed-cell routing changed, which is worth noticing
+    val pq = SparkEntry.queries("ann_pq")(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqRecall = (exact & pq).size.toDouble / exact.size
+    assert(recall <= pqRecall + 1e-9,
+      s"cell-pruned recall $recall exceeds unpruned ADC $pqRecall — routing changed?")
+    // index build is a single scan stage: no exchange keyed by vec_id
+    val plan = graft.operators.SimilaritySearch.annIvfPq(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("hashpartitioning(vec_id"),
+      s"vector-keyed exchange in the index build:\n$plan")
+  }
+
   test("cosine kernel matches an independent scala computation") {
     import graft.functions.VectorFunctions._
     val emb = Tables(spark, sf).embeddings.limit(20)

@@ -320,6 +320,44 @@ class QueryPackSpec extends AnyFunSuite {
       s"sample_mixture: expected exactly the one strata-min single-partition exchange:\n$pm")
   }
 
+  test("pipeline_e2e: stages shrink the corpus monotonically and packing conserves words") {
+    import graft.functions.TextFunctions.{normalize, words}
+    val docs = Tables(spark, sf).documents
+    val n0 = docs.count()
+    // re-run the stage chain with the same operators to observe the
+    // intermediate survivor counts the composed query hides
+    val s1 = docs.join(operators.Text.qualityScoreOn(docs)
+      .filter(col("score") >= operators.Pipeline.MinQuality).select("doc_id"), "doc_id")
+    val s2 = s1.join(s1.groupBy(md5(normalize(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id"), "doc_id")
+    val s3 = s2.filter(col("doc_id") % 17 =!= 3)
+      .join(operators.Text.decontaminateOn(operators.Text.shingleSetOf(s2))
+        .select(col("doc_id"), col("contaminated")), Seq("doc_id"), "left")
+      .filter(coalesce(col("contaminated"), lit(0L)) === 0)
+      .drop("contaminated")
+    val (n1, n2, n3) = (s1.count(), s2.count(), s3.count())
+    assert(n1 <= n0 && n2 <= n1 && n3 < n2, s"stages did not shrink: $n0 → $n1 → $n2 → $n3")
+    assert(n3 > 0, "pipeline dropped everything — thresholds broken for this corpus")
+    val packs = operators.Pipeline.pipelineE2e(spark, sf).collect()
+    assert(packs.nonEmpty)
+    // a pack never exceeds budget by more than one straddling chunk
+    val bound = operators.Curation.PackBudget + operators.Curation.ChunkWords
+    packs.foreach { p =>
+      assert(p.getAs[Long]("n_words") <= bound,
+        s"pack ${p.getAs[Long]("pack_id")} holds ${p.getAs[Long]("n_words")} words > $bound")
+    }
+    // conservation: packed words = words of the surviving corpus's
+    // chunks (nothing lost or duplicated by the packing stage)
+    val packedWords = packs.map(_.getAs[Long]("n_words")).sum
+    val sampled = operators.Curation.sampleMixtureOn(s3).select("doc_id")
+    val s4words = operators.Curation.docChunkOn(s3.join(sampled, "doc_id"))
+      .agg(sum(col("n_chunk_words"))).head.getLong(0)
+    assert(packedWords == s4words, s"packed $packedWords words, chunks hold $s4words")
+    // pack ids are contiguous from 0
+    val ids = packs.map(_.getAs[Long]("pack_id")).sorted
+    assert(ids.head == 0L && ids.last == ids.length - 1, "pack ids not contiguous")
+  }
+
   test("salted fact-fact join equals the plain unsalted join") {
     import org.apache.spark.sql.functions._
     import graft.Exact._
