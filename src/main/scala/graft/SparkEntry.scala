@@ -71,7 +71,8 @@ object SparkEntry {
     "ann_pq"            -> ((s, d) => SimilaritySearch.annPq(s, d)),
     "ann_ivf_pq"        -> ((s, d) => SimilaritySearch.annIvfPq(s, d)),
     "semdedup"          -> (Clustering.semdedup _),
-    "pipeline_e2e"      -> (Pipeline.pipelineE2e _)
+    "pipeline_e2e"      -> (Pipeline.pipelineE2e _),
+    "fingerprint_winnow" -> (Text.fingerprintWinnow _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -519,6 +520,48 @@ object SparkEntry {
         |  ${hash60Sql(normSql)} AS fp60
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // winnowing over the same mod-2³¹−1 polynomial lattice the
+    // WinnowFingerprints expression rolls on (identical power
+    // constants, injected from the same Scala source of truth)
+    "fingerprint_winnow" -> {
+      val k = operators.Text.WinnowK
+      val w = operators.Text.WinnowW
+      val pows = graft.functions.WinnowFingerprints.powers(k)
+      val m = graft.functions.WinnowFingerprints.M
+      val powList = pows.mkString("[", ", ", "]")
+      s"""WITH d AS (
+        |  SELECT doc_id, $normSql AS norm FROM documents
+        |  WHERE length($normSql) >= ${k + w - 1}
+        |), codes AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(norm) + 1),
+        |      i -> CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS BIGINT)) AS c
+        |  FROM d
+        |), hpos AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |    list_sum(list_transform(range(0, $k),
+        |      j -> c[p + j] * ($powList)[j + 1])) % $m AS fp
+        |  FROM codes, unnest(range(1, len(c) - $k + 2)) AS t(p)
+        |), nq AS (SELECT doc_id, COUNT(*) AS nh FROM hpos GROUP BY 1),
+        |wins0 AS (
+        |  SELECT doc_id, pos AS q,
+        |    MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin
+        |  FROM hpos
+        |), wins AS (
+        |  SELECT w0.doc_id, w0.q, w0.wmin FROM wins0 w0 JOIN nq USING (doc_id)
+        |  WHERE w0.q <= nq.nh - ${w - 1}
+        |), sel AS (
+        |  SELECT w.doc_id, MAX(h.pos) AS pos, w.wmin AS fp
+        |  FROM wins w JOIN hpos h
+        |    ON h.doc_id = w.doc_id AND h.pos BETWEEN w.q AND w.q + ${w - 1}
+        |      AND h.fp = w.wmin
+        |  GROUP BY w.doc_id, w.q, w.wmin
+        |)
+        |SELECT DISTINCT doc_id, pos, CAST(fp AS BIGINT) AS fp FROM sel
+        |ORDER BY doc_id, pos""".stripMargin
+    },
 
     "dedup_embedding" ->
       """SELECT id1, id2, cos FROM (

@@ -438,4 +438,64 @@ class QueryPackSpec extends AnyFunSuite {
     val prices = rows.map(_.getAs[Double]("o_totalprice"))
     assert(prices.sliding(2).forall(p => p(0) >= p(1)))
   }
+
+  test("winnow: rolling hash equals the naive polynomial hash, selections are rightmost-min") {
+    import graft.functions.{WinnowFingerprints, WinnowFunctions}
+    import spark.implicits._
+    val k = operators.Text.WinnowK
+    val w = operators.Text.WinnowW
+    val text = "the quick brown fox jumps over the lazy dog and the quick brown cat"
+    val enc = Seq(text).toDF("t")
+      .select(WinnowFunctions.winnowFingerprints(col("t"), k, w).as("e"))
+      .as[Seq[Long]].head()
+    // naive reference: hash every k-gram from scratch, take the
+    // rightmost minimum of each w-window, dedup consecutive repeats
+    val M = WinnowFingerprints.M; val B = WinnowFingerprints.B
+    val h = (0 to text.length - k).map { p =>
+      text.substring(p, p + k).foldLeft(0L)((a, c) => (a * B + c) % M)
+    }
+    val naive = (0 to h.length - w).map { q =>
+      val win = h.slice(q, q + w)
+      val m = win.min
+      q + win.lastIndexOf(m) // rightmost of equal minima
+    }.distinct.map(s => ((s + 1).toLong << 32) | h(s))
+    assert(enc == naive)
+    // selected positions strictly increase (winnowing invariant the
+    // oracle's DISTINCT relies on)
+    val pos = enc.map(_ >>> 32)
+    assert(pos.sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+  }
+
+  test("winnow guarantee: docs sharing a passage >= k+w-1 chars share a fingerprint hash") {
+    import graft.functions.WinnowFunctions
+    import spark.implicits._
+    val k = operators.Text.WinnowK
+    val w = operators.Text.WinnowW
+    val shared = "a distinctive shared passage of text" // >> k+w-1 = 11
+    val docs = Seq(
+      (1L, s"first document begins here $shared and then diverges completely"),
+      (2L, s"totally different opening material $shared closing words differ too"),
+      (3L, "no overlap with the others at all in this unrelated filler document")
+    ).toDF("doc_id", "text")
+    val fps = operators.Text.fingerprintWinnowOn(docs)
+      .select(col("doc_id"), col("fp")).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (d, a) => d -> a.map(_._2).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared passage must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty == (fps(2L) & fps(3L)).isEmpty) // sanity only
+    // density: winnowing selects ~2/(w+1) of k-gram hashes; allow wide slack
+    val df = SparkEntry.queries("fingerprint_winnow")(spark, sf)
+    val nFps = df.count().toDouble
+    val nHashes = Tables(spark, sf).documents
+      .select(sum(greatest(length(graft.functions.TextFunctions.normalize(col("text"))) - (k - 1), lit(0))))
+      .head().getLong(0).toDouble
+    val density = nFps / nHashes
+    assert(density > 1.0 / (w + 1) && density < 3.0 / (w + 1),
+      s"winnow density $density far from 2/(w+1)=${2.0 / (w + 1)}")
+    // plan shape: winnowing is map-side inside the scan stage — the
+    // only exchange is the output sort's range partitioning
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"fingerprint_winnow should shuffle only for the output sort:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-partition exchange:\n$plan")
+  }
 }
