@@ -72,7 +72,8 @@ object SparkEntry {
     "ann_ivf_pq"        -> ((s, d) => SimilaritySearch.annIvfPq(s, d)),
     "semdedup"          -> (Clustering.semdedup _),
     "pipeline_e2e"      -> (Pipeline.pipelineE2e _),
-    "fingerprint_winnow" -> (Text.fingerprintWinnow _)
+    "fingerprint_winnow" -> (Text.fingerprintWinnow _),
+    "winnow_pairs"      -> (Text.winnowPairs _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -87,6 +88,49 @@ object SparkEntry {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
   private val wordsSql = s"string_split($normSql, ' ')"
   private def hash60Sql(c: String) = s"CAST('0x' || substr(md5($c), 1, 15) AS BIGINT)"
+
+  /** DuckDB replica of the WinnowFingerprints expression — one
+    * (doc_id, pos, fp) row per selected fingerprint, on the identical
+    * mod-2³¹−1 polynomial lattice (power constants injected from the
+    * same Scala source of truth). Shared by the fingerprint_winnow
+    * and winnow_pairs oracles.
+    */
+  private lazy val winnowFpsSql: String = {
+    val k = operators.Text.WinnowK
+    val w = operators.Text.WinnowW
+    val m = graft.functions.WinnowFingerprints.M
+    val powList = graft.functions.WinnowFingerprints.powers(k).mkString("[", ", ", "]")
+    s"""WITH d AS (
+      |  SELECT doc_id, $normSql AS norm FROM documents
+      |  WHERE length($normSql) >= ${k + w - 1}
+      |), codes AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, length(norm) + 1),
+      |      i -> CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS BIGINT)) AS c
+      |  FROM d
+      |), hpos AS (
+      |  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+      |    list_sum(list_transform(range(0, $k),
+      |      j -> c[p + j] * ($powList)[j + 1])) % $m AS fp
+      |  FROM codes, unnest(range(1, len(c) - $k + 2)) AS t(p)
+      |), nq AS (SELECT doc_id, COUNT(*) AS nh FROM hpos GROUP BY 1),
+      |wins0 AS (
+      |  SELECT doc_id, pos AS q,
+      |    MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin
+      |  FROM hpos
+      |), wins AS (
+      |  SELECT w0.doc_id, w0.q, w0.wmin FROM wins0 w0 JOIN nq USING (doc_id)
+      |  WHERE w0.q <= nq.nh - ${w - 1}
+      |), sel AS (
+      |  SELECT w.doc_id, MAX(h.pos) AS pos, w.wmin AS fp
+      |  FROM wins w JOIN hpos h
+      |    ON h.doc_id = w.doc_id AND h.pos BETWEEN w.q AND w.q + ${w - 1}
+      |      AND h.fp = w.wmin
+      |  GROUP BY w.doc_id, w.q, w.wmin
+      |)
+      |SELECT DISTINCT doc_id, pos, CAST(fp AS BIGINT) AS fp FROM sel""".stripMargin
+  }
   private def hitsSql(vocab: Seq[String]) = {
     val arr = vocab.map(w => s"'$w'").mkString("[", ", ", "]")
     s"CAST(len(list_filter(w, x -> list_contains($arr, x))) AS BIGINT)"
@@ -522,46 +566,32 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // winnowing over the same mod-2³¹−1 polynomial lattice the
-    // WinnowFingerprints expression rolls on (identical power
-    // constants, injected from the same Scala source of truth)
-    "fingerprint_winnow" -> {
-      val k = operators.Text.WinnowK
-      val w = operators.Text.WinnowW
-      val pows = graft.functions.WinnowFingerprints.powers(k)
-      val m = graft.functions.WinnowFingerprints.M
-      val powList = pows.mkString("[", ", ", "]")
-      s"""WITH d AS (
-        |  SELECT doc_id, $normSql AS norm FROM documents
-        |  WHERE length($normSql) >= ${k + w - 1}
-        |), codes AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, length(norm) + 1),
-        |      i -> CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS BIGINT)) AS c
-        |  FROM d
-        |), hpos AS (
-        |  SELECT doc_id, CAST(p AS BIGINT) AS pos,
-        |    list_sum(list_transform(range(0, $k),
-        |      j -> c[p + j] * ($powList)[j + 1])) % $m AS fp
-        |  FROM codes, unnest(range(1, len(c) - $k + 2)) AS t(p)
-        |), nq AS (SELECT doc_id, COUNT(*) AS nh FROM hpos GROUP BY 1),
-        |wins0 AS (
-        |  SELECT doc_id, pos AS q,
-        |    MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin
-        |  FROM hpos
-        |), wins AS (
-        |  SELECT w0.doc_id, w0.q, w0.wmin FROM wins0 w0 JOIN nq USING (doc_id)
-        |  WHERE w0.q <= nq.nh - ${w - 1}
-        |), sel AS (
-        |  SELECT w.doc_id, MAX(h.pos) AS pos, w.wmin AS fp
-        |  FROM wins w JOIN hpos h
-        |    ON h.doc_id = w.doc_id AND h.pos BETWEEN w.q AND w.q + ${w - 1}
-        |      AND h.fp = w.wmin
-        |  GROUP BY w.doc_id, w.q, w.wmin
-        |)
-        |SELECT DISTINCT doc_id, pos, CAST(fp AS BIGINT) AS fp FROM sel
-        |ORDER BY doc_id, pos""".stripMargin
-    },
+    // WinnowFingerprints expression rolls on (see winnowFpsSql)
+    "fingerprint_winnow" ->
+      s"""WITH wfp AS ($winnowFpsSql)
+        |SELECT doc_id, pos, fp FROM wfp
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // MOSS pair detection over the winnow index: distinct fp sets →
+    // df-capped inverted index → shared counts → integer containment
+    "winnow_pairs" ->
+      s"""WITH wfp AS ($winnowFpsSql),
+        |s AS (SELECT DISTINCT doc_id, fp FROM wfp),
+        |nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM s GROUP BY 1),
+        |rare AS (SELECT fp FROM s GROUP BY fp
+        |         HAVING COUNT(*) <= ${operators.Text.WinnowDfCap}),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  JOIN rare r ON r.fp = a.fp
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, shared, n1.nf AS nf1, n2.nf AS nf2
+        |FROM p
+        |JOIN nf n1 ON n1.doc_id = id1
+        |JOIN nf n2 ON n2.doc_id = id2
+        |WHERE shared * 100 >= ${operators.Text.WinnowMinContainPct} * least(n1.nf, n2.nf)
+        |ORDER BY id1, id2""".stripMargin,
 
     "dedup_embedding" ->
       """SELECT id1, id2, cos FROM (

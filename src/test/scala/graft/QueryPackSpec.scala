@@ -498,4 +498,35 @@ class QueryPackSpec extends AnyFunSuite {
       s"fingerprint_winnow should shuffle only for the output sort:\n$plan")
     assert(!plan.contains("SinglePartition"), s"single-partition exchange:\n$plan")
   }
+
+  test("winnow_pairs: shared-passage pair detected, covers every jaccard pair, no degenerate plan") {
+    import spark.implicits._
+    // constructed: doc 2 is mostly a passage lifted from doc 1; doc 3
+    // is unrelated — the lifted pair must surface, the others not
+    val passage = "the entire middle section of this document was copied verbatim " +
+      "from another longer source document including all of its phrasing"
+    val docs = Seq(
+      (1L, s"original author wrote an opening paragraph here $passage and a closing one too"),
+      (2L, s"$passage with a short new tail"),
+      (3L, "completely unrelated material that shares no phrasing with either other document at all")
+    ).toDF("doc_id", "text")
+    val pairs = operators.Text.winnowPairsOn(docs)
+      .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the lifted pair, got $pairs")
+    // cross-operator recall on the corpus: every word-3-gram
+    // Jaccard >= 0.5 pair is also a winnow containment pair (char
+    // k-grams are strictly finer than word 3-grams)
+    val wp = SparkEntry.queries("winnow_pairs")(spark, sf)
+    val winnowSet = wp.select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+    val jaccard = SparkEntry.queries("ngram_jaccard")(spark, sf)
+      .select(col("d1"), col("d2")).as[(Long, Long)].collect().toSet
+    assert(jaccard.subsetOf(winnowSet),
+      s"jaccard pairs missed by winnow: ${jaccard -- winnowSet}")
+    // joins key on the uniform fp hash; nothing may degenerate to a
+    // single partition or a nested-loop product
+    val plan = wp.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("SinglePartition"), s"single-partition exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in winnow_pairs plan:\n$plan")
+  }
 }
