@@ -18,9 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * expected density of 2/(w+1) — the index stays a constant fraction
   * of the corpus at 100 TB.
   *
-  * Arithmetic is the polynomial hash mod M = 2³¹−1 with base 257;
-  * powers are taken mod M so every intermediate fits comfortably in
-  * 64 bits (max term 127·(2³¹−1) < 2³⁸; 8-term window sums < 2⁴¹) —
+  * Arithmetic is the polynomial hash mod M = 2³¹−1 with base 257
+  * over Unicode CODEPOINTS (what the oracle's substr/unicode see,
+  * not UTF-16 units); powers are taken mod M so every intermediate
+  * fits comfortably in 64 bits (max term 0x10FFFF·(2³¹−1) < 2⁵²) —
   * which is also what makes the operator ORACLE-REPLICABLE: the
   * oracle engine evaluates the same lattice with plain BIGINT
   * arithmetic and must agree bit-for-bit.
@@ -44,19 +45,24 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // hash UNICODE CODEPOINTS, not UTF-16 code units: the oracle
+    // engine's substr/length/unicode are codepoint-based, and a
+    // supplementary-plane char (emoji) is 2 UTF-16 units but 1
+    // codepoint — unit-based hashing would shift every downstream
+    // position and hash
+    val cp = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cp.length
     val nh = n - k + 1
     if (nh < w) return new GenericArrayData(Array.emptyLongArray)
     // Rabin-Karp: h(p+1) = (h(p) − s[p]·B^(k−1))·B + s[p+k]  (mod M)
     val h = new Array[Long](nh)
     var cur = 0L
     var i = 0
-    while (i < k) { cur = (cur * B + s.charAt(i)) % M; i += 1 }
+    while (i < k) { cur = (cur * B + cp(i)) % M; i += 1 }
     h(0) = cur
     var p = 1
     while (p < nh) {
-      cur = ((cur - s.charAt(p - 1) * topPow % M + M) % M * B + s.charAt(p + k - 1)) % M
+      cur = ((cur - cp(p - 1).toLong * topPow % M + M) % M * B + cp(p + k - 1)) % M
       h(p) = cur
       p += 1
     }

@@ -275,10 +275,13 @@ object Curation {
     }
     // capacity_l = the largest total sampled-token count stratum l can
     // support at its target share; the realizable total T is the min.
+    // Wl·10⁶ runs in DECIMAL(38,0) like the rates below (the oracle's
+    // SUM is HUGEINT): an int64 multiply overflows once a stratum
+    // holds ~9·10¹² words — i.e. at exactly the 100 TB design point.
     val caps = withW.groupBy(col("lang")).agg(sum(col("nw")).as("wl"))
       .withColumn("sppm", share)
       .filter(col("sppm") > 0)
-      .withColumn("cap", expr("wl * 1000000 div sppm"))
+      .withColumn("cap", expr("CAST(wl AS DECIMAL(38,0)) * 1000000 div sppm"))
     val t = caps.agg(min(col("cap")).as("t"))
     // rate_ppm = share·T div W, computed in 38-digit decimals: share·T
     // alone can exceed int64 once W reaches ~10¹² words (a few TB of

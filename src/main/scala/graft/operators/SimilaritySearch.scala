@@ -203,28 +203,45 @@ object SimilaritySearch {
     * Rows-only (recall vs the exact baseline asserted in
     * DedupAnnSpec — ADC candidate generation is approximate).
     */
-  def annPq(spark: SparkSession, dir: String, k: Int = 10, refine: Int = 4): DataFrame = {
-    val emb = embDouble(spark, dir).filter(col("v").isNotNull)
+  def annPq(spark: SparkSession, dir: String, k: Int = 10, refine: Int = 4): DataFrame =
+    annPqOn(embDouble(spark, dir).filter(col("v").isNotNull), k, refine)
+
+  private[graft] def annPqOn(emb: DataFrame, k: Int, refine: Int): DataFrame = {
     val cb = pqCodebook(emb)
     val codes = emb.select(col("vec_id"),
       graft.functions.PQFunctions.pqCodes(col("v"), cb, PQSubspaces, PQLattice).as("codes"))
     val q = queriesOf(emb).select(col("qid"), col("qv"))
     val qTables = q.select(col("qid"),
       graft.functions.PQFunctions.pqDistTable(col("qv"), cb, PQSubspaces, PQLattice).as("dt"))
-    // Σ over subspaces of table[m·centroids + code_m]: array subscripts
-    // are 0-based in Spark SQL, and the whole reduction stays inside
-    // whole-stage codegen as a higher-order aggregate
-    val adc = expr(s"aggregate(sequence(0, $PQSubspaces - 1), 0L, " +
-      s"(acc, m) -> acc + dt[m * $PQCentroids + CAST(codes[m] AS INT)])")
     val scored = codes.join(broadcast(qTables), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), adc.as("adist"))
+      .select(col("qid"), col("vec_id"), adcExpr(cb.length).as("adist"))
+    refineAndRank(scored, emb, q, k, refine)
+  }
+
+  /** The ADC score: Σ over subspaces of table[m·|codebook| + code_m].
+    * The stride is the ACTUAL codebook size — a corpus with fewer
+    * than [[PQCentroids]] vectors yields a short codebook, and
+    * [[graft.functions.PQDistTable]] lays its table out at that
+    * stride. Array subscripts are 0-based in Spark SQL, and the whole
+    * reduction stays inside whole-stage codegen as a higher-order
+    * aggregate.
+    */
+  private def adcExpr(cbSize: Int): Column =
+    expr(s"aggregate(sequence(0, $PQSubspaces - 1), 0L, " +
+      s"(acc, m) -> acc + dt[m * $cbSize + CAST(codes[m] AS INT)])")
+
+  /** Shared tail of [[annPq]]/[[annIvfPq]]: keep the refine·k best
+    * ADC candidates per query (bounded heap), re-rank them by EXACT
+    * integer lattice L2 — floats are fetched for the refine·k·q
+    * candidate rows only (candidates broadcast; the corpus is the
+    * streamed side), and ADC + exact L2 share the lattice so the two
+    * stages compose into one metric.
+    */
+  private def refineAndRank(scored: DataFrame, emb: DataFrame, q: DataFrame,
+      k: Int, refine: Int): DataFrame = {
     val candidates = graft.plans.TopK.topKPerKey(scored,
       keys = Seq(col("qid")),
       order = Seq(col("adist").asc, col("vec_id").asc), k = refine * k)
-    // exact refinement: fetch floats for the refine·k·q candidate rows
-    // only (candidates broadcast; the corpus is the streamed side) and
-    // re-rank by exact integer lattice L2 — same units as ADC, so the
-    // two stages compose into one metric
     val lat = (c: Column) =>
       transform(c, x => floor(x * lit(PQLattice) + lit(0.5)).cast("long"))
     val exact = emb.join(broadcast(candidates.select(col("qid"), col("vec_id"))), "vec_id")
@@ -283,30 +300,10 @@ object SimilaritySearch {
     val probes = q.select(col("qid"),
       graft.functions.PQFunctions.pqDistTable(col("qv"), cb, PQSubspaces, PQLattice).as("dt"),
       explode(nearestCentroids(col("qv"), cids, cvecs, nprobe)).as("cid"))
-    val adc = expr(s"aggregate(sequence(0, $PQSubspaces - 1), 0L, " +
-      s"(acc, m) -> acc + dt[m * $PQCentroids + CAST(codes[m] AS INT)])")
     val scored = index.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), adc.as("adist"))
-    val candidates = graft.plans.TopK.topKPerKey(scored,
-      keys = Seq(col("qid")),
-      order = Seq(col("adist").asc, col("vec_id").asc), k = refine * k)
-    val lat = (c: Column) =>
-      transform(c, x => floor(x * lit(PQLattice) + lit(0.5)).cast("long"))
-    val exact = nonNull
-      .join(broadcast(candidates.select(col("qid"), col("vec_id"))), "vec_id")
-      .join(broadcast(q), "qid")
-      .select(col("qid"), col("vec_id"),
-        aggregate(zip_with(lat(col("qv")), lat(col("v")), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, e) => acc + e).as("dist"))
-    val topk = graft.plans.TopK.topKPerKey(exact,
-      keys = Seq(col("qid")),
-      order = Seq(col("dist").asc, col("vec_id").asc), k = k)
-    val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vec_id"))
-    topk
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("dist"))
-      .orderBy(col("qid"), col("rank"))
+      .select(col("qid"), col("vec_id"), adcExpr(cb.length).as("adist"))
+    refineAndRank(scored, nonNull, q, k, refine)
   }
 
   private val Tables_ = 8  // LSH hash tables

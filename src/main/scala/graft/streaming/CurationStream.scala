@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -26,19 +25,13 @@ object CurationStream {
   /** Curate a streaming (doc_id, text, lang, event_ts) frame:
     * score → gate → scrub → fingerprint → watermarked content dedup.
     * Works unchanged on a batch frame minus the dedup-state bound
-    * (used by the batch-equivalence spec).
+    * (used by the batch-equivalence spec). The score columns are the
+    * batch operator's OWN expressions
+    * ([[graft.operators.Text.withQualityScore]]) — shared code, not
+    * a re-derivation, so stream and batch cannot drift.
     */
   def curate(docs: DataFrame, watermark: String = "10 minutes"): DataFrame = {
-    val en = stopwordProfiles.head._2
-    val scored = docs
-      .withColumn("norm", normalize(col("text")))
-      .withColumn("w", split(col("norm"), " "))
-      .withColumn("n_words", size(col("w")).cast("long"))
-      .withColumn("stopword_ratio", round(
-        hitCount("w", en).cast("double") / col("n_words") + lit(1e-9), 4))
-      .withColumn("score", round(
-        least(lit(1.0), col("n_words").cast("double") / 100.0) * 0.5 +
-          least(lit(1.0), col("stopword_ratio") * 5.0) * 0.5 + lit(1e-9), 4))
+    val scored = graft.operators.Text.withQualityScore(docs)
       .filter(col("score") >= MinQuality)
       .withColumn("fingerprint", md5(col("norm")))
       .select(col("doc_id"), col("event_ts"), col("lang"),

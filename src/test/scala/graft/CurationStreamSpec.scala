@@ -59,7 +59,24 @@ class CurationStreamSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(byFp.keySet == expectFps,
       s"admitted content diverges from batch: ±${(byFp.keySet diff expectFps).size}/${(expectFps diff byFp.keySet).size}")
-    // the gate really fired: some documents were rejected
-    assert(expectFps.size < ingest.count(), "quality gate admitted everything")
+    // the gate really fired: fewer CONTENTS admitted than the ingest
+    // carries (counting rows would pass vacuously — the echo fixture
+    // alone makes rows > contents)
+    import graft.functions.TextFunctions.normalize
+    val allContents = ingest.select(md5(normalize(col("text"))).as("fp"))
+      .distinct().count()
+    assert(expectFps.size < allContents,
+      s"quality gate admitted all $allContents contents")
+    // and the stream's gate is the REGISTERED batch operator's gate:
+    // admitted contents == contents of quality_score survivors
+    val keep = graft.operators.Text
+      .qualityScoreOn(ingest.select(col("doc_id"), col("text")))
+      .filter(col("score") >= CurationStream.MinQuality)
+      .select("doc_id")
+    val gateFps = ingest.join(keep, "doc_id")
+      .select(md5(normalize(col("text"))).as("fp"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(byFp.keySet == gateFps,
+      "stream gate diverges from the batch quality_score operator")
   }
 }

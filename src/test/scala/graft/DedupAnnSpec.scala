@@ -289,6 +289,32 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(again == SparkEntry.queries("ann_pq")(spark, sf).collect().map(_.toSeq).toSeq)
   }
 
+  test("ann_pq on a corpus smaller than PQCentroids: short codebook, exact top-1") {
+    // regression: the ADC table is laid out at stride |codebook|, not
+    // the PQCentroids constant — with < 16 vectors the codebook is
+    // short and a constant stride would read the wrong subspace row
+    import graft.operators.SimilaritySearch
+    import graft.operators.SimilaritySearch.PQLattice
+    import spark.implicits._
+    val vecs: Seq[(Long, Seq[Double])] = (0L until 10L).map { i =>
+      i -> (0 until 8).map(d => math.sin(i * 8 + d + 1).abs).toSeq
+    }
+    val emb = vecs.toDF("vec_id", "v")
+    val got = SimilaritySearch.annPqOn(emb, k = 3, refine = 2).collect()
+    assert(got.length == 3, s"expected 3 neighbors for the single query, got ${got.length}")
+    assert(got.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    // top-1 must be the exact lattice-L2 nearest (refine re-ranks it in)
+    val lat = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * PQLattice + 0.5).toLong).toArray
+    }.toMap
+    val q = lat(0L)
+    val exactTop = lat.removed(0L).map { case (id, v) =>
+      id -> v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.minBy { case (id, d) => (d, id) }
+    assert(got.head.getAs[Long]("nid") == exactTop._1)
+    assert(got.head.getAs[Long]("dist") == exactTop._2)
+  }
+
   test("ann_ivf_pq: composed IVF+ADC recall vs exact lattice-L2, index is one map-side scan") {
     import graft.operators.SimilaritySearch.PQLattice
     val emb = Tables(spark, sf).embeddings

@@ -464,6 +464,23 @@ class QueryPackSpec extends AnyFunSuite {
     // oracle's DISTINCT relies on)
     val pos = enc.map(_ >>> 32)
     assert(pos.sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+    // codepoint semantics: an astral char (2 UTF-16 units, 1
+    // codepoint) must hash as ONE symbol, as the oracle's
+    // substr/unicode do — unit-based hashing would shift every
+    // position after it
+    val astral = "prefix 𝕏 suffix material to fingerprint here"
+    val encA = Seq(astral).toDF("t")
+      .select(WinnowFunctions.winnowFingerprints(col("t"), k, w).as("e"))
+      .as[Seq[Long]].head()
+    val cps = astral.codePoints().toArray
+    val hA = (0 to cps.length - k).map { p =>
+      cps.slice(p, p + k).foldLeft(0L)((a, c) => (a * B + c) % M)
+    }
+    val naiveA = (0 to hA.length - w).map { q =>
+      val win = hA.slice(q, q + w)
+      q + win.lastIndexOf(win.min)
+    }.distinct.map(s => ((s + 1).toLong << 32) | hA(s))
+    assert(encA == naiveA)
   }
 
   test("winnow guarantee: docs sharing a passage >= k+w-1 chars share a fingerprint hash") {
