@@ -73,7 +73,9 @@ object SparkEntry {
     "semdedup"          -> (Clustering.semdedup _),
     "pipeline_e2e"      -> (Pipeline.pipelineE2e _),
     "fingerprint_winnow" -> (Text.fingerprintWinnow _),
-    "winnow_pairs"      -> (Text.winnowPairs _)
+    "winnow_pairs"      -> (Text.winnowPairs _),
+    "bpe_train"         -> (Tokenizer.bpeTrain _),
+    "bpe_encode"        -> (Tokenizer.bpeEncode _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{BpeFunctions, TextFunctions}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training and encoding (SURVEY §2 #53/#54) — the
+  * corpus-scale job a training-data pipeline runs before packing:
+  * learn subword merges from corpus statistics, then tokenize.
+  *
+  * The 100 TB shape is the word-frequency trick every production BPE
+  * trainer uses: ONE corpus pass aggregates `word → frequency`, and
+  * all merge rounds run on that VOCABULARY-sized table (Heaps' law:
+  * sublinear in corpus size; here 31 rows at every SF — the rounds
+  * are corpus-size-independent, which the bench slope shows). Pair
+  * counting weights each distinct word by its frequency, so the
+  * result is identical to counting over the raw corpus.
+  */
+object Tokenizer {
+
+  /** Merge-table size. Small enough that the ~31-word test vocabulary
+    * does not fully collapse (real corpora use 30k-100k; the
+    * ALGORITHM is identical, only this constant grows).
+    */
+  val NumMerges = 32
+
+  /** bpe_train — learn the merge table: per round, count adjacent
+    * symbol pairs over the frequency-weighted vocabulary, take the
+    * deterministic argmax (max count, then lexicographic pair), and
+    * rewrite the vocabulary with the winning merge
+    * ([[graft.functions.BpeMergePair]], map-side).
+    *
+    * Each round is one vocabulary-sized aggregation; only the single
+    * argmax row visits the driver per round (metadata, like
+    * dedup_clusters' convergence counts). localCheckpoint per round
+    * truncates the exponential plan-nesting (the dedup_clusters
+    * lesson). Rows-only: 30 rounds of argmax are not oracle SQL;
+    * TokenizerSpec proves equality against an independent in-memory
+    * reference trainer on the full corpus.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainOn(spark, Tables(spark, dir).documents, NumMerges)
+
+  private[graft] def bpeTrainOn(spark: SparkSession, docs: DataFrame,
+      numMerges: Int): DataFrame = {
+    import spark.implicits._
+    trainMerges(docs, numMerges).toDF("rank", "lsym", "rsym", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** The merge list itself, for callers composing an encoder. */
+  private[graft] def trainMerges(docs: DataFrame,
+      numMerges: Int): Seq[(Long, String, String, Long)] = {
+    val chars = expr(
+      "transform(sequence(1, length(word)), i -> substring(word, CAST(i AS INT), 1))")
+    var vocab = docs
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(chars, array(lit(BpeFunctions.EndOfWord))).as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      // single-symbol (fully merged) words have no pairs — and
+      // sequence(1, 0) would fabricate [1, 0] (descending default,
+      // the doc_chunk corner), so they must not reach the transform
+      val top = vocab
+        .filter(size(col("syms")) > 1)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      // stop when no pair repeats: merging a hapax pair is noise
+      // (min_frequency=2, the reference trainers' default)
+      if (top.isEmpty || top(0).getLong(2) < 2) done = true
+      else {
+        val l = top(0).getString(0); val rr = top(0).getString(1)
+        merges += ((r.toLong, l, rr, top(0).getLong(2)))
+        val next = vocab
+          .withColumn("syms", BpeFunctions.mergePair(col("syms"), l, rr))
+          .localCheckpoint(true)
+        vocab.unpersist()
+        vocab = next
+        r += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
+  /** bpe_encode — tokenize every document with the learned merges:
+    * [[graft.functions.BpeEncodeText]] carries the merge table as
+    * expression data and encodes a whole document per eval, map-side
+    * inside the scan stage — the corpus is never joined or shuffled
+    * (the output sort is the only exchange). Emits per-doc token
+    * counts plus a deterministic preview of the first tokens; the
+    * compression ratio (tokens per word < chars per word) is the
+    * learning signal the spec asserts.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val merges = trainMerges(docs, NumMerges).map { case (_, l, r, _) => (l, r) }
+    bpeEncodeOn(docs, merges)
+  }
+
+  private[graft] def bpeEncodeOn(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_words"),
+        BpeFunctions.encodeText(normalize(col("text")), merges).as("toks"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), 1, 8)).as("tok_preview"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE trainer/encoder semantics: the distributed trainer must equal
+  * an INDEPENDENT in-memory reference implementation (plain Scala
+  * maps over the collected corpus — no shared code with the
+  * operator), and encoding must actually compress.
+  */
+class TokenizerSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  /** Reference trainer: the subword-nmt algorithm verbatim over a
+    * word-frequency map.
+    */
+  private def referenceTrain(wordFreq: Map[String, Long],
+      numMerges: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = wordFreq.map { case (w, f) =>
+      (w.map(_.toString).toVector :+ "</w>") -> f
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    while (out.length < numMerges && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        // deterministic argmax: max count, then lexicographic pair
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        if (c < 2) done = true
+        else {
+          out += ((l, r, c))
+          vocab = vocab.map { case (syms, f) =>
+            val merged = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                merged += l + r; i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            merged.toVector -> f
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private lazy val corpusWordFreq: Map[String, Long] = {
+    val texts = Tables(spark, sf).documents.select("text").collect().map(_.getString(0))
+    texts.flatMap(_.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+  }
+
+  test("bpe_train equals the independent reference trainer on the full corpus") {
+    val expected = referenceTrain(corpusWordFreq, operators.Tokenizer.NumMerges)
+    val got = SparkEntry.queries("bpe_train")(spark, sf).collect()
+      .map(r => (r.getAs[String]("lsym"), r.getAs[String]("rsym"),
+        r.getAs[Long]("pair_count"))).toSeq
+    assert(got == expected,
+      s"merge tables diverge at rank ${got.zip(expected).indexWhere(t => t._1 != t._2) + 1}")
+    assert(got.nonEmpty && got.length <= operators.Tokenizer.NumMerges)
+  }
+
+  test("bpe_encode: reference encoding per word, compression, map-side plan") {
+    val merges = operators.Tokenizer.trainMerges(
+      Tables(spark, sf).documents, operators.Tokenizer.NumMerges)
+      .map { case (_, l, r, _) => (l, r) }
+    // reference-encode each distinct word with the learned table and
+    // derive every doc's token count independently of the expression
+    def encodeWord(w: String): Vector[String] = {
+      var syms = w.map(_.toString).toVector :+ "</w>"
+      for ((l, r) <- merges) {
+        val merged = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            merged += l + r; i += 2
+          } else { merged += syms(i); i += 1 }
+        }
+        syms = merged.toVector
+      }
+      syms
+    }
+    val tokensPerWord: Map[String, Long] =
+      corpusWordFreq.keySet.map(w => w -> encodeWord(w).length.toLong).toMap
+    val docs = Tables(spark, sf).documents.select("doc_id", "text").collect()
+    val expected = docs.map { r =>
+      val ws = r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      r.getLong(0) -> ws.map(tokensPerWord).sum
+    }.toMap
+    val df = operators.Tokenizer.bpeEncodeOn(
+      Tables(spark, sf).documents, merges)
+    val got = df.collect()
+    assert(got.map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap == expected)
+    // learning happened: tokens per word strictly below characters
+    // per word (chars+1 is the unmerged count), and above 1
+    val totTok = got.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val totWords = got.map(_.getAs[Long]("n_words")).sum.toDouble
+    val totChars = corpusWordFreq.map { case (w, f) => (w.length + 1) * f }.sum.toDouble
+    assert(totTok < 0.7 * totChars, s"merges barely compressed: $totTok vs $totChars symbols")
+    assert(totTok > totWords, "token count below word count — over-merged")
+    // encoding is map-side: the only exchange is the output sort
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"bpe_encode should shuffle only for the output sort:\n$plan")
+  }
+}
