@@ -75,7 +75,8 @@ object SparkEntry {
     "fingerprint_winnow" -> (Text.fingerprintWinnow _),
     "winnow_pairs"      -> (Text.winnowPairs _),
     "bpe_train"         -> (Tokenizer.bpeTrain _),
-    "bpe_encode"        -> (Tokenizer.bpeEncode _)
+    "bpe_encode"        -> (Tokenizer.bpeEncode _),
+    "corpus_stats"      -> (Curation.corpusStats _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -551,6 +552,32 @@ object SparkEntry {
         |  CASE WHEN score >= 0.6 THEN 'high' WHEN score >= 0.3 THEN 'medium' ELSE 'low' END AS bucket
         |FROM g
         |ORDER BY doc_id""".stripMargin,
+
+    // the dataset card: same score CTE as quality_score, CUBE'd
+    "corpus_stats" ->
+      s"""WITH e AS (
+        |  SELECT lang, source,
+        |    CAST(length($normSql) AS BIGINT) AS nc,
+        |    CAST(len($wordsSql) AS BIGINT) AS n_words,
+        |    $wordsSql AS w
+        |  FROM documents),
+        |f AS (SELECT lang, source, nc, n_words,
+        |    ROUND(CAST(${hitsSql(profiles.head._2)} AS DOUBLE) / n_words + 1e-9, 4) AS stopword_ratio
+        |  FROM e),
+        |g AS (SELECT lang, source, nc, n_words,
+        |    ROUND(least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 +
+        |          least(1.0, stopword_ratio * 5.0) * 0.5 + 1e-9, 4) AS score
+        |  FROM f)
+        |SELECT COALESCE(lang, 'ALL') AS lang,
+        |  COALESCE(source, 'ALL') AS source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+        |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |  CAST(SUM(CASE WHEN score >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_hq,
+        |  CAST(SUM(nc) // 4 AS BIGINT) AS est_tokens
+        |FROM g
+        |GROUP BY CUBE(lang, source)
+        |ORDER BY lang, source""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

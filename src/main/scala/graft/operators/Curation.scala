@@ -309,4 +309,35 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy(col("doc_id"))
   }
+
+  /** corpus_stats — the dataset card: doc / word / char / token-
+    * estimate / high-quality counts per language × source with CUBE
+    * subtotals ('ALL' rows), in ONE pass over the corpus. The
+    * summary every curation decision starts from (what's in the mix,
+    * which sources carry quality), and what a data release publishes.
+    *
+    * The quality column is [[Text.withQualityScore]] — the same
+    * single score definition the gate and the stream use. All
+    * aggregates are integer-exact (sums of longs; token estimate is
+    * chars div 4 after summing). Scale: one map pass + one CUBE
+    * aggregation whose output is |langs|·|sources| rows — partial
+    * aggregation collapses everything map-side.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    corpusStatsOn(Tables(spark, dir).documents)
+
+  private[graft] def corpusStatsOn(docs: DataFrame): DataFrame =
+    Text.withQualityScore(docs)
+      .select(col("lang"), col("source"), col("n_words"),
+        length(col("norm")).cast("long").as("nc"),
+        (col("score") >= 0.6).cast("long").as("hq"))
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("nc")).as("n_chars"), sum(col("hq")).as("n_hq"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("n_words"), col("n_chars"), col("n_hq"),
+        expr("n_chars div 4").as("est_tokens"))
+      .orderBy(col("lang"), col("source"))
 }

@@ -516,6 +516,27 @@ class QueryPackSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"single-partition exchange:\n$plan")
   }
 
+  test("corpus_stats: CUBE margins are consistent and match the raw corpus") {
+    val df = SparkEntry.queries("corpus_stats")(spark, sf).collect()
+    def row(l: String, s: String) = df.find(r =>
+      r.getAs[String]("lang") == l && r.getAs[String]("source") == s).get
+    val all = row("ALL", "ALL")
+    assert(all.getAs[Long]("n_docs") == Tables(spark, sf).documents.count())
+    // each margin sums to the grand total, for every measure
+    for (m <- Seq("n_docs", "n_words", "n_chars", "n_hq")) {
+      val byLang = df.filter(r => r.getAs[String]("lang") != "ALL" &&
+        r.getAs[String]("source") == "ALL").map(_.getAs[Long](m)).sum
+      val bySource = df.filter(r => r.getAs[String]("lang") == "ALL" &&
+        r.getAs[String]("source") != "ALL").map(_.getAs[Long](m)).sum
+      val byCell = df.filter(r => r.getAs[String]("lang") != "ALL" &&
+        r.getAs[String]("source") != "ALL").map(_.getAs[Long](m)).sum
+      assert(Set(byLang, bySource, byCell) == Set(all.getAs[Long](m)),
+        s"$m margins disagree: lang=$byLang source=$bySource cell=$byCell all=${all.getAs[Long](m)}")
+    }
+    assert(df.forall(r => r.getAs[Long]("n_hq") <= r.getAs[Long]("n_docs")))
+    assert(df.forall(r => r.getAs[Long]("est_tokens") == r.getAs[Long]("n_chars") / 4))
+  }
+
   test("winnow_pairs: shared-passage pair detected, covers every jaccard pair, no degenerate plan") {
     import spark.implicits._
     // constructed: doc 2 is mostly a passage lifted from doc 1; doc 3
