@@ -55,13 +55,18 @@ object Tokenizer {
       numMerges: Int): Seq[(Long, String, String, Long)] = {
     val chars = expr(
       "transform(sequence(1, length(word)), i -> substring(word, CAST(i AS INT), 1))")
+    // LAZY localCheckpoint throughout: the rewrite materializes as a
+    // side effect of the NEXT round's argmax job, so each round costs
+    // ONE job (an eager checkpoint would double it) while lineage
+    // still truncates (the dedup_clusters exponential-plan lesson)
     var vocab = docs
       .select(explode(words(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("freq"),
         concat(chars, array(lit(BpeFunctions.EndOfWord))).as("syms"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var r = 1
     var done = false
@@ -78,6 +83,9 @@ object Tokenizer {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
+      // this round's vocab is now materialized; the one it was
+      // derived from is dead
+      if (prev != null) prev.unpersist()
       // stop when no pair repeats: merging a hapax pair is noise
       // (min_frequency=2, the reference trainers' default)
       if (top.isEmpty || top(0).getLong(2) < 2) done = true
@@ -86,8 +94,8 @@ object Tokenizer {
         merges += ((r.toLong, l, rr, top(0).getLong(2)))
         val next = vocab
           .withColumn("syms", BpeFunctions.mergePair(col("syms"), l, rr))
-          .localCheckpoint(true)
-        vocab.unpersist()
+          .localCheckpoint(false)
+        prev = vocab
         vocab = next
         r += 1
       }
