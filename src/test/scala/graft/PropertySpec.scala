@@ -78,4 +78,49 @@ class PropertySpec extends AnyFunSuite {
     assert(out.head.getLong(0) == 0L && out.head.getLong(1) == 1L)
     assert(out.head.getAs[Double]("jaccard") > 0.9)
   }
+
+  test("winnow expression equals the naive reference on random strings") {
+    import spark.implicits._
+    import graft.functions.{WinnowFingerprints, WinnowFunctions}
+    val k = graft.operators.Text.WinnowK
+    val w = graft.operators.Text.WinnowW
+    // lengths straddle the admission boundary k+w-1 (incl. below it)
+    val strGen = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaLowerChar, Gen.const(' '))).map(_.mkString))
+    val texts = Gen.listOfN(300, strGen).sample.getOrElse(List("fallback string here"))
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), WinnowFunctions.winnowFingerprints(col("t"), k, w).as("e"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val M = WinnowFingerprints.M; val B = WinnowFingerprints.B
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val naive = if (t.length - k + 1 < w) Seq.empty[Long] else {
+        val h = (0 to t.length - k).map(p =>
+          t.substring(p, p + k).foldLeft(0L)((a, c) => (a * B + c) % M))
+        (0 to h.length - w).map { q =>
+          val win = h.slice(q, q + w)
+          q + win.lastIndexOf(win.min)
+        }.distinct.map(s => ((s + 1).toLong << 32) | h(s))
+      }
+      assert(got(i.toLong) == naive, s"winnow diverges on ${t.take(40)}")
+    }
+  }
+
+  test("BPE merge pass: conserves content, merges are irreversible-prefix-safe") {
+    import graft.functions.BpeFunctions.mergeOnce
+    val symGen = Gen.oneOf("a", "b", "c", "ab", "bc")
+    val seqGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, symGen).map(_.toArray))
+    val cases = Gen.listOfN(500, seqGen).sample.getOrElse(List(Array("a", "b")))
+    cases.foreach { syms =>
+      val merged = mergeOnce(syms, "a", "b")
+      // concatenation invariant: merging never loses or adds characters
+      assert(merged.mkString == syms.mkString)
+      // exhaustive: no adjacent (a, b) may survive a pass
+      assert(!merged.zip(merged.drop(1)).exists(p => p._1 == "a" && p._2 == "b"),
+        s"pass left an (a,b) in ${merged.mkString(",")} from ${syms.mkString(",")}")
+      // left-to-right greedy: "aab" keeps the leftmost association
+      if (syms.sameElements(Array("a", "a", "b")))
+        assert(merged.sameElements(Array("a", "ab")))
+    }
+  }
 }
