@@ -23,6 +23,35 @@ class QueryPackSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("plan guard: no query degenerates to nested-loop or single-partition outside the allowlist") {
+    // Non-equi BROADCAST nested-loop is legitimate only where the
+    // broadcast side is metadata-sized by construction: the ≤
+    // MaxQueries query table (ann scoring is the designed O(n·q)
+    // pass), the B² block grid (embedding sweep), or a 1-row global
+    // aggregate (scalar subquery shape). Those same scalar aggregates
+    // are the only tolerated single-partition exchanges. Everything
+    // else must stay hash/range partitioned — this sweep makes a
+    // future operator that silently degenerates fail CI.
+    val bnljOk = Set("ann_pq", "ann_topk", "dedup_embedding",
+      "pipeline_e2e", "q20_subquery", "sample_mixture")
+    val singlePartOk = Set("pipeline_e2e", "q20_subquery", "sample_mixture")
+    for ((name, fn) <- SparkEntry.queries) {
+      spark.catalog.clearCache()
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product:\n$plan")
+      if (!bnljOk(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join:\n$plan")
+      if (!singlePartOk(name))
+        assert(!plan.contains("Exchange SinglePartition"),
+          s"$name plans a single-partition exchange:\n$plan")
+      else
+        assert(plan.split("Exchange SinglePartition").length - 1 == 1,
+          s"$name: expected exactly one scalar-aggregate single-partition exchange:\n$plan")
+    }
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
