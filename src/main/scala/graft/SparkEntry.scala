@@ -74,6 +74,7 @@ object SparkEntry {
     "pipeline_e2e"      -> (Pipeline.pipelineE2e _),
     "fingerprint_winnow" -> (Text.fingerprintWinnow _),
     "winnow_pairs"      -> (Text.winnowPairs _),
+    "winnow_clusters"   -> (Text.winnowClusters _),
     "bpe_train"         -> (Tokenizer.bpeTrain _),
     "bpe_encode"        -> (Tokenizer.bpeEncode _),
     "corpus_stats"      -> (Curation.corpusStats _)
@@ -134,6 +135,29 @@ object SparkEntry {
       |)
       |SELECT DISTINCT doc_id, pos, CAST(fp AS BIGINT) AS fp FROM sel""".stripMargin
   }
+
+  /** The winnow_pairs CTE chain over a `wfp` fingerprint CTE: distinct
+    * per-doc fp sets → set sizes → df-capped index → shared counts →
+    * `wp`, the containment-filtered pair list. Shared by the
+    * winnow_pairs and winnow_clusters oracles.
+    */
+  private lazy val winnowPairsCoreSql: String =
+    s"""s AS (SELECT DISTINCT doc_id, fp FROM wfp),
+      |nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM s GROUP BY 1),
+      |rare AS (SELECT fp FROM s GROUP BY fp
+      |         HAVING COUNT(*) <= ${operators.Text.WinnowDfCap}),
+      |p AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |    CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  JOIN rare r ON r.fp = a.fp
+      |  GROUP BY 1, 2),
+      |wp AS (
+      |  SELECT id1, id2, shared, n1.nf AS nf1, n2.nf AS nf2
+      |  FROM p
+      |  JOIN nf n1 ON n1.doc_id = id1
+      |  JOIN nf n2 ON n2.doc_id = id2
+      |  WHERE shared * 100 >= ${operators.Text.WinnowMinContainPct} * least(n1.nf, n2.nf))""".stripMargin
   private def hitsSql(vocab: Seq[String]) = {
     val arr = vocab.map(w => s"'$w'").mkString("[", ", ", "]")
     s"CAST(len(list_filter(w, x -> list_contains($arr, x))) AS BIGINT)"
@@ -605,22 +629,25 @@ object SparkEntry {
     // df-capped inverted index → shared counts → integer containment
     "winnow_pairs" ->
       s"""WITH wfp AS ($winnowFpsSql),
-        |s AS (SELECT DISTINCT doc_id, fp FROM wfp),
-        |nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM s GROUP BY 1),
-        |rare AS (SELECT fp FROM s GROUP BY fp
-        |         HAVING COUNT(*) <= ${operators.Text.WinnowDfCap}),
-        |p AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    CAST(COUNT(*) AS BIGINT) AS shared
-        |  FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |  JOIN rare r ON r.fp = a.fp
-        |  GROUP BY 1, 2)
-        |SELECT id1, id2, shared, n1.nf AS nf1, n2.nf AS nf2
-        |FROM p
-        |JOIN nf n1 ON n1.doc_id = id1
-        |JOIN nf n2 ON n2.doc_id = id2
-        |WHERE shared * 100 >= ${operators.Text.WinnowMinContainPct} * least(n1.nf, n2.nf)
+        |$winnowPairsCoreSql
+        |SELECT id1, id2, shared, nf1, nf2 FROM wp
         |ORDER BY id1, id2""".stripMargin,
+
+    // passage-level keep-list: transitive closure of the winnow
+    // near-dup graph (the dedup_clusters formulation over MOSS pairs)
+    "winnow_clusters" ->
+      s"""WITH RECURSIVE wfp AS ($winnowFpsSql),
+        |$winnowPairsCoreSql,
+        |e AS (SELECT id1 AS a, id2 AS b FROM wp
+        |      UNION SELECT id2 AS a, id1 AS b FROM wp),
+        |reach AS (SELECT a, b FROM e
+        |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |m AS (SELECT a AS doc_id, MIN(b) AS minb FROM reach GROUP BY a)
+        |SELECT d.doc_id,
+        |  LEAST(d.doc_id, COALESCE(m.minb, d.doc_id)) AS cluster_id,
+        |  CAST(d.doc_id = LEAST(d.doc_id, COALESCE(m.minb, d.doc_id)) AS BIGINT) AS is_keeper
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_embedding" ->
       """SELECT id1, id2, cos FROM (

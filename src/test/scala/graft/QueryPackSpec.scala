@@ -545,6 +545,25 @@ class QueryPackSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"single-partition exchange:\n$plan")
   }
 
+  test("winnow_clusters: pairs share clusters, keepers are cluster minima, singletons self-keep") {
+    import spark.implicits._
+    val cl = SparkEntry.queries("winnow_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pairs = SparkEntry.queries("winnow_pairs")(spark, sf)
+      .select(col("id1"), col("id2")).as[(Long, Long)].collect()
+    assert(cl.size == Tables(spark, sf).documents.count())
+    pairs.foreach { case (a, b) =>
+      assert(cl(a)._1 == cl(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // keeper iff the doc IS its cluster id, and cluster ids are their
+    // own cluster's minimum member
+    val members = cl.groupBy(_._2._1).view.mapValues(_.keys.min).toMap
+    members.foreach { case (cid, minDoc) => assert(cid == minDoc) }
+    cl.foreach { case (d, (cid, keep)) => assert((keep == 1L) == (d == cid)) }
+    // paired docs reduce the keeper count below the doc count
+    assert(cl.values.map(_._2).sum < cl.size)
+  }
+
   test("corpus_stats: CUBE margins are consistent and match the raw corpus") {
     val df = SparkEntry.queries("corpus_stats")(spark, sf).collect()
     def row(l: String, s: String) = df.find(r =>
