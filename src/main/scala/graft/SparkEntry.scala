@@ -77,7 +77,8 @@ object SparkEntry {
     "winnow_clusters"   -> (Text.winnowClusters _),
     "bpe_train"         -> (Tokenizer.bpeTrain _),
     "bpe_encode"        -> (Tokenizer.bpeEncode _),
-    "corpus_stats"      -> (Curation.corpusStats _)
+    "corpus_stats"      -> (Curation.corpusStats _),
+    "ts_resample"       -> (Temporal.tsResample _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -477,6 +478,27 @@ object SparkEntry {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts_ms >= c.click_ts_ms
         |ORDER BY p.purchase_id""".stripMargin,
+
+    // independent formulation: native ASOF LEFT JOIN of a
+    // generate_series grid against the MAX-event_id-deduped events
+    "ts_resample" ->
+      s"""WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms,
+        |    arg_max(value, event_id) AS value
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT user_id,
+        |    (min(ts_ms) // ${operators.Temporal.ResampleStepMs}) * ${operators.Temporal.ResampleStepMs} AS t0,
+        |    (max(ts_ms) // ${operators.Temporal.ResampleStepMs}) * ${operators.Temporal.ResampleStepMs} AS t1
+        |  FROM e GROUP BY 1
+        |), g AS (
+        |  SELECT user_id, CAST(unnest(range(t0, t1 + ${operators.Temporal.ResampleStepMs}, ${operators.Temporal.ResampleStepMs})) AS BIGINT) AS grid_ms
+        |  FROM b
+        |)
+        |SELECT g.user_id, g.grid_ms, e.value AS last_value, e.ts_ms AS last_ts_ms,
+        |  g.grid_ms - e.ts_ms AS staleness_ms
+        |FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.grid_ms >= e.ts_ms
+        |ORDER BY g.user_id, g.grid_ms""".stripMargin,
 
     // independent formulation: plain inequality join (DuckDB plans
     // its own range join; Spark runs the bin-and-refine equi-join)

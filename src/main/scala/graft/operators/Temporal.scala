@@ -131,4 +131,42 @@ object Temporal {
         coalesce(col("n_nearby_clicks"), lit(0L)).as("n_nearby_clicks"))
       .orderBy(col("purchase_id"))
   }
+
+  /** Grid step for [[tsResample]]: hourly. */
+  val ResampleStepMs = 3600000L
+
+  /** ts_resample — gap-filled per-key time series (the Timescale
+    * `time_bucket_gapfill` / ClickHouse `WITH FILL` shape): each
+    * user gets a regular [[ResampleStepMs]] grid spanning their
+    * observed range, and every grid point carries the most recent
+    * event's value at-or-before it (forward fill) plus its
+    * staleness. Grid points before the first event fill NULL — the
+    * standard leading edge of ffill.
+    *
+    * Pure composition: a per-user bounds aggregate (≤|users| rows) →
+    * map-side `sequence` explode builds the grid → [[asOfJoin]]
+    * (one shuffle, running last-non-null) fills it. No range probe
+    * per row, no nested loop; equal-timestamp events resolve to the
+    * greatest event_id via the join's tie-break, mirroring the
+    * oracle's MAX dedup. At 100 TB the grid is |users|·periods rows
+    * — generated distributed, never materialized on the driver.
+    */
+  def tsResample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), epochMs(col("ts")).as("ts_ms"),
+        col("value"), col("event_id"))
+    val step = ResampleStepMs
+    val bounds = ev.groupBy(col("user_id")).agg(
+      (floor(min(col("ts_ms")) / step) * step).cast("long").as("t0"),
+      (floor(max(col("ts_ms")) / step) * step).cast("long").as("t1"))
+    val grid = bounds.select(col("user_id"),
+      explode(sequence(col("t0"), col("t1"), lit(step))).as("grid_ms"))
+    asOfJoin(grid, ev, Seq("user_id"), "grid_ms", "ts_ms",
+        Seq("value", "ts_ms"), rightTieBreak = Seq("event_id"))
+      .select(col("user_id"), col("grid_ms"),
+        col("right_value").as("last_value"),
+        col("right_ts_ms").as("last_ts_ms"),
+        (col("grid_ms") - col("right_ts_ms")).as("staleness_ms"))
+      .orderBy(col("user_id"), col("grid_ms"))
+  }
 }

@@ -545,6 +545,28 @@ class QueryPackSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"single-partition exchange:\n$plan")
   }
 
+  test("ts_resample: uniform per-user grid covering the range, monotone forward fill") {
+    val step = operators.Temporal.ResampleStepMs
+    val rows = SparkEntry.queries("ts_resample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    val ev = Tables(spark, sf).events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    assert(byUser.keySet == ev.keySet)
+    byUser.foreach { case (u, g) =>
+      val ts = g.map(_.getLong(1)).sorted
+      // consecutive multiples of the step, spanning floor(min)..floor(max)
+      assert(ts.head == ev(u).min / step * step && ts.last == ev(u).max / step * step)
+      assert(ts.zip(ts.drop(1)).forall(p => p._2 - p._1 == step))
+      // fill is monotone: once a value appears it never reverts to
+      // null, and staleness is non-negative
+      val nulls = g.sortBy(_.getLong(1)).map(_.isNullAt(2))
+      assert(!nulls.zip(nulls.drop(1)).exists(p => !p._1 && p._2))
+      g.filter(!_.isNullAt(4)).foreach(r => assert(r.getLong(4) >= 0))
+    }
+  }
+
   test("winnow_clusters: pairs share clusters, keepers are cluster minima, singletons self-keep") {
     import spark.implicits._
     val cl = SparkEntry.queries("winnow_clusters")(spark, sf).collect()
