@@ -485,7 +485,7 @@ object SparkEntry {
       s"""WITH e AS (
         |  SELECT user_id, epoch_ms(ts) AS ts_ms,
         |    arg_max(value, event_id) AS value
-        |  FROM events GROUP BY 1, 2
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         |), b AS (
         |  SELECT user_id,
         |    (min(ts_ms) // ${operators.Temporal.ResampleStepMs}) * ${operators.Temporal.ResampleStepMs} AS t0,

@@ -139,17 +139,12 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
       // localCheckpoint, not cache: the round's plan references
       // `labels` twice (here and in the changed-count below), so
       // without lineage truncation the LOGICAL plan doubles per round
       // and optimizer time goes exponential past ~10 rounds — cache
       // only dodges recomputation, not re-planning
-      val updated = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(labels("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      val updated = propagationRound(edges, labels).localCheckpoint(true)
       val changed = updated.as("u")
         .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
         .filter(col("label") =!= col("old")).count()
@@ -161,6 +156,20 @@ object Dedup {
     require(converged, s"label propagation did not converge in $maxIters rounds")
     edges.unpersist()
     labels
+  }
+
+  /** One min-label propagation round over (src, dst) edges and
+    * (doc_id, label) labels — factored out so its PLAN is directly
+    * assertable (driver-loop rounds never surface in a registered
+    * query's final plan): two doc-keyed hash joins + one aggregation,
+    * nothing may degenerate to a nested loop.
+    */
+  private[graft] def propagationRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+      .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+    labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+      .select(labels("doc_id"),
+        least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
   }
 
   /** Alternating large-star/small-star rounds. Invariant: every edge

@@ -152,7 +152,12 @@ object Temporal {
     * — generated distributed, never materialized on the driver.
     */
   def tsResample(spark: SparkSession, dir: String): DataFrame = {
+    // a reading with no value is not an observation: NULL-value
+    // events neither fill nor block (the oracle's arg_max would skip
+    // them within a timestamp but not across — filtering both engines
+    // to non-null values is the one consistent semantics)
     val ev = Tables(spark, dir).events
+      .filter(col("value").isNotNull)
       .select(col("user_id"), epochMs(col("ts")).as("ts_ms"),
         col("value"), col("event_id"))
     val step = ResampleStepMs

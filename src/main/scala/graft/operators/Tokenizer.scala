@@ -71,38 +71,50 @@ object Tokenizer {
     var r = 1
     var done = false
     while (r <= numMerges && !done) {
-      // single-symbol (fully merged) words have no pairs — and
-      // sequence(1, 0) would fabricate [1, 0] (descending default,
-      // the doc_chunk corner), so they must not reach the transform
-      val top = vocab
-        .filter(size(col("syms")) > 1)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), " +
-            "i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
+      val top = pairCounts(vocab)
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
       // this round's vocab is now materialized; the one it was
       // derived from is dead
-      if (prev != null) prev.unpersist()
+      if (prev != null) { prev.unpersist(); prev = null }
       // stop when no pair repeats: merging a hapax pair is noise
       // (min_frequency=2, the reference trainers' default)
       if (top.isEmpty || top(0).getLong(2) < 2) done = true
       else {
         val l = top(0).getString(0); val rr = top(0).getString(1)
         merges += ((r.toLong, l, rr, top(0).getLong(2)))
-        val next = vocab
-          .withColumn("syms", BpeFunctions.mergePair(col("syms"), l, rr))
-          .localCheckpoint(false)
-        prev = vocab
-        vocab = next
+        // the final round's winner needs no vocabulary rewrite —
+        // nothing would consume it
+        if (r < numMerges) {
+          val next = vocab
+            .withColumn("syms", BpeFunctions.mergePair(col("syms"), l, rr))
+            .localCheckpoint(false)
+          prev = vocab
+          vocab = next
+        }
         r += 1
       }
     }
+    if (prev != null) prev.unpersist()
     vocab.unpersist()
     merges.toSeq
   }
+
+  /** One training round's pair-count aggregation over a (freq, syms)
+    * vocabulary — factored out so its PLAN is directly assertable
+    * (the driver-loop rounds never surface in a registered query's
+    * final plan). Single-symbol (fully merged) words have no pairs —
+    * and sequence(1, 0) would fabricate [1, 0] (descending default,
+    * the doc_chunk corner), so they must not reach the transform.
+    */
+  private[graft] def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .filter(size(col("syms")) > 1)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
 
   /** bpe_encode — tokenize every document with the learned merges:
     * [[graft.functions.BpeEncodeText]] carries the merge table as

@@ -50,6 +50,27 @@ class QueryPackSpec extends AnyFunSuite {
         assert(plan.split("Exchange SinglePartition").length - 1 == 1,
           s"$name: expected exactly one scalar-aggregate single-partition exchange:\n$plan")
     }
+    // driver-loop operators (bpe_train, dedup/winnow_clusters) run
+    // their rounds during construction, so the sweep above sees only
+    // the final assembly — assert the ROUND plans via the factored
+    // round builders on representative inputs
+    import spark.implicits._
+    val vocab = Seq((5L, Seq("l", "o", "w", "</w>")), (2L, Seq("l", "o", "</w>")))
+      .toDF("freq", "syms")
+    val roundPlans = Seq(
+      "bpe pairCounts" ->
+        operators.Tokenizer.pairCounts(vocab),
+      "label propagationRound" ->
+        operators.Dedup.propagationRound(
+          Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+          Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "label")))
+    roundPlans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name round degenerates to a nested loop:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$name round plans a single-partition exchange:\n$plan")
+    }
   }
 
   test("oracleSql keys are a subset of queries keys") {
@@ -551,6 +572,7 @@ class QueryPackSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val byUser = rows.groupBy(_.getLong(0))
     val ev = Tables(spark, sf).events
+      .filter(col("value").isNotNull) // null-value events neither fill nor bound
       .select(col("user_id"), unix_millis(col("ts")).as("ms")).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1))).toMap
     assert(byUser.keySet == ev.keySet)

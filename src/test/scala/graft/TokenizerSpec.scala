@@ -13,13 +13,29 @@ class TokenizerSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
   val sf = "/root/testdata/sf0.001"
 
+  /** Codepoint symbols + UTF-8 byte order, matching the engine's
+    * semantics (Spark strings sort by UTF-8 bytes; BpeFunctions
+    * splits codepoints) — the winnow UTF-16 lesson applied here.
+    */
+  private def cpSyms(w: String): Vector[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toVector
+
+  private val u8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n && x(i) == y(i)) i += 1
+    if (i < n) (x(i) & 0xff) - (y(i) & 0xff) else x.length - y.length
+  }
+
   /** Reference trainer: the subword-nmt algorithm verbatim over a
     * word-frequency map.
     */
   private def referenceTrain(wordFreq: Map[String, Long],
       numMerges: Int): Seq[(String, String, Long)] = {
     var vocab: Map[Vector[String], Long] = wordFreq.map { case (w, f) =>
-      (w.map(_.toString).toVector :+ "</w>") -> f
+      (cpSyms(w) :+ "</w>") -> f
     }
     val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var done = false
@@ -30,6 +46,8 @@ class TokenizerSpec extends AnyFunSuite {
       if (counts.isEmpty) done = true
       else {
         // deterministic argmax: max count, then lexicographic pair
+        // (UTF-8 byte order, as the engine sorts)
+        implicit val o: Ordering[String] = u8Order
         val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
         if (c < 2) done = true
         else {
@@ -52,7 +70,7 @@ class TokenizerSpec extends AnyFunSuite {
 
   private lazy val corpusWordFreq: Map[String, Long] = {
     val texts = Tables(spark, sf).documents.select("text").collect().map(_.getString(0))
-    texts.flatMap(_.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
+    texts.flatMap(_.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")).filter(_.nonEmpty)
       .groupBy(identity).map { case (w, a) => w -> a.length.toLong }
   }
 
@@ -73,7 +91,7 @@ class TokenizerSpec extends AnyFunSuite {
     // reference-encode each distinct word with the learned table and
     // derive every doc's token count independently of the expression
     def encodeWord(w: String): Vector[String] = {
-      var syms = w.map(_.toString).toVector :+ "</w>"
+      var syms = cpSyms(w) :+ "</w>"
       for ((l, r) <- merges) {
         val merged = scala.collection.mutable.ArrayBuffer[String]()
         var i = 0
@@ -90,7 +108,7 @@ class TokenizerSpec extends AnyFunSuite {
       corpusWordFreq.keySet.map(w => w -> encodeWord(w).length.toLong).toMap
     val docs = Tables(spark, sf).documents.select("doc_id", "text").collect()
     val expected = docs.map { r =>
-      val ws = r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val ws = r.getString(1).toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
       r.getLong(0) -> ws.map(tokensPerWord).sum
     }.toMap
     val df = operators.Tokenizer.bpeEncodeOn(
