@@ -34,6 +34,8 @@ object SparkEntry {
     "q21_skew_join"     -> ((s, d) => Relational.q21(s, d)),
     "q22_asof"          -> (Temporal.q22 _),
     "q23_range_join"    -> ((s, d) => Temporal.q23(s, d)),
+    "q24_funnel"        -> (Relational.q24 _),
+    "q25_retention"     -> (Relational.q25 _),
     "hr_episodes"       -> (Health.hrEpisodes _),
     "hr_parse"           -> (Health.hrParse _),
     "hr_classify"        -> (Health.hrClassify _),
@@ -478,6 +480,41 @@ object SparkEntry {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts_ms >= c.click_ts_ms
         |ORDER BY p.purchase_id""".stripMargin,
+
+    "q24_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS t1,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t2,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS t3,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t4
+        |  FROM events GROUP BY 1
+        |), g AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 AND t4 > t3 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        |  FROM f)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage, n1 AS n_users FROM g
+        |UNION ALL SELECT 2, 'view', n2 FROM g
+        |UNION ALL SELECT 3, 'click', n3 FROM g
+        |UNION ALL SELECT 4, 'purchase', n4 FROM g
+        |ORDER BY stage_idx""".stripMargin,
+
+    "q25_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+        |), c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1),
+        |s AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM c GROUP BY 1),
+        |m AS (
+        |  SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+        |    CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM a JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT m.cohort_day, m.day_offset, s.cohort_size, m.n_active,
+        |  CAST(m.n_active * 1000000 // s.cohort_size AS BIGINT) AS retained_ppm
+        |FROM m JOIN s USING (cohort_day)
+        |ORDER BY m.cohort_day, m.day_offset""".stripMargin,
 
     // independent formulation: native ASOF LEFT JOIN of a
     // generate_series grid against the MAX-event_id-deduped events

@@ -427,4 +427,57 @@ object Relational {
           .cast("double").as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** q24_funnel — ordered conversion funnel (signup → view → click →
+    * purchase): a user reaches stage k only if their FIRST event of
+    * each stage strictly follows the previous stage's first. One
+    * per-user conditional-min aggregation (the whole corpus collapses
+    * to |users| rows map-side), flags in plain CASE logic, a global
+    * sum, and a 4-row stack unpivot. NULL stage times fail the CASE
+    * condition on both engines identically.
+    */
+  def q24(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val ms = epochMs(col("ts"))
+    def first(t: String) = min(when(col("event_type") === t, ms)).as(s"t_$t")
+    val firsts = ev.groupBy(col("user_id"))
+      .agg(first("signup"), first("view"), first("click"), first("purchase"))
+    val s1 = col("t_signup").isNotNull
+    val s2 = s1 && col("t_view") > col("t_signup")
+    val s3 = s2 && col("t_click") > col("t_view")
+    val s4 = s3 && col("t_purchase") > col("t_click")
+    firsts
+      .agg(
+        sum(when(s1, 1L).otherwise(0L)).as("n1"),
+        sum(when(s2, 1L).otherwise(0L)).as("n2"),
+        sum(when(s3, 1L).otherwise(0L)).as("n3"),
+        sum(when(s4, 1L).otherwise(0L)).as("n4"))
+      .selectExpr("stack(4, 1L, 'signup', n1, 2L, 'view', n2, " +
+        "3L, 'click', n3, 4L, 'purchase', n4) AS (stage_idx, stage, n_users)")
+      .orderBy(col("stage_idx"))
+  }
+
+  /** q25_retention — cohort retention matrix: users cohorted by
+    * first-active day, a cell per (cohort_day, day_offset) counting
+    * how many came back, with an integer-exact retained-ppm rate.
+    * Shapes: distinct (user, day) activity, a per-user min (both
+    * collapse map-side), one broadcast-sized cohort join, one cell
+    * aggregation — |days|² output rows regardless of corpus size.
+    */
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    val dayMs = 86400000L
+    val ev = Tables(spark, dir).events
+    val activity = ev
+      .select(col("user_id"), floor(epochMs(col("ts")) / dayMs).cast("long").as("day"))
+      .distinct()
+    val cohorts = activity.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = cohorts.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+    activity.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("cohort_size"),
+        col("n_active"), expr("n_active * 1000000 div cohort_size").as("retained_ppm"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
 }

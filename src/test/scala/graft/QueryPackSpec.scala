@@ -34,7 +34,9 @@ class QueryPackSpec extends AnyFunSuite {
     // future operator that silently degenerates fail CI.
     val bnljOk = Set("ann_pq", "ann_topk", "dedup_embedding",
       "pipeline_e2e", "q20_subquery", "sample_mixture")
-    val singlePartOk = Set("pipeline_e2e", "q20_subquery", "sample_mixture")
+    // q24_funnel's whole-corpus funnel counts are one global
+    // aggregate row — the scalar class, same as the others
+    val singlePartOk = Set("pipeline_e2e", "q20_subquery", "sample_mixture", "q24_funnel")
     for ((name, fn) <- SparkEntry.queries) {
       spark.catalog.clearCache()
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
@@ -564,6 +566,22 @@ class QueryPackSpec extends AnyFunSuite {
     assert(plan.split("Exchange").length - 1 == 1,
       s"fingerprint_winnow should shuffle only for the output sort:\n$plan")
     assert(!plan.contains("SinglePartition"), s"single-partition exchange:\n$plan")
+  }
+
+  test("funnel stages shrink monotonically; retention day-0 is the full cohort") {
+    val f = SparkEntry.queries("q24_funnel")(spark, sf).collect()
+    assert(f.map(_.getAs[String]("stage")).toSeq ==
+      Seq("signup", "view", "click", "purchase"))
+    val n = f.map(_.getAs[Long]("n_users"))
+    assert(n.zip(n.drop(1)).forall(p => p._1 >= p._2), s"funnel grew: ${n.toSeq}")
+    assert(n.head > 0 && n.last >= 0)
+    val r = SparkEntry.queries("q25_retention")(spark, sf).collect()
+    r.filter(_.getAs[Long]("day_offset") == 0L).foreach { row =>
+      assert(row.getAs[Long]("n_active") == row.getAs[Long]("cohort_size"))
+      assert(row.getAs[Long]("retained_ppm") == 1000000L)
+    }
+    assert(r.forall(row => row.getAs[Long]("n_active") <= row.getAs[Long]("cohort_size")))
+    assert(r.forall(_.getAs[Long]("day_offset") >= 0L))
   }
 
   test("ts_resample: uniform per-user grid covering the range, monotone forward fill") {
