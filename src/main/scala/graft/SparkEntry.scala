@@ -80,7 +80,8 @@ object SparkEntry {
     "bpe_train"         -> (Tokenizer.bpeTrain _),
     "bpe_encode"        -> (Tokenizer.bpeEncode _),
     "corpus_stats"      -> (Curation.corpusStats _),
-    "ts_resample"       -> (Temporal.tsResample _)
+    "ts_resample"       -> (Temporal.tsResample _),
+    "freq_words"        -> (Text.freqWords _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -661,6 +662,15 @@ object SparkEntry {
         |FROM g
         |GROUP BY CUBE(lang, source)
         |ORDER BY lang, source""".stripMargin,
+
+    // exact counts: capacity > vocabulary means the sketch IS exact
+    "freq_words" ->
+      s"""WITH t AS (SELECT unnest($wordsSql) AS w FROM documents),
+        |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS est FROM t
+        |      WHERE length(w) > 0 GROUP BY 1)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY est DESC, w) AS BIGINT) AS term_rank,
+        |  w AS term, est
+        |FROM c ORDER BY est DESC, w LIMIT ${operators.Text.FreqTopK}""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

@@ -79,6 +79,30 @@ class PropertySpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("jaccard") > 0.9)
   }
 
+  test("space-saving summary: frequent terms guaranteed, error bounded, over-capacity corpus") {
+    import spark.implicits._
+    // Zipfian synthetic: 400 distinct terms, term i appearing ~1500/i
+    // times — far over the 64-counter budget, so evictions DO occur
+    val words = (1 to 400).flatMap(i => Seq.fill(1500 / i)(s"term$i"))
+    val n = words.length
+    val cap = 64
+    val summary = words.toDF("w").repartition(8)
+      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("w"), cap).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = n / (cap + 1)
+    assert(summary.size <= cap)
+    summary.foreach { case (t, est) =>
+      assert(est <= exact(t), s"$t overestimated: $est > ${exact(t)}")
+      assert(exact(t) - est <= bound, s"$t error ${exact(t) - est} > $bound")
+    }
+    // every term with true frequency above the bound must survive
+    exact.filter(_._2 > bound).keys.foreach(t =>
+      assert(summary.contains(t), s"frequent term $t evicted"))
+  }
+
   test("winnow expression equals the naive reference on random strings") {
     import spark.implicits._
     import graft.functions.{WinnowFingerprints, WinnowFunctions}

@@ -35,8 +35,10 @@ class QueryPackSpec extends AnyFunSuite {
     val bnljOk = Set("ann_pq", "ann_topk", "dedup_embedding",
       "pipeline_e2e", "q20_subquery", "sample_mixture")
     // q24_funnel's whole-corpus funnel counts are one global
-    // aggregate row — the scalar class, same as the others
-    val singlePartOk = Set("pipeline_e2e", "q20_subquery", "sample_mixture", "q24_funnel")
+    // aggregate row, and freq_words's final rank runs on one
+    // ≤ FreqCapacity sketch row — the scalar class, same as the others
+    val singlePartOk = Set("pipeline_e2e", "q20_subquery", "sample_mixture",
+      "q24_funnel", "freq_words")
     for ((name, fn) <- SparkEntry.queries) {
       spark.catalog.clearCache()
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
