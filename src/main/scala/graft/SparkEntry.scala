@@ -504,8 +504,8 @@ object SparkEntry {
         |ORDER BY stage_idx""".stripMargin,
 
     "q25_retention" ->
-      """WITH a AS (
-        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+      s"""WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // ${operators.Relational.CohortDayMs} AS day FROM events
         |), c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1),
         |s AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM c GROUP BY 1),
         |m AS (

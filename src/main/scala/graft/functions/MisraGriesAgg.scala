@@ -12,8 +12,11 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import scala.collection.mutable
 
-/** Approximate heavy hitters (Misra-Gries summary) as one custom
-  * aggregate — the frequent-items counterpart of q16's HLL: exact
+/** Approximate heavy hitters — the MISRA-GRIES summary (decrement
+  * on miss, so estimates never exceed true counts; Space-Saving, by
+  * contrast, replaces the min counter and overestimates) as one
+  * custom aggregate, the frequent-items counterpart of q16's HLL:
+  * exact
   * top-terms need a full term shuffle; this keeps ≤ `capacity`
   * counters per partition, merges mergeably (Agarwal et al., the
   * MERGEABLE SUMMARIES result), and guarantees every term with true
@@ -29,7 +32,7 @@ import scala.collection.mutable
   * covered by an error-bound spec on a synthetic over-capacity
   * corpus.
   */
-case class SpaceSavingAgg(
+case class MisraGriesAgg(
     child: Expression,
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
@@ -117,17 +120,17 @@ case class SpaceSavingAgg(
     StructField("term", StringType), StructField("est", LongType))))
   override def nullable: Boolean = false
 
-  override def withNewMutableAggBufferOffset(o: Int): SpaceSavingAgg =
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesAgg =
     copy(mutableAggBufferOffset = o)
-  override def withNewInputAggBufferOffset(o: Int): SpaceSavingAgg =
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesAgg =
     copy(inputAggBufferOffset = o)
-  override protected def withNewChildInternal(c: Expression): SpaceSavingAgg =
+  override protected def withNewChildInternal(c: Expression): MisraGriesAgg =
     copy(child = c)
 }
 
-object SpaceSavingAgg {
-  /** Heavy-hitters summary column over a string column. */
-  def spaceSaving(c: Column, capacity: Int): Column =
-    Bridge.column(SpaceSavingAgg(Bridge.expression(c), capacity)
+object MisraGriesAgg {
+  /** Heavy-hitters (Misra-Gries) summary column over a string column. */
+  def frequentTerms(c: Column, capacity: Int): Column =
+    Bridge.column(MisraGriesAgg(Bridge.expression(c), capacity)
       .toAggregateExpression())
 }

@@ -457,6 +457,11 @@ object Relational {
       .orderBy(col("stage_idx"))
   }
 
+  /** Cohort bucket width for [[q25]] — interpolated into the oracle
+    * SQL so engine and oracle cannot drift.
+    */
+  val CohortDayMs = 86400000L
+
   /** q25_retention — cohort retention matrix: users cohorted by
     * first-active day, a cell per (cohort_day, day_offset) counting
     * how many came back, with an integer-exact retained-ppm rate.
@@ -465,7 +470,7 @@ object Relational {
     * aggregation — |days|² output rows regardless of corpus size.
     */
   def q25(spark: SparkSession, dir: String): DataFrame = {
-    val dayMs = 86400000L
+    val dayMs = CohortDayMs
     val ev = Tables(spark, dir).events
     val activity = ev
       .select(col("user_id"), floor(epochMs(col("ts")) / dayMs).cast("long").as("day"))

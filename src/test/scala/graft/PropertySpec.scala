@@ -79,7 +79,7 @@ class PropertySpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("jaccard") > 0.9)
   }
 
-  test("space-saving summary: frequent terms guaranteed, error bounded, over-capacity corpus") {
+  test("misra-gries summary: frequent terms guaranteed, error bounded, over-capacity corpus") {
     import spark.implicits._
     // Zipfian synthetic: 400 distinct terms, term i appearing ~1500/i
     // times — far over the 64-counter budget, so evictions DO occur
@@ -87,7 +87,7 @@ class PropertySpec extends AnyFunSuite {
     val n = words.length
     val cap = 64
     val summary = words.toDF("w").repartition(8)
-      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("w"), cap).as("sk"))
+      .agg(graft.functions.MisraGriesAgg.frequentTerms(col("w"), cap).as("sk"))
       .select(explode(col("sk")).as("e"))
       .select(col("e.term"), col("e.est"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -570,6 +570,26 @@ class QueryPackSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"single-partition exchange:\n$plan")
   }
 
+  test("freq_words exactness precondition: vocabulary under the counter budget, sketch = exact") {
+    import graft.functions.TextFunctions.words
+    // the oracle row is valid only while capacity > live vocabulary
+    // (no evictions → the Misra-Gries summary IS the count table);
+    // this guard turns a silent generator-vocab growth into a
+    // pointed failure instead of a flaky oracle mismatch
+    val wordCol = Tables(spark, sf).documents
+      .select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = wordCol.select("w").distinct().count()
+    assert(vocab < operators.Text.FreqCapacity,
+      s"vocabulary $vocab >= FreqCapacity=${operators.Text.FreqCapacity}: " +
+        "freq_words leaves the exact regime and its oracle row must be rethought")
+    val exact = wordCol.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    SparkEntry.queries("freq_words")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("est") == exact(r.getAs[String]("term")))
+    }
+  }
+
   test("funnel stages shrink monotonically; retention day-0 is the full cohort") {
     val f = SparkEntry.queries("q24_funnel")(spark, sf).collect()
     assert(f.map(_.getAs[String]("stage")).toSeq ==
