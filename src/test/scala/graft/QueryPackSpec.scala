@@ -23,6 +23,25 @@ class QueryPackSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("scan pushdown: predicates reach the parquet scan, projection prunes the schema") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def formatted(name: String): String =
+      SparkEntry.queries(name)(spark, sf).queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+    // q2: every predicate lands in PushedFilters at the scan
+    val s2 = formatted("q2_filter_project")
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThanOrEqual(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThan(l_quantity"))
+      assert(s2.contains(f), s"predicate not pushed to scan: $f\n$s2")
+    // projection pruning: lineitem has 16 columns, the query needs 6
+    val rs2 = s2.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(rs2.count(_ == ':') - 1 == 6, s"ReadSchema not pruned to 6 columns: $rs2")
+    assert(!rs2.contains("l_comment") && !rs2.contains("l_partkey"))
+    // q1: the date filter is pushed too
+    val s1 = formatted("q1_agg")
+    assert(s1.contains("LessThanOrEqual(l_shipdate"), s"q1 date filter not pushed\n$s1")
+  }
+
   test("plan guard: no query degenerates to nested-loop or single-partition outside the allowlist") {
     // Non-equi BROADCAST nested-loop is legitimate only where the
     // broadcast side is metadata-sized by construction: the ≤
