@@ -81,7 +81,11 @@ object SparkEntry {
     "bpe_encode"        -> (Tokenizer.bpeEncode _),
     "corpus_stats"      -> (Curation.corpusStats _),
     "ts_resample"       -> (Temporal.tsResample _),
-    "freq_words"        -> (Text.freqWords _)
+    "freq_words"        -> (Text.freqWords _),
+    "lm_score"          -> (LangModel.lmScore _),
+    "dsir_select"       -> (LangModel.dsirSelect _),
+    "q26_anomaly"       -> (Relational.q26 _),
+    "knn_graph"         -> ((s, d) => SimilaritySearch.knnGraph(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -1087,6 +1091,89 @@ object SparkEntry {
         |WHERE bucket < CASE lang WHEN 'en' THEN 150000 WHEN 'zh' THEN 500000
         |  WHEN 'es' THEN 500000 WHEN 'de' THEN 500000 WHEN 'fr' THEN 500000
         |  ELSE 0 END
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // add-one-smoothed bigram LM on the ppm lattice; HUGEINT mirrors
+    // the Spark side's DECIMAL(38,0) overflow guard
+    "lm_score" ->
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        |bi AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+        |  FROM d, unnest(range(1, len(w))) AS t(i)),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM bi),
+        |m AS (
+        |  SELECT c2.w1, c2.w2,
+        |    CAST(CAST(c2.c2 + 1 AS HUGEINT) * 1000000 // (c1.c1 + v.vocab) AS BIGINT) AS p_ppm
+        |  FROM c2 JOIN c1 ON c2.w1 = c1.w1 CROSS JOIN v)
+        |SELECT bi.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(CAST(SUM(p_ppm) AS HUGEINT) // COUNT(*) AS BIGINT) AS lm_ppm
+        |FROM bi JOIN m ON bi.w1 = m.w1 AND bi.w2 = m.w2
+        |GROUP BY bi.doc_id
+        |ORDER BY bi.doc_id""".stripMargin,
+
+    // hashed-2-gram importance ratios against the high-quality slice
+    // (score CTE identical to quality_score's — the shared definition)
+    "dsir_select" ->
+      s"""WITH e AS (
+        |  SELECT doc_id, lang, $wordsSql AS w,
+        |    CAST(len($wordsSql) AS BIGINT) AS n_words
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang, w, n_words,
+        |    ROUND(CAST(${hitsSql(profiles.head._2)} AS DOUBLE) / n_words + 1e-9, 4) AS stopword_ratio
+        |  FROM e),
+        |q AS (SELECT doc_id, lang, w,
+        |    ROUND(least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 +
+        |          least(1.0, stopword_ratio * 5.0) * 0.5 + 1e-9, 4) AS score
+        |  FROM f),
+        |g AS (
+        |  SELECT doc_id, lang, score >= 0.6 AS is_target,
+        |    ${hash60Sql("w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]")}
+        |      % ${operators.LangModel.DsirBuckets} AS b
+        |  FROM q, unnest(range(1, len(w))) AS t(i)),
+        |raw AS (SELECT b, COUNT(*) AS cr FROM g GROUP BY 1),
+        |tgt AS (SELECT b, COUNT(*) AS ct FROM g WHERE is_target GROUP BY 1),
+        |r AS (
+        |  SELECT raw.b,
+        |    CAST(CAST(COALESCE(ct, 0) + 1 AS HUGEINT) * 1000000 // (cr + 1) AS BIGINT) AS r_ppm
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+        |wt AS (
+        |  SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(CAST(SUM(r_ppm) AS HUGEINT) // COUNT(*) AS BIGINT) AS dsir_ppm
+        |  FROM g JOIN r USING (b) GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_grams, dsir_ppm,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY dsir_ppm DESC, doc_id)
+        |    <= ${operators.LangModel.DsirQuota} AS BIGINT) AS selected
+        |FROM wt
+        |ORDER BY doc_id""".stripMargin,
+
+    // lower median at rank ⌈n/2⌉ — a selected element, never an
+    // interpolated float, so median and MAD are integer-exact
+    "q26_anomaly" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS micro
+        |  FROM events),
+        |r1 AS (
+        |  SELECT user_id, event_id, micro,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY micro, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
+        |med AS (SELECT user_id, micro AS med FROM r1 WHERE rn = (n + 1) // 2),
+        |d AS (
+        |  SELECT e.user_id, e.event_id, e.micro, med.med,
+        |    abs(e.micro - med.med) AS dev
+        |  FROM e JOIN med USING (user_id)),
+        |r2 AS (
+        |  SELECT user_id, event_id, dev,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dev, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM d),
+        |mad AS (SELECT user_id, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.user_id, d.event_id, d.micro, d.med, d.dev, mad.mad,
+        |  CAST(d.dev * 2 > mad.mad * 9 AS BIGINT) AS anomaly
+        |FROM d JOIN mad USING (user_id)
+        |ORDER BY d.user_id, d.event_id""".stripMargin
   )
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical language-model corpus scoring over `documents` — the
+  * CCNet / DSIR family of data-curation signals: a bigram LM trained
+  * on the corpus itself scores each document's predictability
+  * ([[lmScore]]), and hashed-n-gram importance weights rank documents
+  * by closeness to a high-quality target slice ([[dsirSelect]]).
+  *
+  * Both run entirely on integer lattices (ppm ratios under floor
+  * division): the papers' log-space formulations are deliberately
+  * re-expressed as rational surrogates — monotone per feature,
+  * deterministic at any parallelism, and bit-exact against the
+  * DuckDB oracle where cross-engine `ln` would drift in the last ulp.
+  */
+object LangModel {
+
+  /** lm_score — bigram-LM predictability (the KenLM/CCNet perplexity
+    * filter shape, integerized): add-one-smoothed bigram statistics
+    * are trained on the corpus in one pass, then every document is
+    * scored by the MEAN smoothed bigram probability of its text in
+    * parts-per-million:
+    *
+    *   p_ppm(w1,w2) = (c(w1,w2)+1)·10⁶ div (c(w1)+V)
+    *   lm_ppm(doc)  = Σ p_ppm over the doc's bigram instances div n
+    *
+    * c(w1) counts w1 as a bigram context, V is the distinct next-word
+    * vocabulary (the add-one denominator). Low lm_ppm marks text the
+    * corpus model finds unpredictable — the same tail a log-space
+    * perplexity filter drops (the arithmetic mean replaces the
+    * geometric one so the score stays on an integer lattice the
+    * oracle reproduces bit-exactly).
+    *
+    * Scale shape: the model is two map-side-combinable aggregations
+    * keyed by word / word-pair whose outputs are VOCABULARY-sized
+    * (Heaps-law sublinear in the corpus — the bpe_train regime), and
+    * scoring is ONE equi-join of the doc bigram instances against the
+    * model on (w1,w2): the model side is unique per key, so join
+    * fan-out is exactly 1 even on stopword-heavy keys — never a
+    * candidate blowup. The numerator is promoted to DECIMAL(38,0)
+    * before the ×10⁶: at 100 TB a hot bigram count ~10¹⁴ would
+    * overflow int64 under the multiply (the sample_mixture lesson).
+    * V is the one scalar aggregate (the q20_subquery class,
+    * allowlisted in the plan guard); docs with fewer than 2 words
+    * have no bigrams and are out of scope on both engines.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreOn(Tables(spark, dir).documents)
+
+  private[graft] def lmScoreOn(docs: DataFrame): DataFrame = {
+    // bigram INSTANCES (not distinct — counts are the model); the
+    // `when` guard keeps sequence(0, -1) from fabricating grams on
+    // sub-2-word docs (the doc_chunk corner)
+    val bi = docs.withColumn("w", words(col("text")))
+      .select(col("doc_id"),
+        explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")))
+          .as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .cache() // four consumers: c2, c1, V, and the scoring join
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = bi.agg(countDistinct(col("w2")).as("vocab"))
+    val model = c2.join(c1, "w1").crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        expr("CAST(CAST(c2 + 1 AS DECIMAL(38,0)) * 1000000 div (c1 + vocab) AS BIGINT)")
+          .as("p_ppm"))
+    bi.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sum_ppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_ppm div n_bigrams").as("lm_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Hashed-feature space for [[dsirSelect]] — fixed bucket count, so
+    * both distribution estimates are constant-size metadata tables at
+    * any corpus scale (the broadcast-dimension class).
+    */
+  val DsirBuckets = 1024
+
+  /** Per-language selection quota for [[dsirSelect]]. */
+  val DsirQuota = 25
+
+  /** dsir_select — hashed-n-gram importance weighting (the DSIR
+    * data-selection shape): the TARGET distribution is estimated from
+    * the corpus's own high-quality slice (score ≥ 0.6 under THE shared
+    * quality score — the single definition quality_score /
+    * corpus_stats / the streaming gate all use), the RAW distribution
+    * from the whole corpus; every document is weighted by the mean
+    * target/raw likelihood ratio of its hashed word-2-gram features
+    * and the top [[DsirQuota]] per language are selected:
+    *
+    *   bucket(g)   = hash60(g) mod [[DsirBuckets]]
+    *   r_ppm(b)    = (ct(b)+1)·10⁶ div (cr(b)+1)
+    *   weight(doc) = Σ r_ppm over the doc's gram instances div n
+    *
+    * The paper's log-ratio sum becomes a ratio mean on the ppm
+    * lattice — monotone per feature and bit-exact in the oracle.
+    *
+    * Scale shape: both count tables aggregate down to ≤
+    * [[DsirBuckets]] rows (constant metadata); scoring is one
+    * equi-join on the bucket id with fan-out 1; selection is a
+    * row_number over a lang-PARTITIONED window — never a global sort.
+    * The ×10⁶ numerator is DECIMAL(38,0)-promoted like [[lmScore]].
+    * Docs with fewer than 2 words have no features and are out of
+    * scope on both engines.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirSelectOn(Tables(spark, dir).documents)
+
+  private[graft] def dsirSelectOn(docs: DataFrame): DataFrame = {
+    val grams = Text.withQualityScore(docs)
+      .select(col("doc_id"), col("lang"), (col("score") >= 0.6).as("is_target"),
+        explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")))
+          .as("g"))
+      .select(col("doc_id"), col("lang"), col("is_target"),
+        (hash60(col("g")) % DsirBuckets).as("b"))
+      .cache() // three consumers: raw counts, target counts, scoring
+    val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = grams.filter(col("is_target"))
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val ratio = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"),
+        expr("CAST(CAST(coalesce(ct, 0) + 1 AS DECIMAL(38,0)) * 1000000 div (cr + 1) AS BIGINT)")
+          .as("r_ppm"))
+    val weighted = grams.join(ratio, "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("r_ppm")).as("sum_ppm"))
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        expr("sum_ppm div n_grams").as("dsir_ppm"))
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("dsir_ppm").desc, col("doc_id"))
+    weighted
+      .withColumn("selected",
+        (row_number().over(byLang) <= DsirQuota).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -485,4 +485,46 @@ object Relational {
         col("n_active"), expr("n_active * 1000000 div cohort_size").as("retained_ppm"))
       .orderBy(col("cohort_day"), col("day_offset"))
   }
+
+  /** q26_anomaly — per-user robust outlier detection (median/MAD, the
+    * metric-monitoring twin of hr_classify's fixed thresholds):
+    * values move to the 10⁻⁴ integer lattice (floor(x·10⁴+0.5), the
+    * PQ lattice trick), each user's LOWER median and MAD come from
+    * exact rank positions — the element at rank ⌈n/2⌉, never an
+    * interpolated float — and an event is anomalous when
+    * 2·|v − med| > 9·MAD (i.e. |dev| > 4.5·MAD, in pure integer
+    * arithmetic). Median/MAD over mean/stddev because one genuine
+    * outlier inflates a stddev threshold enough to mask the next one.
+    *
+    * Scale shape: two window/aggregate passes, both partitioned by
+    * user_id — a rank window to locate each robust center plus a
+    * user-keyed join back, repeated for the deviations. No global
+    * window, no scalar aggregate; every shuffle is keyed by user.
+    */
+  def q26(spark: SparkSession, dir: String): DataFrame =
+    q26On(Tables(spark, dir).events)
+
+  private[graft] def q26On(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("event_id"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("micro"))
+    // the value at rank ⌈n/2⌉ ordered by (value, event_id): tie order
+    // can't change the selected VALUE, so the median is deterministic
+    def lowerMedian(df: DataFrame, c: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col(c), col("event_id"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .filter(expr("rn = (n + 1) div 2"))
+        .select(col("user_id"), col(c).as(out))
+    }
+    val med = lowerMedian(ev, "micro", "med")
+    val dev = ev.join(med, "user_id")
+      .withColumn("dev", abs(col("micro") - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(mad, "user_id")
+      .select(col("user_id"), col("event_id"), col("micro"),
+        col("med"), col("dev"), col("mad"),
+        (col("dev") * 2 > col("mad") * 9).cast("long").as("anomaly"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }

@@ -368,4 +368,80 @@ object SimilaritySearch {
       .select(col("qid"), col("vec_id").as("nid"), col("rank"), round(col("sim"), 6).as("sim"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Target LSH bucket occupancy for [[knnGraph]] — the signature
+    * width is derived from it: planes/table =
+    * max(2, ⌈log₂(n / target)⌉), so the EXPECTED bucket size stays
+    * ≈ [[KnnBucketTarget]] at any corpus size and per-table candidate
+    * volume Σ f² stays ≈ n·target — linear in n, where any FIXED
+    * signature width degenerates to O(n²/2^p) once buckets fill.
+    * The sizing count() is one metadata action (the dedup_embedding
+    * auto-block precedent); given a corpus, the graph is fully
+    * deterministic.
+    */
+  val KnnBucketTarget = 32
+
+  /** Skew guard for [[knnGraph]]: a bucket larger than this never
+    * self-joins (the WinnowDfCap move) — a degenerate signature
+    * region (e.g. many identical vectors) costs recall for its
+    * members instead of an f² pair blowup for the whole stage.
+    */
+  val KnnBucketCap = 256
+
+  private val KnnTables = 8
+
+  /** knn_graph — the all-pairs k-NN graph over the embedding corpus:
+    * for EVERY vector, its k most-cosine-similar neighbors. This is
+    * the structure graph-based curation consumes — SemDeDup-style
+    * cluster pruning, graph dedup, diversity/coverage sampling all
+    * start from it — and the corpus-to-corpus regime is exactly
+    * where brute force dies (n² pairs, vs n·q with q ≤ MaxQueries
+    * for ann_topk).
+    *
+    * Candidates come from [[KnnTables]] LSH tables whose signature
+    * width AUTO-SCALES with the corpus (see [[KnnBucketTarget]]):
+    * the corpus shuffles once per table on (table, signature),
+    * buckets self-join (skew-capped by [[KnnBucketCap]]), exact
+    * cosine re-ranks candidates only, and per-source top-k runs on
+    * the engine's bounded-heap operator. Rows-only: LSH candidate
+    * generation is approximate (recall vs the brute-force graph
+    * asserted in DedupAnnSpec).
+    */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    knnGraphOn(embDouble(spark, dir).filter(col("v").isNotNull), k)
+
+  private[graft] def knnGraphOn(emb: DataFrame, k: Int): DataFrame = {
+    val n = math.max(1L, emb.count())
+    val planesPerTable = math.max(2,
+      math.ceil(math.log(n.toDouble / KnnBucketTarget) / math.log(2)).toInt)
+    val planes: Seq[Seq[Double]] = {
+      val rnd = new scala.util.Random(13)
+      Vector.fill(KnnTables * planesPerTable)(Vector.fill(Dim)(rnd.nextGaussian()))
+    }
+    val sigs = emb.select(col("vec_id"),
+      posexplode(hyperplaneSignatures(col("v"), planes, planesPerTable))
+        .as(Seq("t", "sig")))
+    val smallBuckets = sigs.groupBy(col("t"), col("sig"))
+      .agg(count(lit(1)).as("f"))
+      .filter(col("f") <= KnnBucketCap)
+      .select(col("t"), col("sig"))
+    val indexed = sigs.join(smallBuckets, Seq("t", "sig"))
+    val candidates = indexed.as("a").join(indexed.as("b"),
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct()
+    val scored = candidates
+      .join(emb.select(col("vec_id").as("src"), col("v").as("sv")), "src")
+      .join(emb.select(col("vec_id").as("dst"), col("v").as("dv")), "dst")
+      .select(col("src"), col("dst"), cosineSim(col("sv"), col("dv")).as("sim"))
+    val topk = graft.plans.TopK.topKPerKey(scored,
+      keys = Seq(col("src")),
+      order = Seq(col("sim").desc, col("dst").asc), k = k)
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    topk
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("src"), col("dst"), col("rank"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("src"), col("rank"))
+  }
 }

@@ -83,6 +83,55 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("knn_graph recall vs the brute-force all-pairs graph, ordering and degree bounds") {
+    import graft.functions.VectorFunctions.cosineSim
+    val k = 8
+    val got = SparkEntry.queries("knn_graph")(spark, sf).collect()
+    // brute force: full n² cosine (test-only — 500 vectors here)
+    val emb = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    val exact = emb.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        cosineSim(col("a.v"), col("b.v")).as("sim"))
+      .collect().groupBy(_.getAs[Long]("src"))
+      .map { case (s, rows) =>
+        s -> rows.sortBy(r => (-r.getAs[Double]("sim"), r.getAs[Long]("dst")))
+          .take(k).map(_.getAs[Long]("dst")).toSet }
+    val gotBy = got.groupBy(_.getAs[Long]("src"))
+      .map { case (s, rows) => s -> rows.map(_.getAs[Long]("dst")).toSet }
+    // every vector gets a neighborhood, never more than k wide
+    assert(gotBy.keySet == exact.keySet, "some vectors have no neighborhood")
+    assert(got.groupBy(_.getAs[Long]("src")).values.forall(_.length <= k))
+    // self-join LSH (no multi-probe) on weakly-clustered vectors:
+    // assert the machinery finds a solid share of true neighbors
+    val recall = exact.map { case (s, ex) => (ex & gotBy(s)).size.toDouble / ex.size }
+    assert(recall.sum / recall.size >= 0.5,
+      s"mean recall ${recall.sum / recall.size} < 0.5")
+    // ranks must follow true cosine within each neighborhood
+    got.groupBy(_.getAs[Long]("src")).values.foreach { rows =>
+      val sims = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("knn_graph signature width scales with the corpus and the plan stays bucket-joined") {
+    // the auto-width rule: ⌈log₂(n/target)⌉ planes, floored at 2 —
+    // bucket occupancy stays ≈ target at any n, so candidate volume
+    // is linear in n (a fixed width would go O(n²) past its capacity)
+    import graft.operators.SimilaritySearch.KnnBucketTarget
+    def planesFor(n: Long) = math.max(2,
+      math.ceil(math.log(n.toDouble / KnnBucketTarget) / math.log(2)).toInt)
+    assert(planesFor(500) == 4)
+    assert(planesFor(500000) == 14)          // 1000× corpus: +10 bits
+    assert(planesFor(500000000L) == 24)      // buckets keep pace with n
+    val plan = graft.operators.SimilaritySearch.knnGraph(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"bounded-heap top-k missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"knn_graph degenerated to an unbucketed pair join:\n$plan")
+  }
+
   test("dedup_embedding block decomposition is exact: block-count invariant (incl. auto-sizing)") {
     val a = graft.operators.Dedup.embedding(spark, sf, blocks = 3).collect().map(_.toSeq).toSeq
     val b = graft.operators.Dedup.embedding(spark, sf, blocks = 16).collect().map(_.toSeq).toSeq

@@ -52,12 +52,13 @@ class QueryPackSpec extends AnyFunSuite {
     // else must stay hash/range partitioned — this sweep makes a
     // future operator that silently degenerates fail CI.
     val bnljOk = Set("ann_pq", "ann_topk", "dedup_embedding",
-      "pipeline_e2e", "q20_subquery", "sample_mixture")
+      "pipeline_e2e", "q20_subquery", "sample_mixture", "lm_score")
     // q24_funnel's whole-corpus funnel counts are one global
-    // aggregate row, and freq_words's final rank runs on one
-    // ≤ FreqCapacity sketch row — the scalar class, same as the others
+    // aggregate row, freq_words's final rank runs on one
+    // ≤ FreqCapacity sketch row, and lm_score's vocabulary size V is
+    // a 1-row aggregate — the scalar class, same as the others
     val singlePartOk = Set("pipeline_e2e", "q20_subquery", "sample_mixture",
-      "q24_funnel", "freq_words")
+      "q24_funnel", "freq_words", "lm_score")
     for ((name, fn) <- SparkEntry.queries) {
       spark.catalog.clearCache()
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
