@@ -85,7 +85,12 @@ object SparkEntry {
     "lm_score"          -> (LangModel.lmScore _),
     "dsir_select"       -> (LangModel.dsirSelect _),
     "q26_anomaly"       -> (Relational.q26 _),
-    "knn_graph"         -> ((s, d) => SimilaritySearch.knnGraph(s, d))
+    "knn_graph"         -> ((s, d) => SimilaritySearch.knnGraph(s, d)),
+    "scd2_merge"        -> (Warehouse.scd2Merge _),
+    "cdc_apply"         -> (Warehouse.cdcApply _),
+    "html_extract"      -> (Text.htmlExtract _),
+    "k_anon"            -> (Curation.kAnon _),
+    "pagerank"          -> (Graph.pagerank _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -1174,6 +1179,143 @@ object SparkEntry {
         |SELECT d.user_id, d.event_id, d.micro, d.med, d.dev, mad.mad,
         |  CAST(d.dev * 2 > mad.mad * 9 AS BIGINT) AS anomaly
         |FROM d JOIN mad USING (user_id)
-        |ORDER BY d.user_id, d.event_id""".stripMargin
+        |ORDER BY d.user_id, d.event_id""".stripMargin,
+
+    // SCD2 MERGE: the three UNION branches mirror the engine's one
+    // full-outer-join + explode (old-kept / old-closed / new-version)
+    "scd2_merge" ->
+      s"""WITH dim AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal FROM customer
+        |), upd AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 5 = 2 THEN 'MACHINERY' ELSE c_mktsegment END AS useg,
+        |    CASE WHEN c_custkey % 3 = 1
+        |      THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + CAST(100.00 AS DECIMAL(18,2)) AS DOUBLE)
+        |      ELSE c_acctbal END AS ubal,
+        |    (c_custkey % 3 = 1 OR
+        |     (CASE WHEN c_custkey % 5 = 2 THEN 'MACHINERY' ELSE c_mktsegment END) <> c_mktsegment) AS changed
+        |  FROM customer
+        |  WHERE c_custkey % 3 = 1 OR c_custkey % 5 = 2
+        |  UNION ALL
+        |  SELECT c_custkey + ${operators.Warehouse.Scd2InsertOffset}, c_mktsegment, c_acctbal, true
+        |  FROM customer WHERE c_custkey % 50 = 0
+        |)
+        |SELECT k AS c_custkey, CAST(0 AS BIGINT) AS valid_from_ms,
+        |  CAST(NULL AS BIGINT) AS valid_to_ms, CAST(1 AS BIGINT) AS is_current,
+        |  seg AS c_mktsegment, bal AS c_acctbal
+        |FROM dim WHERE k NOT IN (SELECT k FROM upd WHERE changed)
+        |UNION ALL
+        |SELECT d.k, CAST(0 AS BIGINT), CAST(${operators.Warehouse.Scd2EffMs} AS BIGINT),
+        |  CAST(0 AS BIGINT), d.seg, d.bal
+        |FROM dim d JOIN upd u ON d.k = u.k AND u.changed
+        |UNION ALL
+        |SELECT u.k, CAST(${operators.Warehouse.Scd2EffMs} AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(1 AS BIGINT), u.useg, u.ubal
+        |FROM upd u WHERE u.changed
+        |ORDER BY c_custkey, valid_from_ms""".stripMargin,
+
+    // last-writer-wins compaction: arg_max per column ≡ the engine's
+    // max(struct(seq, …)) because seq (orderkey) is unique
+    "cdc_apply" ->
+      s"""WITH log AS (
+        |  SELECT o_orderkey % ${operators.Warehouse.CdcEntities} AS entity_id,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 11 = 3 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice, o_orderstatus
+        |  FROM orders
+        |), c AS (
+        |  SELECT entity_id,
+        |    CAST(arg_max(seq, seq) AS BIGINT) AS last_seq,
+        |    arg_max(op, seq) AS last_op,
+        |    arg_max(o_totalprice, seq) AS o_totalprice,
+        |    arg_max(o_orderstatus, seq) AS o_orderstatus,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ops
+        |  FROM log GROUP BY 1)
+        |SELECT entity_id, last_seq, o_totalprice, o_orderstatus, n_ops
+        |FROM c WHERE last_op = 'U'
+        |ORDER BY entity_id""".stripMargin,
+
+    // same fixture wrap + block-strip + tag-strip + entity unescape,
+    // in the RE2 dialect (every pattern is in the Java∩RE2 subset)
+    "html_extract" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN
+        |      '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |      '</title><style>p {color: red}</style></head><body><p>' || text ||
+        |      ' &amp; more</p><script>var x = 1 &amp;&amp; 2;</script><!-- footer --></body></html>'
+        |    ELSE text END AS aug
+        |  FROM documents
+        |), nb AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
+        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?s)<head[^>]*>.*?</head>', ' ', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g') AS nb
+        |  FROM a
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(nb, '<[^>]+>')) > 0 AS BIGINT) AS was_html,
+        |  CAST(len(regexp_extract_all(nb, '<[^>]+>')) AS BIGINT) AS n_tags,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(nb, '<[^>]+>', ' ', 'g'),
+        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '\s+', ' ', 'g')) AS extracted
+        |FROM nb
+        |ORDER BY doc_id""".stripMargin,
+
+    "k_anon" ->
+      s"""WITH qi AS (
+        |  SELECT doc_id, lang, source, n_chars // ${operators.Curation.KAnonLenBucket} AS len_bucket
+        |  FROM documents
+        |), g AS (
+        |  SELECT lang, source, len_bucket, CAST(COUNT(*) AS BIGINT) AS group_n
+        |  FROM qi GROUP BY 1, 2, 3)
+        |SELECT qi.doc_id,
+        |  CASE WHEN g.group_n >= ${operators.Curation.KAnonK} THEN qi.lang ELSE '*' END AS lang_out,
+        |  CASE WHEN g.group_n >= ${operators.Curation.KAnonK} THEN qi.source ELSE '*' END AS source_out,
+        |  CASE WHEN g.group_n >= ${operators.Curation.KAnonK} THEN CAST(qi.len_bucket AS VARCHAR) ELSE '*' END AS len_bucket_out,
+        |  g.group_n,
+        |  CAST(g.group_n < ${operators.Curation.KAnonK} AS BIGINT) AS suppressed
+        |FROM qi JOIN g USING (lang, source, len_bucket)
+        |ORDER BY qi.doc_id""".stripMargin,
+
+    // the engine's fixed PrIters rounds unrolled as CTEs — identical
+    // integer flooring per round (HUGEINT sum mirrors DECIMAL(38,0))
+    "pagerank" -> {
+      val off = operators.Graph.SupplierNodeOffset
+      val rounds = (1 to operators.Graph.PrIters).map { i =>
+        s"""p$i AS (
+          |  SELECT b.id, b.outdeg,
+          |    CAST(${operators.Graph.PrTeleport} + ${operators.Graph.PrDampPct} *
+          |      COALESCE(SUM(a.pr // a.outdeg), 0) // 100 AS BIGINT) AS pr
+          |  FROM n0 b
+          |  LEFT JOIN edges e ON e.dst = b.id
+          |  LEFT JOIN p${i - 1} a ON a.id = e.src
+          |  GROUP BY b.id, b.outdeg)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nodes AS (
+        |  SELECT c_custkey AS id FROM customer
+        |  UNION ALL SELECT s_suppkey + $off FROM supplier
+        |), pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey + $off AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), edges AS (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs
+        |), deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+        |n0 AS (
+        |  SELECT n.id, COALESCE(d.outdeg, 0) AS outdeg
+        |  FROM nodes n LEFT JOIN deg d ON d.src = n.id
+        |), p0 AS (SELECT id, outdeg, CAST(${operators.Graph.PrScale} AS BIGINT) AS pr FROM n0),
+        |$rounds
+        |SELECT id AS node_id,
+        |  CASE WHEN id >= $off THEN 's' ELSE 'c' END AS node_type,
+        |  outdeg AS degree, pr AS pr_ppb
+        |FROM p${operators.Graph.PrIters}
+        |ORDER BY node_id""".stripMargin
+    }
   )
 }

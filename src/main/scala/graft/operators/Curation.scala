@@ -340,4 +340,44 @@ object Curation {
         col("n_docs"), col("n_words"), col("n_chars"), col("n_hq"),
         expr("n_chars div 4").as("est_tokens"))
       .orderBy(col("lang"), col("source"))
+
+  /** Minimum group size for [[kAnon]]: a quasi-identifier
+    * combination carried by fewer documents than this is suppressed.
+    */
+  val KAnonK = 10L
+
+  /** Width of the k_anon length bucket (chars). */
+  val KAnonLenBucket = 400L
+
+  /** k_anon — k-anonymity suppression over the release metadata: a
+    * document's quasi-identifier tuple (lang, source, length bucket)
+    * is published only when at least [[KAnonK]] documents share it;
+    * rarer combinations — the re-identifiable tail — are generalized
+    * to '*'. The privacy gate a corpus release runs over its
+    * metadata columns.
+    *
+    * Scale shape: the quasi-identifier space is tiny (|langs| ×
+    * |sources| × |buckets|), so group sizes come from ONE map-side-
+    * combined aggregation whose output is metadata-sized, broadcast
+    * back over the corpus — the corpus itself never shuffles (a
+    * window over the QI partition would shuffle all of it; plan
+    * asserted broadcast in QueryPackSpec).
+    */
+  def kAnon(spark: SparkSession, dir: String): DataFrame =
+    kAnonOn(Tables(spark, dir).documents)
+
+  private[graft] def kAnonOn(docs: DataFrame): DataFrame = {
+    val qi = docs.select(col("doc_id"), col("lang"), col("source"),
+      expr(s"n_chars div $KAnonLenBucket").as("len_bucket"))
+    val sizes = qi.groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("group_n"))
+    val ok = col("group_n") >= KAnonK
+    qi.join(broadcast(sizes), Seq("lang", "source", "len_bucket"))
+      .select(col("doc_id"),
+        when(ok, col("lang")).otherwise(lit("*")).as("lang_out"),
+        when(ok, col("source")).otherwise(lit("*")).as("source_out"),
+        when(ok, col("len_bucket").cast("string")).otherwise(lit("*")).as("len_bucket_out"),
+        col("group_n"), (!ok).cast("long").as("suppressed"))
+      .orderBy(col("doc_id"))
+  }
 }

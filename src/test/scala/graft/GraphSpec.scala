@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the pagerank operator: exact equality against an
+  * independent in-memory integer PageRank at sf0.001, teleport-only
+  * mass for isolated nodes, and partitioning invariance (integer
+  * lattice ⇒ parallelism cannot change a digit).
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  /** Plain-Scala reference: same integer arithmetic, same rounds. */
+  private def referencePr(nodes: Seq[Long], edges: Seq[(Long, Long)])
+      : Map[Long, (Long, Long)] = {
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val inbound = edges.groupBy(_._2)
+    var pr: Map[Long, Long] = nodes.map(_ -> operators.Graph.PrScale).toMap
+    for (_ <- 1 to operators.Graph.PrIters) {
+      pr = nodes.map { n =>
+        val s = inbound.getOrElse(n, Nil)
+          .map { case (src, _) => pr(src) / outdeg(src) }
+          .foldLeft(BigInt(0))(_ + _)
+        n -> (operators.Graph.PrTeleport +
+          (BigInt(operators.Graph.PrDampPct) * s / 100).toLong)
+      }.toMap
+    }
+    pr.map { case (n, v) => n -> (outdeg.getOrElse(n, 0L), v) }
+  }
+
+  test("pagerank equals the in-memory integer reference on the sf0.001 trade graph") {
+    val t = Tables(spark, sf)
+    val got = operators.Graph.pagerank(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+    // rebuild the same graph with plain Scala
+    import spark.implicits._
+    val off = operators.Graph.SupplierNodeOffset
+    val custs = t.customer.select("c_custkey").as[Long].collect().toSeq
+    val supps = t.supplier.select("s_suppkey").as[Long].collect().toSeq.map(_ + off)
+    val li = t.lineitem
+    val ord = t.orders
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select("o_custkey", "l_suppkey").as[(Long, Long)]
+      .collect().toSeq.map { case (c, s) => (c, s + off) }.distinct
+    val edges = pairs ++ pairs.map(_.swap)
+    val ref = referencePr(custs ++ supps, edges)
+    assert(got.length == (custs.size + supps.size))
+    for ((id, (tpe, deg, pr)) <- got) {
+      assert(tpe == (if (id >= off) "s" else "c"))
+      val (refDeg, refPr) = ref(id)
+      assert(deg == refDeg, s"node $id degree $deg != $refDeg")
+      assert(pr == refPr, s"node $id pr $pr != $refPr")
+    }
+  }
+
+  test("isolated nodes hold exactly the teleport mass; connected mass exceeds it") {
+    import spark.implicits._
+    val customer = Seq(1L, 2L, 99L).toDF("c_custkey")
+      .withColumn("c", org.apache.spark.sql.functions.lit("x"))
+    val supplier = Seq(7L).toDF("s_suppkey")
+    val orders = Seq((10L, 1L), (11L, 2L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 7L), (11L, 7L)).toDF("l_orderkey", "l_suppkey")
+    val got = operators.Graph.pagerankOn(customer, supplier, orders, lineitem)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(99L) == operators.Graph.PrTeleport, "isolated node must keep teleport only")
+    val hub = operators.Graph.SupplierNodeOffset + 7L
+    assert(got(hub) > got(1L) && got(hub) > got(99L),
+      "the hub supplier must out-rank its leaf customers")
+  }
+
+  test("pagerank is invariant to partitioning") {
+    val t = Tables(spark, sf)
+    val a = operators.Graph.pagerankOn(t.customer, t.supplier, t.orders, t.lineitem)
+      .collect().toSeq
+    val b = operators.Graph.pagerankOn(t.customer.repartition(7), t.supplier,
+        t.orders.repartition(3), t.lineitem.repartition(5))
+      .collect().toSeq
+    assert(a == b)
+  }
+}

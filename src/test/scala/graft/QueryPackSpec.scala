@@ -87,7 +87,11 @@ class QueryPackSpec extends AnyFunSuite {
       "label propagationRound" ->
         operators.Dedup.propagationRound(
           Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
-          Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "label")))
+          Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "label")),
+      "pagerankRound" ->
+        operators.Graph.pagerankRound(
+          Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+          Seq((1L, 1L, 1000000000L), (2L, 1L, 1000000000L)).toDF("id", "outdeg", "pr")))
     roundPlans.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
@@ -718,5 +722,57 @@ class QueryPackSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"single-partition exchange:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"nested-loop join in winnow_pairs plan:\n$plan")
+  }
+
+  test("html_extract recovers the body text bit-exactly and drops script/style/comments") {
+    import graft.functions.TextFunctions.normalize
+    val docs = Tables(spark, sf).documents
+    val got = SparkEntry.queries("html_extract")(spark, sf)
+    val joined = got.join(
+      docs.select(col("doc_id"), normalize(col("text")).as("norm")), "doc_id").cache()
+    // wrapped docs: extraction == normalized body + the unescaped suffix
+    val wrappedBad = joined.filter(col("doc_id") % 6 === 0)
+      .filter(col("extracted") =!= concat(col("norm"), lit(" & more")))
+    assert(wrappedBad.count() == 0, "wrapped docs must round-trip to body + ' & more'")
+    // untouched docs: extraction is plain normalization, zero tags
+    val plainBad = joined.filter(col("doc_id") % 6 =!= 0)
+      .filter(col("extracted") =!= col("norm") || col("was_html") =!= 0)
+    assert(plainBad.count() == 0, "non-HTML docs must pass through normalized")
+    // flags exact; no tag residue; script/comment payloads never leak
+    assert(got.filter((col("doc_id") % 6 === 0) =!= (col("was_html") === 1)).count() == 0)
+    assert(got.filter(col("extracted").contains("<") ||
+      col("extracted").contains("var x") ||
+      col("extracted").contains("footer") ||
+      col("extracted").contains("color")).count() == 0)
+    joined.unpersist()
+  }
+
+  test("k_anon suppresses exactly the rare QI groups, corpus never shuffles") {
+    val docs = Tables(spark, sf).documents
+    val got = SparkEntry.queries("k_anon")(spark, sf).cache()
+    // group_n is the true group size of the doc's QI tuple
+    val expected = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(s"n_chars div ${operators.Curation.KAnonLenBucket}").as("lb"))
+    val k = operators.Curation.KAnonK
+    val sizes = expected.groupBy("lang", "source", "lb").count()
+    val truth = expected.join(sizes, Seq("lang", "source", "lb"))
+    val merged = got.join(truth, "doc_id")
+    assert(merged.filter(col("group_n") =!= col("count")).count() == 0)
+    // suppression boundary is exact, and suppressed rows leak nothing
+    assert(merged.filter((col("count") < k) =!= (col("suppressed") === 1)).count() == 0)
+    assert(got.filter(col("suppressed") === 1)
+      .filter(col("lang_out") =!= "*" || col("source_out") =!= "*" ||
+        col("len_bucket_out") =!= "*").count() == 0)
+    assert(got.filter(col("suppressed") === 0)
+      .filter(col("lang_out") === "*").count() == 0)
+    // both regimes exercised at this SF
+    assert(got.filter(col("suppressed") === 1).count() > 0)
+    assert(got.filter(col("suppressed") === 0).count() > 0)
+    // scale shape: group sizes broadcast back — the corpus-side join
+    // must be a broadcast, not a QI-keyed shuffle of every document
+    val plan = got.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), s"k_anon lost its broadcast join:\n$plan")
+    got.unpersist()
   }
 }
