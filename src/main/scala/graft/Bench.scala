@@ -49,8 +49,13 @@ object Bench {
         n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
       }
     val results = minOfTwo(sfDir)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // ms precision: sub-ms digits are pure noise at this scale, and a
+    // compact line survives the driver's bounded tail capture (r01-r03
+    // all recorded parsed:null with the front of the line truncated)
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val total = fmt(results.map(_._2).filter(_ >= 0).sum)
 
     // scaling slope: time ratio vs the 10×-smaller sf0.01 sibling.
     // Data grows 10×, so a scan/shuffle-linear query must stay well
@@ -74,8 +79,7 @@ object Bench {
       }
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$slopeJson}"""
-    println(line)
-    // also persist to a file: log capture truncates long lines (r02's
+    // persist to a file first: log capture truncates long lines (r02's
     // tail lost the front half of the per-query map), the file never
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
@@ -86,5 +90,8 @@ object Bench {
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }
     spark.stop()
+    // the JSON line goes out LAST, after spark.stop()'s log spew, so a
+    // tail-capturing harness keeps it whole
+    println(line)
   }
 }

@@ -85,6 +85,9 @@ object SparkEntry {
     "lm_score"          -> (LangModel.lmScore _),
     "dsir_select"       -> (LangModel.dsirSelect _),
     "q26_anomaly"       -> (Relational.q26 _),
+    "q27_window_pack"   -> (Relational.q27 _),
+    "q28_correlated"    -> (Relational.q28 _),
+    "q30_ewma"          -> (Relational.q30 _),
     "knn_graph"         -> ((s, d) => SimilaritySearch.knnGraph(s, d)),
     "scd2_merge"        -> (Warehouse.scd2Merge _),
     "cdc_apply"         -> (Warehouse.cdcApply _),
@@ -1180,6 +1183,58 @@ object SparkEntry {
         |  CAST(d.dev * 2 > mad.mad * 9 AS BIGINT) AS anomaly
         |FROM d JOIN mad USING (user_id)
         |ORDER BY d.user_id, d.event_id""".stripMargin,
+
+    // frames explicit for the first/last/nth family; the rank-family
+    // ratios are divisions of identical integers → identical doubles
+    "q27_window_pack" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  first_value(o_orderkey) OVER wf AS top_key,
+        |  last_value(o_orderkey) OVER wf AS bottom_key,
+        |  nth_value(o_orderkey, 2) OVER wf AS runnerup_key,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey),
+        |  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    // independent formulation: the correlated subqueries decorrelated
+    // BY HAND into the per-custkey aggregate + join Catalyst derives
+    "q28_correlated" ->
+      """WITH s AS (
+        |  SELECT o_custkey AS ck, COUNT(*) AS cnt,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_custkey, o_totalprice, cnt AS n_cust_orders
+        |FROM orders JOIN s ON o_custkey = ck
+        |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * cnt > total_cents
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the 2⁰…2¹⁹ kernel weights injected from the Scala constant;
+    // num/den fold on BIGINT, final ewma_cents by integer division
+    "q30_ewma" -> {
+      val k = operators.Relational.EwmaDepth
+      val pows = (0 until k).map(1L << _).mkString("[", ", ", "]")
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |f AS (
+        |  SELECT user_id, event_id, ts_ms, cents,
+        |    list(cents) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS BETWEEN ${k - 1} PRECEDING AND CURRENT ROW) AS frame
+        |  FROM e)
+        |SELECT user_id, event_id, ts_ms, cents,
+        |  CAST(len(frame) AS BIGINT) AS n_terms,
+        |  CAST(list_sum(list_transform(range(1, len(frame) + 1),
+        |      i -> frame[CAST(i AS INT)] * ($pows)[CAST(i AS INT)]))
+        |    // ((CAST(1 AS BIGINT) << len(frame)) - 1) AS BIGINT) AS ewma_cents
+        |FROM f
+        |ORDER BY user_id, ts_ms, event_id""".stripMargin
+    },
 
     // SCD2 MERGE: the three UNION branches mirror the engine's one
     // full-outer-join + explode (old-kept / old-closed / new-version)

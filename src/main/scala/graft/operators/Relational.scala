@@ -504,6 +504,105 @@ object Relational {
   def q26(spark: SparkSession, dir: String): DataFrame =
     q26On(Tables(spark, dir).events)
 
+  /** q27_window_pack — the remaining SQL window-function family in
+    * one query (ntile / first_value / last_value / nth_value /
+    * percent_rank / cume_dist), per order-priority partitions over
+    * orders. Frames are explicit (ROWS UNBOUNDED PRECEDING →
+    * UNBOUNDED FOLLOWING) because last_value's DEFAULT frame stops at
+    * CURRENT ROW — an implicit-frame formulation silently computes a
+    * running last, a classic cross-engine divergence. The ordering
+    * carries a full tie-break (price DESC, orderkey) so rank-family
+    * ratios are ratios of identical integers → bit-identical doubles
+    * on both engines with no rounding at all.
+    *
+    * Scale shape: one shuffle keyed by o_orderpriority, one sort per
+    * partition shared by every window function (Catalyst collapses
+    * same-spec windows into a single Window operator).
+    */
+  def q27(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        first_value(col("o_orderkey")).over(full).as("top_key"),
+        last_value(col("o_orderkey")).over(full).as("bottom_key"),
+        nth_value(col("o_orderkey"), 2).over(full).as("runnerup_key"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  /** q28_correlated — correlated scalar subqueries, written AS
+    * correlated SQL (not hand-decorrelated): orders strictly above
+    * their own customer's average order value, with the comparison on
+    * the integer-cents lattice (price·100·n > Σprice·100, the q20
+    * trick per group) so both engines compare exact integers.
+    *
+    * The point of this operator is Catalyst's subquery decorrelation:
+    * the two correlated aggregates over the same correlation key are
+    * rewritten into ONE per-custkey aggregate + an equi-join — the
+    * plan a 100 TB run needs (RewriteCorrelatedScalarSubquery +
+    * MergeScalarSubqueries), asserted in PlanGuardSpec's sweep (no
+    * nested-loop, no cartesian).
+    */
+  def q28(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders.createOrReplaceTempView("q28_orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  (SELECT COUNT(*) FROM q28_orders i
+        |     WHERE i.o_custkey = o.o_custkey) AS n_cust_orders
+        |FROM q28_orders o
+        |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    (SELECT COUNT(*) FROM q28_orders i WHERE i.o_custkey = o.o_custkey) >
+        |    (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |       FROM q28_orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Truncated-EWMA depth for [[q30]]: the smoothing kernel keeps the
+    * last 20 readings, weights 2⁰…2¹⁹ (α = 1/2 halving). 2¹⁹·maxcents
+    * fits BIGINT with 10 digits to spare. Injected into the oracle.
+    */
+  val EwmaDepth = 20
+
+  /** q30_ewma — exponentially weighted moving average per user
+    * (α = 1/2, truncated at [[EwmaDepth]] readings — the tail beyond
+    * 20 halvings contributes < 10⁻⁶ and is dropped so the result is
+    * EXACT integer arithmetic, not an engine-specific float recursion).
+    * Value goes to the cents lattice; the frame's readings fold as
+    * num = Σ cents·2^age-rank, den = 2^m − 1; ewma_cents = num div den.
+    *
+    * Shape: collect_list over a per-user ROWS frame (≤ 20 elements,
+    * map-side after the one user-keyed sort) folded by a higher-order
+    * `aggregate` — stays inside codegen, no UDF, no second shuffle.
+    */
+  def q30(spark: SparkSession, dir: String): DataFrame = {
+    // null readings are excluded up front on BOTH engines: a null
+    // inside the frame would diverge (collect_list skips nulls,
+    // DuckDB's list() keeps them)
+    val ev = Tables(spark, dir).events.filter(col("value").isNotNull)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(-(EwmaDepth - 1), Window.currentRow)
+    ev.select(col("user_id"), col("event_id"), epochMs(col("ts")).as("ts_ms"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .withColumn("frame", collect_list(col("cents")).over(w))
+      // frame is oldest→newest; fold doubles the weight each step so
+      // the newest reading carries 2^(m−1)
+      .withColumn("num", expr(
+        "aggregate(frame, named_struct('s', 0L, 'w', 1L)," +
+        " (acc, x) -> named_struct('s', acc.s + x * acc.w, 'w', acc.w * 2)," +
+        " acc -> acc.s)"))
+      .withColumn("den", expr("shiftleft(1L, size(frame)) - 1"))
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("cents"),
+        size(col("frame")).cast("long").as("n_terms"),
+        expr("num div den").as("ewma_cents"))
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
   private[graft] def q26On(events: DataFrame): DataFrame = {
     val ev = events
       .select(col("user_id"), col("event_id"),
