@@ -93,7 +93,9 @@ object SparkEntry {
     "cdc_apply"         -> (Warehouse.cdcApply _),
     "html_extract"      -> (Text.htmlExtract _),
     "k_anon"            -> (Curation.kAnon _),
-    "pagerank"          -> (Graph.pagerank _)
+    "pagerank"          -> (Graph.pagerank _),
+    "triangle_count"    -> (Graph.triangleCount _),
+    "q29_zorder"        -> (Layout.q29 _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -1371,6 +1373,37 @@ object SparkEntry {
         |  outdeg AS degree, pr AS pr_ppb
         |FROM p${operators.Graph.PrIters}
         |ORDER BY node_id""".stripMargin
+    },
+
+    // independent formulation: naive a<b<c enumeration (the engine
+    // runs the degree-oriented wedge join; identical triangle set)
+    "triangle_count" ->
+      """WITH ids AS (SELECT c_custkey AS id FROM customer),
+        |raw AS (
+        |  SELECT id AS u, id + 1 AS v FROM ids
+        |  UNION ALL SELECT id, id + 2 FROM ids WHERE id % 3 <> 0
+        |  UNION ALL SELECT id, id + 5 FROM ids WHERE id % 4 = 1),
+        |e AS (SELECT u, v FROM raw JOIN ids ON v = id),
+        |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        |  SELECT a AS node_id FROM t
+        |  UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t) x
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // same spread constants, same fold order as Layout.SpreadSteps
+    "q29_zorder" -> {
+      val zx = operators.Layout.spreadSql("l_partkey % 256")
+      val zy = operators.Layout.spreadSql("l_orderkey % 256")
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_partkey, l_suppkey,
+        |  (l_partkey % 256) AS x8, (l_orderkey % 256) AS y8,
+        |  ($zx | ($zy << 1)) AS zval
+        |FROM lineitem
+        |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
     }
   )
 }

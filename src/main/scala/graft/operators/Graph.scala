@@ -104,4 +104,83 @@ object Graph {
       .select(col("id"), col("outdeg"),
         (lit(PrTeleport) + coalesce(col("damped"), lit(0L))).as("pr"))
   }
+
+  /** triangle_count — per-node triangle participation over an
+    * undirected edge list, by DEGREE-ORIENTED wedge enumeration (the
+    * MapReduce triangle-counting design of Suri & Vassilvitskii,
+    * WWW'11): every edge is oriented from its lower-(degree, id)
+    * endpoint to the higher, wedges form only at each triangle's
+    * LOWEST-rank vertex, and the closing edge is looked up with one
+    * more equi-join. Orientation is the whole scale story: a
+    * celebrity node with degree 10⁶ generates ZERO wedges at itself
+    * (all its edges point inward), capping per-node wedge work at
+    * O(arboricity) ≈ O(√E) instead of O(deg²) — the difference
+    * between a web-graph run finishing and one executor OOMing.
+    *
+    * Scale shape: two degree joins, one src-keyed self-join for
+    * wedges, one (dst,dst)-keyed join to close them, one final
+    * aggregation. All equi-joins; no cross product at any density.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleCountOn(triangleEdges(Tables(spark, dir).customer))
+
+  /** Deterministic sparse fixture graph over customer ids (the trade
+    * projections of this star schema are complete graphs — C(n,2)
+    * edges — so like the scd2/html fixtures, the operator registers
+    * on an in-query fixture the oracle reproduces exactly): a skip
+    * ring with residue-gated chords. Degree ≤ 6, triangles wherever
+    * the gaps compose; endpoints outside the key range drop via the
+    * membership join.
+    */
+  private[graft] def triangleEdges(customer: DataFrame): DataFrame = {
+    val ids = customer.select(col("c_custkey").as("id"))
+    Seq(
+      (1L, lit(true)),
+      (2L, pmod(col("id"), lit(3L)) =!= 0),
+      (5L, pmod(col("id"), lit(4L)) === 1))
+      .map { case (gap, cond) =>
+        ids.filter(cond).select(col("id").as("u"), (col("id") + gap).as("v"))
+      }
+      .reduce(_ unionAll _)
+      .join(ids.select(col("id").as("v")), Seq("v"))
+      .select(col("u"), col("v"))
+  }
+
+  /** Core enumeration over distinct undirected edges (u < v, one row
+    * per pair). Returns (node_id, n_triangles), nodes in ≥ 1 triangle.
+    */
+  def triangleCountOn(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("x"))
+      .unionAll(edges.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    // orient low (degree, id) rank → high; carry the dst's degree so
+    // the wedge join can order its two spokes without another join
+    val ranked = edges
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
+          .otherwise(
+          struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+      .cache()
+    // wedge (src → b, src → c) with rank(b) < rank(c); the closing
+    // edge, if present, is oriented exactly b → c
+    val tri = ranked.as("e1")
+      .join(ranked.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.dd") < col("e2.dd") ||
+           (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .join(ranked.as("e3"),
+        col("e1.dst") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val out = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("node_id"))
+    out
+  }
 }

@@ -79,4 +79,49 @@ class GraphSpec extends AnyFunSuite {
       .collect().toSeq
     assert(a == b)
   }
+
+  /** Brute-force reference: every id triple, edge-set membership. */
+  private def referenceTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (a min b, a max b) }.toSet
+    val nodes = es.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val tris = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } yield (a, b, c)
+    tris.flatMap { case (a, b, c) => Seq(a, b, c) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("triangle_count equals the brute-force reference on the fixture graph") {
+    val edges = operators.Graph.triangleEdges(Tables(spark, sf).customer)
+    import spark.implicits._
+    val ref = referenceTriangles(edges.as[(Long, Long)].collect().toSeq)
+    val got = operators.Graph.triangleCount(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+    assert(got.nonEmpty, "fixture graph must contain triangles")
+  }
+
+  test("triangle orientation handles a celebrity hub without wedge blowup at it") {
+    import spark.implicits._
+    // star center 1 with leaves 10..29 (degree 20), plus one genuine
+    // triangle (1, 10, 11) closed by the leaf edge, plus a triangle
+    // far from the hub (100, 101, 102)
+    val star = (10L to 29L).map(l => (1L, l))
+    val extra = Seq((10L, 11L), (100L, 101L), (101L, 102L), (100L, 102L))
+    val edges = (star ++ extra).toDF("u", "v")
+    val got = operators.Graph.triangleCountOn(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = referenceTriangles(star ++ extra)
+    assert(got == ref)
+    assert(got(1L) == 1L && got(100L) == 1L)
+  }
+
+  test("triangle_count is invariant to partitioning") {
+    val e = operators.Graph.triangleEdges(Tables(spark, sf).customer)
+    val a = operators.Graph.triangleCountOn(e).collect().toSeq
+    val b = operators.Graph.triangleCountOn(e.repartition(7)).collect().toSeq
+    assert(a == b)
+  }
 }
