@@ -57,6 +57,9 @@ object SparkEntry {
     "ann_ivf"         -> ((s, d) => SimilaritySearch.annIvf(s, d)),
     "vec_quant"       -> (SimilaritySearch.vecQuant _),
     "mm_meta"         -> (graft.multimodal.Multimodal.mmMeta _),
+    "mm_frames"       -> (graft.multimodal.Multimodal.mmFrames _),
+    "mm_resize"       -> (graft.multimodal.Multimodal.mmResize _),
+    "url_normalize"   -> (Text.urlNormalize _),
     "doc_chunk"         -> (Curation.docChunk _),
     "pii_scrub"         -> (Curation.piiScrub _),
     "tfidf"             -> ((s, d) => Curation.tfidf(s, d)),
@@ -763,6 +766,85 @@ object SparkEntry {
         |  fp60 % 640 + 1 AS stub_width,
         |  (fp60 // 640) % 480 + 1 AS stub_height
         |FROM (SELECT doc_id, text, ${hash60Sql(normSql)} AS fp60 FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same fake-video metadata arithmetic, range() for the stride walk
+    "mm_frames" -> {
+      val target = graft.multimodal.Multimodal.FrameTargetSamples
+      s"""WITH m AS (
+        |  SELECT doc_id, ${hash60Sql(normSql)} AS fp60 FROM documents),
+        |v AS (
+        |  SELECT doc_id, fp60 % 120000 + 1000 AS duration_ms,
+        |    (fp60 // 7) % 30 + 1 AS fps
+        |  FROM m),
+        |s AS (
+        |  SELECT doc_id, fps, (duration_ms * fps) // 1000 AS n_frames_total,
+        |    (((duration_ms * fps) // 1000) + ${target - 1}) // $target AS stride
+        |  FROM v)
+        |SELECT doc_id, n_frames_total, stride,
+        |  CAST(fi AS BIGINT) AS frame_idx,
+        |  (CAST(fi AS BIGINT) * 1000) // fps AS frame_ts_ms
+        |FROM s, unnest(range(0, n_frames_total, stride)) AS t(fi)
+        |ORDER BY doc_id, frame_idx""".stripMargin
+    },
+
+    // full resize arithmetic replicated: same geometry, same stub
+    // pixel lattice, HUGEINT-safe with final BIGINT casts
+    "mm_resize" -> {
+      val m = graft.multimodal.Multimodal
+      s"""WITH h AS (SELECT doc_id, ${hash60Sql(normSql)} AS fp60 FROM documents),
+        |d AS (
+        |  SELECT doc_id, fp60,
+        |    fp60 % ${m.ResizeSrcWMod} + ${m.ResizeSrcMin} AS src_w,
+        |    (fp60 // ${m.ResizeSrcWMod}) % ${m.ResizeSrcHMod} + ${m.ResizeSrcMin} AS src_h
+        |  FROM h)
+        |SELECT doc_id, src_w, src_h,
+        |  CAST(${m.boxSql("0", "0")} AS BIGINT) AS r00,
+        |  CAST(${m.boxSql((m.ResizeOutDim - 1).toString, (m.ResizeOutDim - 1).toString)} AS BIGINT) AS r77,
+        |  CAST(list_sum(list_transform(range(0, ${m.ResizeOutDim}), i ->
+        |    list_sum(list_transform(range(0, ${m.ResizeOutDim}), j ->
+        |      (${m.ResizeOutDim} * i + j + 1) * ${m.boxSql("i", "j")})))) AS BIGINT) AS checksum
+        |FROM d
+        |ORDER BY doc_id""".stripMargin
+    },
+
+    // identical fixture + capture-free rewrite chain ('g' flag: DuckDB
+    // replaces first match by default, Java replaces all)
+    "url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTP://Www.' || source || '.EXAMPLE.com:80'
+        |          ELSE 'HTTPS://WWW.' || source || '.Example.COM:443' END)
+        |    || '/News/Item-' || CAST(doc_id % 13 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        |    || '?id=' || CAST(doc_id % 13 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 <> 0 THEN '&utm_source=rss&fbclid=x1Y2' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END) AS url
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(regexp_replace(url, '#.*$', '', 'g'), '^[A-Za-z]+://[^/?#]*') AS pre,
+        |    substr(regexp_replace(url, '#.*$', '', 'g'),
+        |      length(regexp_extract(regexp_replace(url, '#.*$', '', 'g'), '^[A-Za-z]+://[^/?#]*')) + 1) AS rest
+        |  FROM u),
+        |n AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(
+        |      CASE WHEN lower(pre) LIKE 'http://%' THEN regexp_replace(lower(pre), ':80$', '', 'g')
+        |           ELSE regexp_replace(lower(pre), ':443$', '', 'g') END,
+        |      '://www\.', '://', 'g') ||
+        |    regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(rest,
+        |        '&(utm_[a-z]+|fbclid)=[^&]*', '', 'g'),
+        |        '\?(utm_[a-z]+|fbclid)=[^&]*&', '?', 'g'),
+        |        '\?(utm_[a-z]+|fbclid)=[^&]*$', '', 'g'),
+        |      '/\?', '?', 'g'), '/$', '', 'g') AS url_norm
+        |  FROM q)
+        |SELECT doc_id, url, url_norm, md5(url_norm) AS url_key,
+        |  MIN(doc_id) OVER (PARTITION BY url_norm) AS keep_id,
+        |  COUNT(*) OVER (PARTITION BY url_norm) AS n_dups,
+        |  CAST(doc_id = MIN(doc_id) OVER (PARTITION BY url_norm) AS BIGINT) AS is_canonical
+        |FROM n
         |ORDER BY doc_id""".stripMargin,
 
     "vec_quant" ->

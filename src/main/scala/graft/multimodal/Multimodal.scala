@@ -92,4 +92,101 @@ object Multimodal {
         (expr("fp60 div 640") % 480 + 1).as("stub_height"))
       .orderBy(col("doc_id"))
   }
+
+  /** Frame-sampling target for [[mmFrames]]: stride is chosen so at
+    * most this many frames survive per video.
+    */
+  val FrameTargetSamples = 32L
+
+  /** mm_frames — video frame-sampling SCHEDULE (the planning half of
+    * frame extraction, fully computable without a codec): fake
+    * duration/fps metadata derives from the payload hash, the stride
+    * targets ≤ [[FrameTargetSamples]] samples, and one explode emits
+    * (frame_idx, frame_ts_ms) rows a decode stage would then seek to.
+    * At 100 TB the schedule is what gets SHIPPED to decode executors
+    * — computing it needs only metadata, never the media bytes.
+    * Map-side sequence+explode; output rows ≤ 32 × docs.
+    */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    docs
+      .withColumn("fp60", hash60(normalize(col("text"))))
+      .withColumn("duration_ms", col("fp60") % 120000 + 1000)
+      .withColumn("fps", expr("fp60 div 7") % 30 + 1)
+      .withColumn("n_frames_total", expr("(duration_ms * fps) div 1000"))
+      .withColumn("stride", expr(s"(n_frames_total + ${FrameTargetSamples - 1}) div $FrameTargetSamples"))
+      .withColumn("frame_idx", explode(expr("sequence(0L, n_frames_total - 1, stride)")))
+      .select(col("doc_id"), col("n_frames_total"), col("stride"), col("frame_idx"),
+        expr("(frame_idx * 1000) div fps").as("frame_ts_ms"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** mm_resize fixed geometry: source dims are hash-derived in
+    * [Min, Min+Mod), target is always OutDim×OutDim. Injected into
+    * the oracle SQL so the two engines share one definition.
+    */
+  val ResizeSrcWMod = 57L
+  val ResizeSrcHMod = 41L
+  val ResizeSrcMin = 8L
+  val ResizeOutDim = 8L
+
+  /** The stub pixel function: pixel(x, y) = (fp60 + 31x + 17y) mod 256
+    * — deterministic fake luma a real decoder would replace. Kept as
+    * the single source of truth for engine and oracle fragments.
+    */
+  private def pixelExpr(x: String, y: String): String =
+    s"pmod(fp60 + 31 * $x + 17 * $y, 256)"
+
+  /** One output cell of the integer box-filter: mean (integer div) of
+    * the exact source box [i·w/8, (i+1)·w/8) × [j·h/8, (j+1)·h/8).
+    */
+  private def boxExpr(iv: String, jv: String): String = {
+    val x0 = s"(($iv * src_w) div ${ResizeOutDim})"
+    val x1e = s"((($iv + 1) * src_w) div ${ResizeOutDim})"
+    val y0 = s"(($jv * src_h) div ${ResizeOutDim})"
+    val y1e = s"((($jv + 1) * src_h) div ${ResizeOutDim})"
+    val sum = s"aggregate(sequence($x0, $x1e - 1), 0L, (ax, x) -> " +
+      s"ax + aggregate(sequence($y0, $y1e - 1), 0L, (ay, y) -> ay + ${pixelExpr("x", "y")}))"
+    s"($sum div (($x1e - $x0) * ($y1e - $y0)))"
+  }
+
+  /** mm_resize — image resize as the pipeline runs it: an integer
+    * box-filter (area-average downsample) from hash-derived source
+    * dimensions to 8×8, on the DETERMINISTIC stub pixels — so unlike
+    * a real codec path, the full resize arithmetic is replicated and
+    * verified by the DuckDB oracle (corner pixels + a weighted
+    * checksum of all 64 output cells; checksum avoids list-typed
+    * output columns). A real deployment swaps only the pixel
+    * function for decoded luma; the geometry, integer mean, and
+    * map-side (shuffle-free, codegen higher-order-aggregate) shape
+    * are exactly what ships.
+    */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val checksum = s"aggregate(sequence(0L, ${ResizeOutDim - 1}), 0L, (ci, i) -> " +
+      s"ci + aggregate(sequence(0L, ${ResizeOutDim - 1}), 0L, (cj, j) -> " +
+      s"cj + (${ResizeOutDim} * i + j + 1) * ${boxExpr("i", "j")}))"
+    docs
+      .withColumn("fp60", hash60(normalize(col("text"))))
+      .withColumn("src_w", col("fp60") % ResizeSrcWMod + ResizeSrcMin)
+      .withColumn("src_h", expr(s"fp60 div $ResizeSrcWMod") % ResizeSrcHMod + ResizeSrcMin)
+      .select(col("doc_id"), col("src_w"), col("src_h"),
+        expr(boxExpr("0L", "0L")).as("r00"),
+        expr(boxExpr(s"${ResizeOutDim - 1}L", s"${ResizeOutDim - 1}L")).as("r77"),
+        expr(checksum).as("checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[boxExpr]] — same geometry, same pixel
+    * function, `//`/`%`/range() dialect. Used by the mm_resize oracle.
+    */
+  def boxSql(iv: String, jv: String): String = {
+    val x0 = s"(($iv * src_w) // ${ResizeOutDim})"
+    val x1e = s"((($iv + 1) * src_w) // ${ResizeOutDim})"
+    val y0 = s"(($jv * src_h) // ${ResizeOutDim})"
+    val y1e = s"((($jv + 1) * src_h) // ${ResizeOutDim})"
+    val sum = s"list_sum(list_transform(range($x0, $x1e), x -> " +
+      s"list_sum(list_transform(range($y0, $y1e), y -> (fp60 + 31 * x + 17 * y) % 256))))"
+    s"($sum // (($x1e - $x0) * ($y1e - $y0)))"
+  }
 }

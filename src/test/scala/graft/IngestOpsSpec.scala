@@ -1,0 +1,94 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the wave-5 ingest operators: URL canonicalization
+  * actually canonicalizes (tracking params, case, ports, fragments
+  * gone; collisions grouped), and the multimodal resize/frame-sample
+  * arithmetic equals an independent in-memory reference on the same
+  * hash-derived fixtures.
+  */
+class IngestOpsSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+
+  test("url_normalize strips tracking/case/port/fragment and groups collisions") {
+    val rows = operators.Text.urlNormalize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val norm = r.getAs[String]("url_norm")
+      assert(!norm.contains("utm_") && !norm.contains("fbclid"), norm)
+      assert(!norm.contains("#"), norm)
+      assert(!norm.contains(":80") && !norm.contains(":443"), norm)
+      assert(!norm.contains("www."), norm)
+      assert(norm == norm.toLowerCase(java.util.Locale.ROOT)
+        || norm.count(_ == '?') == 1, norm) // path/host lowered; query preserved
+      assert(norm.startsWith("http://") || norm.startsWith("https://"), norm)
+      assert(!norm.dropWhile(_ != '/').startsWith("/?") || !norm.endsWith("/"), norm)
+    }
+    // residue fixture guarantees collisions: some group has n_dups > 1
+    assert(rows.exists(_.getAs[Long]("n_dups") > 1L))
+    // the keeper is the group minimum and exactly one per group
+    val byNorm = rows.groupBy(_.getAs[String]("url_norm"))
+    byNorm.foreach { case (_, g) =>
+      val ids = g.map(_.getAs[Long]("doc_id"))
+      val keepers = g.filter(_.getAs[Long]("is_canonical") == 1L)
+      assert(keepers.map(_.getAs[Long]("doc_id")).toSeq == Seq(ids.min))
+      assert(g.forall(_.getAs[Long]("keep_id") == ids.min))
+    }
+  }
+
+  /** Plain-Scala mirror of the stub pixel + integer box filter. */
+  private def refResize(fp60: Long): (Long, Long, Long, Long, Long) = {
+    val srcW = fp60 % Multimodal.ResizeSrcWMod + Multimodal.ResizeSrcMin
+    val srcH = (fp60 / Multimodal.ResizeSrcWMod) % Multimodal.ResizeSrcHMod +
+      Multimodal.ResizeSrcMin
+    val out = Multimodal.ResizeOutDim
+    def cell(i: Long, j: Long): Long = {
+      val (x0, x1) = (i * srcW / out, (i + 1) * srcW / out)
+      val (y0, y1) = (j * srcH / out, (j + 1) * srcH / out)
+      val s = (for (x <- x0 until x1; y <- y0 until y1)
+        yield ((fp60 + 31 * x + 17 * y) % 256)).sum
+      s / ((x1 - x0) * (y1 - y0))
+    }
+    val cs = (for (i <- 0L until out; j <- 0L until out)
+      yield (out * i + j + 1) * cell(i, j)).sum
+    (srcW, srcH, cell(0, 0), cell(out - 1, out - 1), cs)
+  }
+
+  test("mm_resize equals the in-memory box-filter reference") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.{hash60, normalize}
+    val fp = Tables(spark, sf).documents
+      .select(col("doc_id"), hash60(normalize(col("text"))).as("fp60"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Multimodal.mmResize(spark, sf).collect()
+    assert(got.length == fp.size)
+    got.foreach { r =>
+      val (w, h, r00, r77, cs) = refResize(fp(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("src_w") == w && r.getAs[Long]("src_h") == h)
+      assert(r.getAs[Long]("r00") == r00 && r.getAs[Long]("r77") == r77)
+      assert(r.getAs[Long]("checksum") == cs)
+      assert(r00 >= 0 && r00 < 256 && r77 >= 0 && r77 < 256)
+    }
+  }
+
+  test("mm_frames respects the sample budget and the timeline") {
+    val rows = Multimodal.mmFrames(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, g) =>
+      assert(g.length <= Multimodal.FrameTargetSamples)
+      val total = g.head.getAs[Long]("n_frames_total")
+      val stride = g.head.getAs[Long]("stride")
+      val idxs = g.map(_.getAs[Long]("frame_idx")).sorted.toSeq
+      assert(idxs == (0L until total by stride).toSeq)
+      assert(g.forall(_.getAs[Long]("frame_ts_ms") >= 0))
+    }
+  }
+}
