@@ -91,6 +91,9 @@ object SparkEntry {
     "q27_window_pack"   -> (Relational.q27 _),
     "q28_correlated"    -> (Relational.q28 _),
     "q30_ewma"          -> (Relational.q30 _),
+    "q31_stats"         -> (Relational.q31 _),
+    "q32_intervals"     -> (Relational.q32 _),
+    "sketch_cube"       -> (Curation.sketchCube _),
     "knn_graph"         -> ((s, d) => SimilaritySearch.knnGraph(s, d)),
     "scd2_merge"        -> (Warehouse.scd2Merge _),
     "cdc_apply"         -> (Warehouse.cdcApply _),
@@ -1318,6 +1321,65 @@ object SparkEntry {
         |    // ((CAST(1 AS BIGINT) << len(frame)) - 1) AS BIGINT) AS ewma_cents
         |FROM f
         |ORDER BY user_id, ts_ms, event_id""".stripMargin
+    },
+
+    // every moment an exact DECIMAL(38) integer; only the final
+    // sqrt/divide in double — identical integers → identical doubles
+    "q31_stats" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(hour(ts) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n_rows,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+        |  FROM e GROUP BY 1),
+        |b AS (
+        |  SELECT event_type, n_rows, sx, sy,
+        |    CAST(n_rows AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS num,
+        |    CAST(n_rows AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS dx,
+        |    CAST(n_rows AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS dy
+        |  FROM a)
+        |SELECT event_type, n_rows, sx, sy,
+        |  CAST(num AS DOUBLE) / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))) AS corr_value_hour,
+        |  sqrt(CAST(dx AS DOUBLE)) / CAST(n_rows AS DOUBLE) AS stddev_cents
+        |FROM b
+        |ORDER BY event_type""".stripMargin,
+
+    // running-max island detection: a long interval can swallow
+    // several successors, hence max over ALL preceding ends
+    "q32_intervals" -> {
+      val len = operators.Relational.IntervalLenMs
+      s"""WITH iv AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS start_ms,
+        |    epoch_ms(ts) + $len AS end_ms
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, start_ms, end_ms,
+        |    MAX(end_ms) OVER (PARTITION BY user_id ORDER BY start_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        |  FROM iv),
+        |f AS (
+        |  SELECT user_id, event_id, start_ms, end_ms,
+        |    CASE WHEN prev_max_end IS NULL OR start_ms > prev_max_end
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, start_ms, end_ms,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY start_ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM f)
+        |SELECT user_id, island,
+        |  MIN(start_ms) AS island_start_ms, MAX(end_ms) AS island_end_ms,
+        |  COUNT(*) AS n_intervals,
+        |  MAX(end_ms) - MIN(start_ms) AS covered_ms
+        |FROM g
+        |GROUP BY 1, 2
+        |ORDER BY user_id, island""".stripMargin
     },
 
     // SCD2 MERGE: the three UNION branches mirror the engine's one

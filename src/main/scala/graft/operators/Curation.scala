@@ -341,6 +341,46 @@ object Curation {
         expr("n_chars div 4").as("est_tokens"))
       .orderBy(col("lang"), col("source"))
 
+  /** lgConfigK for [[sketchCube]]'s DataSketches HLL (2¹² registers
+    * ≈ 1.6% relative error, 4 KB per sketch).
+    */
+  val SketchLgK = 12
+
+  /** sketch_cube — the MERGEABLE-SKETCH-COLUMN pattern (the datacube
+    * design behind every "distinct users per segment AND overall"
+    * dashboard at scale): one pass builds a DataSketches HLL sketch
+    * of the content fingerprints PER LANGUAGE; the corpus-wide
+    * distinct count then comes from hll_union_agg over those few
+    * kilobyte-sized sketch values — the corpus is NEVER rescanned
+    * for the rollup, which is the entire point: at 100 TB the
+    * per-segment sketches are computed once and every further
+    * rollup/combination is metadata-sized. Estimates stay within the
+    * configured error at any parallelism, but are NOT bit-stable
+    * across merge orders: DataSketches HLL promotes sparse→dense at
+    * a point that depends on union order, so the estimate can move
+    * by ±1 under repartitioning (measured; SketchCubeSpec asserts
+    * the tolerance laws, not equality — and this is WHY the query is
+    * registered rows-only).
+    */
+  def sketchCube(spark: SparkSession, dir: String): DataFrame =
+    sketchCubeOn(Tables(spark, dir).documents)
+
+  private[graft] def sketchCubeOn(docs: DataFrame): DataFrame = {
+    val fp = docs
+      .select(col("lang"), hash60(normalize(col("text"))).as("fp60"))
+    val perLang = fp.groupBy(col("lang"))
+      .agg(hll_sketch_agg(col("fp60"), lit(SketchLgK)).as("sk"),
+        count(lit(1)).as("n_docs"))
+    val langRows = perLang.select(col("lang"), col("n_docs"),
+      hll_sketch_estimate(col("sk")).as("est_distinct"))
+    // the rollup reads |langs| sketch rows, not the corpus
+    val allRow = perLang
+      .agg(sum(col("n_docs")).as("n_docs"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_distinct"))
+      .select(lit("ALL").as("lang"), col("n_docs"), col("est_distinct"))
+    langRows.unionAll(allRow).orderBy(col("lang"))
+  }
+
   /** Minimum group size for [[kAnon]]: a quasi-identifier
     * combination carried by fewer documents than this is suppressed.
     */

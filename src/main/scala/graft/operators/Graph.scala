@@ -74,6 +74,10 @@ object Graph {
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
         lit(PrScale).as("pr"))
       .localCheckpoint(true)
+    // checkpoint EVERY round: measured (TimeOne, sf0.1) a 2-round
+    // cadence is ~2× SLOWER (21s vs 10s) — with the rank table this
+    // small the cost is the two extra shuffle stages a fused
+    // two-round job plans, not the materialization itself
     for (_ <- 1 to PrIters)
       pr = pagerankRound(edges, pr).localCheckpoint(true)
     edges.unpersist()

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Exact, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -601,6 +601,91 @@ object Relational {
         size(col("frame")).cast("long").as("n_terms"),
         expr("num div den").as("ewma_cents"))
       .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
+  /** q31_stats — the statistical-aggregate family (covariance /
+    * correlation / stddev) made CROSS-ENGINE EXACT: the naive
+    * `corr()` of two engines differs in the last ulps (different
+    * summation orders), so instead every moment (Σx, Σy, Σxy, Σx²,
+    * Σy²) is an exact DECIMAL(38) integer on the cents lattice, the
+    * correlation numerator/denominators are exact integer combines
+    * of those, and only the FINAL sqrt/division happens in double —
+    * identical integers in, identical doubles out, on any engine at
+    * any parallelism. x = value in cents, y = hour of day (the
+    * diurnal-pattern correlation).
+    *
+    * Scale shape: one map-side partial aggregation per group key —
+    * the five moments are plain sums. No window, no second pass.
+    */
+  def q31(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    ev.select(col("event_type"),
+        (dec2(col("value")) * 100).cast("long").as("x"),
+        hour(col("ts")).cast("long").as("y"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(d38(col("x")) * d38(col("y"))).as("sxy"),
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+        sum(d38(col("y")) * d38(col("y"))).as("syy"))
+      .select(col("event_type"), col("n_rows"), col("sx"), col("sy"),
+        // num and the two variance terms are exact decimals; the
+        // double conversions round identically from identical values
+        (d38(col("n_rows")) * col("sxy") - d38(col("sx")) * d38(col("sy"))).as("num"),
+        (d38(col("n_rows")) * col("sxx") - d38(col("sx")) * d38(col("sx"))).as("dx"),
+        (d38(col("n_rows")) * col("syy") - d38(col("sy")) * d38(col("sy"))).as("dy"))
+      .select(col("event_type"), col("n_rows"), col("sx"), col("sy"),
+        (col("num").cast("double") /
+          (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))))
+          .as("corr_value_hour"),
+        (sqrt(col("dx").cast("double")) / col("n_rows").cast("double"))
+          .as("stddev_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Interval half-width for [[q32]]: each event covers
+    * [ts, ts + this). Injected into the oracle.
+    */
+  val IntervalLenMs = 300000L
+
+  /** q32_intervals — interval union (merge-overlapping): each event
+    * projects a fixed-length activity interval; overlapping intervals
+    * per user merge into islands (the event-interval twin of
+    * q13_sessionize, which is GAP-based — here intervals with
+    * explicit extents union, the "coverage" computation behind
+    * uptime/SLA/presence metrics). An interval starts a new island
+    * iff its start exceeds the running max end of ALL earlier
+    * intervals (not just the previous one — a long interval can
+    * swallow several short successors).
+    *
+    * Scale shape: one user-keyed sort feeds both window passes and
+    * the final aggregation — single shuffle, no join.
+    */
+  def q32(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_ms"), col("event_id"))
+    val prevMax = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val runSum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"),
+        epochMs(col("ts")).as("start_ms"),
+        (epochMs(col("ts")) + IntervalLenMs).as("end_ms"))
+      .withColumn("prev_max_end", max(col("end_ms")).over(prevMax))
+      .withColumn("is_new",
+        (col("prev_max_end").isNull || col("start_ms") > col("prev_max_end"))
+          .cast("long"))
+      .withColumn("island", sum(col("is_new")).over(runSum))
+      .groupBy(col("user_id"), col("island"))
+      .agg(
+        min(col("start_ms")).as("island_start_ms"),
+        max(col("end_ms")).as("island_end_ms"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("user_id"), col("island"), col("island_start_ms"),
+        col("island_end_ms"), col("n_intervals"),
+        (col("island_end_ms") - col("island_start_ms")).as("covered_ms"))
+      .orderBy(col("user_id"), col("island"))
   }
 
   private[graft] def q26On(events: DataFrame): DataFrame = {

@@ -55,10 +55,11 @@ class QueryPackSpec extends AnyFunSuite {
       "pipeline_e2e", "q20_subquery", "sample_mixture", "lm_score")
     // q24_funnel's whole-corpus funnel counts are one global
     // aggregate row, freq_words's final rank runs on one
-    // ≤ FreqCapacity sketch row, and lm_score's vocabulary size V is
-    // a 1-row aggregate — the scalar class, same as the others
+    // ≤ FreqCapacity sketch row, lm_score's vocabulary size V is
+    // a 1-row aggregate, and sketch_cube's rollup unions ≤ |langs|
+    // kilobyte sketches — the scalar class, same as the others
     val singlePartOk = Set("pipeline_e2e", "q20_subquery", "sample_mixture",
-      "q24_funnel", "freq_words", "lm_score")
+      "q24_funnel", "freq_words", "lm_score", "sketch_cube")
     for ((name, fn) <- SparkEntry.queries) {
       spark.catalog.clearCache()
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
