@@ -93,6 +93,10 @@ object SparkEntry {
     "q30_ewma"          -> (Relational.q30 _),
     "q31_stats"         -> (Relational.q31 _),
     "q32_intervals"     -> (Relational.q32 _),
+    "q33_json"          -> (Relational.q33 _),
+    "q34_window_distinct" -> (Relational.q34 _),
+    "q35_session_window"  -> (Relational.q35 _),
+    "q36_nullsafe"      -> (Relational.q36 _),
     "sketch_cube"       -> (Curation.sketchCube _),
     "knn_graph"         -> ((s, d) => SimilaritySearch.knnGraph(s, d)),
     "scd2_merge"        -> (Warehouse.scd2Merge _),
@@ -1381,6 +1385,72 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY user_id, island""".stripMargin
     },
+
+    // same in-query nested wrap; DuckDB json_extract* mirror the
+    // schemaful from_json field accesses
+    "q33_json" ->
+      """WITH j AS (
+        |  SELECT event_id,
+        |    '{"meta":{"device":"d' || CAST(user_id % 7 AS VARCHAR) || '","tags":' ||
+        |    (CASE WHEN event_id % 3 = 0 THEN '["a","b","c"]' ELSE '["a","b"]' END) ||
+        |    '},"payload":' || props || '}' AS js
+        |  FROM events)
+        |SELECT event_id,
+        |  json_extract_string(js, '$.meta.device') AS device,
+        |  CAST(json_array_length(js, '$.meta.tags') AS BIGINT) AS n_tags,
+        |  CAST(json_extract(js, '$.payload.k') AS BIGINT) AS k
+        |FROM j
+        |ORDER BY event_id""".stripMargin,
+
+    // frame-list distinct: list() over the same 10-row frame
+    "q34_window_distinct" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+        |  FROM events)
+        |SELECT user_id, event_id, ts_ms, event_type,
+        |  CAST(len(list_distinct(list(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS BIGINT) AS distinct_types_10
+        |FROM e
+        |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+
+    // native session_window semantics: a gap of EXACTLY the
+    // threshold starts a new session (>=), end = last event + gap
+    "q35_session_window" -> {
+      val gap = operators.Relational.SessionGapMs
+      s"""WITH x AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |    CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms >= $gap THEN 1 ELSE 0 END AS is_new
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts_ms,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+        |  FROM y)
+        |SELECT user_id,
+        |  MIN(ts_ms) AS sess_start_ms,
+        |  MAX(ts_ms) + $gap AS sess_end_ms,
+        |  MIN(ts_ms) AS first_ms, MAX(ts_ms) AS last_ms,
+        |  COUNT(*) AS n_events
+        |FROM z
+        |GROUP BY user_id, sess
+        |ORDER BY user_id, sess_start_ms""".stripMargin
+    },
+
+    // IS NOT DISTINCT FROM ≡ Spark's <=> null-safe join key
+    "q36_nullsafe" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE user_id END AS uid
+        |  FROM events),
+        |g AS (SELECT uid, COUNT(*) AS n_key_events FROM e GROUP BY uid)
+        |SELECT e.event_id, e.uid, g.n_key_events
+        |FROM e JOIN g ON e.uid IS NOT DISTINCT FROM g.uid
+        |ORDER BY e.event_id""".stripMargin,
 
     // SCD2 MERGE: the three UNION branches mirror the engine's one
     // full-outer-join + explode (old-kept / old-closed / new-version)

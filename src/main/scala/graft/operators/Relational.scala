@@ -688,6 +688,98 @@ object Relational {
       .orderBy(col("user_id"), col("island"))
   }
 
+  /** q33_json — semi-structured JSON processing over the events
+    * `props` payload (the Kafka-payload analog), wrapped in-query
+    * into a NESTED document (object-in-object + array) so the parse
+    * exercises real structure: `from_json` with an explicit schema —
+    * the scale-correct form: schemaful parse is a single codegen'd
+    * Jackson pass, vs per-path `get_json_object` re-parsing the
+    * string once PER extracted field.
+    */
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val js = concat(
+      lit("""{"meta":{"device":"d"""), pmod(col("user_id"), lit(7L)).cast("string"),
+      lit("""","tags":"""),
+      when(col("event_id") % 3 === 0, lit("""["a","b","c"]"""))
+        .otherwise(lit("""["a","b"]""")),
+      lit("""},"payload":"""), col("props"), lit("}"))
+    val schema = "meta STRUCT<device: STRING, tags: ARRAY<STRING>>, payload STRUCT<k: BIGINT>"
+    ev.select(col("event_id"),
+        from_json(js, org.apache.spark.sql.types.StructType.fromDDL(schema)).as("f"))
+      .select(col("event_id"),
+        col("f.meta.device").as("device"),
+        size(col("f.meta.tags")).cast("long").as("n_tags"),
+        col("f.payload.k").as("k"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q34_window_distinct — running DISTINCT count over a sliding
+    * frame (the "distinct event types in the user's last 10 actions"
+    * feature): SQL window functions cannot COUNT(DISTINCT) over a
+    * frame, so the standard Spark form is collect_list over the
+    * frame → array_distinct → size, all codegen'd after the one
+    * user-keyed sort. Frame ≤ 10 elements keeps per-row state O(1).
+    */
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(-9, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"), epochMs(col("ts")).as("ts_ms"),
+        col("event_type"))
+      .withColumn("distinct_types_10",
+        size(array_distinct(collect_list(col("event_type")).over(w))).cast("long"))
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
+  /** Gap for [[q35]]'s native session windows (and its oracle). */
+  val SessionGapMs = 1800000L
+
+  /** q35_session_window — sessionization via Spark's NATIVE
+    * `session_window` aggregate (the engine-supported twin of
+    * q13_sessionize's window-chain formulation): each event opens a
+    * gap-length window, overlapping windows merge at aggregation
+    * time. Boundary semantics differ from q13 by design: a gap of
+    * EXACTLY the threshold starts a new session here (window end is
+    * exclusive), vs q13's strict `>` — the oracle mirrors `>=`.
+    * One user-keyed shuffle; merging is Spark's native session
+    * aggregation (also the streaming form in HealthMonitor).
+    */
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    ev.groupBy(col("user_id"), session_window(col("ts"), s"${SessionGapMs / 1000} seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min(epochMs(col("ts"))).as("first_ms"),
+        max(epochMs(col("ts"))).as("last_ms"))
+      .select(col("user_id"),
+        epochMs(col("session_window.start")).as("sess_start_ms"),
+        epochMs(col("session_window.end")).as("sess_end_ms"),
+        col("first_ms"), col("last_ms"), col("n_events"))
+      .orderBy(col("user_id"), col("sess_start_ms"))
+  }
+
+  /** q36_nullsafe — the null-safe equality join (`<=>` / IS NOT
+    * DISTINCT FROM): every 11th event's user key is nulled in-query,
+    * then each event is joined back to its per-key group size. A
+    * plain equi-join silently DROPS the null-key rows (NULL = NULL
+    * is never true) — the null-safe join keys them together, which
+    * is what dedup/audit pipelines over dirty keys need. Spark plans
+    * `<=>` as a normal hash join key (Coalesce-wrapped), not a
+    * nested loop — asserted by the plan-guard sweep.
+    */
+  def q36(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"),
+        when(col("event_id") % 11 === 0, lit(null)).otherwise(col("user_id"))
+          .cast("long").as("uid"))
+    val sizes = ev.groupBy(col("uid")).agg(count(lit(1)).as("n_key_events"))
+      .withColumnRenamed("uid", "g_uid")
+    ev.join(sizes, col("uid") <=> col("g_uid"))
+      .select(col("event_id"), col("uid"), col("n_key_events"))
+      .orderBy(col("event_id"))
+  }
+
   private[graft] def q26On(events: DataFrame): DataFrame = {
     val ev = events
       .select(col("user_id"), col("event_id"),
