@@ -542,11 +542,15 @@ object Relational {
     * trick per group) so both engines compare exact integers.
     *
     * The point of this operator is Catalyst's subquery decorrelation:
-    * the two correlated aggregates over the same correlation key are
-    * rewritten into ONE per-custkey aggregate + an equi-join — the
-    * plan a 100 TB run needs (RewriteCorrelatedScalarSubquery +
-    * MergeScalarSubqueries), asserted in PlanGuardSpec's sweep (no
-    * nested-loop, no cartesian).
+    * each correlated aggregate rewrites to a per-custkey aggregate
+    * joined back on the correlation key as a BROADCAST HASH join —
+    * never the nested loop a naive per-row evaluation implies
+    * (plan-guard swept). Measured limitation (explain audit): Spark
+    * 4.1 does NOT merge the two textually identical COUNT subqueries
+    * — the plan carries three aggregate+join branches over pruned
+    * 1-2 column scans; the hand-fused single-aggregate form is
+    * exactly what the oracle SQL writes, so the comparison also
+    * documents the gap.
     */
   def q28(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir).orders.createOrReplaceTempView("q28_orders")
