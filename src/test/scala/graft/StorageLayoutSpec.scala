@@ -73,4 +73,44 @@ class StorageLayoutSpec extends AnyFunSuite {
       .map(_.toString).mkString
     assert(prunedFiles.contains("o_orderstatus=F") || plan.contains("isnotnull"))
   }
+
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    val t = Tables(spark, sf)
+    val path = "target/tmp/orders_dyn_overwrite"
+    t.orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    val before = spark.read.parquet(path)
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rewrite ONLY status 'F' with a 10-row slice; under DYNAMIC
+    // overwrite the other partitions must survive untouched (STATIC —
+    // Spark's default — would wipe the whole table first)
+    val slice = Tables(spark, sf).orders
+      .filter(col("o_orderstatus") === "F").limit(10)
+    slice.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(path)
+    val after = spark.read.parquet(path)
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("F") == 10L, s"overwritten partition: ${after("F")}")
+    for ((k, v) <- before if k != "F")
+      assert(after(k) == v, s"untouched partition $k changed: ${after.get(k)} vs $v")
+  }
+
+  test("ORC round-trip preserves the binary media table bit-exactly") {
+    val media = graft.multimodal.Multimodal.mediaTable(spark, sf)
+    val path = "target/tmp/media_orc"
+    media.write.mode("overwrite").format("orc").save(path)
+    val back = spark.read.format("orc").load(path)
+    assert(back.schema == media.schema)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("mime"), r.getAs[Long]("n_bytes"),
+        java.util.Arrays.hashCode(r.getAs[Array[Byte]]("payload")))
+    }.sortBy(_._1).toSeq
+    assert(key(back) == key(media))
+    // predicate pushdown reaches the ORC scan too
+    val plan = back.filter(col("n_bytes") > 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_bytes"), plan)
+  }
 }
