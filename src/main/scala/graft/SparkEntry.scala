@@ -97,6 +97,8 @@ object SparkEntry {
     "q34_window_distinct" -> (Relational.q34 _),
     "q35_session_window"  -> (Relational.q35 _),
     "q36_nullsafe"      -> (Relational.q36 _),
+    "q37_notin"         -> (Relational.q37 _),
+    "q38_dates"         -> (Relational.q38 _),
     "sketch_cube"       -> (Curation.sketchCube _),
     "knn_graph"         -> ((s, d) => SimilaritySearch.knnGraph(s, d)),
     "scd2_merge"        -> (Warehouse.scd2Merge _),
@@ -1451,6 +1453,29 @@ object SparkEntry {
         |SELECT e.event_id, e.uid, g.n_key_events
         |FROM e JOIN g ON e.uid IS NOT DISTINCT FROM g.uid
         |ORDER BY e.event_id""".stripMargin,
+
+    // identical three-valued logic on both engines; the null-trap
+    // variant (NULL in the probe → zero rows) is spec-asserted
+    "q37_notin" ->
+      """SELECT e.event_id, e.user_id, e.event_type
+        |FROM events e
+        |WHERE e.user_id NOT IN (SELECT user_id FROM events
+        |                        WHERE event_type = 'purchase' AND user_id % 7 = 3)
+        |ORDER BY e.event_id""".stripMargin,
+
+    // dayofweek: DuckDB is Sunday-0, Spark Sunday-1 — shifted here
+    "q38_dates" ->
+      """SELECT event_id,
+        |  epoch_ms(date_trunc('week', ts)) AS week_ms,
+        |  epoch_ms(date_trunc('quarter', ts)) AS quarter_ms,
+        |  epoch_ms(CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP)) AS plus2mo_ms,
+        |  epoch_ms(CAST(CAST(ts AS DATE) + 45 AS TIMESTAMP)) AS plus45d_ms,
+        |  epoch_ms(CAST(last_day(ts) AS TIMESTAMP)) AS month_end_ms,
+        |  CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |  CAST(date_diff('day', CAST(ts AS DATE), DATE '1997-01-01') AS BIGINT)
+        |    AS days_to_97
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     // SCD2 MERGE: the three UNION branches mirror the engine's one
     // full-outer-join + explode (old-kept / old-closed / new-version)

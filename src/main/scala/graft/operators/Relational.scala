@@ -784,6 +784,52 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** q37_notin — NOT IN as a NULL-AWARE ANTI JOIN: `WHERE key NOT IN
+    * (subquery)` carries three-valued-logic semantics (one NULL in
+    * the probe list empties the result), so Spark cannot rewrite it
+    * to a plain anti join — it plans a BroadcastHashJoin in
+    * NullAwareAntiJoin mode for the single-key form. This operator
+    * pins both that plan (explain-audited; the PROJECTED
+    * `CAST(x NOT IN … )` form instead degenerates to a
+    * nested-loop existence join and is deliberately NOT used) and
+    * the semantics against DuckDB's identical logic. The null-trap
+    * itself (probe list with a NULL → zero rows) is asserted in
+    * QueryPackSpec on both a null and a null-free probe.
+    */
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    ev.createOrReplaceTempView("q37_events")
+    spark.sql(
+      """SELECT e.event_id, e.user_id, e.event_type
+        |FROM q37_events e
+        |WHERE e.user_id NOT IN (SELECT user_id FROM q37_events
+        |                        WHERE event_type = 'purchase' AND user_id % 7 = 3)
+        |ORDER BY e.event_id""".stripMargin)
+  }
+
+  /** q38_dates — calendar arithmetic pack (the scalar family q14
+    * does not cover): week/quarter truncation, month/day offsets,
+    * month-end, day-of-week, date differences. Everything lands as
+    * epoch millis or BIGINT; DuckDB's Sunday-0 `dayofweek` is
+    * shifted to Spark's Sunday-1 convention IN THE ORACLE so the
+    * convention divergence is explicit, not papered over.
+    */
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    ev.select(col("event_id"),
+        epochMs(date_trunc("week", col("ts"))).as("week_ms"),
+        epochMs(date_trunc("quarter", col("ts"))).as("quarter_ms"),
+        // add_months returns DATE (time-of-day dropped) — the oracle
+        // casts to DATE first to match that convention explicitly
+        epochMs(add_months(col("ts"), 2).cast("timestamp")).as("plus2mo_ms"),
+        epochMs(date_add(col("ts").cast("date"), 45).cast("timestamp")).as("plus45d_ms"),
+        epochMs(last_day(col("ts")).cast("timestamp")).as("month_end_ms"),
+        dayofweek(col("ts")).cast("long").as("dow"),
+        datediff(lit("1997-01-01").cast("date"), col("ts").cast("date"))
+          .cast("long").as("days_to_97"))
+      .orderBy(col("event_id"))
+  }
+
   private[graft] def q26On(events: DataFrame): DataFrame = {
     val ev = events
       .select(col("user_id"), col("event_id"),

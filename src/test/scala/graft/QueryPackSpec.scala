@@ -102,6 +102,26 @@ class QueryPackSpec extends AnyFunSuite {
     }
   }
 
+  test("q37: NOT IN is null-aware — a NULL in the probe empties it, and the plan is NAAJ") {
+    val df = operators.Relational.q37(spark, sf)
+    assert(df.count() > 0, "null-free probe must keep the never-purchasers")
+    // the registered form plans the null-aware BROADCAST HASH join,
+    // not the nested-loop existence join of the projected variant
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the trailing `true` on the LeftAnti BroadcastHashJoin is the
+    // isNullAwareAntiJoin flag (Spark doesn't print the mode by name)
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"q37 lost the null-aware anti-join plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // three-valued logic: ONE null in the probe list → zero rows
+    val withNull = spark.sql(
+      """SELECT e.event_id FROM q37_events e
+        |WHERE e.user_id NOT IN (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN NULL ELSE user_id END
+        |  FROM q37_events WHERE event_type = 'purchase')""".stripMargin)
+    assert(withNull.count() == 0L, "NOT IN over a null-bearing probe must be empty")
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
