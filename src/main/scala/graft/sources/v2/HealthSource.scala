@@ -1,0 +1,171 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the synthetic health-event stream
+  * (SURVEY §2 #6b): the CONNECTOR-AUTHORING surface of the engine —
+  * TableProvider → Table → ScanBuilder → Batch → PartitionReader —
+  * with the two pushdowns that matter at 100 TB implemented for
+  * real:
+  *
+  *   - **column pruning** (SupportsPushDownRequiredColumns): the
+  *     per-row generator materializes ONLY requested fields — the
+  *     DSv2 contract that lets a 2-column projection skip the other
+  *     field entirely (the parquet ReadSchema analog, here applied
+  *     to generation work);
+  *   - **partition pruning via filter pushdown**
+  *     (SupportsPushDownFilters): an `EqualTo(patient_id, …)`
+  *     predicate prunes input partitions at PLANNING time — the scan
+  *     runs one task instead of one per patient (observable as
+  *     `df.rdd.getNumPartitions`).
+  *
+  * One input partition per patient: embarrassingly parallel, no
+  * shuffle, work scales with patients × rate like the Kafka topic
+  * partitioning it stands in for (reference kafka_producer.py:10-28).
+  * Generation is seeded splitmix64 arithmetic — deterministic at any
+  * parallelism (SourceV2Spec re-derives rows in plain Scala).
+  *
+  * Usage: `spark.read.format(classOf[HealthSource].getName)
+  * .option("patients", 5).option("perPatient", 1000).load()`.
+  */
+class HealthSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HealthSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new HealthTable()
+}
+
+object HealthSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("patient_id", StringType, nullable = false),
+    StructField("event_time_ms", LongType, nullable = false),
+    StructField("heart_rate_bpm", LongType, nullable = false)))
+
+  val DefaultStartMs = 1735689600000L // 2025-01-01T00:00:00Z
+
+  /** splitmix64 — the deterministic per-(seed, patient, k) noise
+    * kernel, replicated in plain Scala by the spec.
+    */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The row model: same baselines/episodes family as
+    * [[graft.sources.HealthDataGenerator]] (kafka_producer.py:10-28),
+    * on the connector's own seeded kernel.
+    */
+  def heartRate(seed: Long, patient: Int, k: Long): Long = {
+    val noise = java.lang.Math.floorMod(mix(seed ^ (patient.toLong << 32) ^ k), 26L) - 10L
+    val episode = k / 5
+    val bump =
+      if (episode % 50 == 0) 45L
+      else if (episode % 83 == 1) -35L
+      else 0L
+    65L + (patient * 31) % 16 + noise + bump
+  }
+}
+
+private[v2] class HealthTable extends Table with SupportsRead {
+  override def name(): String = "graft_health_events"
+  override def schema(): StructType = HealthSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new HealthScanBuilder(
+      options.getInt("patients", 5),
+      options.getLong("perPatient", 1000L),
+      options.getLong("startTs", HealthSource.DefaultStartMs),
+      options.getLong("seed", 42L))
+}
+
+private[v2] class HealthScanBuilder(patients: Int, perPatient: Long,
+    startTs: Long, seed: Long)
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = HealthSource.Schema
+  private var patientFilter: Option[Int] = None
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition {
+      case EqualTo("patient_id", v: String) =>
+        // accept only well-formed ids inside the configured range
+        v.matches("p\\d{3}") && {
+          val p = v.drop(1).toInt
+          p >= 1 && p <= patients
+        }
+      case _ => false
+    }
+    accepted = ours
+    patientFilter = ours.headOption.map {
+      case EqualTo(_, v: String) => v.drop(1).toInt
+      case f => throw new IllegalStateException(s"unexpected accepted filter $f")
+    }
+    rest // Spark re-applies anything we don't handle
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new HealthScan(patients, perPatient, startTs, seed, required, patientFilter)
+}
+
+private[v2] case class HealthPartition(patient: Int) extends InputPartition
+
+private[v2] class HealthScan(patients: Int, perPatient: Long, startTs: Long,
+    seed: Long, required: StructType, patientFilter: Option[Int])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** One partition per patient; a pushed patient filter prunes the
+    * plan to a single partition BEFORE any task launches.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val ps = patientFilter.map(Seq(_)).getOrElse(1 to patients)
+    ps.map(p => HealthPartition(p): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HealthReaderFactory(perPatient, startTs, seed,
+      required.fieldNames) // field names, not StructType: keep the task payload tiny
+}
+
+private[v2] class HealthReaderFactory(perPatient: Long, startTs: Long,
+    seed: Long, fields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[HealthPartition].patient
+    new PartitionReader[InternalRow] {
+      private var k = -1L
+      override def next(): Boolean = { k += 1; k < perPatient }
+      override def get(): InternalRow = {
+        // materialize ONLY the pruned columns, in the pruned order
+        val values: Array[Any] = fields.map {
+          case "patient_id" => UTF8String.fromString(f"p$p%03d")
+          case "event_time_ms" => startTs + k * 10000L + p * 7L
+          case "heart_rate_bpm" => HealthSource.heartRate(seed, p, k)
+          case other => throw new IllegalArgumentException(s"unknown column $other")
+        }
+        InternalRow.fromSeq(values.toSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
