@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       binary("dot_product")(DotProduct)))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    e.injectOptimizerRule(_ => graft.plans.ProjectThroughTopKPerKey)
   }
 }

@@ -182,6 +182,38 @@ object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   }
 }
 
+/** Injected optimizer rule (SparkSessionExtensions
+  * injectOptimizerRule — the third Catalyst extension point next to
+  * the engine's functions and planner strategy): COLUMN PRUNING
+  * through [[TopKPerKey]]. Catalyst's own ColumnPruning only
+  * understands built-in nodes — a custom operator is opaque to it,
+  * so `topKPerKey(df, …).select(narrow)` would otherwise shuffle and
+  * heap FULL-WIDTH rows and drop columns afterwards. This rule
+  * rewrites Project-over-TopKPerKey to TopKPerKey-over-Project
+  * (keeping key/order columns, re-projecting above), so the heap
+  * holds only the surviving columns — at 100 TB, heap bytes and
+  * shuffle bytes shrink by the pruned fraction. Runs to fixed point
+  * inside the main operator-optimization batch; the
+  * strictly-narrower guard makes it terminate.
+  */
+object ProjectThroughTopKPerKey
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projList, TopKPerKey(k, keys, order, child))
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      val needed = AttributeSet(projList.map(_.toAttribute)) ++
+        AttributeSet(keys.flatMap(_.references)) ++
+        AttributeSet(order.flatMap(_.references))
+      if (needed.subsetOf(child.outputSet) && needed.size < child.output.size) {
+        val narrowed = child.output.filter(needed.contains)
+        Project(projList, TopKPerKey(k, keys, order, Project(narrowed, child)))
+      } else p
+  }
+}
+
 /** User-facing API. */
 object TopK {
   /** Top `k` rows per `keys` group under `order` (use `.desc`/`.asc`

@@ -166,4 +166,31 @@ class TopKPerKeySpec extends AnyFunSuite {
       assert(best.forall(_ >= 95.0)) // per-key max of (id % 97) over 200 ids/key
     } finally spark.conf.unset(key)
   }
+
+  test("injected rule prunes columns through TopKPerKey (heap holds only survivors)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findExecs(p: SparkPlan): Seq[graft.plans.TopKPerKeyExec] = p match {
+      case a: AdaptiveSparkPlanExec => findExecs(a.executedPlan)
+      case q: QueryStageExec => findExecs(q.plan)
+      case e: graft.plans.TopKPerKeyExec => e +: e.children.flatMap(findExecs)
+      case other => other.children.flatMap(findExecs)
+    }
+    val in = spark.range(1000).select(
+      (col("id") % 10).as("k"), col("id"),
+      (col("id") % 97).cast("double").as("score"),
+      concat(lit("wide-payload-"), col("id")).as("wide1"),
+      concat(lit("wider-payload-"), col("id")).as("wide2"))
+    val full = TopK.topKPerKey(in, Seq(col("k")), Seq(col("score").desc, col("id").asc), k = 3)
+    val narrow = full.select("k", "score")
+    val execs = findExecs(narrow.queryExecution.executedPlan)
+    assert(execs.nonEmpty, "expected the heap exec")
+    val heapCols = execs.head.child.output.map(_.name).toSet
+    assert(heapCols == Set("k", "id", "score"), // order col id kept, wides pruned
+      s"heap not pruned: $heapCols")
+    // semantics unchanged vs the unpruned form
+    val a = narrow.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val b = full.collect().map(r => (r.getLong(0), r.getDouble(2))).sorted.toSeq
+    assert(a == b)
+  }
 }
