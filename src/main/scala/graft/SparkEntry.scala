@@ -100,6 +100,8 @@ object SparkEntry {
     "q37_notin"         -> (Relational.q37 _),
     "q38_dates"         -> (Relational.q38 _),
     "sketch_cube"       -> (Curation.sketchCube _),
+    "data_split"        -> (Curation.dataSplit _),
+    "user_history"      -> (Curation.userHistory _),
     "knn_graph"         -> ((s, d) => SimilaritySearch.knnGraph(s, d)),
     "scd2_merge"        -> (Warehouse.scd2Merge _),
     "cdc_apply"         -> (Warehouse.cdcApply _),
@@ -1453,6 +1455,37 @@ object SparkEntry {
         |SELECT e.event_id, e.uid, g.n_key_events
         |FROM e JOIN g ON e.uid IS NOT DISTINCT FROM g.uid
         |ORDER BY e.event_id""".stripMargin,
+
+    // one hash, non-overlapping ranges: disjoint + exhaustive splits
+    "data_split" -> {
+      val v = operators.Curation.SplitValPpm
+      val t = operators.Curation.SplitTestPpm
+      s"""WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ${hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket,
+        |  CASE WHEN bucket < $v THEN 'val'
+        |       WHEN bucket < $t THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM b
+        |ORDER BY doc_id""".stripMargin
+    },
+
+    // string_agg with explicit ORDER BY mirrors the sort_array'd
+    // struct collect (strict ts,event_id order on both engines)
+    "user_history" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type
+        |  FROM events)
+        |SELECT user_id,
+        |  COUNT(*) AS n_events,
+        |  string_agg(event_type, ',' ORDER BY ts_ms, event_id) AS history,
+        |  MIN(ts_ms) AS first_ms,
+        |  MAX(ts_ms) AS last_ms
+        |FROM e
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     // identical three-valued logic on both engines; the null-trap
     // variant (NULL in the probe → zero rows) is spec-asserted

@@ -341,6 +341,61 @@ object Curation {
         expr("n_chars div 4").as("est_tokens"))
       .orderBy(col("lang"), col("source"))
 
+  /** Split fractions (ppm of the hash space) for [[dataSplit]]:
+    * train/val/test = 90/5/5. Boundaries injected into the oracle.
+    */
+  val SplitValPpm = 50000L
+  val SplitTestPpm = 100000L
+
+  /** data_split — deterministic train/val/test assignment (the
+    * train-eval hygiene operator): each doc hashes ONCE into the
+    * ppm space under a split-specific salt; [0,val) → val,
+    * [val,test) → test, rest → train. Disjoint and exhaustive BY
+    * CONSTRUCTION (one hash, non-overlapping ranges — not three
+    * independent samples that could collide), stable across runs
+    * and cluster sizes, and new documents never reshuffle old
+    * assignments (the property a growing corpus needs: assignment
+    * depends only on doc_id). Scan-level filterless map — no
+    * shuffle before the output sort.
+    */
+  def dataSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val bucket = pmod(hash60(concat(lit("split:"), col("doc_id").cast("string"))),
+      lit(1000000L))
+    docs.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < SplitValPpm, "val")
+          .when(col("bucket") < SplitTestPpm, "test")
+          .otherwise("train"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** user_history — per-user ordered event sequence assembly (the
+    * "flatten a user's activity into one training example" operator
+    * behind behavioral-sequence models): events collapse to one row
+    * per user with the event-type sequence in strict (ts, event_id)
+    * order. Determinism trick: collect_list order after a shuffle is
+    * NOT guaranteed, so the structs are collected UNORDERED and then
+    * `sort_array`ed — sorting happens inside the row, making the
+    * result parallelism-independent without a window sort. One
+    * user-keyed aggregation with map-side partial collect.
+    */
+  def userHistory(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    ev.select(col("user_id"),
+        struct(graft.Exact.epochMs(col("ts")).as("ts_ms"),
+          col("event_id"), col("event_type")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("seq"))
+      .select(col("user_id"),
+        size(col("seq")).cast("long").as("n_events"),
+        expr("array_join(transform(seq, x -> x.event_type), ',')").as("history"),
+        col("seq")(0).getField("ts_ms").as("first_ms"),
+        element_at(col("seq"), -1).getField("ts_ms").as("last_ms"))
+      .orderBy(col("user_id"))
+  }
+
   /** lgConfigK for [[sketchCube]]'s DataSketches HLL (2¹² registers
     * ≈ 1.6% relative error, 4 KB per sketch).
     */
