@@ -112,12 +112,19 @@ private[v2] class HealthScanBuilder(patients: Int, perPatient: Long,
         }
       case _ => false
     }
-    accepted = ours
-    patientFilter = ours.headOption.map {
-      case EqualTo(_, v: String) => v.drop(1).toInt
-      case f => throw new IllegalStateException(s"unexpected accepted filter $f")
+    // an ACCEPTED filter is never re-applied by Spark, so accept only
+    // what planInputPartitions fully honors: exactly one equality
+    // (two contradictory ones normally fold to `false` upstream, but
+    // this connector must not rely on that)
+    if (ours.length == 1) {
+      accepted = ours
+      patientFilter = Some(ours.head.asInstanceOf[EqualTo].value.asInstanceOf[String].drop(1).toInt)
+      rest
+    } else {
+      accepted = Array.empty
+      patientFilter = None
+      filters
     }
-    rest // Spark re-applies anything we don't handle
   }
 
   override def pushedFilters(): Array[Filter] = accepted
