@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -82,17 +83,18 @@ private[v2] class HealthTable extends Table with SupportsRead {
   override def name(): String = "graft_health_events"
   override def schema(): StructType = HealthSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HealthScanBuilder(
       options.getInt("patients", 5),
       options.getLong("perPatient", 1000L),
       options.getLong("startTs", HealthSource.DefaultStartMs),
-      options.getLong("seed", 42L))
+      options.getLong("seed", 42L),
+      options.getLong("kPerBatch", 100L))
 }
 
 private[v2] class HealthScanBuilder(patients: Int, perPatient: Long,
-    startTs: Long, seed: Long)
+    startTs: Long, seed: Long, kPerBatch: Long = 100L)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = HealthSource.Schema
@@ -130,38 +132,93 @@ private[v2] class HealthScanBuilder(patients: Int, perPatient: Long,
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan =
-    new HealthScan(patients, perPatient, startTs, seed, required, patientFilter)
+    new HealthScan(patients, perPatient, startTs, seed, required,
+      patientFilter, kPerBatch)
 }
 
-private[v2] case class HealthPartition(patient: Int) extends InputPartition
+private[v2] case class HealthPartition(patient: Int, fromK: Long, untilK: Long)
+  extends InputPartition
 
 private[v2] class HealthScan(patients: Int, perPatient: Long, startTs: Long,
-    seed: Long, required: StructType, patientFilter: Option[Int])
+    seed: Long, required: StructType, patientFilter: Option[Int], kPerBatch: Long)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** The SAME scan serves streaming reads: micro-batches advance a
+    * per-patient event index k in [[kPerBatch]] steps (offset = k),
+    * so batch and stream produce identical rows from one source
+    * definition — the dual-mode contract a Kafka-backed table has.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new HealthMicroBatchStream(patients, perPatient, startTs, seed,
+      required.fieldNames, patientFilter, kPerBatch)
+
+  private def ps: Seq[Int] = patientFilter.map(Seq(_)).getOrElse(1 to patients)
+
   /** One partition per patient; a pushed patient filter prunes the
     * plan to a single partition BEFORE any task launches.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val ps = patientFilter.map(Seq(_)).getOrElse(1 to patients)
-    ps.map(p => HealthPartition(p): InputPartition).toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    ps.map(p => HealthPartition(p, 0L, perPatient): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new HealthReaderFactory(perPatient, startTs, seed,
+    new HealthReaderFactory(startTs, seed,
       required.fieldNames) // field names, not StructType: keep the task payload tiny
 }
 
-private[v2] class HealthReaderFactory(perPatient: Long, startTs: Long,
+/** Streaming offset: the next per-patient event index to emit. */
+private[v2] case class KOffset(k: Long) extends Offset {
+  override def json(): String = k.toString
+}
+
+/** MicroBatchStream over the generator: offsets are per-patient event
+  * indices; each trigger admits ≤ kPerBatch new indices per patient
+  * (SupportsAdmissionControl, the rate-source pattern) until the
+  * configured horizon, then reports caught-up (processAllAvailable
+  * returns). Restart-safe by construction: partitions derive purely
+  * from the (start, end) offsets the checkpoint hands back.
+  */
+private[v2] class HealthMicroBatchStream(patients: Int, perPatient: Long,
+    startTs: Long, seed: Long, fields: Array[String],
+    patientFilter: Option[Int], kPerBatch: Long)
+  extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = KOffset(0L)
+  override def deserializeOffset(json: String): Offset = KOffset(json.toLong)
+
+  // full horizon is "available"; admission control paces the batches
+  override def reportLatestOffset(): Offset = KOffset(perPatient)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    KOffset(math.min(perPatient, start.asInstanceOf[KOffset].k + kPerBatch))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KOffset].k
+    val e = end.asInstanceOf[KOffset].k
+    val ps = patientFilter.map(Seq(_)).getOrElse(1 to patients)
+    ps.map(p => HealthPartition(p, s, e): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HealthReaderFactory(startTs, seed, fields)
+
+  override def commit(end: Offset): Unit = () // nothing to release
+  override def stop(): Unit = ()
+}
+
+private[v2] class HealthReaderFactory(startTs: Long,
     seed: Long, fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[HealthPartition].patient
+    val part = partition.asInstanceOf[HealthPartition]
+    val p = part.patient
     new PartitionReader[InternalRow] {
-      private var k = -1L
-      override def next(): Boolean = { k += 1; k < perPatient }
+      private var k = part.fromK - 1L
+      override def next(): Boolean = { k += 1; k < part.untilK }
       override def get(): InternalRow = {
         // materialize ONLY the pruned columns, in the pruned order
         val values: Array[Any] = fields.map {

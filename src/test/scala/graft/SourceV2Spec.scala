@@ -57,4 +57,27 @@ class SourceV2Spec extends AnyFunSuite {
     assert(hi.rdd.getNumPartitions == 4)
     assert(hi.collect().forall(_.getLong(2) > 100L))
   }
+
+  test("the same table streams: micro-batches pace by kPerBatch and equal the batch read") {
+    val q = spark.readStream.format(classOf[HealthSource].getName)
+      .option("patients", 3).option("perPatient", 40).option("kPerBatch", 15)
+      .load()
+      .writeStream.format("memory").queryName("dsv2_stream").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dsv2_stream").collect().map(_.toSeq)
+      assert(streamed.length == 120, s"expected 3×40 rows, got ${streamed.length}")
+      assert(streamed.toSet.size == 120, "micro-batches must not duplicate rows")
+      val batch = spark.read.format(classOf[HealthSource].getName)
+        .option("patients", 3).option("perPatient", 40).load()
+        .collect().map(_.toSeq)
+      assert(streamed.toSet == batch.toSet,
+        "streaming and batch reads of one table must agree")
+      // admission control actually paced it: ceil(40/15) = 3 batches
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3, s"expected 3 paced micro-batches, got ${batches.length}")
+      assert(batches.map(_.numInputRows).toSeq == Seq(45L, 45L, 30L))
+    } finally q.stop()
+  }
 }
