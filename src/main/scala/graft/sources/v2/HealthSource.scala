@@ -27,7 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     (SupportsPushDownFilters): an `EqualTo(patient_id, …)`
   *     predicate prunes input partitions at PLANNING time — the scan
   *     runs one task instead of one per patient (observable as
-  *     `df.rdd.getNumPartitions`).
+  *     `df.rdd.getNumPartitions`);
+  *   - **limit pushdown** (SupportsPushDownLimit): `LIMIT n` caps
+  *     every partition's generation horizon at n rows — the source
+  *     stops producing instead of relying on the downstream
+  *     LocalLimit to stop pulling.
   *
   * One input partition per patient: embarrassingly parallel, no
   * shuffle, work scales with patients × rate like the Kafka topic
@@ -93,16 +97,29 @@ private[v2] class HealthTable extends Table with SupportsRead {
       options.getLong("kPerBatch", 100L))
 }
 
-private[v2] class HealthScanBuilder(patients: Int, perPatient: Long,
+private[graft] class HealthScanBuilder(patients: Int, perPatient: Long,
     startTs: Long, seed: Long, kPerBatch: Long = 100L)
-  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private var required: StructType = HealthSource.Schema
   private var patientFilter: Option[Int] = None
   private var accepted: Array[Filter] = Array.empty
+  private var limit: Option[Long] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT pushdown: each partition generates at most `n` rows (the
+    * DSv2 contract — Spark still applies the final global limit, so
+    * the source's job is only to stop producing early). `LIMIT 5`
+    * over 1000 patients × 10⁶ rows generates ≤ 5 rows per partition
+    * instead of the full horizon.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n.toLong)
+    true // fully honored per partition
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, rest) = filters.partition {
@@ -132,14 +149,14 @@ private[v2] class HealthScanBuilder(patients: Int, perPatient: Long,
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan =
-    new HealthScan(patients, perPatient, startTs, seed, required,
-      patientFilter, kPerBatch)
+    new HealthScan(patients, limit.fold(perPatient)(_ min perPatient),
+      startTs, seed, required, patientFilter, kPerBatch)
 }
 
-private[v2] case class HealthPartition(patient: Int, fromK: Long, untilK: Long)
+private[graft] case class HealthPartition(patient: Int, fromK: Long, untilK: Long)
   extends InputPartition
 
-private[v2] class HealthScan(patients: Int, perPatient: Long, startTs: Long,
+private[graft] class HealthScan(patients: Int, perPatient: Long, startTs: Long,
     seed: Long, required: StructType, patientFilter: Option[Int], kPerBatch: Long)
   extends Scan with Batch {
 

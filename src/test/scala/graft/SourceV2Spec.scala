@@ -58,6 +58,21 @@ class SourceV2Spec extends AnyFunSuite {
     assert(hi.collect().forall(_.getLong(2) > 100L))
   }
 
+  test("limit pushdown caps every partition's generation horizon") {
+    import graft.sources.v2.{HealthPartition, HealthScanBuilder}
+    val b = new HealthScanBuilder(4, 1000000L, HealthSource.DefaultStartMs, 42L)
+    assert(b.pushLimit(5))
+    val parts = b.build().toBatch.planInputPartitions()
+    assert(parts.length == 4)
+    assert(parts.forall(_.asInstanceOf[HealthPartition].untilK == 5L),
+      "each partition must generate at most the pushed limit")
+    // end-to-end semantics unchanged
+    val got = spark.read.format(classOf[HealthSource].getName)
+      .option("patients", 4).option("perPatient", 1000000).load()
+      .limit(5).collect()
+    assert(got.length == 5)
+  }
+
   test("the same table streams: micro-batches pace by kPerBatch and equal the batch read") {
     val q = spark.readStream.format(classOf[HealthSource].getName)
       .option("patients", 3).option("perPatient", 40).option("kPerBatch", 15)
