@@ -95,4 +95,33 @@ class SourceV2Spec extends AnyFunSuite {
       assert(batches.map(_.numInputRows).toSeq == Seq(45L, 45L, 30L))
     } finally q.stop()
   }
+
+  test("streaming restart resumes from the checkpointed offset: no loss, no duplication") {
+    val out = "target/tmp/dsv2_restart_out"
+    val ckpt = "target/tmp/dsv2_restart_ckpt"
+    def rm(p: String): Unit = {
+      def go(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(go); f.delete()
+      }
+      go(new java.io.File(p))
+    }
+    rm(out); rm(ckpt)
+    def start(perPatient: Int) = spark.readStream
+      .format(classOf[HealthSource].getName)
+      .option("patients", 2).option("perPatient", perPatient).option("kPerBatch", 10)
+      .load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // phase 1: horizon 20 → k in [0, 20) committed
+    val q1 = start(20)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 40L)
+    // phase 2: SAME checkpoint, horizon extended to 35 — the restart
+    // must resume at k=20 (not regenerate [0,20)) and emit the rest
+    val q2 = start(35)
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 70L, s"expected 2×35 rows, got ${rows.length}")
+    assert(rows.map(_.toSeq).toSet.size == 70, "restart must not duplicate rows")
+  }
 }
