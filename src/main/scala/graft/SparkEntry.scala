@@ -71,6 +71,7 @@ object SparkEntry {
     "corpus_shuffle"    -> (Curation.corpusShuffle _),
     "dedup_lines"       -> (Text.dedupLines _),
     "dedup_incremental" -> (Text.dedupIncremental _),
+    "dedup_fuzzy"       -> (Text.dedupFuzzy _),
     "sample_mixture"    -> (Curation.sampleMixture _),
     "pq_codes"          -> (SimilaritySearch.pqCodes _),
     "ann_pq"            -> ((s, d) => SimilaritySearch.annPq(s, d)),
@@ -1455,6 +1456,26 @@ object SparkEntry {
         |SELECT e.event_id, e.uid, g.n_key_events
         |FROM e JOIN g ON e.uid IS NOT DISTINCT FROM g.uid
         |ORDER BY e.event_id""".stripMargin,
+
+    // same blocking keys, same 64-char-prefix Levenshtein
+    "dedup_fuzzy" -> {
+      val t = operators.Text
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    substr($normSql, 1, ${t.FuzzyPrefixLen}) AS prefix,
+        |    substr($normSql, 1, 1) AS fc,
+        |    length($normSql) // ${t.FuzzyLenBucket} AS bucket
+        |  FROM documents),
+        |pr AS (
+        |  SELECT doc_id AS id1, prefix AS p1, fc, unnest([bucket, bucket + 1]) AS bucket
+        |  FROM d)
+        |SELECT pr.id1, d2.doc_id AS id2,
+        |  CAST(levenshtein(pr.p1, d2.prefix) AS BIGINT) AS dist
+        |FROM pr JOIN d d2 ON pr.fc = d2.fc AND pr.bucket = d2.bucket
+        |WHERE pr.id1 < d2.doc_id
+        |  AND levenshtein(pr.p1, d2.prefix) <= ${t.FuzzyMaxDist}
+        |ORDER BY id1, id2""".stripMargin
+    },
 
     // one hash, non-overlapping ranges: disjoint + exhaustive splits
     "data_split" -> {

@@ -122,6 +122,24 @@ class QueryPackSpec extends AnyFunSuite {
     assert(withNull.count() == 0L, "NOT IN over a null-bearing probe must be empty")
   }
 
+  test("dedup_fuzzy: planted single-char corruptions are found within the distance bound") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf).documents.limit(50)
+    // corrupt chars 10-12: length, first char, and length-bucket all
+    // survive, so the planted twin lands in the same block
+    val corrupted = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      overlay(col("text"), lit("zzz"), lit(10)).as("text"))
+    val both = docs.select("doc_id", "text").unionByName(corrupted)
+    val pairs = operators.Text.dedupFuzzyOn(both)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    for (id <- ids) {
+      val hit = pairs.find(p => p._1 == id && p._2 == id + 100000L)
+      assert(hit.isDefined, s"planted corruption of doc $id not found")
+      assert(hit.get._3 <= 3L, s"distance ${hit.get._3} exceeds the 3-char edit")
+    }
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
