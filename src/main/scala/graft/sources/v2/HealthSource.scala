@@ -100,12 +100,33 @@ private[v2] class HealthTable extends Table with SupportsRead {
 private[graft] class HealthScanBuilder(patients: Int, perPatient: Long,
     startTs: Long, seed: Long, kPerBatch: Long = 100L)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters with SupportsPushDownLimit {
+  with SupportsPushDownFilters with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
 
   private var required: StructType = HealthSource.Schema
   private var patientFilter: Option[Int] = None
   private var accepted: Array[Filter] = Array.empty
   private var limit: Option[Long] = None
+  private var countPushed = false
+
+  /** COUNT(*) pushdown: the generator KNOWS its cardinality at
+    * planning time (patients × horizon, one patient under a pushed
+    * filter), so a global count generates ZERO event rows — one
+    * 1-row partition carries the answer. Complete pushdown (Spark
+    * applies no final re-aggregation), hence accepted only for the
+    * exact ungrouped COUNT(*) shape this source can answer whole.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (supportCompletePushDown(agg)) { countPushed = true; true }
+    else false // anything else: Spark aggregates the raw rows itself
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -148,9 +169,37 @@ private[graft] class HealthScanBuilder(patients: Int, perPatient: Long,
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan =
-    new HealthScan(patients, limit.fold(perPatient)(_ min perPatient),
+  override def build(): Scan = {
+    val horizon = limit.fold(perPatient)(_ min perPatient)
+    if (countPushed) {
+      val n = patientFilter.fold(patients.toLong)(_ => 1L) * horizon
+      new CountScan(n)
+    } else new HealthScan(patients, horizon,
       startTs, seed, required, patientFilter, kPerBatch)
+  }
+}
+
+/** The planning-time answer to a fully-pushed COUNT(*): one 1-row
+  * partition, zero event rows generated.
+  */
+private[graft] class CountScan(n: Long) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(HealthPartition(0, 0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    CountReaderFactory(n) // standalone: must not capture the Scan (not serializable)
+}
+
+private[graft] case class CountReaderFactory(n: Long) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow(n)
+      override def close(): Unit = ()
+    }
 }
 
 private[graft] case class HealthPartition(patient: Int, fromK: Long, untilK: Long)

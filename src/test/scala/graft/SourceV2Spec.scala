@@ -96,6 +96,28 @@ class SourceV2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("COUNT(*) pushdown answers at planning time: one 1-row partition, zero events") {
+    val big = spark.read.format(classOf[HealthSource].getName)
+      .option("patients", 100).option("perPatient", 10000000).load()
+    val counted = big.agg(count(lit(1)))
+    // a fully-pushed count plans ONE partition carrying one row — it
+    // never generates the 10⁹ events (this would take minutes raw)
+    val t0 = System.nanoTime()
+    assert(counted.collect().head.getLong(0) == 1000000000L)
+    assert((System.nanoTime() - t0) / 1e9 < 30.0, "count generated rows instead of metadata")
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates") || !plan.contains("HashAggregate"),
+      s"no aggregate pushdown visible:\n$plan")
+    // composes with filter pushdown: one patient's horizon only
+    val one = spark.read.format(classOf[HealthSource].getName)
+      .option("patients", 100).option("perPatient", 10000000).load()
+      .filter(col("patient_id") === "p007").agg(count(lit(1)))
+    assert(one.collect().head.getLong(0) == 10000000L)
+    // grouped aggregates are NOT accepted: Spark computes them itself
+    val grouped = read().groupBy("patient_id").agg(count(lit(1)))
+    assert(grouped.collect().map(_.getLong(1)).toSeq == Seq.fill(4)(100L))
+  }
+
   test("streaming restart resumes from the checkpointed offset: no loss, no duplication") {
     val out = "target/tmp/dsv2_restart_out"
     val ckpt = "target/tmp/dsv2_restart_ckpt"
