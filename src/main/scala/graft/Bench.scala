@@ -90,8 +90,23 @@ object Bench {
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }
     spark.stop()
-    // the JSON line goes out LAST, after spark.stop()'s log spew, so a
-    // tail-capturing harness keeps it whole
+    // Two lines, big first, compact LAST. The harness keeps only the
+    // final 2000 chars of output (measured from BENCH_r01-r03, all
+    // parsed:null with the line's front truncated) — the full line
+    // (~5 KB at 100 queries) can never survive it, so the last line
+    // is a compact digest that always fits: total + the slowest
+    // queries, trimmed to a 1400-char budget. Full detail stays in
+    // the big line and target/bench.json.
     println(line)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2)
+    val budget = 1200
+    val sb = new StringBuilder
+    slowest.foreach { case (k, v) =>
+      val ent = (if (sb.nonEmpty) "," else "") + "\"" + k + "\":" + fmt(v)
+      if (sb.length + ent.length <= budget) sb.append(ent)
+    }
+    val failed = results.collect { case (n, t) if t < 0 => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"queries":{${sb.toString}},"detail":"target/bench.json"}""")
   }
 }

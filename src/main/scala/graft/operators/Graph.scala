@@ -59,20 +59,46 @@ object Graph {
 
   private[graft] def pagerankOn(customer: DataFrame, supplier: DataFrame,
       orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // AQE off for the driver loop only: adaptive execution re-plans
+    // at every shuffle boundary, which is pure latency when the loop
+    // body is 10× the same three-stage plan over already-partitioned
+    // cached inputs (the broadcast/skew decisions AQE would make are
+    // fixed here by construction). Standard practice for iterative
+    // graph jobs; restored before returning so only the rounds run
+    // static.
+    val spark = customer.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try pagerankRounds(customer, supplier, orders, lineitem)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def pagerankRounds(customer: DataFrame, supplier: DataFrame,
+      orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val nodes = customer.select(col("c_custkey").as("id"))
       .unionAll(supplier.select((col("s_suppkey") + SupplierNodeOffset).as("id")))
     val pairs = lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), (col("l_suppkey") + SupplierNodeOffset).as("s"))
       .distinct()
+    // hash-partition the edge list on src ONCE before caching: the
+    // per-round src-keyed join then reads the cache's partitioning
+    // and never re-shuffles the edges — the only per-round shuffles
+    // are the (tiny, map-side-combined) contrib aggregation and the
+    // rank table itself. At cluster scale this is the whole game:
+    // the edge list is the 100 TB side, the rank table is the
+    // node-count side, and 10 rounds × an edge shuffle is the
+    // difference between minutes and hours.
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .repartition(col("src"))
       .cache()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     var pr = nodes
       .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
         lit(PrScale).as("pr"))
+      .repartition(col("id"))
       .localCheckpoint(true)
     // checkpoint EVERY round: measured (TimeOne, sf0.1) a 2-round
     // cadence is ~2× SLOWER (21s vs 10s) — with the rank table this

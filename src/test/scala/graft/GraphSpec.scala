@@ -70,6 +70,34 @@ class GraphSpec extends AnyFunSuite {
       "the hub supplier must out-rank its leaf customers")
   }
 
+  test("a pagerank round never re-shuffles the partitioned cached edge list") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // mirror pagerankOn's static tables: edges hash-partitioned on
+    // src and cached, ranks partitioned on id
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst").repartition(col("src")).cache()
+    val pr = Seq((1L, 1L, 1000L), (2L, 2L, 1000L), (3L, 1L, 1000L))
+      .toDF("id", "outdeg", "pr").repartition(col("id")).localCheckpoint(true)
+    try {
+      val round = operators.Graph.pagerankRound(edges, pr)
+      val plan = round.queryExecution.executedPlan.toString
+      // the edge side must be served straight from the cache: no
+      // planner-inserted (ENSURE_REQUIREMENTS) exchange may re-shuffle
+      // src. The REPARTITION_BY_COL exchange inside the
+      // InMemoryRelation is the one-time cache build, not per-round
+      // work. Allowed per-round exchanges: the contrib aggregation
+      // (dst) and at most the rank side — the complete shuffle budget
+      // when both inputs are pre-partitioned on their join keys.
+      val perRound = "Exchange hashpartitioning\\([^)]*\\), ENSURE_REQUIREMENTS".r
+        .findAllIn(plan).toSeq
+      assert(perRound.size <= 2, s"round plans ${perRound.size} planner exchanges:\n$plan")
+      assert(!perRound.exists(_.contains("src#")),
+        s"the cached edge list is being re-shuffled on src:\n$plan")
+      assert(plan.contains("InMemoryTableScan"), plan)
+    } finally edges.unpersist()
+  }
+
   test("pagerank is invariant to partitioning") {
     val t = Tables(spark, sf)
     val a = operators.Graph.pagerankOn(t.customer, t.supplier, t.orders, t.lineitem)
