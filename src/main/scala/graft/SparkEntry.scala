@@ -1457,23 +1457,26 @@ object SparkEntry {
         |FROM e JOIN g ON e.uid IS NOT DISTINCT FROM g.uid
         |ORDER BY e.event_id""".stripMargin,
 
-    // same blocking keys, same 64-char-prefix Levenshtein
+    // same aligned-segment blocking, same 64-char-prefix Levenshtein
     "dedup_fuzzy" -> {
       val t = operators.Text
+      val segValues = t.FuzzySegments.zipWithIndex
+        .map { case ((off, len), i) => s"($i, $off, $len)" }.mkString(", ")
       s"""WITH d AS (
-        |  SELECT doc_id,
-        |    substr($normSql, 1, ${t.FuzzyPrefixLen}) AS prefix,
-        |    substr($normSql, 1, 1) AS fc,
-        |    length($normSql) // ${t.FuzzyLenBucket} AS bucket
+        |  SELECT doc_id, substr($normSql, 1, ${t.FuzzyPrefixLen}) AS prefix
         |  FROM documents),
-        |pr AS (
-        |  SELECT doc_id AS id1, prefix AS p1, fc, unnest([bucket, bucket + 1]) AS bucket
-        |  FROM d)
-        |SELECT pr.id1, d2.doc_id AS id2,
-        |  CAST(levenshtein(pr.p1, d2.prefix) AS BIGINT) AS dist
-        |FROM pr JOIN d d2 ON pr.fc = d2.fc AND pr.bucket = d2.bucket
-        |WHERE pr.id1 < d2.doc_id
-        |  AND levenshtein(pr.p1, d2.prefix) <= ${t.FuzzyMaxDist}
+        |seg AS (
+        |  SELECT doc_id, prefix, s.i, substr(prefix, s.off, s.len) AS seg
+        |  FROM d, (VALUES $segValues) AS s(i, off, len)
+        |  WHERE length(substr(prefix, s.off, s.len)) > 0),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+        |    a.prefix AS p1, b.prefix AS p2
+        |  FROM seg a JOIN seg b ON a.i = b.i AND a.seg = b.seg
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT id1, id2, CAST(levenshtein(p1, p2) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(p1, p2) <= ${t.FuzzyMaxDist}
         |ORDER BY id1, id2""".stripMargin
     },
 

@@ -125,8 +125,9 @@ class QueryPackSpec extends AnyFunSuite {
   test("dedup_fuzzy: planted single-char corruptions are found within the distance bound") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf).documents.limit(50)
-    // corrupt chars 10-12: length, first char, and length-bucket all
-    // survive, so the planted twin lands in the same block
+    // corrupt chars 10-12: the 3-char substitution touches at most 2
+    // of the 6 aligned prefix segments, so the pigeonhole guarantee
+    // puts the planted twin in at least one shared block
     val corrupted = docs.select((col("doc_id") + 100000L).as("doc_id"),
       overlay(col("text"), lit("zzz"), lit(10)).as("text"))
     val both = docs.select("doc_id", "text").unionByName(corrupted)
