@@ -133,27 +133,40 @@ object Dedup {
   }
 
   private def propagateLabels(docs: DataFrame, pairs: DataFrame, maxIters: Int): DataFrame = {
+    // hash-partition the (usually large) edge list on its join key
+    // ONCE before caching — the per-round dst-keyed join then serves
+    // it straight from the cache (the pagerank discipline; plan
+    // asserted in GraphSpec for that twin loop). Edges materialize
+    // with AQE still on (the candidate-pair plan feeding `pairs` is
+    // shuffle-heavy and wants adaptive sizing); only the fixed-shape
+    // rounds run static.
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").cache()
-    var labels = docs.withColumn("label", col("doc_id")).cache()
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIters) {
-      // localCheckpoint, not cache: the round's plan references
-      // `labels` twice (here and in the changed-count below), so
-      // without lineage truncation the LOGICAL plan doubles per round
-      // and optimizer time goes exponential past ~10 rounds — cache
-      // only dodges recomputation, not re-planning
-      val updated = propagationRound(edges, labels).localCheckpoint(true)
-      val changed = updated.as("u")
-        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = updated
-      converged = changed == 0
-      it += 1
-    }
-    require(converged, s"label propagation did not converge in $maxIters rounds")
+      .toDF("src", "dst").repartition(col("dst")).cache()
+    edges.count()
+    val spark = docs.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    var labels = docs.withColumn("label", col("doc_id"))
+      .repartition(col("doc_id")).localCheckpoint(true)
+    try {
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIters) {
+        // localCheckpoint, not cache: the round's plan references
+        // `labels` twice (here and in the changed-count below), so
+        // without lineage truncation the LOGICAL plan doubles per round
+        // and optimizer time goes exponential past ~10 rounds — cache
+        // only dodges recomputation, not re-planning. The round carries
+        // its own `chg` flag, so the convergence check is a filter-count
+        // over the materialized checkpoint — no extra join job.
+        val updated = propagationRound(edges, labels).localCheckpoint(true)
+        val changed = updated.filter(col("chg")).count()
+        labels = updated.select(col("doc_id"), col("label"))
+        converged = changed == 0
+        it += 1
+      }
+      require(converged, s"label propagation did not converge in $maxIters rounds")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     edges.unpersist()
     labels
   }
@@ -167,9 +180,13 @@ object Dedup {
   private[graft] def propagationRound(edges: DataFrame, labels: DataFrame): DataFrame = {
     val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
       .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+    // `chg` rides along so the driver's convergence check needs no
+    // join against the previous labels — true iff a neighbor holds a
+    // strictly smaller label than this node's current one
     labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
       .select(labels("doc_id"),
-        least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+        (coalesce(col("nbr_min"), col("label")) < col("label")).as("chg"))
   }
 
   /** Alternating large-star/small-star rounds. Invariant: every edge
@@ -218,18 +235,27 @@ object Dedup {
       .select(greatest(col("d1"), col("d2")).as("u"), least(col("d1"), col("d2")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     var fp = fingerprint(edges)
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val nfp = fingerprint(next)
-      edges.unpersist()
-      edges = next
-      converged = nfp == fp
-      fp = nfp
-      it += 1
-    }
-    require(converged, s"star contraction did not converge in $maxIters rounds")
+    // rounds run with AQE off (the pagerank/propagation discipline:
+    // fixed-shape tiny stages over checkpointed inputs re-planned
+    // adaptively is pure latency); the candidate-pair plan above
+    // already materialized adaptively
+    val spark = docs.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIters) {
+        val next = smallStar(largeStar(edges)).localCheckpoint(true)
+        val nfp = fingerprint(next)
+        edges.unpersist()
+        edges = next
+        converged = nfp == fp
+        fp = nfp
+        it += 1
+      }
+      require(converged, s"star contraction did not converge in $maxIters rounds")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     // star state: every non-root points straight at its component min
     val nonRoots = edges.groupBy(col("u")).agg(min(col("v")).as("label"))
       .select(col("u").as("doc_id"), col("label"))
