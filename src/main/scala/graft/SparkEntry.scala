@@ -110,7 +110,9 @@ object SparkEntry {
     "k_anon"            -> (Curation.kAnon _),
     "pagerank"          -> (Graph.pagerank _),
     "triangle_count"    -> (Graph.triangleCount _),
-    "q29_zorder"        -> (Layout.q29 _)
+    "q29_zorder"        -> (Layout.q29 _),
+    "q39_cube"          -> (Relational.q39 _),
+    "inverted_index"    -> (Text.invertedIndex _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -301,6 +303,18 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    // GROUPING_ID bit order matches Spark's (first cube column =
+    // most significant bit) in both engines
+    "q39_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
 
     "q9_distinct" ->
       """SELECT l_returnflag,
@@ -1478,6 +1492,32 @@ object SparkEntry {
         |FROM cand
         |WHERE levenshtein(p1, p2) <= ${t.FuzzyMaxDist}
         |ORDER BY id1, id2""".stripMargin
+    },
+
+    // same tokenization, same posting cap; row_number replicates the
+    // TopKPerKey truncation order (doc_id asc)
+    "inverted_index" -> {
+      val cap = operators.Text.IndexPostingsCap
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+        |t AS (
+        |  SELECT term, doc_id, COUNT(*) AS tf
+        |  FROM tok WHERE length(term) > 0 GROUP BY term, doc_id),
+        |stats AS (
+        |  SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+        |  FROM t GROUP BY term),
+        |top AS (
+        |  SELECT term, doc_id FROM (
+        |    SELECT term, doc_id,
+        |      row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |    FROM t) WHERE rn <= $cap),
+        |p AS (
+        |  SELECT term,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |  FROM top GROUP BY term)
+        |SELECT s.term, s.df, s.total_tf, p.postings
+        |FROM stats s JOIN p USING (term)
+        |ORDER BY s.term""".stripMargin
     },
 
     // one hash, non-overlapping ranges: disjoint + exhaustive splits

@@ -830,6 +830,28 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** q39_cube — full CUBE over (status, priority) with grouping_id
+    * labeling, completing the multi-level aggregate family next to
+    * q8's ROLLUP. CUBE of k columns is one scan expanded to 2^k
+    * grouping sets with partial aggregation per set — map-side
+    * combine still applies, so the 100 TB cost is one shuffle of
+    * 2^k × |groups| partials, not 2^k scans (the reason CUBE beats
+    * a UNION ALL of per-set GROUP BYs at scale). grouping_id is the
+    * canonical set label: coalesce-to-'ALL' alone could not
+    * distinguish a genuine 'ALL' value from a rollup total.
+    */
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n_orders"), col("sum_price"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+  }
+
   private[graft] def q26On(events: DataFrame): DataFrame = {
     val ev = events
       .select(col("user_id"), col("event_id"),

@@ -141,6 +141,39 @@ class QueryPackSpec extends AnyFunSuite {
     }
   }
 
+  test("q39_cube: grouping sets partition the fact table and gid labels them") {
+    val rows = operators.Relational.q39(spark, sf).collect()
+    val total = Tables(spark, sf).orders.count()
+    // gid 3 = both columns rolled up = the grand total, exactly once
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n_orders") == total)
+    assert(grand.head.getAs[String]("status") == "ALL" &&
+      grand.head.getAs[String]("priority") == "ALL")
+    // each grouping set's counts must sum to the fact-table total
+    for (g <- 0L to 3L)
+      assert(rows.filter(_.getAs[Long]("gid") == g)
+        .map(_.getAs[Long]("n_orders")).sum == total, s"gid $g does not partition")
+  }
+
+  test("inverted_index: exact stats and cap-bounded postings on a planted corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cap = operators.Text.IndexPostingsCap
+    // 'common' in every doc (> cap of them), 'rare' only in doc 3,
+    // 'twice' twice in doc 5
+    val docs = (1L to 25L).map { i =>
+      val extra = (if (i == 3) " rare" else "") + (if (i == 5) " twice twice" else "")
+      (i, s"common$extra")
+    }.toDF("doc_id", "text")
+    val got = operators.Text.invertedIndexOn(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got("common") == ((25L, 25L, (1L to cap).mkString(","))))
+    assert(got("rare") == ((1L, 1L, "3")))
+    assert(got("twice") == ((1L, 2L, "5")))
+    // the hot term's postings are truncated at the cap, stats exact
+    assert(got("common")._3.split(",").length == cap)
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
