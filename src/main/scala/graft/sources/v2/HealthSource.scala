@@ -5,6 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
@@ -31,7 +33,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - **limit pushdown** (SupportsPushDownLimit): `LIMIT n` caps
   *     every partition's generation horizon at n rows — the source
   *     stops producing instead of relying on the downstream
-  *     LocalLimit to stop pulling.
+  *     LocalLimit to stop pulling;
+  *   - **aggregate pushdown** (SupportsPushDownAggregates): ungrouped
+  *     COUNT(*) / MIN / MAX over event_time_ms are answered in closed
+  *     form at planning time (cardinality and time bounds are affine
+  *     in the generator parameters) — zero event rows generated.
   *
   * One input partition per patient: embarrassingly parallel, no
   * shuffle, work scales with patients × rate like the Kafka topic
@@ -107,24 +113,37 @@ private[graft] class HealthScanBuilder(patients: Int, perPatient: Long,
   private var patientFilter: Option[Int] = None
   private var accepted: Array[Filter] = Array.empty
   private var limit: Option[Long] = None
-  private var countPushed = false
+  private var pushedAgg: Option[Aggregation] = None
 
-  /** COUNT(*) pushdown: the generator KNOWS its cardinality at
-    * planning time (patients × horizon, one patient under a pushed
-    * filter), so a global count generates ZERO event rows — one
-    * 1-row partition carries the answer. Complete pushdown (Spark
-    * applies no final re-aggregation), hence accepted only for the
-    * exact ungrouped COUNT(*) shape this source can answer whole.
+  private def isTimeRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("event_time_ms"))
+      case _ => false
+    }
+
+  /** Aggregate pushdown: the generator KNOWS its cardinality and its
+    * time bounds at planning time — COUNT(*) is patients × horizon
+    * (one patient under a pushed filter), and event_time_ms is the
+    * affine `startTs + k·10000 + p·7`, monotone in both k and p, so
+    * MIN/MAX close over the patient range and horizon. Any
+    * combination of those three generates ZERO event rows — one
+    * 1-row partition carries the answers. Complete pushdown (Spark
+    * applies no final re-aggregation), hence accepted only for
+    * ungrouped shapes this source can answer whole; heart_rate_bpm
+    * aggregates are NOT closed-form (seeded noise) and fall through
+    * to a raw scan.
     */
-  override def supportCompletePushDown(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isTimeRef(m.column)
+        case m: Max => isTimeRef(m.column)
+        case _ => false
+      }
 
-  override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (supportCompletePushDown(agg)) { countPushed = true; true }
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (supportCompletePushDown(agg)) { pushedAgg = Some(agg); true }
     else false // anything else: Spark aggregates the raw rows itself
   }
 
@@ -171,33 +190,48 @@ private[graft] class HealthScanBuilder(patients: Int, perPatient: Long,
 
   override def build(): Scan = {
     val horizon = limit.fold(perPatient)(_ min perPatient)
-    if (countPushed) {
-      val n = patientFilter.fold(patients.toLong)(_ => 1L) * horizon
-      new CountScan(n)
-    } else new HealthScan(patients, horizon,
-      startTs, seed, required, patientFilter, kPerBatch)
+    pushedAgg match {
+      case Some(agg) =>
+        val nPatients = patientFilter.fold(patients.toLong)(_ => 1L)
+        val minP = patientFilter.getOrElse(1).toLong
+        val maxP = patientFilter.getOrElse(patients).toLong
+        // an empty horizon answers COUNT=0 and NULL extrema — the
+        // same values Spark would aggregate from zero rows
+        val cols: Seq[(String, Any)] = agg.aggregateExpressions.toSeq.map {
+          case _: CountStar => "count(*)" -> (nPatients * horizon)
+          case _: Min if horizon > 0 =>
+            "min(event_time_ms)" -> (startTs + minP * 7L)
+          case _: Max if horizon > 0 =>
+            "max(event_time_ms)" -> (startTs + (horizon - 1L) * 10000L + maxP * 7L)
+          case _ => "null_extremum" -> null
+        }
+        new AggScan(cols)
+      case None => new HealthScan(patients, horizon,
+        startTs, seed, required, patientFilter, kPerBatch)
+    }
   }
 }
 
-/** The planning-time answer to a fully-pushed COUNT(*): one 1-row
-  * partition, zero event rows generated.
+/** The planning-time answer to a fully-pushed aggregation (any mix of
+  * COUNT(*) / MIN / MAX over event_time_ms): one 1-row partition,
+  * zero event rows generated.
   */
-private[graft] class CountScan(n: Long) extends Scan with Batch {
+private[graft] class AggScan(cols: Seq[(String, Any)]) extends Scan with Batch {
   override def readSchema(): StructType =
-    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    StructType(cols.map { case (n, v) => StructField(n, LongType, nullable = v == null) })
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Array(HealthPartition(0, 0L, 1L))
   override def createReaderFactory(): PartitionReaderFactory =
-    CountReaderFactory(n) // standalone: must not capture the Scan (not serializable)
+    AggReaderFactory(cols.map(_._2).toArray) // standalone: must not capture the Scan (not serializable)
 }
 
-private[graft] case class CountReaderFactory(n: Long) extends PartitionReaderFactory {
+private[graft] case class AggReaderFactory(values: Array[Any]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var emitted = false
       override def next(): Boolean = { val r = !emitted; emitted = true; r }
-      override def get(): InternalRow = InternalRow(n)
+      override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
       override def close(): Unit = ()
     }
 }

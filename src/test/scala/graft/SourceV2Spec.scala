@@ -118,6 +118,31 @@ class SourceV2Spec extends AnyFunSuite {
     assert(grouped.collect().map(_.getLong(1)).toSeq == Seq.fill(4)(100L))
   }
 
+  test("MIN/MAX(event_time_ms) pushdown: closed-form extrema, zero events generated") {
+    val big = spark.read.format(classOf[HealthSource].getName)
+      .option("patients", 100).option("perPatient", 10000000).load()
+    val t0 = System.nanoTime()
+    val r = big.agg(min(col("event_time_ms")), max(col("event_time_ms")),
+      count(lit(1))).collect().head
+    assert((System.nanoTime() - t0) / 1e9 < 30.0, "extrema generated rows instead of metadata")
+    // affine model: min at (k=0, p=1), max at (k=horizon-1, p=100)
+    val start = graft.sources.v2.HealthSource.DefaultStartMs
+    assert(r.getLong(0) == start + 7L)
+    assert(r.getLong(1) == start + 9999999L * 10000L + 700L)
+    assert(r.getLong(2) == 1000000000L)
+    // composes with filter pushdown: one patient's bounds
+    val one = spark.read.format(classOf[HealthSource].getName)
+      .option("patients", 100).option("perPatient", 10000000).load()
+      .filter(col("patient_id") === "p007")
+      .agg(min(col("event_time_ms")), max(col("event_time_ms"))).collect().head
+    assert(one.getLong(0) == start + 49L)
+    assert(one.getLong(1) == start + 9999999L * 10000L + 49L)
+    // heart_rate aggregates are NOT closed-form: declined, computed raw
+    val hr = read().agg(min(col("heart_rate_bpm"))).collect().head
+    val raw = read().select(col("heart_rate_bpm")).collect().map(_.getLong(0)).min
+    assert(hr.getLong(0) == raw)
+  }
+
   test("streaming restart resumes from the checkpointed offset: no loss, no duplication") {
     val out = "target/tmp/dsv2_restart_out"
     val ckpt = "target/tmp/dsv2_restart_ckpt"
