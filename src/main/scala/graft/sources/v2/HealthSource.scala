@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -274,28 +274,47 @@ private[v2] case class KOffset(k: Long) extends Offset {
 }
 
 /** MicroBatchStream over the generator: offsets are per-patient event
-  * indices; each trigger admits ≤ kPerBatch new indices per patient
-  * (SupportsAdmissionControl, the rate-source pattern) until the
+  * indices; each trigger admits new indices per the ReadLimit Spark
+  * hands back (SupportsAdmissionControl, the rate-source pattern) —
+  * the source's own default is maxRows(kPerBatch × patients), i.e.
+  * ≤ kPerBatch new indices per patient per trigger — until the
   * configured horizon, then reports caught-up (processAllAvailable
-  * returns). Restart-safe by construction: partitions derive purely
+  * returns). Trigger.AvailableNow is supported
+  * (SupportsTriggerAvailableNow): the horizon is static, so the
+  * prepared target is simply the full horizon, drained in paced
+  * batches. Restart-safe by construction: partitions derive purely
   * from the (start, end) offsets the checkpoint hands back.
   */
 private[v2] class HealthMicroBatchStream(patients: Int, perPatient: Long,
     startTs: Long, seed: Long, fields: Array[String],
     patientFilter: Option[Int], kPerBatch: Long)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = KOffset(0L)
   override def deserializeOffset(json: String): Offset = KOffset(json.toLong)
+
+  private def nPatients: Long = patientFilter.fold(patients.toLong)(_ => 1L)
 
   // full horizon is "available"; admission control paces the batches
   override def reportLatestOffset(): Offset = KOffset(perPatient)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    KOffset(math.min(perPatient, start.asInstanceOf[KOffset].k + kPerBatch))
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[KOffset].k
+    // honor the limit Spark actually passes: rows = patients × Δk
+    val dk = limit match {
+      case m: ReadMaxRows => math.max(1L, m.maxRows() / nPatients)
+      case _: ReadAllAvailable => perPatient
+      case _ => kPerBatch // composite/minRows: fall back to the configured pace
+    }
+    KOffset(math.min(perPatient, s + dk))
+  }
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows((kPerBatch * nPatients).min(Int.MaxValue.toLong).toInt)
+  // the horizon is static — nothing to snapshot for AvailableNow
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KOffset].k

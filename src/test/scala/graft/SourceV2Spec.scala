@@ -96,6 +96,24 @@ class SourceV2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the horizon in paced batches, then terminates") {
+    val q = spark.readStream.format(classOf[HealthSource].getName)
+      .option("patients", 3).option("perPatient", 40).option("kPerBatch", 15)
+      .load()
+      .writeStream.format("memory").queryName("dsv2_avnow").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+      val rows = spark.table("dsv2_avnow").collect()
+      assert(rows.length == 120, s"expected the full 3×40 horizon, got ${rows.length}")
+      assert(rows.map(_.toSeq).toSet.size == 120, "no duplication across batches")
+      // still paced by the source's default read limit, not one giant batch
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3, s"expected 3 paced batches, got ${batches.length}")
+    } finally q.stop()
+  }
+
   test("COUNT(*) pushdown answers at planning time: one 1-row partition, zero events") {
     val big = spark.read.format(classOf[HealthSource].getName)
       .option("patients", 100).option("perPatient", 10000000).load()
