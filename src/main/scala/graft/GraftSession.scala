@@ -20,6 +20,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // cached intermediates here are always repartition(key)-then-
+      // cache by design (pagerank edges, propagation edges, inverted-
+      // index tf): keep their output partitioning deterministic so
+      // downstream stages consume the cache WITHOUT re-shuffling.
+      // With the default (true), AQE plans the cache build and
+      // InMemoryTableScan reports unknown partitioning at planning
+      // time — every consumer then re-inserts an exchange (measured
+      // on inverted_index: 3 redundant term shuffles).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       // default 100-entry generated-class cache thrashes across a
       // 30+-query workload → Janino recompiles mid-run
