@@ -112,6 +112,7 @@ object SparkEntry {
     "triangle_count"    -> (Graph.triangleCount _),
     "q29_zorder"        -> (Layout.q29 _),
     "q39_cube"          -> (Relational.q39 _),
+    "q40_lateral"       -> (Relational.q40 _),
     "inverted_index"    -> (Text.invertedIndex _)
   )
 
@@ -315,6 +316,19 @@ object SparkEntry {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gid, status, priority""".stripMargin,
+
+    // identical LATERAL text runs on both engines
+    "q40_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 3
+        |) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
 
     "q9_distinct" ->
       """SELECT l_returnflag,

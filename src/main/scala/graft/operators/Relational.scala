@@ -852,6 +852,32 @@ object Relational {
       .orderBy(col("gid"), col("status"), col("priority"))
   }
 
+  /** q40_lateral — correlated LATERAL subquery join (per-customer
+    * top-3 orders by price): the "for each outer row, run this
+    * parameterized subquery" shape. Catalyst decorrelates the
+    * correlated ORDER BY … LIMIT into a window/rank over a single
+    * equi-join — no per-row re-execution survives in the physical
+    * plan (asserted in QueryPackSpec: one join, no nested loop) —
+    * which is exactly the rewrite that keeps LATERAL usable at
+    * 100 TB: the naive interpretation is |outer| subquery runs.
+    */
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.createOrReplaceTempView("q40_customer")
+    t.orders.createOrReplaceTempView("q40_orders")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM q40_customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM q40_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 3
+        |) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
   private[graft] def q26On(events: DataFrame): DataFrame = {
     val ev = events
       .select(col("user_id"), col("event_id"),

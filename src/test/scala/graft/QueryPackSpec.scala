@@ -174,6 +174,21 @@ class QueryPackSpec extends AnyFunSuite {
     assert(got("common")._3.split(",").length == cap)
   }
 
+  test("q40_lateral decorrelates: windowed group-limit + one equi-join, no re-execution") {
+    val df = operators.Relational.q40(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the naive LATERAL interpretation is |customer| subquery runs;
+    // Catalyst must rewrite to a per-key group-limit plus ONE join
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit rewrite:\n$plan")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size == 1, s"expected exactly one equi-join:\n$plan")
+    // semantics: every customer contributes at most 3 orders, ordered
+    val rows = df.collect()
+    val perCust = rows.groupBy(_.getLong(0))
+    assert(perCust.values.forall(_.length <= 3))
+    assert(perCust.values.exists(_.length == 3), "fixture must have a 3-order customer")
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
