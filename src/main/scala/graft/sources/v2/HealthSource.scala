@@ -121,26 +121,36 @@ private[graft] class HealthScanBuilder(patients: Int, perPatient: Long,
       case _ => false
     }
 
+  private def isPatientRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("patient_id"))
+      case _ => false
+    }
+
   /** Aggregate pushdown: the generator KNOWS its cardinality and its
     * time bounds at planning time — COUNT(*) is patients × horizon
     * (one patient under a pushed filter), and event_time_ms is the
     * affine `startTs + k·10000 + p·7`, monotone in both k and p, so
-    * MIN/MAX close over the patient range and horizon. Any
-    * combination of those three generates ZERO event rows — one
-    * 1-row partition carries the answers. Complete pushdown (Spark
-    * applies no final re-aggregation), hence accepted only for
-    * ungrouped shapes this source can answer whole; heart_rate_bpm
-    * aggregates are NOT closed-form (seeded noise) and fall through
-    * to a raw scan.
+    * MIN/MAX close over the patient range and horizon. The same
+    * holds PER PATIENT, so grouping by patient_id is also answered
+    * whole: one metadata row per patient (count = horizon, extrema
+    * at k = 0 / horizon−1), still zero event rows generated. Complete
+    * pushdown (Spark applies no final re-aggregation), hence accepted
+    * only for shapes this source can answer whole; heart_rate_bpm
+    * aggregates are NOT closed-form (seeded noise) and any other
+    * grouping key falls through to a raw scan.
     */
-  override def supportCompletePushDown(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    val groupOk = agg.groupByExpressions.isEmpty ||
+      (agg.groupByExpressions.length == 1 && isPatientRef(agg.groupByExpressions.head))
+    groupOk && agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case m: Min => isTimeRef(m.column)
         case m: Max => isTimeRef(m.column)
         case _ => false
       }
+  }
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (supportCompletePushDown(agg)) { pushedAgg = Some(agg); true }
@@ -192,20 +202,34 @@ private[graft] class HealthScanBuilder(patients: Int, perPatient: Long,
     val horizon = limit.fold(perPatient)(_ min perPatient)
     pushedAgg match {
       case Some(agg) =>
-        val nPatients = patientFilter.fold(patients.toLong)(_ => 1L)
-        val minP = patientFilter.getOrElse(1).toLong
-        val maxP = patientFilter.getOrElse(patients).toLong
+        val ps: Seq[Int] = patientFilter.map(Seq(_)).getOrElse(1 to patients)
         // an empty horizon answers COUNT=0 and NULL extrema — the
         // same values Spark would aggregate from zero rows
-        val cols: Seq[(String, Any)] = agg.aggregateExpressions.toSeq.map {
-          case _: CountStar => "count(*)" -> (nPatients * horizon)
-          case _: Min if horizon > 0 =>
-            "min(event_time_ms)" -> (startTs + minP * 7L)
-          case _: Max if horizon > 0 =>
-            "max(event_time_ms)" -> (startTs + (horizon - 1L) * 10000L + maxP * 7L)
-          case _ => "null_extremum" -> null
+        def aggCols(minP: Long, maxP: Long, n: Long): Seq[(String, Any)] =
+          agg.aggregateExpressions.toSeq.map {
+            case _: CountStar => "count(*)" -> (n * horizon)
+            case _: Min if horizon > 0 =>
+              "min(event_time_ms)" -> (startTs + minP * 7L)
+            case _: Max if horizon > 0 =>
+              "max(event_time_ms)" -> (startTs + (horizon - 1L) * 10000L + maxP * 7L)
+            case _ => "null_extremum" -> null
+          }
+        if (agg.groupByExpressions.nonEmpty) {
+          // grouped by patient_id: one metadata row per patient
+          val template = aggCols(0L, 0L, 1L)
+          val fields = StructField("patient_id", StringType, nullable = false) +:
+            template.map { case (n, v) => StructField(n, LongType, nullable = v == null) }
+          val rows: Seq[Seq[Any]] = ps.map { p =>
+            UTF8String.fromString(f"p$p%03d") +:
+              aggCols(p.toLong, p.toLong, 1L).map(_._2)
+          }
+          new AggScan(fields, rows)
+        } else {
+          val cols = aggCols(ps.head.toLong, ps.last.toLong, ps.size.toLong)
+          new AggScan(
+            cols.map { case (n, v) => StructField(n, LongType, nullable = v == null) },
+            Seq(cols.map(_._2)))
         }
-        new AggScan(cols)
       case None => new HealthScan(patients, horizon,
         startTs, seed, required, patientFilter, kPerBatch)
     }
@@ -213,25 +237,26 @@ private[graft] class HealthScanBuilder(patients: Int, perPatient: Long,
 }
 
 /** The planning-time answer to a fully-pushed aggregation (any mix of
-  * COUNT(*) / MIN / MAX over event_time_ms): one 1-row partition,
-  * zero event rows generated.
+  * COUNT(*) / MIN / MAX over event_time_ms, optionally grouped by
+  * patient_id): one partition of metadata rows — one row ungrouped,
+  * one per patient grouped — zero event rows generated.
   */
-private[graft] class AggScan(cols: Seq[(String, Any)]) extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(cols.map { case (n, v) => StructField(n, LongType, nullable = v == null) })
+private[graft] class AggScan(fields: Seq[StructField], rows: Seq[Seq[Any]])
+  extends Scan with Batch {
+  override def readSchema(): StructType = StructType(fields)
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Array(HealthPartition(0, 0L, 1L))
   override def createReaderFactory(): PartitionReaderFactory =
-    AggReaderFactory(cols.map(_._2).toArray) // standalone: must not capture the Scan (not serializable)
+    AggReaderFactory(rows.map(_.toArray).toArray) // standalone: must not capture the Scan (not serializable)
 }
 
-private[graft] case class AggReaderFactory(values: Array[Any]) extends PartitionReaderFactory {
+private[graft] case class AggReaderFactory(rows: Array[Array[Any]]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = { val r = !emitted; emitted = true; r }
-      override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = InternalRow.fromSeq(rows(i).toSeq)
       override def close(): Unit = ()
     }
 }

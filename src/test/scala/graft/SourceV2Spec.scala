@@ -131,9 +131,22 @@ class SourceV2Spec extends AnyFunSuite {
       .option("patients", 100).option("perPatient", 10000000).load()
       .filter(col("patient_id") === "p007").agg(count(lit(1)))
     assert(one.collect().head.getLong(0) == 10000000L)
-    // grouped aggregates are NOT accepted: Spark computes them itself
-    val grouped = read().groupBy("patient_id").agg(count(lit(1)))
-    assert(grouped.collect().map(_.getLong(1)).toSeq == Seq.fill(4)(100L))
+    // grouping by patient_id is ALSO answered whole — one metadata
+    // row per patient, no generation (closed-form per group)
+    val grouped = spark.read.format(classOf[HealthSource].getName)
+      .option("patients", 4).option("perPatient", 10000000).load()
+      .groupBy("patient_id").agg(count(lit(1)), max(col("event_time_ms")))
+    val t1 = System.nanoTime()
+    val g = grouped.collect().sortBy(_.getString(0))
+    assert((System.nanoTime() - t1) / 1e9 < 30.0, "grouped count generated rows")
+    assert(g.map(_.getString(0)).toSeq == Seq("p001", "p002", "p003", "p004"))
+    assert(g.forall(_.getLong(1) == 10000000L))
+    val start = graft.sources.v2.HealthSource.DefaultStartMs
+    assert(g.map(_.getLong(2)).toSeq ==
+      (1 to 4).map(p => start + 9999999L * 10000L + p * 7L))
+    // any OTHER grouping key is declined: Spark aggregates raw rows
+    val byHr = read().groupBy("heart_rate_bpm").agg(count(lit(1)))
+    assert(byHr.collect().map(_.getLong(1)).sum == 400L)
   }
 
   test("MIN/MAX(event_time_ms) pushdown: closed-form extrema, zero events generated") {
