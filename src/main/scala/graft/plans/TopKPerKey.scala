@@ -78,13 +78,22 @@ case class TopKPerKeyExec(
     child.execute().mapPartitions { iter =>
       val ordering = RowOrdering.create(sortOrder, childOutput)
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // identity projection to UnsafeRow: the shuffle inserted by
+      // requiredChildDistribution usually delivers UnsafeRows already,
+      // but a child that satisfies the distribution natively may emit
+      // other InternalRow classes (e.g. columnar-to-row) — a blind
+      // asInstanceOf would throw at runtime
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       // max-heap under `ordering` so the worst of the current best-k
       // is at the head and can be evicted in O(log k)
       val heaps = scala.collection.mutable.HashMap.empty[
         UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
       var held = 0L
       iter.foreach { row =>
-        val ur = row.asInstanceOf[UnsafeRow]
+        val ur = row match {
+          case u: UnsafeRow => u
+          case other => toUnsafe(other)
+        }
         val key = keyProj(ur)
         val heap = heaps.get(key) match {
           case Some(h) => h

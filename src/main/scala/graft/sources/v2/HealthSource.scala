@@ -199,12 +199,22 @@ private[graft] class HealthScanBuilder(patients: Int, perPatient: Long,
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan = {
-    val horizon = limit.fold(perPatient)(_ min perPatient)
     pushedAgg match {
       case Some(agg) =>
+        // Spark pushes LIMIT AFTER a complete aggregate pushdown, so a
+        // pushed limit bounds the scan's OUTPUT (metadata) rows — never
+        // the generation horizon the aggregates are computed over.
+        // Computing COUNT/MIN/MAX over min(limit, perPatient) here
+        // corrupted the answers (e.g. groupBy.count().limit(2) returned
+        // count=2 per group); Spark re-applies the global limit anyway
+        // (isPartiallyPushed defaults true), so taking it on the
+        // metadata rows is purely an early stop.
+        val horizon = perPatient
         val ps: Seq[Int] = patientFilter.map(Seq(_)).getOrElse(1 to patients)
         // an empty horizon answers COUNT=0 and NULL extrema — the
-        // same values Spark would aggregate from zero rows
+        // same values Spark would aggregate from zero rows; each null
+        // extremum keeps its own aggregate's name so MIN+MAX on an
+        // empty horizon still yield distinct schema fields
         def aggCols(minP: Long, maxP: Long, n: Long): Seq[(String, Any)] =
           agg.aggregateExpressions.toSeq.map {
             case _: CountStar => "count(*)" -> (n * horizon)
@@ -212,7 +222,10 @@ private[graft] class HealthScanBuilder(patients: Int, perPatient: Long,
               "min(event_time_ms)" -> (startTs + minP * 7L)
             case _: Max if horizon > 0 =>
               "max(event_time_ms)" -> (startTs + (horizon - 1L) * 10000L + maxP * 7L)
-            case _ => "null_extremum" -> null
+            case _: Min => "min(event_time_ms)" -> null
+            case _: Max => "max(event_time_ms)" -> null
+            case other => throw new IllegalStateException(
+              s"unpushable aggregate accepted: $other") // guarded by supportCompletePushDown
           }
         if (agg.groupByExpressions.nonEmpty) {
           // grouped by patient_id: one metadata row per patient
@@ -223,15 +236,17 @@ private[graft] class HealthScanBuilder(patients: Int, perPatient: Long,
             UTF8String.fromString(f"p$p%03d") +:
               aggCols(p.toLong, p.toLong, 1L).map(_._2)
           }
-          new AggScan(fields, rows)
+          new AggScan(fields, limit.fold(rows)(n => rows.take(n.toInt)))
         } else {
           val cols = aggCols(ps.head.toLong, ps.last.toLong, ps.size.toLong)
           new AggScan(
             cols.map { case (n, v) => StructField(n, LongType, nullable = v == null) },
             Seq(cols.map(_._2)))
         }
-      case None => new HealthScan(patients, horizon,
-        startTs, seed, required, patientFilter, kPerBatch)
+      case None =>
+        val horizon = limit.fold(perPatient)(_ min perPatient)
+        new HealthScan(patients, horizon,
+          startTs, seed, required, patientFilter, kPerBatch)
     }
   }
 }

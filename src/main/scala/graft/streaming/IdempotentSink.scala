@@ -23,15 +23,23 @@ object IdempotentSink {
 
   /** The per-batch writer: data → `path/batch=<id>`, then the marker.
     * Visible for direct replay testing.
+    *
+    * The marker is resolved through Hadoop's FileSystem — not
+    * java.io.File — so the check works on every scheme the write
+    * itself supports (hdfs://, s3a://, local). A driver-local File
+    * check against an object-store path is always-false and the
+    * replayed batch would be silently rewritten.
     */
   def writeBatch(batch: Dataset[Row], path: String, batchId: Long): Boolean = {
-    val dir = new java.io.File(path, s"batch=$batchId")
-    val marker = new java.io.File(dir, "_GRAFT_COMMITTED")
-    if (marker.exists()) false // replay of a committed batch: no-op
+    val dir = new org.apache.hadoop.fs.Path(path, s"batch=$batchId")
+    val marker = new org.apache.hadoop.fs.Path(dir, "_GRAFT_COMMITTED")
+    val fs = dir.getFileSystem(
+      batch.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(marker)) false // replay of a committed batch: no-op
     else {
       batch.write.mode("overwrite") // overwrite: a torn uncommitted attempt
-        .parquet(dir.getPath) //          is discarded, never appended to
-      marker.createNewFile()
+        .parquet(dir.toString) //        is discarded, never appended to
+      fs.create(marker, true).close()
       true
     }
   }

@@ -174,6 +174,53 @@ class SourceV2Spec extends AnyFunSuite {
     assert(hr.getLong(0) == raw)
   }
 
+  test("a pushed LIMIT over a pushed aggregate bounds output rows, not the horizon") {
+    // Spark pushes LIMIT after a complete aggregate pushdown; the limit
+    // then applies to the scan's metadata rows. Computing the aggregates
+    // over a limit-capped horizon corrupted COUNT/MIN/MAX (count=2 per
+    // group under .limit(2)).
+    val start = graft.sources.v2.HealthSource.DefaultStartMs
+    def tbl = spark.read.format(classOf[HealthSource].getName)
+      .option("patients", 4).option("perPatient", 1000).load()
+    val g = tbl.groupBy("patient_id")
+      .agg(count(lit(1)).as("n"), max(col("event_time_ms")).as("mx"))
+      .limit(2).collect()
+    assert(g.length == 2, "the limit itself must still apply")
+    assert(g.forall(_.getLong(1) == 1000L),
+      s"per-group count must be the full horizon, got ${g.map(_.getLong(1)).toSeq}")
+    g.foreach { r =>
+      val p = r.getString(0).drop(1).toInt
+      assert(r.getLong(2) == start + 999L * 10000L + p * 7L,
+        "per-group max must be the full-horizon extremum")
+    }
+    // ungrouped: limit(1) over the single metadata row — values intact
+    val u = tbl.agg(count(lit(1)).as("n"), min(col("event_time_ms")).as("mn"))
+      .limit(1).collect().head
+    assert(u.getLong(0) == 4000L)
+    assert(u.getLong(1) == start + 7L)
+  }
+
+  test("MIN+MAX over an empty horizon yield NULLs with distinct field names") {
+    val empty = spark.read.format(classOf[HealthSource].getName)
+      .option("patients", 3).option("perPatient", 0).load()
+      .agg(min(col("event_time_ms")).as("mn"), max(col("event_time_ms")).as("mx"),
+        count(lit(1)).as("n"))
+    val r = empty.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1), "empty horizon → NULL extrema")
+    assert(r.getLong(2) == 0L)
+    // the scan schema must not carry duplicate column names
+    import graft.sources.v2.HealthScanBuilder
+    import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Max, Min}
+    import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+    val b = new HealthScanBuilder(3, 0L, HealthSource.DefaultStartMs, 42L)
+    val tref = Expressions.column("event_time_ms").asInstanceOf[NamedReference]
+    val agg = new Aggregation(
+      Array[AggregateFunc](new Min(tref), new Max(tref)), Array.empty)
+    assert(b.pushAggregation(agg))
+    val names = b.build().readSchema().fieldNames.toSeq
+    assert(names.distinct == names, s"duplicate scan field names: $names")
+  }
+
   test("streaming restart resumes from the checkpointed offset: no loss, no duplication") {
     val out = "target/tmp/dsv2_restart_out"
     val ckpt = "target/tmp/dsv2_restart_ckpt"
