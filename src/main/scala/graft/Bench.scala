@@ -43,6 +43,11 @@ object Bench {
     // multi-second GC/JIT noise (observed 8× swings on a 1s query)
     def minOfTwo(dir: String): Seq[(String, Double)] =
       SparkEntry.queries.keys.toSeq.sorted.map { n =>
+        // drain garbage inherited from earlier queries before timing:
+        // multi-round queries late in the run otherwise pay earlier
+        // queries' old-gen debt as mid-query pauses (pagerank measured
+        // 16.4 s in a full bench vs 9.2 s isolated-warm — same code)
+        System.gc()
         val a = runOnce(n, dir); val b = runOnce(n, dir)
         // either run failing marks the query failed (-1) in the JSON —
         // reporting the surviving run would hide intermittent failures
@@ -68,9 +73,16 @@ object Bench {
       if (!small.isDirectory || small.getPath == new java.io.File(sfDir).getPath) ""
       else {
         val base = minOfTwo(small.getPath).toMap
+        // denominator floor 0.3 s: below it the sf0.01 timing is JVM
+        // fixed cost, not operator work, and the ratio flags noise —
+        // html_extract was flagged at slope 13.2 off a ~0.15 s cold
+        // denominator; its warm ratio is 1.8 (0.36 s → 0.65 s). A real
+        // superlinear operator still trips the floor: 0.3 s × 10 = 3 s
+        // at sf0.1 is far above any fixed cost.
         val slopes = results.collect {
           case (n, t) if t > 0 && base.getOrElse(n, -1.0) > 0 =>
-            n -> BigDecimal(t / base(n)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            n -> BigDecimal(t / math.max(base(n), 0.3))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP)
         }
         val sl = slopes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         val sup = slopes.collect { case (n, r) if r > 10 => "\"" + n + "\"" }
@@ -81,13 +93,19 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$slopeJson}"""
     // persist to a file first: log capture truncates long lines (r02's
     // tail lost the front half of the per-query map), the file never
-    try {
-      val out = java.nio.file.Paths.get("target/bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] wrote ${out.toAbsolutePath}")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    // two copies: target/bench.json (historic location) and a
+    // repo-root BENCH.json — a machine-readable artifact the driver
+    // can read directly, since its 2000-char log tail has recorded
+    // parsed:null for four rounds straight
+    Seq("target/bench.json", "BENCH.json").foreach { p =>
+      try {
+        val out = java.nio.file.Paths.get(p)
+        Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+        System.err.println(s"[bench] wrote ${out.toAbsolutePath}")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
     spark.stop()
     // Two lines, big first, compact LAST. The harness keeps only the
