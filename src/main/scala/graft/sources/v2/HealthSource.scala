@@ -100,11 +100,14 @@ private[v2] class HealthTable extends Table with SupportsRead {
       options.getLong("perPatient", 1000L),
       options.getLong("startTs", HealthSource.DefaultStartMs),
       options.getLong("seed", 42L),
-      options.getLong("kPerBatch", 100L))
+      options.getLong("kPerBatch", 100L),
+      // rows/sec across ALL patients; 0 = unpaced (every index is
+      // available immediately, admission control alone paces batches)
+      options.getLong("rowsPerSecond", 0L))
 }
 
 private[graft] class HealthScanBuilder(patients: Int, perPatient: Long,
-    startTs: Long, seed: Long, kPerBatch: Long = 100L)
+    startTs: Long, seed: Long, kPerBatch: Long = 100L, rowsPerSecond: Long = 0L)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownLimit
   with SupportsPushDownAggregates {
@@ -246,7 +249,7 @@ private[graft] class HealthScanBuilder(patients: Int, perPatient: Long,
       case None =>
         val horizon = limit.fold(perPatient)(_ min perPatient)
         new HealthScan(patients, horizon,
-          startTs, seed, required, patientFilter, kPerBatch)
+          startTs, seed, required, patientFilter, kPerBatch, rowsPerSecond)
     }
   }
 }
@@ -280,7 +283,8 @@ private[graft] case class HealthPartition(patient: Int, fromK: Long, untilK: Lon
   extends InputPartition
 
 private[graft] class HealthScan(patients: Int, perPatient: Long, startTs: Long,
-    seed: Long, required: StructType, patientFilter: Option[Int], kPerBatch: Long)
+    seed: Long, required: StructType, patientFilter: Option[Int], kPerBatch: Long,
+    rowsPerSecond: Long = 0L)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -293,7 +297,7 @@ private[graft] class HealthScan(patients: Int, perPatient: Long, startTs: Long,
     */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new HealthMicroBatchStream(patients, perPatient, startTs, seed,
-      required.fieldNames, patientFilter, kPerBatch)
+      required.fieldNames, patientFilter, kPerBatch, rowsPerSecond)
 
   private def ps: Seq[Int] = patientFilter.map(Seq(_)).getOrElse(1 to patients)
 
@@ -309,7 +313,7 @@ private[graft] class HealthScan(patients: Int, perPatient: Long, startTs: Long,
 }
 
 /** Streaming offset: the next per-patient event index to emit. */
-private[v2] case class KOffset(k: Long) extends Offset {
+private[graft] case class KOffset(k: Long) extends Offset {
   override def json(): String = k.toString
 }
 
@@ -319,15 +323,22 @@ private[v2] case class KOffset(k: Long) extends Offset {
   * the source's own default is maxRows(kPerBatch × patients), i.e.
   * ≤ kPerBatch new indices per patient per trigger — until the
   * configured horizon, then reports caught-up (processAllAvailable
-  * returns). Trigger.AvailableNow is supported
-  * (SupportsTriggerAvailableNow): the horizon is static, so the
-  * prepared target is simply the full horizon, drained in paced
-  * batches. Restart-safe by construction: partitions derive purely
-  * from the (start, end) offsets the checkpoint hands back.
+  * returns). With `rowsPerSecond` > 0 the source additionally models
+  * ARRIVAL pacing (the reference producer's ~10 events/sec sleep
+  * loop, kafka_producer.py:45): an event index only becomes
+  * available once enough wall-clock time has elapsed since the
+  * stream started, so batch sizes track the configured rate rather
+  * than draining the horizon at once. Trigger.AvailableNow is
+  * supported (SupportsTriggerAvailableNow): everything that will
+  * ever exist is the static horizon, so AvailableNow bypasses
+  * arrival pacing and drains it in admission-paced batches.
+  * Restart-safe by construction: partitions derive purely from the
+  * (start, end) offsets the checkpoint hands back.
   */
-private[v2] class HealthMicroBatchStream(patients: Int, perPatient: Long,
+private[graft] class HealthMicroBatchStream(patients: Int, perPatient: Long,
     startTs: Long, seed: Long, fields: Array[String],
-    patientFilter: Option[Int], kPerBatch: Long)
+    patientFilter: Option[Int], kPerBatch: Long, rowsPerSecond: Long = 0L,
+    nowMs: () => Long = () => System.currentTimeMillis())
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -336,8 +347,25 @@ private[v2] class HealthMicroBatchStream(patients: Int, perPatient: Long,
 
   private def nPatients: Long = patientFilter.fold(patients.toLong)(_ => 1L)
 
-  // full horizon is "available"; admission control paces the batches
-  override def reportLatestOffset(): Offset = KOffset(perPatient)
+  // arrival clock origin: first trigger that asks what's available
+  // (volatile: the streaming thread and progress reporter both read)
+  @volatile private var t0Ms: Long = -1L
+  @volatile private var drainAll = false
+
+  /** Per-patient indices available `elapsedMs` into the stream under
+    * the configured rate — the pure pacing model, spec-tested
+    * directly. Unpaced (rate ≤ 0) means the full horizon.
+    */
+  private[v2] def availableK(elapsedMs: Long): Long =
+    if (rowsPerSecond <= 0L || drainAll) perPatient
+    else math.min(perPatient, elapsedMs * rowsPerSecond / 1000L / nPatients)
+
+  private def availableNow(): Long = {
+    if (t0Ms < 0L) t0Ms = nowMs()
+    availableK(nowMs() - t0Ms)
+  }
+
+  override def reportLatestOffset(): Offset = KOffset(availableNow())
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
@@ -349,12 +377,13 @@ private[v2] class HealthMicroBatchStream(patients: Int, perPatient: Long,
       case _: ReadAllAvailable => perPatient
       case _ => kPerBatch // composite/minRows: fall back to the configured pace
     }
-    KOffset(math.min(perPatient, s + dk))
+    KOffset(math.min(availableNow(), s + dk))
   }
   override def getDefaultReadLimit: ReadLimit =
     ReadLimit.maxRows((kPerBatch * nPatients).min(Int.MaxValue.toLong).toInt)
-  // the horizon is static — nothing to snapshot for AvailableNow
-  override def prepareForTriggerAvailableNow(): Unit = ()
+  // the horizon is static — AvailableNow's target is all of it,
+  // arrival pacing suspended (drain what will ever exist, now)
+  override def prepareForTriggerAvailableNow(): Unit = drainAll = true
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KOffset].k

@@ -174,6 +174,74 @@ class SourceV2Spec extends AnyFunSuite {
     assert(hr.getLong(0) == raw)
   }
 
+  test("rowsPerSecond pacing model: availability tracks the arrival rate") {
+    import graft.sources.v2.{HealthMicroBatchStream, KOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    var now = 5000L
+    val s = new HealthMicroBatchStream(2, 1000L, HealthSource.DefaultStartMs, 42L,
+      HealthSource.Schema.fieldNames, None, kPerBatch = 1000L,
+      rowsPerSecond = 100L, nowMs = () => now)
+    // first ask pins the clock origin; nothing has arrived yet
+    assert(s.reportLatestOffset().asInstanceOf[KOffset].k == 0L)
+    now += 1000L // 1 s × 100 rows/s over 2 patients → 50 indices each
+    assert(s.reportLatestOffset().asInstanceOf[KOffset].k == 50L)
+    // admission control still caps the per-trigger step below arrivals
+    now += 10000L
+    val end = s.latestOffset(KOffset(50L), ReadLimit.maxRows(40))
+      .asInstanceOf[KOffset].k
+    assert(end == 70L, "maxRows(40) over 2 patients admits 20 indices")
+    // availability never exceeds the horizon
+    now += 1000000L
+    assert(s.reportLatestOffset().asInstanceOf[KOffset].k == 1000L)
+    // unpaced source: the full horizon is available immediately
+    val un = new HealthMicroBatchStream(2, 1000L, HealthSource.DefaultStartMs, 42L,
+      HealthSource.Schema.fieldNames, None, kPerBatch = 10L, nowMs = () => now)
+    assert(un.reportLatestOffset().asInstanceOf[KOffset].k == 1000L)
+  }
+
+  test("rowsPerSecond paces a live stream; AvailableNow drains the horizon regardless") {
+    val t0 = System.nanoTime()
+    val q = spark.readStream.format(classOf[HealthSource].getName)
+      .option("patients", 1).option("perPatient", 30)
+      .option("rowsPerSecond", 30).option("kPerBatch", 1000)
+      .load()
+      .writeStream.format("memory").queryName("dsv2_rate").outputMode("append")
+      .start()
+    try {
+      // availability grows with wall time: keep draining until the
+      // horizon lands (bounded by a deadline, not an exact schedule)
+      val deadline = System.currentTimeMillis() + 60000
+      var n = 0L
+      while (n < 30 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        n = spark.table("dsv2_rate").count()
+        if (n < 30) Thread.sleep(50)
+      }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      assert(n == 30, s"horizon not drained, got $n rows")
+      assert(elapsed >= 0.9, f"30 rows at 30 rows/s drained in $elapsed%.2f s — unpaced")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "rate pacing must spread the horizon over multiple batches")
+    } finally q.stop()
+    // AvailableNow: arrival pacing is suspended — the full horizon is
+    // the prepared target and the query self-terminates promptly
+    val t1 = System.nanoTime()
+    val q2 = spark.readStream.format(classOf[HealthSource].getName)
+      .option("patients", 1).option("perPatient", 30)
+      .option("rowsPerSecond", 1).option("kPerBatch", 1000)
+      .load()
+      .writeStream.format("memory").queryName("dsv2_rate_avnow").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q2.awaitTermination(120000), "AvailableNow query must self-terminate")
+      assert(spark.table("dsv2_rate_avnow").count() == 30,
+        "AvailableNow must drain the full horizon")
+      assert((System.nanoTime() - t1) / 1e9 < 25.0,
+        "AvailableNow waited on arrival pacing (30 rows at 1 row/s)")
+    } finally q2.stop()
+  }
+
   test("a pushed LIMIT over a pushed aggregate bounds output rows, not the horizon") {
     // Spark pushes LIMIT after a complete aggregate pushdown; the limit
     // then applies to the scan's metadata rows. Computing the aggregates
