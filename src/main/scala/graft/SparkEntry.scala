@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_lines"       -> (Text.dedupLines _),
     "dedup_incremental" -> (Text.dedupIncremental _),
     "dedup_fuzzy"       -> (Text.dedupFuzzy _),
+    "dedup_fuzzy_text"  -> (Text.dedupFuzzyText _),
     "sample_mixture"    -> (Curation.sampleMixture _),
     "pq_codes"          -> (SimilaritySearch.pqCodes _),
     "ann_pq"            -> ((s, d) => SimilaritySearch.annPq(s, d)),
@@ -1505,6 +1506,52 @@ object SparkEntry {
         |SELECT id1, id2, CAST(levenshtein(p1, p2) AS BIGINT) AS dist
         |FROM cand
         |WHERE levenshtein(p1, p2) <= ${t.FuzzyMaxDist}
+        |ORDER BY id1, id2""".stripMargin
+    },
+
+    // full PassJoin: same segment boundaries (integer div), same
+    // downward-only ±τ probe-substring enumeration, same full-text
+    // Levenshtein verify
+    "dedup_fuzzy_text" -> {
+      val tau = operators.Text.FuzzyMaxDist
+      val n = tau + 1
+      s"""WITH d AS (
+        |  SELECT doc_id, $normSql AS t, length($normSql) AS len FROM documents),
+        |idx AS (
+        |  SELECT doc_id AS id_b, t AS t_b, len AS len_b, i,
+        |    substr(t, CAST(1 + (i*len)//$n AS INT),
+        |              CAST(((i+1)*len)//$n - (i*len)//$n AS INT)) AS seg
+        |  FROM d, (SELECT unnest(generate_series(0, $tau)) AS i)
+        |  WHERE ((i+1)*len)//$n - (i*len)//$n >= 1),
+        |probe0 AS (
+        |  SELECT id_a, t_a, len_a, l2 FROM (
+        |    SELECT doc_id AS id_a, t AS t_a, len AS len_a,
+        |      unnest(generate_series(len - $tau, len)) AS l2 FROM d)
+        |  WHERE l2 >= 1),
+        |probe1 AS (
+        |  SELECT id_a, t_a, len_a, l2, i,
+        |    1 + (i*l2)//$n AS off2,
+        |    ((i+1)*l2)//$n - (i*l2)//$n AS slen
+        |  FROM probe0, (SELECT unnest(generate_series(0, $tau)) AS i)
+        |  WHERE ((i+1)*l2)//$n - (i*l2)//$n >= 1),
+        |probe AS (
+        |  SELECT id_a, t_a, l2, i, substr(t_a, CAST(p AS INT), CAST(slen AS INT)) AS sub
+        |  FROM (SELECT *, unnest(generate_series(GREATEST(1, off2 - $tau),
+        |                           LEAST(len_a - slen + 1, off2 + $tau))) AS p
+        |        FROM probe1
+        |        WHERE GREATEST(1, off2 - $tau) <= LEAST(len_a - slen + 1, off2 + $tau))),
+        |cand AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN id_a < id_b THEN id_a ELSE id_b END AS id1,
+        |    CASE WHEN id_a < id_b THEN id_b ELSE id_a END AS id2,
+        |    CASE WHEN id_a < id_b THEN t_a ELSE t_b END AS t1,
+        |    CASE WHEN id_a < id_b THEN t_b ELSE t_a END AS t2
+        |  FROM probe JOIN idx ON probe.l2 = idx.len_b AND probe.i = idx.i
+        |    AND probe.sub = idx.seg
+        |  WHERE id_a <> id_b)
+        |SELECT id1, id2, CAST(levenshtein(t1, t2) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(t1, t2) <= $tau
         |ORDER BY id1, id2""".stripMargin
     },
 

@@ -141,6 +141,40 @@ class QueryPackSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_fuzzy_text: tail corruptions with an indel are found at full-text distance") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents
+      .filter(length(col("text")) >= 100).limit(40)
+    // drop 3 chars at len-19, insert 2: two substitutions plus one
+    // DELETION (lengths differ), entirely beyond char 64 — invisible
+    // to the prefix variant's distance, visible to full-text PassJoin
+    val corrupted = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(expr("substring(text, 1, length(text) - 20)"), lit("zq"),
+        expr("substring(text, length(text) - 16)")).as("text"))
+    val both = docs.select("doc_id", "text").unionByName(corrupted)
+    val pairs = operators.Text.dedupFuzzyTextOn(both)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    for (id <- ids) {
+      val hit = pairs.find(p => p._1 == id && p._2 == id + 100000L)
+      assert(hit.isDefined, s"tail corruption of doc $id not found (recall gap)")
+      assert(hit.get._3 >= 1L && hit.get._3 <= 5L,
+        s"distance ${hit.get._3} out of range for 2 subs + 1 deletion")
+    }
+    // prefix-identical but tail-divergent docs: the prefix variant
+    // false-pairs them at dist 0; the full-text variant must not
+    val pref = "shared prefix words here repeated four times over " * 2 // > 64 chars
+    val two = Seq(
+      (1L, pref + "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, pref + "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    assert(operators.Text.dedupFuzzyOn(two).count() == 1L,
+      "fixture sanity: prefix variant pairs prefix-identical docs")
+    assert(operators.Text.dedupFuzzyTextOn(two).count() == 0L,
+      "full-text variant must reject tail-divergent docs")
+  }
+
   test("q39_cube: grouping sets partition the fact table and gid labels them") {
     val rows = operators.Relational.q39(spark, sf).collect()
     val total = Tables(spark, sf).orders.count()
