@@ -55,6 +55,7 @@ object SparkEntry {
     "ann_topk"        -> ((s, d) => SimilaritySearch.annTopK(s, d)),
     "ann_lsh"         -> ((s, d) => SimilaritySearch.annLsh(s, d)),
     "ann_ivf"         -> ((s, d) => SimilaritySearch.annIvf(s, d)),
+    "ann_ivf_stride"  -> ((s, d) => SimilaritySearch.annIvf(s, d, trained = false)),
     "vec_quant"       -> (SimilaritySearch.vecQuant _),
     "mm_meta"         -> (graft.multimodal.Multimodal.mmMeta _),
     "mm_frames"       -> (graft.multimodal.Multimodal.mmFrames _),

@@ -60,6 +60,17 @@ object Clustering {
       emb: DataFrame, k: Int, iters: Int): (Seq[Long], Seq[Seq[Double]]) = {
     val init = emb.orderBy(col("vec_id")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0)).toSeq
+    (init.indices.map(_.toLong), kmeansRefine(emb, init, iters))
+  }
+
+  /** The Lloyd loop of [[kmeansCentroids]] from a CALLER-SUPPLIED
+    * init (same determinism guarantees) — lets a quantizer refine an
+    * existing centroid set (ann_ivf's trained flag refines its stride
+    * sample in place, keeping the cell count identical so the recall
+    * comparison isolates training, not geometry).
+    */
+  private[graft] def kmeansRefine(
+      emb: DataFrame, init: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
     val ids: Seq[Long] = init.indices.map(_.toLong)
     var cvecs: Seq[Seq[Double]] = init
     for (_ <- 0 until iters) {
@@ -80,7 +91,7 @@ object Clustering {
       }
       cvecs = next.map(_.toSeq).toSeq
     }
-    (ids, cvecs)
+    cvecs
   }
 
   /** semdedup — SemDeDup-style semantic deduplication: k-means the

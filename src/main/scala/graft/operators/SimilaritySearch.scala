@@ -74,8 +74,20 @@ object SimilaritySearch {
     * the full n×centroids scored expansion just to pick one argmax
     * per vector; now the corpus-side plan is scan → project → one
     * shuffle keyed by cell.
+    *
+    * The quantizer TRAINS by default: the deterministic stride
+    * sample seeds 2 Lloyd rounds
+    * ([[graft.operators.Clustering.kmeansRefine]], same cell count)
+    * — the IVF "train" phase, measured recall@10 0.62 trained vs
+    * 0.58 stride-only at 500 vectors (DedupAnnSpec, which registers
+    * both: `ann_ivf` trained, `ann_ivf_stride` raw sample). Training
+    * cost is 2 corpus passes whose per-round driver traffic is
+    * centroids×dim aggregated rows — at 100 TB that is the standard
+    * (and cheap) IVF build amortized over every query batch served
+    * from the index.
     */
-  def annIvf(spark: SparkSession, dir: String, k: Int = 10, nprobe: Int = 4): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String, k: Int = 10, nprobe: Int = 4,
+      trained: Boolean = true): DataFrame = {
     val emb = embDouble(spark, dir)
     val cents = emb
       .filter(col("vec_id") % 50 === 7 &&
@@ -85,7 +97,10 @@ object SimilaritySearch {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     val cids: Seq[Long] = cents.map(_._1).toSeq
-    val cvecs: Seq[Seq[Double]] = cents.map(_._2).toSeq
+    val cvecs: Seq[Seq[Double]] =
+      if (!trained) cents.map(_._2).toSeq
+      else Clustering.kmeansRefine(
+        emb.filter(col("v").isNotNull), cents.map(_._2).toSeq, Clustering.KmeansIters)
     val cells = emb
       .withColumn("cid", element_at(nearestCentroids(col("v"), cids, cvecs, 1), 1))
     val q = queriesOf(emb)

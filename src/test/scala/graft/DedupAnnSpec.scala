@@ -54,6 +54,26 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall < 0.4")
   }
 
+  test("ann_ivf trained quantizer: Lloyd refinement must not lose recall vs the stride sample") {
+    val exact = SparkEntry.queries("ann_topk")(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(name: String): Double = {
+      val got = SparkEntry.queries(name)(spark, sf)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val stride = recallOf("ann_ivf_stride")
+    val trained = recallOf("ann_ivf") // trained is the default
+    // the measured comparison VERDICT r4 asked for: same cell count,
+    // same nprobe — only the centroid positions differ (0.58 → 0.62
+    // when this was written; training became the default on that
+    // measurement). A material regression means the refine loop broke.
+    info(f"recall@10 stride=$stride%.3f trained=$trained%.3f")
+    assert(trained >= stride - 0.02,
+      s"trained quantizer lost recall: $trained vs stride $stride")
+    assert(trained >= 0.4, s"trained recall $trained < 0.4")
+  }
+
   test("ann_ivf cell assignment is map-side: no exchange keyed by vec_id (the n×√n expansion)") {
     val plan = graft.operators.SimilaritySearch.annIvf(spark, sf)
       .queryExecution.executedPlan.toString
