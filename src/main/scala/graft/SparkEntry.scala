@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_incremental" -> (Text.dedupIncremental _),
     "dedup_fuzzy"       -> (Text.dedupFuzzy _),
     "dedup_fuzzy_text"  -> (Text.dedupFuzzyText _),
+    "dedup_spans"       -> (Text.dedupSpans _),
     "sample_mixture"    -> (Curation.sampleMixture _),
     "pq_codes"          -> (SimilaritySearch.pqCodes _),
     "ann_pq"            -> ((s, d) => SimilaritySearch.annPq(s, d)),
@@ -1554,6 +1555,31 @@ object SparkEntry {
         |FROM cand
         |WHERE levenshtein(t1, t2) <= $tau
         |ORDER BY id1, id2""".stripMargin
+    },
+
+    // same tokenization, same hash60 gram key (collisions mirrored),
+    // same overlap-or-adjacency island merge
+    "dedup_spans" -> {
+      val k = operators.Text.SpanK
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    ${hash60Sql(s"list_aggregate(w[i:i+${k - 1}], 'string_agg', ' ')")} AS gh
+        |  FROM d, unnest(range(1, len(w) - $k + 2)) AS t(i)
+        |  WHERE len(w) >= $k),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1),
+        |f AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+        |m AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM f),
+        |isl AS (SELECT doc_id, pos,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM m)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(MAX(pos) + $k - 1 AS BIGINT) AS span_end,
+        |  CAST(MAX(pos) + $k - MIN(pos) AS BIGINT) AS span_words
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin
     },
 
     // same tokenization, same posting cap; row_number replicates the

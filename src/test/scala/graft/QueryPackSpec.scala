@@ -175,6 +175,33 @@ class QueryPackSpec extends AnyFunSuite {
       "full-text variant must reject tail-divergent docs")
   }
 
+  test("dedup_spans: exact maximal spans, self-repeats, sub-k phrases invisible") {
+    import spark.implicits._
+    val k = operators.Text.SpanK
+    def ws(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared = ws("dup", 40) // one 40-word verbatim run
+    val short = ws("sub", k - 1) // k-1 words: below the span floor
+    val docs = Seq(
+      (1L, ws("a", 20) + " " + shared + " " + ws("b", 20)),
+      (2L, ws("c", 25) + " " + shared + " " + ws("d", 5)),
+      (3L, ws("e", 20) + " " + short + " " + ws("f", 20)),
+      (4L, ws("g", 30) + " " + short),
+      (5L, shared + " " + ws("x", 10) + " " + shared) // self-repeat
+    ).toDF("doc_id", "text")
+    val rows = operators.Text.dedupSpansOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // spans are MAXIMAL and EXACT: every position of the shared run,
+    // nothing of the surrounding unique text; the k-1-word phrase
+    // shared by docs 3/4 is invisible by the span floor; doc 5's two
+    // occurrences stay two islands (the gap between them is unique)
+    assert(rows.toSet == Set(
+      (1L, 21L, 60L, 40L), (2L, 26L, 65L, 40L),
+      (5L, 1L, 40L, 40L), (5L, 51L, 90L, 40L)),
+      s"got: ${rows.mkString(", ")}")
+    assert(rows.sortBy(r => (r._1, r._2)).sameElements(rows), "output ordering")
+  }
+
   test("q39_cube: grouping sets partition the fact table and gid labels them") {
     val rows = operators.Relational.q39(spark, sf).collect()
     val total = Tables(spark, sf).orders.count()
