@@ -112,7 +112,7 @@ object Curation {
     val spark = docs.sparkSession
     // shard span from a single-column scan of the raw table (min/max
     // pushdown-friendly; never touches the exploded chunks)
-    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1L, (hi - lo) / PackShards + 1)
     val chunks = chunksOf(docs)

@@ -222,7 +222,7 @@ object Dedup {
       // bit_xor: order-independent and overflow-free under ANSI
       // (edges are distinct, so xor can't self-cancel a duplicate)
       val r = e.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     // localCheckpoint (not cache) each round: a round's plan nests
@@ -368,7 +368,7 @@ object Dedup {
       if (blocks > 0) blocks
       else {
         // one metadata-sized aggregation (count + max dim) sizes the grid
-        val r = emb.agg(count(lit(1)), max(size(col("v")))).head
+        val r = emb.agg(count(lit(1)), max(size(col("v")))).head()
         autoBlocks(r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1),
           spark.sparkContext.defaultParallelism)
       }

@@ -342,7 +342,7 @@ object SimilaritySearch {
     * would only pollute the signature-0 bucket.
     */
   private def tableSigs(df: DataFrame, vCol: String): DataFrame =
-    df.select(df.columns.map(col) :+
+    df.select(df.columns.toIndexedSeq.map(col) :+
         posexplode(hyperplaneSignatures(col(vCol), hyperplanes, PlanesPerTable))
           .as(Seq("t", "sig")): _*)
 

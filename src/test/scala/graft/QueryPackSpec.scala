@@ -202,6 +202,16 @@ class QueryPackSpec extends AnyFunSuite {
     assert(rows.sortBy(r => (r._1, r._2)).sameElements(rows), "output ordering")
   }
 
+  test("dedup_spans: output invariant under input partitioning") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf).documents
+    val base = operators.Text.dedupSpansOn(docs).collect().toSeq
+    val shuffled = operators.Text.dedupSpansOn(
+      docs.repartition(13, col("n_chars"))).collect().toSeq
+    assert(base.nonEmpty, "no duplicated spans in testdata — fixture too weak")
+    assert(base == shuffled, "spans depend on physical partitioning")
+  }
+
   test("q39_cube: grouping sets partition the fact table and gid labels them") {
     val rows = operators.Relational.q39(spark, sf).collect()
     val total = Tables(spark, sf).orders.count()
