@@ -75,6 +75,7 @@ object SparkEntry {
     "dedup_fuzzy"       -> (Text.dedupFuzzy _),
     "dedup_fuzzy_text"  -> (Text.dedupFuzzyText _),
     "dedup_spans"       -> (Text.dedupSpans _),
+    "span_scrub"        -> (Text.spanScrub _),
     "sample_mixture"    -> (Curation.sampleMixture _),
     "pq_codes"          -> (SimilaritySearch.pqCodes _),
     "ann_pq"            -> ((s, d) => SimilaritySearch.annPq(s, d)),
@@ -1580,6 +1581,35 @@ object SparkEntry {
         |  CAST(MAX(pos) + $k - MIN(pos) AS BIGINT) AS span_words
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin
+    },
+
+    // same grams/hash60; keeper = MIN(doc_id<<20 + pos) per duplicated
+    // gram; covered word indices from non-keeper occurrences; rebuild
+    // by string_agg over surviving positions
+    "span_scrub" -> {
+      val k = operators.Text.SpanK
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    ${hash60Sql(s"list_aggregate(w[i:i+${k - 1}], 'string_agg', ' ')")} AS gh
+        |  FROM d, unnest(range(1, len(w) - $k + 2)) AS t(i)
+        |  WHERE len(w) >= $k),
+        |keep AS (SELECT gh, MIN(doc_id * 1048576 + pos) AS keep_key
+        |  FROM g GROUP BY gh HAVING COUNT(*) > 1),
+        |cov AS (SELECT DISTINCT g.doc_id, CAST(j AS BIGINT) AS widx
+        |  FROM g JOIN keep USING (gh), unnest(range(g.pos, g.pos + $k)) AS u(j)
+        |  WHERE g.doc_id * 1048576 + g.pos <> keep.keep_key),
+        |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS widx, w[i] AS word
+        |  FROM d, unnest(range(1, len(w) + 1)) AS t(i)),
+        |kept AS (SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok.word, ' ' ORDER BY tok.widx) AS scrubbed
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.widx = cov.widx
+        |  WHERE cov.doc_id IS NULL GROUP BY tok.doc_id),
+        |nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM d)
+        |SELECT nw.doc_id, nw.n_words,
+        |  CAST(nw.n_words - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(kept.scrubbed, '') AS scrubbed
+        |FROM nw LEFT JOIN kept ON nw.doc_id = kept.doc_id
+        |ORDER BY nw.doc_id""".stripMargin
     },
 
     // same tokenization, same posting cap; row_number replicates the

@@ -202,6 +202,35 @@ class QueryPackSpec extends AnyFunSuite {
     assert(rows.sortBy(r => (r._1, r._2)).sameElements(rows), "output ordering")
   }
 
+  test("span_scrub: keep-first removal, exact counts, closure (no spans survive a scrub)") {
+    import spark.implicits._
+    val k = operators.Text.SpanK
+    def ws(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared = ws("dup", 40)
+    val docs = Seq(
+      (1L, ws("a", 20) + " " + shared + " " + ws("b", 20)), // keeper (min doc_id)
+      (2L, ws("c", 25) + " " + shared + " " + ws("d", 5)),
+      (3L, ws("e", 20) + " " + ws("sub", k - 1) + " " + ws("f", 20)),
+      (5L, shared + " " + ws("x", 10) + " " + shared) // both occurrences lose
+    ).toDF("doc_id", "text")
+    val out = operators.Text.spanScrubOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 == 0L, "keeper doc must keep every word")
+    assert(byId(2L)._3 == 40L && !byId(2L)._4.contains("dup0"),
+      s"doc 2 must lose exactly the shared run: ${byId(2L)}")
+    assert(byId(2L)._4 == ws("c", 25) + " " + ws("d", 5))
+    assert(byId(3L)._3 == 0L, "sub-k phrase must not be scrubbed")
+    assert(byId(5L)._3 == 80L && byId(5L)._4 == ws("x", 10),
+      s"both non-keeper occurrences must go: ${byId(5L)}")
+    // closure: one copy of every duplicated run survives, so a rescan
+    // of the scrubbed corpus finds no duplicated spans at all
+    val rescanned = operators.Text.dedupSpansOn(
+      out.map(r => (r._1, r._4)).toDF("doc_id", "text"))
+    assert(rescanned.count() == 0L, "scrubbed corpus still has duplicated spans")
+  }
+
   test("dedup_spans: output invariant under input partitioning") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf).documents
