@@ -1,18 +1,19 @@
 package graft
 
-/** Dev tool: time ONE registered query N times at a given sf dir
-  * (`runMain graft.TimeOne <name> <dir> [n]`) — for triaging a bench
-  * slope flag without a full Bench run.
+/** Dev tool: time registered queries N times each at a given sf dir
+  * (`runMain graft.TimeOne <name>[,<name>...] <dir> [n]`) — for
+  * triaging a bench slope flag, or measuring a query pack at an
+  * ad-hoc scale dir (tools/make_scale.py), without a full Bench run.
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val dir = args(1)
     val n = if (args.length > 2) args(2).toInt else 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (i <- 1 to n) {
+    for (name <- names; i <- 1 to n) {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)

@@ -113,6 +113,15 @@ object Curation {
     // shard span from a single-column scan of the raw table (min/max
     // pushdown-friendly; never touches the exploded chunks)
     val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    // empty input (legal: an aggressive upstream filter chain can
+    // remove every doc — found live when a pathological corpus
+    // decontaminated to nothing inside pipeline_e2e) → empty output,
+    // not a null-row crash on the typed bound reads below
+    if (bounds.isNullAt(0)) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, String)]
+        .toDF("pack_id", "n_chunks", "n_words", "first_chunk")
+    }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1L, (hi - lo) / PackShards + 1)
     val chunks = chunksOf(docs)

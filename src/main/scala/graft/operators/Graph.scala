@@ -121,10 +121,17 @@ object Graph {
     * nested loop or a single partition.
     */
   private[graft] def pagerankRound(edges: DataFrame, pr: DataFrame): DataFrame = {
-    // contrib is computed AFTER the src join, so outdeg ≥ 1 by
-    // construction (no division-by-zero path for isolated nodes)
+    // isolated (outdeg 0) nodes are filtered BEFORE the contrib
+    // division — they have no out-edges, so dropping them changes
+    // nothing downstream, and relying on the join to skip them is
+    // unsound: whether the projection evaluates on unmatched rows is
+    // a physical-plan choice, and under ANSI mode `pr div 0` on a
+    // dangling node kills the job (found by the 5×-replica scale
+    // sweep — the driver's sf0.1 has exactly one isolated customer
+    // whose row happened to never reach the projection)
     val contribs = edges
-      .join(pr.select(col("id"), expr("pr div outdeg").as("contrib")),
+      .join(pr.filter(col("outdeg") > 0)
+          .select(col("id"), expr("pr div outdeg").as("contrib")),
         edges("src") === col("id"))
       .groupBy(col("dst"))
       .agg(expr(s"CAST($PrDampPct * sum(CAST(contrib AS DECIMAL(38,0))) div 100 AS BIGINT)")

@@ -80,6 +80,15 @@ class CurationTemporalSpec extends AnyFunSuite {
     assert((1 to 250).forall(i => covered(s"t$i")))
   }
 
+  test("seq_pack: empty input (everything filtered upstream) yields empty output, not a crash") {
+    import spark.implicits._
+    val out = Curation.seqPackOn(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(out.columns.toSeq ==
+      Seq("pack_id", "n_chunks", "n_words", "first_chunk"))
+    assert(out.count() == 0L)
+  }
+
   test("seq_pack: two-level prefix sum matches the serial packing, no single-partition exchange") {
     val out = Curation.seqPack(spark, sf)
     // the distributed plan must not serialize: no global-window
