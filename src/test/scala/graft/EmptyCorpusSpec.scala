@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empty-corpus robustness: an aggressive filter chain (quality gate,
+  * dedup, decontamination) can legally leave ZERO rows for a
+  * downstream operator, and at 100 TB some partition of the pipeline
+  * WILL see that eventually. Every text-family operator must return
+  * an empty (correctly-schemed) frame, not throw — the seq_pack
+  * null-bounds crash this class of test exists for was found live
+  * when a pathological corpus decontaminated to nothing inside
+  * pipeline_e2e.
+  */
+class EmptyCorpusSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+
+  private def emptyDocs: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "quality_score" -> (d => operators.Text.qualityScoreOn(d)),
+    "rep_stats" -> (d => operators.Text.repStatsOn(d)),
+    "dedup_lines" -> (d => operators.Text.dedupLinesOn(d)),
+    "dedup_fuzzy_text" -> (d => operators.Text.dedupFuzzyTextOn(d)),
+    "dedup_spans" -> (d => operators.Text.dedupSpansOn(d)),
+    "span_scrub" -> (d => operators.Text.spanScrubOn(d)),
+    "ngram_jaccard" ->
+      (d => operators.Text.ngramJaccardOn(operators.Text.shingleSetOf(d), 0.5)),
+    "seq_pack" -> (d => operators.Curation.seqPackOn(d)),
+    "sample_mixture" -> (d => operators.Curation.sampleMixtureOn(d)),
+    "corpus_stats" -> (d => operators.Curation.corpusStatsOn(d)),
+    "corpus_shuffle" -> (d => operators.Curation.corpusShuffleOn(d)),
+    "freq_words" -> (d => operators.Text.freqWordsOn(d)),
+    "inverted_index" -> (d => operators.Text.invertedIndexOn(d)),
+    "html_extract" -> (d => operators.Text.htmlExtractOn(d)),
+    "pipeline_e2e" -> (d => operators.Pipeline.pipelineE2eOn(d))
+  )
+
+  for ((name, op) <- ops)
+    test(s"$name survives an empty corpus") {
+      assert(op(emptyDocs).count() == 0L, s"$name emitted rows from nothing")
+    }
+}
