@@ -44,4 +44,21 @@ class EmptyCorpusSpec extends AnyFunSuite {
     test(s"$name survives an empty corpus") {
       assert(op(emptyDocs).count() == 0L, s"$name emitted rows from nothing")
     }
+
+  private def emptyEmb: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+  }
+
+  private val vecOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "semdedup" -> (e => operators.Clustering.semdedupOn(e)),
+    "ann_pq" -> (e => operators.SimilaritySearch.annPqOn(e, 10, 3)),
+    "knn_graph" -> (e => operators.SimilaritySearch.knnGraphOn(e, 5)),
+    "dsir_select" -> (_ => operators.LangModel.dsirSelectOn(emptyDocs))
+  )
+
+  for ((name, op) <- vecOps)
+    test(s"$name survives an empty vector corpus") {
+      assert(op(emptyEmb).count() == 0L, s"$name emitted rows from nothing")
+    }
 }
