@@ -163,6 +163,27 @@ object Multimodal {
     */
   def mmResize(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
+    // one lattice walk per row in the specialized kernel (the SQL
+    // higher-order form this replaces is kept as boxExpr for the
+    // KernelSpec equivalence check; the oracle runs its DuckDB twin)
+    docs
+      .withColumn("fp60", hash60(normalize(col("text"))))
+      .withColumn("src_w", col("fp60") % ResizeSrcWMod + ResizeSrcMin)
+      .withColumn("src_h", expr(s"fp60 div $ResizeSrcWMod") % ResizeSrcHMod + ResizeSrcMin)
+      .withColumn("rz", graft.functions.ResizeKernel.resizeKernel(
+        col("fp60"), col("src_w"), col("src_h")))
+      .select(col("doc_id"), col("src_w"), col("src_h"),
+        col("rz.r00").as("r00"), col("rz.r77").as("r77"),
+        col("rz.checksum").as("checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The SQL higher-order form of one resize cell — retained as the
+    * in-engine reference for the kernel's equivalence spec (and as
+    * documentation of the geometry the kernel hand-loops).
+    */
+  private[graft] def mmResizeSql(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
     val checksum = s"aggregate(sequence(0L, ${ResizeOutDim - 1}), 0L, (ci, i) -> " +
       s"ci + aggregate(sequence(0L, ${ResizeOutDim - 1}), 0L, (cj, j) -> " +
       s"cj + (${ResizeOutDim} * i + j + 1) * ${boxExpr("i", "j")}))"

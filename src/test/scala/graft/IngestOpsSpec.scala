@@ -78,6 +78,12 @@ class IngestOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_resize kernel is row-for-row identical to the SQL higher-order form it replaced") {
+    val a = Multimodal.mmResize(spark, sf).collect().map(_.toSeq)
+    val b = Multimodal.mmResizeSql(spark, sf).collect().map(_.toSeq)
+    assert(a.length == b.length && a.indices.forall(i => a(i) == b(i)))
+  }
+
   test("mm_frames respects the sample budget and the timeline") {
     val rows = Multimodal.mmFrames(spark, sf).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
