@@ -357,13 +357,18 @@ object Dedup {
     math.max(1, math.max(byMemory, byGrid))
   }
 
-  def embedding(spark: SparkSession, dir: String, blocks: Int = 0): DataFrame = {
+  def embedding(spark: SparkSession, dir: String, blocks: Int = 0): DataFrame =
+    embeddingOn(
+      Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      blocks)
+
+  private[graft] def embeddingOn(embIn: DataFrame, blocks: Int = 0): DataFrame = {
+    val spark = embIn.sparkSession
     import spark.implicits._
-    val emb = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // null vectors are not comparable — drop them like the null-
-      // intolerant SQL formulation did
-      .filter(col("v").isNotNull)
+    // null vectors are not comparable — drop them like the null-
+    // intolerant SQL formulation did
+    val emb = embIn.filter(col("v").isNotNull)
     val b =
       if (blocks > 0) blocks
       else {

@@ -32,8 +32,10 @@ object SimilaritySearch {
     * top-k is a per-query window over a (small) qid-keyed shuffle.
     * At 100 TB the corpus never shuffles.
     */
-  def annTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val emb = embDouble(spark, dir)
+  def annTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    annTopKOn(embDouble(spark, dir), k)
+
+  private[graft] def annTopKOn(emb: DataFrame, k: Int): DataFrame = {
     val q = queriesOf(emb)
     val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("sim", cosineSim(col("qv"), col("v")))
@@ -87,8 +89,11 @@ object SimilaritySearch {
     * from the index.
     */
   def annIvf(spark: SparkSession, dir: String, k: Int = 10, nprobe: Int = 4,
-      trained: Boolean = true): DataFrame = {
-    val emb = embDouble(spark, dir)
+      trained: Boolean = true): DataFrame =
+    annIvfOn(embDouble(spark, dir), k, nprobe, trained)
+
+  private[graft] def annIvfOn(emb: DataFrame, k: Int, nprobe: Int,
+      trained: Boolean): DataFrame = {
     val cents = emb
       .filter(col("vec_id") % 50 === 7 &&
         col("vec_id") < lit(7L + 50L * MaxCentroids) &&
@@ -126,7 +131,10 @@ object SimilaritySearch {
     * sides, never a locale/banker's round.
     */
   def vecQuant(spark: SparkSession, dir: String): DataFrame =
-    quantized(spark, dir)
+    vecQuantOn(embDouble(spark, dir))
+
+  private[graft] def vecQuantOn(emb: DataFrame): DataFrame =
+    quantizedOn(emb)
       .select(
         col("vec_id"), col("norm"),
         // codes ship as a joined string: scalar columns hash uniformly
@@ -143,12 +151,12 @@ object SimilaritySearch {
     * asserted in DedupAnnSpec).
     */
   def vecQuantCodes(spark: SparkSession, dir: String): DataFrame =
-    quantized(spark, dir)
+    quantizedOn(embDouble(spark, dir))
       .select(col("vec_id"), col("norm"), col("codes"))
       .orderBy(col("vec_id"))
 
-  private def quantized(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embDouble(spark, dir).filter(col("v").isNotNull)
+  private def quantizedOn(embIn: DataFrame): DataFrame = {
+    val emb = embIn.filter(col("v").isNotNull)
     val scale = lit(127.0) / aggregate(col("v"), lit(0.0),
       (acc, x) => greatest(acc, abs(x)))
     emb
@@ -193,8 +201,11 @@ object SimilaritySearch {
     * (the vec_quant convention) so the oracle hash-compare stays
     * engine-agnostic.
     */
-  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embDouble(spark, dir).filter(col("v").isNotNull)
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqCodesOn(embDouble(spark, dir))
+
+  private[graft] def pqCodesOn(embIn: DataFrame): DataFrame = {
+    val emb = embIn.filter(col("v").isNotNull)
     val cb = pqCodebook(emb)
     emb.select(col("vec_id"),
         array_join(graft.functions.PQFunctions.pqCodes(col("v"), cb, PQSubspaces, PQLattice),
@@ -292,8 +303,11 @@ object SimilaritySearch {
     * recall vs exact lattice-L2 asserted in DedupAnnSpec).
     */
   def annIvfPq(spark: SparkSession, dir: String, k: Int = 10, nprobe: Int = 4,
-      refine: Int = 4): DataFrame = {
-    val emb = embDouble(spark, dir)
+      refine: Int = 4): DataFrame =
+    annIvfPqOn(embDouble(spark, dir), k, nprobe, refine)
+
+  private[graft] def annIvfPqOn(emb: DataFrame, k: Int, nprobe: Int,
+      refine: Int): DataFrame = {
     // IVF coarse quantizer — identical selection to annIvf
     val cents = emb
       .filter(col("vec_id") % 50 === 7 &&
@@ -362,8 +376,10 @@ object SimilaritySearch {
     * n×q scoring sweep; recall/cost tunes via probe radius without
     * touching the corpus layout.
     */
-  def annLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val emb = embDouble(spark, dir)
+  def annLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    annLshOn(embDouble(spark, dir), k)
+
+  private[graft] def annLshOn(emb: DataFrame, k: Int): DataFrame = {
     val corpus = tableSigs(emb, "v")
     val q = queriesOf(emb)
     val masks = probeMasks(2)

@@ -54,7 +54,19 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "semdedup" -> (e => operators.Clustering.semdedupOn(e)),
     "ann_pq" -> (e => operators.SimilaritySearch.annPqOn(e, 10, 3)),
     "knn_graph" -> (e => operators.SimilaritySearch.knnGraphOn(e, 5)),
-    "dsir_select" -> (_ => operators.LangModel.dsirSelectOn(emptyDocs))
+    "dsir_select" -> (_ => operators.LangModel.dsirSelectOn(emptyDocs)),
+    // the rest of the ANN/quantization family: an empty corpus means
+    // an EMPTY MODEL too (zero centroids, zero-entry PQ codebook,
+    // zero LSH buckets) — these paths exercise expression
+    // construction with empty matrices, not just zero-row scans
+    "ann_topk" -> (e => operators.SimilaritySearch.annTopKOn(e, 10)),
+    "ann_ivf" -> (e => operators.SimilaritySearch.annIvfOn(e, 10, 4, trained = true)),
+    "ann_ivf_stride" -> (e => operators.SimilaritySearch.annIvfOn(e, 10, 4, trained = false)),
+    "ann_lsh" -> (e => operators.SimilaritySearch.annLshOn(e, 10)),
+    "ann_ivf_pq" -> (e => operators.SimilaritySearch.annIvfPqOn(e, 10, 4, 4)),
+    "vec_quant" -> (e => operators.SimilaritySearch.vecQuantOn(e)),
+    "pq_codes" -> (e => operators.SimilaritySearch.pqCodesOn(e)),
+    "dedup_embedding" -> (e => operators.Dedup.embeddingOn(e))
   )
 
   for ((name, op) <- vecOps)
