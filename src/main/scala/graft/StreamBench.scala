@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming-path scale benchmark: drives the two production
+  * streaming topologies (HealthMonitor alerts over raw JSON events,
+  * CurationStream ingest curation over documents) through the real
+  * file-source micro-batch engine at two scale factors and reports
+  * throughput plus the 10× scaling slope — the batch Bench's
+  * superlinear guard applied to the streaming runtime (state store,
+  * watermark bookkeeping, sink commits included).
+  *
+  * Methodology mirrors Bench: input layout is prepared OUTSIDE the
+  * timed region; each topology runs once untimed at the small SF
+  * (JIT/codegen/state-store init are engine fixed costs), then the
+  * timed run covers `start()` → `awaitTermination` of an
+  * AvailableNow query split into multiple micro-batches
+  * (maxFilesPerTrigger), so per-batch state replay — not one giant
+  * batch — is what's measured.
+  *
+  * Output: ONE JSON line, also written to target/stream_bench.json:
+  * `{"metric":"stream_total","value":S,"unit":"sec","paths":{...}}`
+  * with per-path rows, seconds, rows/sec at each SF and the slope
+  * t_big/t_small (data grows 10×; slope ≫ 10 = superlinear state or
+  * shuffle growth).
+  */
+object StreamBench {
+
+  private val InFiles = 16        // arrival chunks written per input
+  private val FilesPerTrigger = 4 // → 4 micro-batches per run
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+    f.delete()
+  }
+
+  /** Health ingest fixture: the events table rendered as the Kafka
+    * value payload (same expression hr_parse round-trips, including
+    * the every-13th corrupt row the parser must drop).
+    */
+  private def healthInput(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("value", operators.Health.rawPayload(("user_id", "ts", "value")))
+      .select("value")
+
+  /** Curation ingest fixture: documents timestamped like the
+    * CurationStreamSpec fixture (monotone in doc_id, one watermark
+    * horizon — worst case for dedup state: nothing evicts early).
+    */
+  private def curationInput(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"), col("lang"))
+      .withColumn("event_ts",
+        expr("timestamp_micros(CAST(1700000000000000 + doc_id * 1000 AS BIGINT))"))
+
+  /** Run one topology AvailableNow over a pre-written input dir;
+    * returns wall seconds for the whole query (all micro-batches).
+    */
+  private def runStream(build: DataFrame => DataFrame, streamIn: DataFrame,
+      outDir: String, ckpt: String): Double = {
+    rm(new java.io.File(outDir)); rm(new java.io.File(ckpt))
+    val t0 = System.nanoTime()
+    val q = build(streamIn).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(600000)) sys.error("stream did not finish in 600s")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private final case class PathResult(rows: Long, sec: Double) {
+    def rps: Long = if (sec > 0) (rows / sec).toLong else 0L
+  }
+
+  /** Prepare inputs + run both topologies at one SF dir. */
+  private def runSf(spark: SparkSession, sfDir: String,
+      base: String): Map[String, PathResult] = {
+    // health: text payload files → alerts
+    val hIn = s"$base/h_in"
+    val health = healthInput(spark, sfDir)
+    health.repartition(InFiles).write.mode("overwrite").text(hIn)
+    val hRows = spark.read.text(hIn).count()
+    val hStream = spark.readStream.schema("value STRING")
+      .option("maxFilesPerTrigger", FilesPerTrigger).text(hIn)
+    val hSec = runStream(streaming.HealthMonitor.alerts(_), hStream,
+      s"$base/h_out", s"$base/h_ckpt")
+
+    // curation: parquet doc files → admitted set
+    val cIn = s"$base/c_in"
+    val curation = curationInput(spark, sfDir)
+    curation.repartition(InFiles).write.mode("overwrite").parquet(cIn)
+    val cRows = spark.read.parquet(cIn).count()
+    val cStream = spark.readStream.schema(curation.schema)
+      .option("maxFilesPerTrigger", FilesPerTrigger).parquet(cIn)
+    val cSec = runStream(streaming.CurationStream.curate(_), cStream,
+      s"$base/c_out", s"$base/c_ckpt")
+
+    Map("health_alerts" -> PathResult(hRows, hSec),
+      "curation" -> PathResult(cRows, cSec))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val bigDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val smallDir = new java.io.File(new java.io.File(bigDir).getParentFile, "sf0.01").getPath
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = "target/tmp/streambench"
+    rm(new java.io.File(base))
+
+    // untimed warmup at the small SF (engine + sink init, JIT)
+    runSf(spark, smallDir, s"$base/warm")
+    val small = runSf(spark, smallDir, s"$base/small")
+    val big = runSf(spark, bigDir, s"$base/big")
+
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val paths = small.keys.toSeq.sorted.map { k =>
+      val s = small(k); val b = big(k)
+      val slope = if (s.sec > 0.3) b.sec / s.sec else b.sec / 0.3
+      "\"" + k + "\":{" +
+        s""""rows_small":${s.rows},"sec_small":${fmt(s.sec)},"rps_small":${s.rps},""" +
+        s""""rows_big":${b.rows},"sec_big":${fmt(b.sec)},"rps_big":${b.rps},""" +
+        s""""slope":${fmt(slope)}}"""
+    }.mkString("{", ",", "}")
+    val total = fmt(big.values.map(_.sec).sum)
+    val line = s"""{"metric":"stream_total","value":$total,"unit":"sec","sf":"$bigDir","slope_vs":"$smallDir","paths":$paths}"""
+    val out = new java.io.PrintWriter("target/stream_bench.json")
+    try out.println(line) finally out.close()
+    println(line)
+    spark.stop()
+  }
+}

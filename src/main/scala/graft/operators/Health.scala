@@ -21,7 +21,7 @@ object Health {
     * the null-on-invalid path is exercised (reference drops
     * unparseable messages, src/flink_job.py:99-100).
     */
-  private def rawPayload(dfCols: (String, String, String)): org.apache.spark.sql.Column = {
+  private[graft] def rawPayload(dfCols: (String, String, String)): org.apache.spark.sql.Column = {
     val (id, ts, value) = dfCols
     val json = to_json(struct(
       concat(lit("p"), col(id)).as("patient_id"),
