@@ -10,16 +10,26 @@ parallel world -- giving a (10*R)x point against sf0.01 for the
 operators whose 100 TB behavior matters most (candidate-pair dedup,
 graph loops, span dedup).
 
-Document texts: EVERY word gets a per-replica suffix -- a bijective
-vocabulary mapping, so each replica's internal duplicate/shingle/span
-structure is preserved exactly while cross-replica texts share no
-words at all (no shingles, k-grams, or sub-tau edit pairs). This keeps
-duplicate DENSITY constant as the corpus grows, which is the honest
-scaling model; a mere appended tag word was measured to leave every
-doc with R-1 cross-replica near-copies (distance 1!) and blow
-candidate-pair operators up x R^2 -- an artifact of the replication,
-not a property of the operators. Timestamps, floats and categorical
-columns are kept verbatim.
+Document texts: each replica applies a per-replica CHARACTER bijection
+(a Caesar rotation of the letter alphabet; replica 0 is the identity),
+so each replica's internal duplicate/shingle/span/edit structure is
+preserved EXACTLY (all lengths, offsets and alignments unchanged)
+while any cross-replica substring containing at least one letter is
+replica-unique. This keeps duplicate DENSITY constant as the corpus
+grows, which is the honest scaling model. Two earlier schemes were
+measured and rejected as replication artifacts:
+ - an appended tag word left every doc with R-1 cross-replica
+   near-copies (distance 1!) and blew candidate-pair operators up
+   x R^2;
+ - a per-WORD suffix ('customer' -> 'customerx16') was word-level
+   disjoint but NOT character-level disjoint: fixed-offset slice
+   blocking (dedup_fuzzy's PassJoin segments) truncated the suffix
+   digits out of the slice (' customerx' identical in all replicas),
+   merging blocks across replicas -- candidates measured 29.8x at
+   R=20 where linear is 20x.
+Letter rotation is immune to both: every slice differs per replica at
+every letter position. Limit: R <= 26 distinct rotations.
+Timestamps, floats and categorical columns are kept verbatim.
 
 Usage: python3 tools/make_scale.py <src_sf_dir> <out_dir> <replicas>
 """
@@ -45,8 +55,19 @@ KEYS = {
 }
 
 
+LOWER = "abcdefghijklmnopqrstuvwxyz"
+UPPER = LOWER.upper()
+
+
+def rotated(r: int) -> tuple[str, str]:
+    """(from, to) alphabets for DuckDB translate() at replica r."""
+    lo = LOWER[r:] + LOWER[:r]
+    return LOWER + UPPER, lo + lo.upper()
+
+
 def main() -> None:
     src, out, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    assert reps <= 26, "letter rotation supports at most 26 distinct replicas"
     con = duckdb.connect()
     import os
     os.makedirs(out, exist_ok=True)
@@ -60,8 +81,8 @@ def main() -> None:
                 if c in keys:
                     proj.append(f"{c} + {r * STRIDE} AS {c}")
                 elif table == "documents" and c == "text":
-                    proj.append(
-                        f"regexp_replace(text, '(\\S+)', '\\1x{r}', 'g') AS text")
+                    frm, to = rotated(r)
+                    proj.append(f"translate(text, '{frm}', '{to}') AS text")
                 else:
                     proj.append(c)
             selects.append(
