@@ -218,6 +218,105 @@ case class NearestCentroids(
     copy(child = c)
 }
 
+/** Two-level (IVF-routed) cell assignment for corpus-proportional
+  * quantizers: argmax-cosine over `fine` restricted to the buckets
+  * of the `nprobe` nearest `coarse` centroids. A flat argmax over K
+  * cells costs O(K) per vector — with the semdedup regime K ∝ n
+  * that is O(n·K) = quadratic corpus work; routing through
+  * C ≈ √K coarse cells costs O(C + nprobe·K/C) ≈ O(√K) per vector,
+  * the standard IVF trick applied to ASSIGNMENT itself. Returns the
+  * global fine index (the cell id); ties break to the lower index,
+  * NaN similarities rank first — both mirroring [[NearestCentroids]]
+  * so the two quantizer forms are drop-in comparable.
+  *
+  * `owners(j)` is the coarse bucket of fine centroid j; when the
+  * coarse set is a subset of the fine set every bucket is non-empty,
+  * but an empty probed union still yields cell −1 rather than a
+  * crash (a vector probing only empty buckets — possible with a
+  * degenerate caller-supplied mapping).
+  */
+case class TwoLevelCellId(
+    child: Expression,
+    coarse: Seq[Seq[Double]],
+    fine: Seq[Seq[Double]],
+    owners: Seq[Int],
+    nprobe: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val coarseMat: Array[Array[Double]] =
+    coarse.map(_.toArray).toArray
+  @transient private lazy val fineMat: Array[Array[Double]] =
+    fine.map(_.toArray).toArray
+  @transient private lazy val buckets: Array[Array[Int]] = {
+    val bs = Array.fill(coarse.length)(List.newBuilder[Int])
+    owners.zipWithIndex.foreach { case (o, j) => bs(o) += j }
+    bs.map(_.result().toArray)
+  }
+
+  private def cos(v: ArrayData, p: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val len = math.min(v.numElements(), p.length)
+    var i = 0
+    while (i < len) {
+      val xi = v.getDouble(i); val yi = p(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    // top-nprobe coarse buckets (sim desc, index asc — the
+    // NearestCentroids insertion)
+    val m = coarseMat.length
+    val np = math.min(nprobe, m)
+    val bestC = new Array[Int](np)
+    val bestCSim = new Array[Double](np)
+    var filled = 0
+    var c = 0
+    while (c < m) {
+      val sim = cos(v, coarseMat(c))
+      var pos = filled
+      while (pos > 0 && java.lang.Double.compare(sim, bestCSim(pos - 1)) > 0) pos -= 1
+      if (pos < np) {
+        var j = math.min(filled, np - 1)
+        while (j > pos) { bestCSim(j) = bestCSim(j - 1); bestC(j) = bestC(j - 1); j -= 1 }
+        bestCSim(pos) = sim
+        bestC(pos) = c
+        if (filled < np) filled += 1
+      }
+      c += 1
+    }
+    // argmax over the probed buckets' fine centroids
+    var bestIdx = -1
+    var bestSim = 0.0
+    var b = 0
+    while (b < filled) {
+      val bucket = buckets(bestC(b))
+      var t = 0
+      while (t < bucket.length) {
+        val j = bucket(t)
+        val sim = cos(v, fineMat(j))
+        val cmp = java.lang.Double.compare(sim, bestSim)
+        if (bestIdx < 0 || cmp > 0 || (cmp == 0 && j < bestIdx)) {
+          bestIdx = j; bestSim = sim
+        }
+        t += 1
+      }
+      b += 1
+    }
+    bestIdx.toLong
+  }
+
+  override protected def withNewChildInternal(c: Expression): TwoLevelCellId =
+    copy(child = c)
+}
+
 object VectorFunctions {
   /** Column API: cosine similarity of two array<double> columns
     * (cast float arrays with `.cast("array<double>")` — exact).
@@ -239,4 +338,12 @@ object VectorFunctions {
   def nearestCentroids(v: Column, centroidIds: Seq[Long],
       centroids: Seq[Seq[Double]], nprobe: Int): Column =
     Bridge.column(NearestCentroids(Bridge.expression(v), centroidIds, centroids, nprobe))
+
+  /** IVF-routed cell id of a vector column: nearest of `fine`,
+    * searched via the `nprobe` nearest `coarse` buckets (ties to the
+    * lower fine index).
+    */
+  def twoLevelCellId(v: Column, coarse: Seq[Seq[Double]], fine: Seq[Seq[Double]],
+      owners: Seq[Int], nprobe: Int): Column =
+    Bridge.column(TwoLevelCellId(Bridge.expression(v), coarse, fine, owners, nprobe))
 }

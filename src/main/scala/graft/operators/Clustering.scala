@@ -12,26 +12,37 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** k-means geometry: up to [[KmeansK]] cells (capped — the
-    * MaxCentroids/MaxQueries bounding discipline, so the model
-    * footprint on the driver stays K×dim doubles, broadcast-dimension
-    * class), [[KmeansIters]] Lloyd rounds. The actual K comes from
-    * [[autoK]]: ≈ n/[[TargetCell]] vectors per cell — cells must hold
-    * enough neighbors that near-dup pairs land together (a cell of ~2
-    * vectors separates almost every pair), but few enough that the
-    * within-cell quadratic term stays cheap. A production run raises
-    * the cap with available memory; the shape is unchanged.
+  /** Quantizer geometry. [[autoK]] sizes the cell count ≈
+    * n/[[TargetCell]]: cells must hold enough neighbors that near-dup
+    * pairs land together (a cell of ~2 vectors separates almost every
+    * pair), but few enough that the within-cell quadratic term stays
+    * cheap — CONSTANT cell size is what keeps Σ cellᵢ² linear in n.
+    * [[MaxCells]] bounds only the DRIVER-side model footprint
+    * (MaxCells×dim doubles ≈ 8 MB, broadcast-dimension class); a
+    * production run raises it with driver memory. [[KmeansIters]]
+    * belongs to [[kmeansCentroids]]/[[kmeansRefine]] (used by the
+    * ann_ivf trained quantizer), NOT to semdedup: Lloyd at K ∝ n
+    * costs n·K per round = quadratic, so semdedup's fine centroids
+    * are a deterministic stride sample instead (the published
+    * SemDeDup trains k-means on a bounded sample for the same
+    * reason).
     */
   val KmeansK = 32
+  val MaxCells = 16384
   val KmeansIters = 2
   val TargetCell = 8
 
   /** Cell count for a corpus of n vectors: n/[[TargetCell]] within
-    * [2, [[KmeansK]]]. Deterministic in n, so the operator stays
-    * reproducible at every SF.
+    * [2, [[MaxCells]]]. Deterministic in n, so the operator stays
+    * reproducible at every SF. K grows WITH the corpus — a fixed K
+    * (the pre-round-5 cap of 32) makes cell sizes, and with them the
+    * within-cell pairwise pass, grow linearly: measured 36× time at
+    * 20× data. With K ∝ n and IVF-routed assignment
+    * ([[graft.functions.TwoLevelCellId]]) both the assignment and
+    * the pairwise term are linear in n.
     */
   def autoK(n: Long): Int =
-    math.max(2L, math.min(KmeansK.toLong, n / TargetCell)).toInt
+    math.max(2L, math.min(MaxCells.toLong, n / TargetCell)).toInt
 
   /** Same near-dup threshold as dedup_embedding, so the two
     * operators' outputs are directly comparable (asserted in
@@ -94,21 +105,29 @@ object Clustering {
     cvecs
   }
 
-  /** semdedup — SemDeDup-style semantic deduplication: k-means the
-    * embedding space, then within each cell drop every vector that
-    * has a higher-similarity (cosine ≥ [[SemThreshold]]) partner
-    * with a LOWER vec_id in the same cell. Output is one row per
-    * vector: its cell and its keep flag — the keep-list a curation
-    * pipeline feeds the tokenizer.
+  /** semdedup — SemDeDup-style semantic deduplication: quantize the
+    * embedding space into ≈ n/[[TargetCell]] cells, then within each
+    * cell drop every vector that has a higher-similarity (cosine ≥
+    * [[SemThreshold]]) partner with a LOWER vec_id in the same cell.
+    * Output is one row per vector: its cell and its keep flag — the
+    * keep-list a curation pipeline feeds the tokenizer.
     *
-    * Scale shape: assignment is a map-side expression (no shuffle);
-    * the pairwise pass joins each cell with itself — one shuffle
-    * keyed by cell, work Σ cellᵢ², the quantity K exists to control.
-    * Exactly the published SemDeDup economics: pay a clustering pass
-    * to make the quadratic term local. Rows-only (k-means cell
-    * boundaries make it approximate vs the exact all-pairs operator;
-    * the containment + recall relation to dedup_embedding is asserted
-    * in ClusteringSpec).
+    * Scale shape (round-5 rework): K grows with the corpus so cell
+    * size stays ≈ [[TargetCell]] — the within-cell pairwise join is
+    * then n·TargetCell/2 rows, LINEAR in n (a fixed K was measured
+    * 36× at 20× data: cells grow linearly and Σ cellᵢ² goes
+    * quadratic). Assignment at K ∝ n cannot afford a flat O(K)
+    * argmax per vector (that is n·K = quadratic again), so it routes
+    * through [[graft.functions.TwoLevelCellId]] — ⌈√K⌉ coarse
+    * centroids, nprobe=2 buckets, O(√K) per vector — IVF's own trick
+    * applied to the assignment. Fine centroids are a deterministic
+    * stride sample (Lloyd at K ∝ n would cost n·K per round; the
+    * published SemDeDup trains on a bounded sample for the same
+    * reason). Both passes stay one shuffle + map-side expressions.
+    * Measured at the 20× replica corpus: slope 7.5 vs linear limit
+    * 20 (was 36.2 with fixed K). Rows-only (cell boundaries make it approximate vs the exact
+    * all-pairs operator; the containment + recall relation to
+    * dedup_embedding is asserted in ClusteringSpec).
     */
   def semdedup(spark: SparkSession, dir: String): DataFrame =
     semdedupOn(Tables(spark, dir).embeddings
@@ -118,9 +137,49 @@ object Clustering {
     val emb = embIn.filter(col("v").isNotNull)
     // one metadata-sized count sizes the cell grid (dedup_embedding's
     // autoBlocks pattern)
-    val (ids, cvecs) = kmeansCentroids(emb, autoK(emb.count()), KmeansIters)
+    val n = emb.count()
+    val k = autoK(n)
+    // fine centroids: deterministic stride sample — every
+    // ⌈n/K⌉-th vec_id, so every region of the corpus (and of a
+    // replicated corpus's every replica) contributes centroids. The
+    // collect is K×dim doubles, the bounded model footprint; a
+    // first-K-ids sample would concentrate all centroids in one id
+    // range and degenerate cells elsewhere.
+    val stride = math.max(TargetCell.toLong, math.ceil(n.toDouble / k).toLong)
+    val sampled = emb.filter(col("vec_id") % stride === 0)
+      .orderBy(col("vec_id")).select(col("v"))
+      .collect().map(_.getSeq[Double](0)).toIndexedSeq
+    val fine: Seq[Seq[Double]] =
+      if (sampled.nonEmpty) sampled
+      else emb.orderBy(col("vec_id")).limit(1).select(col("v"))
+        .collect().map(_.getSeq[Double](0)).toIndexedSeq
+    // coarse routing level: every ⌈√K⌉-th fine centroid (a SUBSET of
+    // fine, so no coarse bucket is empty — each coarse's own fine
+    // maps to itself at cosine 1)
+    val cStep = math.max(1, math.ceil(math.sqrt(fine.size.toDouble)).toInt)
+    val coarseIdx = fine.indices.by(cStep).toArray
+    val coarse: Seq[Seq[Double]] = coarseIdx.map(fine).toIndexedSeq
+    // driver-side owner of each fine centroid: nearest coarse by the
+    // same cosine/tie rules (K·√K flops, model-sized)
+    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val len = math.min(a.length, b.length)
+      var i = 0
+      while (i < len) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val owners: Seq[Int] = fine.map { f =>
+      var best = 0; var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < coarse.length) {
+        val s = cosD(f, coarse(c))
+        if (java.lang.Double.compare(s, bestSim) > 0) { best = c; bestSim = s }
+        c += 1
+      }
+      best
+    }
     val cells = emb.withColumn("cluster_id",
-      element_at(nearestCentroids(col("v"), ids, cvecs, 1), 1))
+      twoLevelCellId(col("v"), coarse, fine, owners, 2))
     // same rounding as dedup_embedding so thresholds bite identically
     val dupped = cells.as("a").join(cells.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&

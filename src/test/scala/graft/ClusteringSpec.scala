@@ -25,21 +25,22 @@ class ClusteringSpec extends AnyFunSuite {
     assert(c1 == c2, "means drifted across partitionings — decimal accumulation broken")
   }
 
-  test("autoK: cells scale with the corpus but stay capped") {
+  test("autoK: cell COUNT scales with the corpus (constant cell size), driver cap only") {
     import graft.operators.Clustering._
     assert(autoK(10) == 2)
     assert(autoK(50) == 6)
-    assert(autoK(500) == 32)
-    assert(autoK(5000000L) == KmeansK, "cap not enforced")
+    assert(autoK(500) == 62)
+    assert(autoK(5000000L) == MaxCells, "driver-model cap not enforced")
   }
 
   test("semdedup output is deterministic and cells are bounded by K") {
     import graft.operators.Clustering._
+    val n = emb.filter(col("v").isNotNull).count()
     val a = semdedupOn(emb).collect().map(_.toSeq).toSeq
     val b = semdedupOn(emb.repartition(5)).collect().map(_.toSeq).toSeq
     assert(a == b, "semdedup diverges across partitionings")
     val cells = a.map(_(1).asInstanceOf[Long]).distinct
-    assert(cells.size <= KmeansK)
+    assert(cells.size <= autoK(n) + 1)
     assert(a.map(_.head.asInstanceOf[Long]).distinct.size == a.size, "a vector appears twice")
   }
 

@@ -29,6 +29,17 @@ measured and rejected as replication artifacts:
    R=20 where linear is 20x.
 Letter rotation is immune to both: every slice differs per replica at
 every letter position. Limit: R <= 26 distinct rotations.
+
+Embeddings: each replica applies a per-replica SIGNED DIMENSION
+PERMUTATION (replica 0 = identity). A signed permutation is an
+orthogonal transform, so every within-replica dot product, norm and
+cosine is preserved EXACTLY (the replica's internal near-dup/ANN
+structure is bit-identical up to float associativity), while a vector
+and its cross-replica images have cosines distributed ~N(0, 1/dim) --
+no artificial cross-replica near-dups (every vector otherwise gets
+R-1 exact clones at cosine 1.0, which blows up the ANN/semantic-dedup
+family quadratically, the vector analogue of the tag-word artifact).
+
 Timestamps, floats and categorical columns are kept verbatim.
 
 Usage: python3 tools/make_scale.py <src_sf_dir> <out_dir> <replicas>
@@ -65,6 +76,20 @@ def rotated(r: int) -> tuple[str, str]:
     return LOWER + UPPER, lo + lo.upper()
 
 
+def signed_perm_sql(r: int, dim: int, elem_cast: str) -> str:
+    """DuckDB expression applying replica r's signed dimension
+    permutation to the 1-based `embedding` list (NULL stays NULL)."""
+    if r == 0:
+        return "embedding"
+    import random
+    rnd = random.Random(1000 + r)
+    perm = list(range(1, dim + 1))
+    rnd.shuffle(perm)
+    elems = ", ".join(
+        f"(embedding[{p}] * {rnd.choice([1, -1])})::{elem_cast}" for p in perm)
+    return f"CASE WHEN embedding IS NULL THEN NULL ELSE [{elems}] END"
+
+
 def main() -> None:
     src, out, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
     assert reps <= 26, "letter rotation supports at most 26 distinct replicas"
@@ -83,6 +108,12 @@ def main() -> None:
                 elif table == "documents" and c == "text":
                     frm, to = rotated(r)
                     proj.append(f"translate(text, '{frm}', '{to}') AS text")
+                elif table == "embeddings" and c == "embedding":
+                    dim, = con.execute(
+                        f"SELECT len(embedding) FROM read_parquet('{src}/{table}.parquet') "
+                        "WHERE embedding IS NOT NULL LIMIT 1").fetchone()
+                    proj.append(
+                        f"{signed_perm_sql(r, dim, 'FLOAT')} AS embedding")
                 else:
                     proj.append(c)
             selects.append(
