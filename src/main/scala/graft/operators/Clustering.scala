@@ -27,7 +27,6 @@ object Clustering {
     * SemDeDup trains k-means on a bounded sample for the same
     * reason).
     */
-  val KmeansK = 32
   val MaxCells = 16384
   val KmeansIters = 2
   val TargetCell = 8

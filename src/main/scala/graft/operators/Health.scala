@@ -33,8 +33,10 @@ object Health {
   /** hr_parse — JSON round-trip through parse_event: build the Kafka
     * payload, corrupt 1/13 deterministically, parse, keep valid rows.
     */
-  def hrParse(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
+  def hrParse(spark: SparkSession, dir: String): DataFrame =
+    hrParseOn(Tables(spark, dir).events)
+
+  private[graft] def hrParseOn(ev: DataFrame): DataFrame = {
     // Validity here is derivable from the base columns (the harness
     // itself injects the corruption), so the filter is a cheap
     // scan-level predicate and the JSON parse runs exactly once per
@@ -63,8 +65,10 @@ object Health {
   /** hr_classify — per-reading classification (the classify_window
     * CASE applied row-wise).
     */
-  def hrClassify(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
+  def hrClassify(spark: SparkSession, dir: String): DataFrame =
+    hrClassifyOn(Tables(spark, dir).events)
+
+  private[graft] def hrClassifyOn(ev: DataFrame): DataFrame = {
     ev.select(
         col("event_id"),
         col("user_id"),
@@ -79,8 +83,10 @@ object Health {
     * classification, emitting the alert record shape of
     * src/flink_job.py:113-122. One shuffle on (user, window).
     */
-  def hrWindowTumbling(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
+  def hrWindowTumbling(spark: SparkSession, dir: String): DataFrame =
+    hrWindowTumblingOn(Tables(spark, dir).events)
+
+  private[graft] def hrWindowTumblingOn(ev: DataFrame): DataFrame = {
     ev.groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
       .agg(
         moneyAvg(col("value")).as("avg_hr"),
@@ -101,8 +107,10 @@ object Health {
     * epoch-aligned windows before the single (user, window) shuffle
     * — no per-slide re-aggregation.
     */
-  def hrWindowSliding(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
+  def hrWindowSliding(spark: SparkSession, dir: String): DataFrame =
+    hrWindowSlidingOn(Tables(spark, dir).events)
+
+  private[graft] def hrWindowSlidingOn(ev: DataFrame): DataFrame = {
     ev.groupBy(col("user_id"), window(col("ts"), "1 hour", "15 minutes").as("w"))
       .agg(
         moneyAvg(col("value")).as("avg_hr"),
@@ -122,9 +130,12 @@ object Health {
     * one shuffle, no state store). The streaming twin with real keyed
     * state is [[graft.streaming.EpisodeTracker]].
     */
-  def hrEpisodes(spark: SparkSession, dir: String): DataFrame = {
+  def hrEpisodes(spark: SparkSession, dir: String): DataFrame =
+    hrEpisodesOn(Tables(spark, dir).events)
+
+  private[graft] def hrEpisodesOn(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val alerts = hrWindowTumbling(spark, dir)
+    val alerts = hrWindowTumblingOn(ev)
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("window_start_ms"))
     val byUserType = Window.partitionBy(col("user_id"), col("alert_type"))
       .orderBy(col("window_start_ms"))
@@ -148,7 +159,10 @@ object Health {
     * patient × alert_type with counts.
     */
   def hrAlertStats(spark: SparkSession, dir: String): DataFrame =
-    hrWindowTumbling(spark, dir)
+    hrAlertStatsOn(Tables(spark, dir).events)
+
+  private[graft] def hrAlertStatsOn(ev: DataFrame): DataFrame =
+    hrWindowTumblingOn(ev)
       .groupBy(col("user_id"), col("alert_type"))
       .agg(count(lit(1)).as("n_alerts"))
       .orderBy(col("user_id"), col("alert_type"))

@@ -73,4 +73,26 @@ class EmptyCorpusSpec extends AnyFunSuite {
     test(s"$name survives an empty vector corpus") {
       assert(op(emptyEmb).count() == 0L, s"$name emitted rows from nothing")
     }
+
+  // the reference-derived family on a quiet day: an events table with
+  // zero rows (a sensor fleet can legally deliver nothing in a window)
+  private def emptyEvents: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Double, java.sql.Timestamp)]
+      .toDF("event_id", "user_id", "value", "ts")
+  }
+
+  private val healthOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "hr_parse" -> (e => operators.Health.hrParseOn(e)),
+    "hr_classify" -> (e => operators.Health.hrClassifyOn(e)),
+    "hr_window_tumbling" -> (e => operators.Health.hrWindowTumblingOn(e)),
+    "hr_window_sliding" -> (e => operators.Health.hrWindowSlidingOn(e)),
+    "hr_episodes" -> (e => operators.Health.hrEpisodesOn(e)),
+    "hr_alert_stats" -> (e => operators.Health.hrAlertStatsOn(e))
+  )
+
+  for ((name, op) <- healthOps)
+    test(s"$name survives an empty events table") {
+      assert(op(emptyEvents).count() == 0L, s"$name emitted rows from nothing")
+    }
 }
