@@ -14,6 +14,85 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Exact-duplicate collapse — the boilerplate-skew guard shared by
+    * every candidate-pair operator. A web-scale corpus concentrates
+    * its duplication in exact copies (boilerplate pages, mirrored
+    * docs): m copies of one text put m identical signatures in every
+    * LSH band / simhash block / PassJoin segment bucket, so candidate
+    * generation over raw documents is O(m²) on the hot text no matter
+    * how good the blocking scheme is. Collapsing to one REPRESENTATIVE
+    * per distinct text first makes candidate volume track distinct
+    * content, and duplication re-enters only in the final
+    * output-sized expansion joins — the information-theoretic minimum
+    * (you cannot emit the pairs without writing them).
+    *
+    * Semantics are preserved EXACTLY: every score these operators
+    * compute (Jaccard, Levenshtein, SimHash partner sets) is a pure
+    * function of the text, so members inherit their representative's
+    * relationships verbatim, and within-group pairs carry the known
+    * self-score (J = 1, dist = 0, hamming = 0). Empty/short/null
+    * texts keep their "no signature → no pairs" behavior because the
+    * expansion is gated on the representative actually producing
+    * signatures (each operator passes its own eligibility frame).
+    *
+    * Grouping key is the 128-bit md5 of the raw text (collision odds
+    * at 10⁹ docs ≈ 10⁻²⁰ — the same contract dedup_exact's hash
+    * grouping rests on). The group aggregate is map-side combinable,
+    * so the hot text never concentrates on one reducer; the
+    * membership join is 1:N from a group table that AQE broadcasts
+    * when small and skew-splits when not.
+    *
+    * Returns (reps, membership): `reps` = (doc_id, text) of each
+    * group's min-doc_id representative; `membership` = (doc_id, rep,
+    * gsize), cached (three consumers — release via
+    * `spark.catalog.clearCache()` as Verify/Bench do).
+    */
+  private[graft] def collapseByText(docs: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = docs.select(col("doc_id"), col("text"))
+      .withColumn("tkey", md5(col("text")))
+    // first(text) is deterministic here: all texts in a group are equal
+    val groups = keyed.groupBy(col("tkey"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gsize"),
+        first(col("text")).as("text"))
+    val membership = keyed.select(col("doc_id"), col("tkey"))
+      .join(groups.select(col("tkey"), col("rep"), col("gsize")), "tkey")
+      .select(col("doc_id"), col("rep"), col("gsize"))
+      .cache()
+    val reps = groups.select(col("rep").as("doc_id"), col("text"))
+    (reps, membership)
+  }
+
+  /** Expand verified representative-level pairs to member-level
+    * pairs: each cross-group rep pair (r1 < r2) becomes
+    * gsize(r1)·gsize(r2) member pairs inheriting its score, and each
+    * eligible group of size > 1 contributes its C(gsize, 2)
+    * within-group pairs at `selfScore` (identical texts — the score
+    * is known without verification). Both joins are output-sized:
+    * no candidate blowup, the duplication cost is exactly the rows
+    * emitted. `eligibleReps` (a doc_id frame of reps that produced
+    * signatures) gates within-group emission so signature-less docs
+    * keep producing no pairs.
+    */
+  private[graft] def expandPairs(repPairs: DataFrame, membership: DataFrame,
+      c1: String, c2: String, score: String, selfScore: Column,
+      eligibleReps: DataFrame): DataFrame = {
+    val m1 = membership.select(col("rep").as("__r1"), col("doc_id").as("__m1"))
+    val m2 = membership.select(col("rep").as("__r2"), col("doc_id").as("__m2"))
+    val cross = repPairs
+      .join(m1, repPairs(c1) === col("__r1"))
+      .join(m2, repPairs(c2) === col("__r2"))
+      .select(least(col("__m1"), col("__m2")).as(c1),
+        greatest(col("__m1"), col("__m2")).as(c2), col(score))
+    val dups = membership
+      .join(eligibleReps.select(col("doc_id").as("rep")), Seq("rep"), "left_semi")
+      .filter(col("gsize") > 1)
+    val within = dups.as("a").join(dups.as("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as(c1), col("b.doc_id").as(c2),
+        selfScore.as(score))
+    cross.unionByName(within)
+  }
+
   private val P = 2147483647L // 2^31 - 1, Mersenne prime
   private val NumPerm = 128
   private val Bands = 16
@@ -33,7 +112,7 @@ object Dedup {
     * oracle-replicated, so the portable-but-slow md5 hash isn't
     * needed; pmod keeps the value in [0, P) for the permutations.
     */
-  private def shingleHashes(docs: DataFrame): DataFrame =
+  private[graft] def shingleHashesOf(docs: DataFrame): DataFrame =
     docs.withColumn("w", words(col("text")))
       .select(col("doc_id"), explode(shingles("w")).as("shingle"))
       .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
@@ -47,18 +126,34 @@ object Dedup {
   def minhash(spark: SparkSession, dir: String): DataFrame =
     minhashOn(Tables(spark, dir).documents)
 
-  /** Same pipeline over any (doc_id, text) DataFrame.
+  /** Same pipeline over any (doc_id, text) DataFrame — collapsed to
+    * exact-text representatives first (see [[collapseByText]]): the
+    * MinHash/LSH machinery runs over distinct texts only, then
+    * verified pairs expand through group membership. Identical docs
+    * always carry identical signatures, so the expansion reproduces
+    * exactly what the un-collapsed pipeline would emit (certain
+    * within-group candidacy, J = 1), at linear instead of quadratic
+    * candidate volume under duplication (asserted in DupSkewSpec).
     *
-    * Caching contract: the shingle set is `.cache()`d because three
-    * downstream branches consume it (signatures, sizes, both verify
-    * sides). The pinned storage lives until the caller drops it —
-    * run `spark.catalog.clearCache()` (as Verify/Bench do) or
-    * `unpersist` the plan's cached child after the terminal action
+    * Caching contract: the rep shingle set and the membership frame
+    * are `.cache()`d (multiple consumers). The pinned storage lives
+    * until the caller drops it — run `spark.catalog.clearCache()`
+    * (as Verify/Bench do) or unpersist after the terminal action
     * when invoking this repeatedly from long-lived applications.
     */
   def minhashOn(docs: DataFrame): DataFrame = {
-    val sh = shingleHashes(docs).cache()
+    val (reps, membership) = collapseByText(docs)
+    val sh = shingleHashesOf(reps).cache()
+    expandPairs(minhashPairs(sh), membership, "d1", "d2",
+        "jaccard", lit(1.0), sh.select(col("doc_id")).distinct())
+      .orderBy(col("d1"), col("d2"))
+  }
 
+  /** LSH band-bucket candidate pairs over a (doc_id, h) shingle-hash
+    * set — the stage whose volume the skew guard bounds (DupSkewSpec
+    * measures it with and without collapse).
+    */
+  private[graft] def minhashCandidates(sh: DataFrame): DataFrame = {
     // single custom aggregate: whole 128-perm signature in one buffer
     // (the composed 128-min-columns form made the plan 128 wide)
     val sigs = sh.groupBy(col("doc_id"))
@@ -71,12 +166,18 @@ object Dedup {
     val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
 
-    val candidates = banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
+  }
 
+  /** Signature → banding → candidates → exact-Jaccard verification
+    * over a shingle-hash set (unsorted rep-level pairs).
+    */
+  private[graft] def minhashPairs(sh: DataFrame): DataFrame = {
+    val candidates = minhashCandidates(sh)
     // exact-Jaccard verify, restricted to candidates
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = candidates
@@ -90,7 +191,6 @@ object Dedup {
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("d1"), col("d2"), col("jaccard"))
-      .orderBy(col("d1"), col("d2"))
   }
 
   /** dedup_clusters — near-duplicate CLUSTERS: connected components
@@ -115,10 +215,35 @@ object Dedup {
     * transitive closure via DuckDB recursive CTE.
     */
   def clusters(spark: SparkSession, dir: String, maxIters: Int = 20,
-      star: Boolean = false): DataFrame = {
-    val docs = Tables(spark, dir).documents.select(col("doc_id"))
-    val pairs = Text.ngramJaccard(spark, dir).select(col("d1"), col("d2"))
-    clustersOf(docs, pairs, maxIters, star)
+      star: Boolean = false): DataFrame =
+    clustersDocs(Tables(spark, dir).documents, maxIters, star)
+
+  /** Cluster construction over any (doc_id, text) frame, duplicate-
+    * skew-proof: the Jaccard pair graph is built over exact-text
+    * REPRESENTATIVES only and group members attach by a single
+    * member→rep star edge each — a LINEAR edge list where
+    * materializing the expanded pair graph would be quadratic in the
+    * hottest group (C(m,2) jaccard-1.0 edges say nothing the m star
+    * edges don't). Components and labels are unchanged: members are
+    * mutually reachable through their rep, the rep is the group's
+    * min doc_id, so each component's min doc_id is the min over its
+    * reps — exactly the label the full pair graph yields. Star edges
+    * are gated on the rep having ≥ 1 shingle, preserving the
+    * "shingle-less docs are singletons" semantics of the pair SQL
+    * the oracle closes over.
+    */
+  private[graft] def clustersDocs(docs: DataFrame, maxIters: Int,
+      star: Boolean): DataFrame = {
+    val (reps, membership) = collapseByText(docs)
+    val sh = Text.shingleSetOf(reps).cache()
+    val repPairs = Text.ngramJaccardOn(sh, 0.5).select(col("d1"), col("d2"))
+    val starEdges = membership
+      .join(sh.select(col("doc_id")).distinct()
+        .withColumnRenamed("doc_id", "rep"), Seq("rep"), "left_semi")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("d1"), col("rep").as("d2"))
+    clustersOf(docs.select(col("doc_id")), repPairs.unionByName(starEdges),
+      maxIters, star)
   }
 
   /** Same clustering over any (doc_id) node set + (d1, d2) pair list. */
@@ -286,29 +411,68 @@ object Dedup {
     * 15-bit block), per-doc near-dup partner count. Output is one
     * row per document (signature + n_near_dups) so the operator is
     * informative even when a corpus has no near-dups.
+    *
+    * Skew guard (see [[collapseByText]]): signatures and the block
+    * join run over exact-text representatives — m copies of one text
+    * would otherwise put m identical signatures in every block and
+    * the candidate join goes O(m²). Members inherit the rep's
+    * signature verbatim (identical text ⇒ identical word multiset ⇒
+    * identical simhash) and the partner count expands in closed
+    * form: (gsize − 1) identical siblings (hamming 0, always found:
+    * identical signatures share all blocks) plus Σ gsize(p) over the
+    * rep's partner groups — exactly what the un-collapsed join
+    * counts, one row per document, no quadratic stage.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-    val sigs = simhashSignatures(docs).cache()
-    val blockCols = (0 until Blocks).map { j =>
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOn(Tables(spark, dir).documents)
+
+  /** Same pipeline over any (doc_id, text) DataFrame. */
+  private[graft] def simhashOn(docs: DataFrame): DataFrame = {
+    val (reps, membership) = collapseByText(docs)
+    val sigs = simhashSignatures(reps).cache()
+    val pairs = simhashRepPairs(sigs)
+    // weight each directed rep partner by its group size
+    val gsz = membership.filter(col("doc_id") === col("rep"))
+      .select(col("rep").as("other"), col("gsize").as("gsize_other"))
+    val ext = pairs.join(gsz, "other")
+      .groupBy(col("doc_id")).agg(sum(col("gsize_other")).as("ext"))
+    membership
+      .join(sigs.withColumnRenamed("doc_id", "rep"), "rep")
+      .join(ext.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
+      .select(col("doc_id"), col("simhash"),
+        (coalesce(col("ext"), lit(0L)) + col("gsize") - 1L).as("n_near_dups"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Directed hamming ≤ 3 partner pairs over a (doc_id, simhash)
+    * frame via the 15-bit pigeonhole block join.
+    */
+  private[graft] def simhashRepPairs(sigs: DataFrame): DataFrame =
+    hammingBlockPairs(sigs, "simhash", Blocks, BlockBits, 3)
+
+  /** Directed hamming ≤ `maxHamming` partner pairs over a (doc_id,
+    * `sigCol`) signature frame via the pigeonhole block join: the
+    * signature splits into `blocks` disjoint `blockBits`-wide slices
+    * and two signatures within hamming ≤ blocks − 1 provably agree
+    * on at least one slice. Shared by dedup_simhash (60-bit text
+    * simhash) and mm_phash (56-bit perceptual dHash).
+    */
+  private[graft] def hammingBlockPairs(sigs: DataFrame, sigCol: String,
+      blocks: Int, blockBits: Int, maxHamming: Int): DataFrame = {
+    val blockCols = (0 until blocks).map { j =>
       struct(lit(j).as("blk"),
-        shiftright(col("simhash"), j * BlockBits).bitwiseAND((1L << BlockBits) - 1).as("key"))
+        shiftright(col(sigCol), j * blockBits).bitwiseAND((1L << blockBits) - 1).as("key"))
     }
-    val blocked = sigs.select(col("doc_id"), col("simhash"),
+    val blocked = sigs.select(col("doc_id"), col(sigCol),
         explode(array(blockCols: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.key").as("key"))
-    val pairs = blocked.as("x").join(blocked.as("y"),
+      .select(col("doc_id"), col(sigCol), col("b.blk").as("blk"), col("b.key").as("key"))
+    blocked.as("x").join(blocked.as("y"),
         col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("other"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col(s"x.$sigCol").bitwiseXOR(col(s"y.$sigCol"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
-    sigs.join(pairs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_near_dups")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), col("simhash"),
-        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
-      .orderBy(col("doc_id"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** dedup_embedding — exact cosine near-dup pairs over the embedding
