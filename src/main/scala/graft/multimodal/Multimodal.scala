@@ -198,6 +198,100 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** mm_phash geometry: 8×8 box-filtered cells (the [[mmResize]]
+    * lattice), 7 column-gradients per row × 8 rows = 56 hash bits
+    * (sign-safe in a BIGINT), split into 4 × 14-bit pigeonhole
+    * blocks so hamming ≤ 3 pairs always share a block.
+    */
+  val PHashDim = 8
+  val PHashBits: Int = PHashDim * (PHashDim - 1) // 56
+  val PHashBlocks = 4
+  val PHashBlockBits: Int = PHashBits / PHashBlocks // 14
+
+  /** The 8×8 cell matrix as one map-side expression: each cell is
+    * the integer box-filter mean of its exact source box (same
+    * geometry as [[boxExpr]]), evaluated ONCE into a nested array so
+    * the 56 gradient comparisons don't recompute shared cells.
+    */
+  private def cellsExpr: String = {
+    val x0 = s"((i * src_w) div ${PHashDim})"
+    val x1e = s"(((i + 1) * src_w) div ${PHashDim})"
+    val y0 = s"((j * src_h) div ${PHashDim})"
+    val y1e = s"(((j + 1) * src_h) div ${PHashDim})"
+    val mean = s"aggregate(sequence($x0, $x1e - 1), 0L, (ax, x) -> " +
+      s"ax + aggregate(sequence($y0, $y1e - 1), 0L, (ay, y) -> ay + ${pixelExpr("x", "y")}))" +
+      s" div (($x1e - $x0) * ($y1e - $y0))"
+    s"transform(sequence(0L, ${PHashDim - 1}), j -> " +
+      s"transform(sequence(0L, ${PHashDim - 1}), i -> $mean))"
+  }
+
+  /** mm_phash — perceptual-hash image near-duplicate detection (the
+    * image analog of dedup_simhash, run entirely on metadata-derived
+    * stub pixels): per image, the classic difference hash — box-
+    * filter to [[PHashDim]]² luma cells, emit one bit per adjacent-
+    * column gradient (cell(i+1,j) > cell(i,j)) — then count hamming
+    * ≤ 3 partners through the shared pigeonhole block join
+    * ([[graft.operators.Dedup.hammingBlockPairs]]). dHash survives
+    * what byte-level hashing cannot: re-encodes, resizes and small
+    * crops move many payload bytes but few luma gradients.
+    *
+    * Scale shape: the hash is one map-side codegen-friendly
+    * expression over hash-derived stub pixels (a real deployment
+    * swaps [[pixelExpr]] for decoded luma — the box filter, gradient
+    * bits, blocking and counting ship unchanged); candidate
+    * generation is the 14-bit block equi-join, never O(n²), with the
+    * exact-duplicate collapse guard ([[graft.operators.Dedup
+    * .collapseByText]]) so repeated payloads cannot inflate block
+    * buckets. Fully oracle-replicated: the lattice is pure integer
+    * arithmetic, so DuckDB computes the identical 56-bit hashes and
+    * partner counts.
+    */
+  def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val (reps, membership) = graft.operators.Dedup.collapseByText(docs)
+    val phash = s"aggregate(sequence(0L, ${PHashDim - 1}), 0L, (acc, j) -> " +
+      s"acc + aggregate(sequence(0L, ${PHashDim - 2}), 0L, (a2, i) -> " +
+      s"a2 + if(element_at(element_at(cells, cast(j + 1 as int)), cast(i + 2 as int)) > " +
+      s"element_at(element_at(cells, cast(j + 1 as int)), cast(i + 1 as int)), " +
+      s"shiftleft(1L, cast(${PHashDim - 1} * j + i as int)), 0L)))"
+    val sigs = reps
+      .withColumn("fp60", hash60(normalize(col("text"))))
+      .withColumn("src_w", col("fp60") % ResizeSrcWMod + ResizeSrcMin)
+      .withColumn("src_h", expr(s"fp60 div $ResizeSrcWMod") % ResizeSrcHMod + ResizeSrcMin)
+      .withColumn("cells", expr(cellsExpr))
+      .select(col("doc_id"), expr(phash).as("phash"))
+      .cache()
+    val pairs = graft.operators.Dedup.hammingBlockPairs(
+      sigs.withColumnRenamed("phash", "sig"), "sig",
+      PHashBlocks, PHashBlockBits, 3)
+    val gsz = membership.filter(col("doc_id") === col("rep"))
+      .select(col("rep").as("other"), col("gsize").as("gsize_other"))
+    val ext = pairs.join(gsz, "other")
+      .groupBy(col("doc_id")).agg(sum(col("gsize_other")).as("ext"))
+    membership
+      .join(sigs.withColumnRenamed("doc_id", "rep"), "rep")
+      .join(ext.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
+      .select(col("doc_id"), col("phash"),
+        (coalesce(col("ext"), lit(0L)) + col("gsize") - 1L).as("n_near_dups"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB cell-matrix fragment for the mm_phash oracle — the
+    * [[cellsExpr]] twin in `//`/list dialect (lists are 1-indexed at
+    * the consumer). Lives here so geometry edits stay single-source.
+    */
+  def phashCellsSql: String = {
+    val x0 = s"((i * src_w) // $PHashDim)"
+    val x1e = s"(((i + 1) * src_w) // $PHashDim)"
+    val y0 = s"((j * src_h) // $PHashDim)"
+    val y1e = s"(((j + 1) * src_h) // $PHashDim)"
+    val mean = s"list_sum(list_transform(range($x0, $x1e), x -> " +
+      s"list_sum(list_transform(range($y0, $y1e), y -> (fp60 + 31 * x + 17 * y) % 256))))" +
+      s" // (($x1e - $x0) * ($y1e - $y0))"
+    s"list_transform(range(0, $PHashDim), j -> " +
+      s"list_transform(range(0, $PHashDim), i -> $mean))"
+  }
+
   /** DuckDB mirror of [[boxExpr]] — same geometry, same pixel
     * function, `//`/`%`/range() dialect. Used by the mm_resize oracle.
     */
