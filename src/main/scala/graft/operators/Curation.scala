@@ -319,6 +319,36 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Reservoir size for [[sampleReservoir]]. */
+  val ReservoirK = 8
+
+  /** sample_reservoir — uniform k examples per group in ONE pass,
+    * via the mergeable bottom-k sketch
+    * ([[graft.functions.ReservoirAgg]]): each group keeps the
+    * [[ReservoirK]] docs whose seeded rank hash is smallest. The
+    * inspect-my-data primitive every 100 TB curation loop runs
+    * ("show me 8 random docs per language/source/quality bucket"),
+    * and the scale contrast to [[sampleStratified]]'s rate filter:
+    * exact per-group COUNT k (not a rate), no full sort — map-side
+    * partial aggregation reduces every partition to ≤ k rows per
+    * group before the exchange, where the equivalent window form
+    * (`row_number() OVER (ORDER BY hash)` — the oracle) shuffles and
+    * sorts the whole corpus. Bottom-k is a pure function of the
+    * input set, so the result is deterministic at any parallelism
+    * and identical to the oracle's.
+    */
+  def sampleReservoir(spark: SparkSession, dir: String): DataFrame =
+    sampleReservoirOn(Tables(spark, dir).documents)
+
+  /** Same sketch sample over any (doc_id, lang) DataFrame. */
+  private[graft] def sampleReservoirOn(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(graft.functions.ReservoirAgg.reservoir(
+        hash60(col("doc_id").cast("string")), col("doc_id"), ReservoirK).as("rs"))
+      .select(col("lang"), posexplode(col("rs")).as(Seq("i", "doc_id")))
+      .select(col("lang"), (col("i") + 1).cast("long").as("rank"), col("doc_id"))
+      .orderBy(col("lang"), col("rank"))
+
   /** corpus_stats — the dataset card: doc / word / char / token-
     * estimate / high-quality counts per language × source with CUBE
     * subtotals ('ALL' rows), in ONE pass over the corpus. The
