@@ -60,12 +60,14 @@ object SparkEntry {
     "mm_meta"         -> (graft.multimodal.Multimodal.mmMeta _),
     "mm_frames"       -> (graft.multimodal.Multimodal.mmFrames _),
     "mm_resize"       -> (graft.multimodal.Multimodal.mmResize _),
+    "mm_phash"        -> (graft.multimodal.Multimodal.mmPhash _),
     "url_normalize"   -> (Text.urlNormalize _),
     "doc_chunk"         -> (Curation.docChunk _),
     "pii_scrub"         -> (Curation.piiScrub _),
     "tfidf"             -> ((s, d) => Curation.tfidf(s, d)),
     "sample_stratified" -> (Curation.sampleStratified _),
     "sample_quota"      -> ((s, d) => Curation.sampleQuota(s, d)),
+    "sample_reservoir"  -> (Curation.sampleReservoir _),
     "seq_pack"          -> (Curation.seqPack _),
     "decontaminate"     -> (Text.decontaminate _),
     "rep_stats"         -> (Text.repStats _),
@@ -812,6 +814,36 @@ object SparkEntry {
         |FROM (SELECT doc_id, text, ${hash60Sql(normSql)} AS fp60 FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    // same stub-pixel lattice as mm_resize, dHash gradient bits, and
+    // the pigeonhole block join replicated relationally
+    "mm_phash" -> {
+      val m = graft.multimodal.Multimodal
+      val phash = s"list_sum(flatten(list_transform(range(0, ${m.PHashDim}), j -> " +
+        s"list_transform(range(0, ${m.PHashDim - 1}), i -> " +
+        s"CASE WHEN cells[j + 1][i + 2] > cells[j + 1][i + 1] " +
+        s"THEN (1::BIGINT << (${m.PHashDim - 1} * j + i)) ELSE 0 END))))"
+      s"""WITH h AS (SELECT doc_id, ${hash60Sql(normSql)} AS fp60 FROM documents),
+        |d AS (
+        |  SELECT doc_id, fp60,
+        |    fp60 % ${m.ResizeSrcWMod} + ${m.ResizeSrcMin} AS src_w,
+        |    (fp60 // ${m.ResizeSrcWMod}) % ${m.ResizeSrcHMod} + ${m.ResizeSrcMin} AS src_h
+        |  FROM h),
+        |c AS (SELECT doc_id, ${m.phashCellsSql} AS cells FROM d),
+        |ph AS (SELECT doc_id, CAST($phash AS BIGINT) AS phash FROM c),
+        |blk AS (
+        |  SELECT doc_id, phash, b,
+        |    (phash >> (b * ${m.PHashBlockBits})) % ${1 << m.PHashBlockBits} AS key
+        |  FROM ph, range(0, ${m.PHashBlocks}) t(b)),
+        |prs AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS o
+        |  FROM blk x JOIN blk y ON x.b = y.b AND x.key = y.key AND x.doc_id <> y.doc_id
+        |  WHERE bit_count(xor(x.phash, y.phash)) <= 3),
+        |cnt AS (SELECT a AS doc_id, count(*) AS n FROM prs GROUP BY a)
+        |SELECT p.doc_id, p.phash, CAST(coalesce(c2.n, 0) AS BIGINT) AS n_near_dups
+        |FROM ph p LEFT JOIN cnt c2 ON p.doc_id = c2.doc_id
+        |ORDER BY p.doc_id""".stripMargin
+    },
+
     // same fake-video metadata arithmetic, range() for the stride walk
     "mm_frames" -> {
       val target = graft.multimodal.Multimodal.FrameTargetSamples
@@ -945,6 +977,22 @@ object SparkEntry {
         |)
         |SELECT doc_id, lang, bucket FROM r WHERE rk <= 40
         |ORDER BY lang, bucket, doc_id""".stripMargin,
+
+    // the bottom-k sketch is definitionally this window query — the
+    // engine runs it as a mergeable aggregate instead of a full sort
+    "sample_reservoir" ->
+      s"""WITH h AS (
+        |  SELECT lang, doc_id,
+        |    ${hash60Sql("CAST(doc_id AS VARCHAR)")} AS hk
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        |  FROM h
+        |)
+        |SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id
+        |FROM r WHERE rn <= ${graft.operators.Curation.ReservoirK}
+        |ORDER BY lang, rank""".stripMargin,
 
     "doc_chunk" ->
       s"""WITH t AS (
