@@ -68,6 +68,7 @@ object SparkEntry {
     "sample_stratified" -> (Curation.sampleStratified _),
     "sample_quota"      -> ((s, d) => Curation.sampleQuota(s, d)),
     "sample_reservoir"  -> (Curation.sampleReservoir _),
+    "doc_embed"         -> (Curation.docEmbed _),
     "seq_pack"          -> (Curation.seqPack _),
     "decontaminate"     -> (Text.decontaminate _),
     "rep_stats"         -> (Text.repStats _),
@@ -977,6 +978,33 @@ object SparkEntry {
         |)
         |SELECT doc_id, lang, bucket FROM r WHERE rk <= 40
         |ORDER BY lang, bucket, doc_id""".stripMargin,
+
+    // hashing-trick vector, integer-exact: same bucket/sign hashes,
+    // same signed counts, same squared norm — list dialect
+    "doc_embed" -> {
+      val dim = graft.operators.Curation.EmbedDim
+      s"""WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split($normSql, ' '), x -> x <> '') AS ws
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |    list_transform(ws, x -> struct_pack(
+        |      b := ${hash60Sql("'emb:' || x")} % $dim,
+        |      s := CASE WHEN ${hash60Sql("'sgn:' || x")} % 2 = 0 THEN 1 ELSE -1 END)) AS bs
+        |  FROM w
+        |), v AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, $dim), i ->
+        |      coalesce(list_sum(list_transform(list_filter(bs, e -> e.b = i), e -> e.s)), 0)) AS vec
+        |  FROM b
+        |)
+        |SELECT doc_id,
+        |  list_aggregate(list_transform(vec, x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS vec_str,
+        |  CAST(coalesce(list_sum(list_transform(vec, x -> x * x)), 0) AS BIGINT) AS n2
+        |FROM v
+        |ORDER BY doc_id""".stripMargin
+    },
 
     // the bottom-k sketch is definitionally this window query — the
     // engine runs it as a mergeable aggregate instead of a full sort

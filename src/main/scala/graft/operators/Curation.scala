@@ -213,6 +213,70 @@ object Curation {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Embedding width for [[docEmbed]]. */
+  val EmbedDim = 64
+
+  /** doc_embed — text → vector entirely in-engine via the hashing
+    * trick (feature hashing, Weinberger et al. 2009): each word maps
+    * to bucket hash60("emb:"+w) mod [[EmbedDim]] with sign ±1 from
+    * an independent hash bit, and the document vector is the signed
+    * occurrence count per bucket. This is the bridge from the text
+    * corpus to the ANN/semdedup family when no model embeddings
+    * exist yet (the first clustering pass of a curation loop);
+    * [[docEmbeddings]] adapts the output to the (vec_id, v) frame
+    * every similarity operator consumes.
+    *
+    * Scale shape: per-word (bucket, sign) is computed ONCE into an
+    * array, then the vector accumulates map-side inside the scan
+    * stage — no shuffle, no vocabulary table, O(dim · words) integer
+    * ops per doc. Output ships the INTEGER vector (joined string,
+    * the vec_quant convention) plus its exact squared norm — no
+    * float normalization in the oracle-compared columns, so the
+    * DuckDB twin is bit-exact; consumers normalize at use.
+    */
+  def docEmbed(spark: SparkSession, dir: String): DataFrame =
+    docEmbedOn(Tables(spark, dir).documents)
+
+  /** Spark-SQL fragment of TextFunctions.hash60 for use inside
+    * lambda bodies (Column-based hash60 can't reference lambda vars).
+    */
+  private def hash60SqlSpark(c: String): String =
+    s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint)"
+
+  /** The signed-count hashing-trick vector as a long-array column:
+    * per-word (bucket, sign) computed once, then one accumulation
+    * pass per dimension — all map-side, shared by [[docEmbedOn]] and
+    * [[docEmbeddings]].
+    */
+  private def embedVec(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", words(col("text")))
+      .withColumn("bs", expr(
+        s"""transform(filter(ws, w -> w != ''),
+           |  w -> struct(
+           |    pmod(${hash60SqlSpark("concat('emb:', w)")}, $EmbedDim) as b,
+           |    if(pmod(${hash60SqlSpark("concat('sgn:', w)")}, 2) = 0, 1L, -1L) as s))""".stripMargin))
+      .withColumn("vec", expr(
+        s"""transform(sequence(0, ${EmbedDim - 1}),
+           |  i -> aggregate(bs, 0L, (acc, e) -> acc + if(e.b = i, e.s, 0L)))""".stripMargin))
+
+  private[graft] def docEmbedOn(docs: DataFrame): DataFrame =
+    embedVec(docs)
+      .select(col("doc_id"),
+        concat_ws(",", col("vec")).as("vec_str"),
+        expr("aggregate(vec, 0L, (a, x) -> a + x * x)").as("n2"))
+      .orderBy(col("doc_id"))
+
+  /** The [[docEmbed]] vectors as the (vec_id, v: array<double>)
+    * frame the ANN/embedding family consumes (L2-unnormalized;
+    * cosine is scale-invariant so similarity operators are
+    * unaffected).
+    */
+  private[graft] def docEmbeddings(docs: DataFrame): DataFrame =
+    embedVec(docs)
+      .select(col("doc_id").as("vec_id"),
+        expr("transform(vec, x -> cast(x as double))").as("v"))
+
   /** Per-language keep rates (ppm): downsample the dominant language
     * toward a balanced corpus. Literal spec so both engines see the
     * same CASE.
