@@ -37,6 +37,79 @@ case class ResizeKernel(first: Expression, second: Expression, third: Expression
       f: Expression, s: Expression, t: Expression): ResizeKernel = copy(f, s, t)
 }
 
+/** Single-pass evaluator for the mm_phash 56-bit difference hash:
+  * box-filters the stub pixel lattice to the 8×8 cell matrix and
+  * emits one bit per adjacent-column gradient (cell(i+1,j) >
+  * cell(i,j), bit 7j+i) in ONE tight-loop walk, replacing the
+  * interpreted nested `aggregate(sequence(...))` cell matrix +
+  * gradient fold (the same interpreted-HOF cost class ResizeKernel
+  * kills for mm_resize). Geometry and pixel function are IDENTICAL
+  * to the SQL twin the DuckDB oracle runs
+  * ([[graft.multimodal.Multimodal.phashCellsSql]]): pixel(x,y) =
+  * (fp60 + 31x + 17y) mod 256, cell boxes [i·w/8,(i+1)·w/8) ×
+  * [j·h/8,(j+1)·h/8) — the oracle hash-match is the equivalence
+  * proof.
+  */
+case class PhashKernel(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(fp: Any, w: Any, h: Any): Any =
+    PhashKernel.eval(fp.asInstanceOf[Long], w.asInstanceOf[Long], h.asInstanceOf[Long])
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PhashKernel = copy(f, s, t)
+}
+
+object PhashKernel {
+  private val OutDim = 8
+
+  def phashKernel(fp60: Column, srcW: Column, srcH: Column): Column =
+    Bridge.column(PhashKernel(
+      Bridge.expression(fp60), Bridge.expression(srcW), Bridge.expression(srcH)))
+
+  private[functions] def eval(fp60: Long, w: Long, h: Long): Long = {
+    // cells(j)(i): row j (y-box), column i (x-box) — matches the SQL
+    // nesting transform(j -> transform(i -> mean))
+    val cells = Array.ofDim[Long](OutDim, OutDim)
+    var i = 0
+    while (i < OutDim) {
+      val x0 = i * w / OutDim
+      val x1 = (i + 1) * w / OutDim
+      var j = 0
+      while (j < OutDim) {
+        val y0 = j * h / OutDim
+        val y1 = (j + 1) * h / OutDim
+        var sum = 0L
+        var x = x0
+        while (x < x1) {
+          var y = y0
+          while (y < y1) {
+            sum += java.lang.Math.floorMod(fp60 + 31 * x + 17 * y, 256L)
+            y += 1
+          }
+          x += 1
+        }
+        cells(j.toInt)(i.toInt) = sum / ((x1 - x0) * (y1 - y0))
+        j += 1
+      }
+      i += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < OutDim) {
+      var c = 0
+      while (c < OutDim - 1) {
+        if (cells(j)(c + 1) > cells(j)(c)) hash |= 1L << ((OutDim - 1) * j + c)
+        c += 1
+      }
+      j += 1
+    }
+    hash
+  }
+}
+
 object ResizeKernel {
   private val OutDim = 8
 

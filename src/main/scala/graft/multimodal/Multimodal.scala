@@ -213,6 +213,34 @@ object Multimodal {
     * geometry as [[boxExpr]]), evaluated ONCE into a nested array so
     * the 56 gradient comparisons don't recompute shared cells.
     */
+  /** (doc_id, phash) via the tight-loop kernel — the shipping path. */
+  private[graft] def phashSigs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp60", hash60(normalize(col("text"))))
+      .withColumn("src_w", col("fp60") % ResizeSrcWMod + ResizeSrcMin)
+      .withColumn("src_h", expr(s"fp60 div $ResizeSrcWMod") % ResizeSrcHMod + ResizeSrcMin)
+      .select(col("doc_id"), graft.functions.PhashKernel.phashKernel(
+        col("fp60"), col("src_w"), col("src_h")).as("phash"))
+
+  /** (doc_id, phash) via the SQL higher-order form — retained as the
+    * in-engine reference for the kernel's equivalence spec (and as
+    * documentation of the geometry/gradient-bit layout the kernel
+    * hand-loops).
+    */
+  private[graft] def phashSigsSql(docs: DataFrame): DataFrame = {
+    val phash = s"aggregate(sequence(0L, ${PHashDim - 1}), 0L, (acc, j) -> " +
+      s"acc + aggregate(sequence(0L, ${PHashDim - 2}), 0L, (a2, i) -> " +
+      s"a2 + if(element_at(element_at(cells, cast(j + 1 as int)), cast(i + 2 as int)) > " +
+      s"element_at(element_at(cells, cast(j + 1 as int)), cast(i + 1 as int)), " +
+      s"shiftleft(1L, cast(${PHashDim - 1} * j + i as int)), 0L)))"
+    docs
+      .withColumn("fp60", hash60(normalize(col("text"))))
+      .withColumn("src_w", col("fp60") % ResizeSrcWMod + ResizeSrcMin)
+      .withColumn("src_h", expr(s"fp60 div $ResizeSrcWMod") % ResizeSrcHMod + ResizeSrcMin)
+      .withColumn("cells", expr(cellsExpr))
+      .select(col("doc_id"), expr(phash).as("phash"))
+  }
+
   private def cellsExpr: String = {
     val x0 = s"((i * src_w) div ${PHashDim})"
     val x1e = s"(((i + 1) * src_w) div ${PHashDim})"
@@ -249,18 +277,10 @@ object Multimodal {
   def mmPhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val (reps, membership) = graft.operators.Dedup.collapseByText(docs)
-    val phash = s"aggregate(sequence(0L, ${PHashDim - 1}), 0L, (acc, j) -> " +
-      s"acc + aggregate(sequence(0L, ${PHashDim - 2}), 0L, (a2, i) -> " +
-      s"a2 + if(element_at(element_at(cells, cast(j + 1 as int)), cast(i + 2 as int)) > " +
-      s"element_at(element_at(cells, cast(j + 1 as int)), cast(i + 1 as int)), " +
-      s"shiftleft(1L, cast(${PHashDim - 1} * j + i as int)), 0L)))"
-    val sigs = reps
-      .withColumn("fp60", hash60(normalize(col("text"))))
-      .withColumn("src_w", col("fp60") % ResizeSrcWMod + ResizeSrcMin)
-      .withColumn("src_h", expr(s"fp60 div $ResizeSrcWMod") % ResizeSrcHMod + ResizeSrcMin)
-      .withColumn("cells", expr(cellsExpr))
-      .select(col("doc_id"), expr(phash).as("phash"))
-      .cache()
+    // one lattice walk per rep in the specialized kernel (the SQL
+    // higher-order form is kept as phashSigsSql for the equivalence
+    // spec; the oracle runs its DuckDB twin)
+    val sigs = phashSigs(reps).cache()
     val pairs = graft.operators.Dedup.hammingBlockPairs(
       sigs.withColumnRenamed("phash", "sig"), "sig",
       PHashBlocks, PHashBlockBits, 3)

@@ -213,8 +213,8 @@ object Curation {
       .orderBy(col("doc_id"), col("rk"))
   }
 
-  /** Embedding width for [[docEmbed]]. */
-  val EmbedDim = 64
+  /** Embedding width for [[docEmbed]] (fixed by the kernel). */
+  val EmbedDim: Int = graft.functions.EmbedKernel.Dim
 
   /** doc_embed — text → vector entirely in-engine via the hashing
     * trick (feature hashing, Weinberger et al. 2009): each word maps
@@ -237,34 +237,22 @@ object Curation {
   def docEmbed(spark: SparkSession, dir: String): DataFrame =
     docEmbedOn(Tables(spark, dir).documents)
 
-  /** Spark-SQL fragment of TextFunctions.hash60 for use inside
-    * lambda bodies (Column-based hash60 can't reference lambda vars).
-    */
-  private def hash60SqlSpark(c: String): String =
-    s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint)"
-
-  /** The signed-count hashing-trick vector as a long-array column:
-    * per-word (bucket, sign) computed once, then one accumulation
-    * pass per dimension — all map-side, shared by [[docEmbedOn]] and
-    * [[docEmbeddings]].
+  /** The signed-count hashing-trick vector + squared norm, one
+    * tight-loop pass over the codegen'd word array per document via
+    * [[graft.functions.EmbedKernel]] — shared by [[docEmbedOn]] and
+    * [[docEmbeddings]]. All map-side, no shuffle, no vocabulary
+    * table; same md5-derived bucket/sign math as the DuckDB oracle.
     */
   private def embedVec(docs: DataFrame): DataFrame =
     docs
-      .withColumn("ws", words(col("text")))
-      .withColumn("bs", expr(
-        s"""transform(filter(ws, w -> w != ''),
-           |  w -> struct(
-           |    pmod(${hash60SqlSpark("concat('emb:', w)")}, $EmbedDim) as b,
-           |    if(pmod(${hash60SqlSpark("concat('sgn:', w)")}, 2) = 0, 1L, -1L) as s))""".stripMargin))
-      .withColumn("vec", expr(
-        s"""transform(sequence(0, ${EmbedDim - 1}),
-           |  i -> aggregate(bs, 0L, (acc, e) -> acc + if(e.b = i, e.s, 0L)))""".stripMargin))
+      .withColumn("ev", graft.functions.EmbedKernel.embedKernel(words(col("text"))))
+      .withColumn("vec", col("ev.vec"))
 
   private[graft] def docEmbedOn(docs: DataFrame): DataFrame =
     embedVec(docs)
       .select(col("doc_id"),
         concat_ws(",", col("vec")).as("vec_str"),
-        expr("aggregate(vec, 0L, (a, x) -> a + x * x)").as("n2"))
+        col("ev.n2").as("n2"))
       .orderBy(col("doc_id"))
 
   /** The [[docEmbed]] vectors as the (vec_id, v: array<double>)

@@ -38,6 +38,38 @@ class DocEmbedSpec extends AnyFunSuite {
     assert(vec.map(math.abs).sum <= 30L)
   }
 
+  test("kernel is row-for-row identical to the SQL higher-order form it replaced") {
+    // the interpreted transform/aggregate form doc_embed shipped with
+    // before the EmbedKernel rewrite — an independent evaluation path
+    // (Spark's own md5/conv/substring + lambda folds) proving the
+    // kernel's digest-byte hash60 and bucket/sign math bit-exact
+    import org.apache.spark.sql.functions._
+    val dim = operators.Curation.EmbedDim
+    def h60(c: String) = s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint)"
+    import spark.implicits._
+    val docs = corpus(3)
+      .unionByName(Seq((6L, "the the the of And AND \t mixed  Case?"),
+        (7L, "unicode Ünïcodé wörds café 北京 résumé"))
+        .toDF("doc_id", "text"))
+    val sqlForm = docs
+      .withColumn("ws", graft.functions.TextFunctions.words(col("text")))
+      .withColumn("bs", expr(
+        s"""transform(filter(ws, w -> w != ''),
+           |  w -> struct(
+           |    pmod(${h60("concat('emb:', w)")}, $dim) as b,
+           |    if(pmod(${h60("concat('sgn:', w)")}, 2) = 0, 1L, -1L) as s))""".stripMargin))
+      .withColumn("vec", expr(
+        s"""transform(sequence(0, ${dim - 1}),
+           |  i -> aggregate(bs, 0L, (acc, e) -> acc + if(e.b = i, e.s, 0L)))""".stripMargin))
+      .select(col("doc_id"),
+        concat_ws(",", col("vec")).as("vec_str"),
+        expr("aggregate(vec, 0L, (a, x) -> a + x * x)").as("n2"))
+      .orderBy(col("doc_id"))
+    val a = operators.Curation.docEmbedOn(docs).collect().map(_.toSeq)
+    val b = sqlForm.collect().map(_.toSeq)
+    assert(a.length == b.length && a.indices.forall(i => a(i) == b(i)))
+  }
+
   test("bridge: dedup_embedding over docEmbeddings finds exact dups at cos 1.0") {
     val pairs = operators.Dedup.embeddingOn(
         operators.Curation.docEmbeddings(corpus(3))

@@ -84,6 +84,13 @@ class IngestOpsSpec extends AnyFunSuite {
     assert(a.length == b.length && a.indices.forall(i => a(i) == b(i)))
   }
 
+  test("mm_phash kernel is row-for-row identical to the SQL higher-order form it replaced") {
+    val docs = Tables(spark, sf).documents
+    val a = Multimodal.phashSigs(docs).orderBy("doc_id").collect().map(_.toSeq)
+    val b = Multimodal.phashSigsSql(docs).orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.nonEmpty && a.length == b.length && a.indices.forall(i => a(i) == b(i)))
+  }
+
   test("mm_frames respects the sample budget and the timeline") {
     val rows = Multimodal.mmFrames(spark, sf).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
