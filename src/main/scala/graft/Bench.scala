@@ -15,6 +15,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional dev filter: bench only the named queries, same
+    // warmup/GC/min-of-two/slope methodology (driver passes no args)
+    val only: Set[String] = if (args.nonEmpty) args(0).split(",").toSet else Set.empty
+    def selected: Seq[String] =
+      SparkEntry.queries.keys.toSeq.sorted.filter(n => only.isEmpty || only(n))
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -37,12 +42,12 @@ object Bench {
       val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (sibling.isDirectory) sibling.getPath else sfDir
     }
-    SparkEntry.queries.keys.foreach(runOnce(_, warmupDir))
+    selected.foreach(runOnce(_, warmupDir))
 
     // min of two timed runs: single-run numbers at this scale carry
     // multi-second GC/JIT noise (observed 8× swings on a 1s query)
     def minOfTwo(dir: String): Seq[(String, Double)] =
-      SparkEntry.queries.keys.toSeq.sorted.map { n =>
+      selected.map { n =>
         // drain garbage inherited from earlier queries before timing:
         // multi-round queries late in the run otherwise pay earlier
         // queries' old-gen debt as mid-query pauses (pagerank measured
@@ -97,7 +102,10 @@ object Bench {
     // repo-root BENCH.json — a machine-readable artifact the driver
     // can read directly, since its 2000-char log tail has recorded
     // parsed:null for four rounds straight
-    Seq("target/bench.json", "BENCH.json").foreach { p =>
+    // a filtered dev run must never clobber the full-suite artifact
+    val outFiles = if (only.isEmpty) Seq("target/bench.json", "BENCH.json")
+      else Seq("target/bench_subset.json")
+    outFiles.foreach { p =>
       try {
         val out = java.nio.file.Paths.get(p)
         Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))

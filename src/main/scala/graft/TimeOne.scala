@@ -15,6 +15,7 @@ object TimeOne {
     spark.sparkContext.setLogLevel("WARN")
     for (name <- names; i <- 1 to n) {
       spark.catalog.clearCache()
+      System.gc() // match Bench's isolation: drain earlier queries' debt
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()

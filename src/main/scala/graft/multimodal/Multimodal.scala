@@ -280,7 +280,7 @@ object Multimodal {
     // one lattice walk per rep in the specialized kernel (the SQL
     // higher-order form is kept as phashSigsSql for the equivalence
     // spec; the oracle runs its DuckDB twin)
-    val sigs = phashSigs(reps).cache()
+    val sigs = phashSigs(reps).localCheckpoint(true)
     val pairs = graft.operators.Dedup.hammingBlockPairs(
       sigs.withColumnRenamed("phash", "sig"), "sig",
       PHashBlocks, PHashBlockBits, 3)

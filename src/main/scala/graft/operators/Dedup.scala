@@ -44,8 +44,12 @@ object Dedup {
     *
     * Returns (reps, membership): `reps` = (doc_id, text) of each
     * group's min-doc_id representative; `membership` = (doc_id, rep,
-    * gsize), cached (three consumers — release via
-    * `spark.catalog.clearCache()` as Verify/Bench do).
+    * gsize), eagerly materialized via localCheckpoint — multiple
+    * consumers read the stored partitions, and unlike `cache()`
+    * nothing pins in the session CacheManager: the blocks free with
+    * the RDD once the query's frames are garbage, so repeated
+    * dedup-family calls from a long-lived application leave no net
+    * cache growth (asserted in DupSkewSpec).
     */
   private[graft] def collapseByText(docs: DataFrame): (DataFrame, DataFrame) = {
     val keyed = docs.select(col("doc_id"), col("text"))
@@ -57,7 +61,7 @@ object Dedup {
     val membership = keyed.select(col("doc_id"), col("tkey"))
       .join(groups.select(col("tkey"), col("rep"), col("gsize")), "tkey")
       .select(col("doc_id"), col("rep"), col("gsize"))
-      .cache()
+      .localCheckpoint(true)
     val reps = groups.select(col("rep").as("doc_id"), col("text"))
     (reps, membership)
   }
@@ -135,15 +139,16 @@ object Dedup {
     * within-group candidacy, J = 1), at linear instead of quadratic
     * candidate volume under duplication (asserted in DupSkewSpec).
     *
-    * Caching contract: the rep shingle set and the membership frame
-    * are `.cache()`d (multiple consumers). The pinned storage lives
-    * until the caller drops it — run `spark.catalog.clearCache()`
-    * (as Verify/Bench do) or unpersist after the terminal action
-    * when invoking this repeatedly from long-lived applications.
+    * Materialization contract: the rep shingle set and the
+    * membership frame are eagerly localCheckpoint'd (multiple
+    * consumers, lineage truncated). Nothing pins in the session
+    * CacheManager — the stored blocks free with the RDDs once the
+    * returned frame is garbage, so repeated invocations from a
+    * long-lived application leave no net cache growth.
     */
   def minhashOn(docs: DataFrame): DataFrame = {
     val (reps, membership) = collapseByText(docs)
-    val sh = shingleHashesOf(reps).cache()
+    val sh = shingleHashesOf(reps).localCheckpoint(true)
     expandPairs(minhashPairs(sh), membership, "d1", "d2",
         "jaccard", lit(1.0), sh.select(col("doc_id")).distinct())
       .orderBy(col("d1"), col("d2"))
@@ -235,7 +240,7 @@ object Dedup {
   private[graft] def clustersDocs(docs: DataFrame, maxIters: Int,
       star: Boolean): DataFrame = {
     val (reps, membership) = collapseByText(docs)
-    val sh = Text.shingleSetOf(reps).cache()
+    val sh = Text.shingleSetOf(reps).localCheckpoint(true)
     val repPairs = Text.ngramJaccardOn(sh, 0.5).select(col("d1"), col("d2"))
     val starEdges = membership
       .join(sh.select(col("doc_id")).distinct()
@@ -258,6 +263,15 @@ object Dedup {
   }
 
   private def propagateLabels(docs: DataFrame, pairs: DataFrame, maxIters: Int): DataFrame = {
+    // materialize the pair list BEFORE mirroring it: a union's
+    // branches share no computation — lazy self-union evaluates the
+    // entire candidate-generation plan twice, and cache() alone can't
+    // stop it (both branches race the same job before either fills
+    // the cache). localCheckpoint = eager one-time evaluation, no
+    // CacheManager pin (blocks free with the RDD), and the pair list
+    // is output-sized — orders of magnitude below the candidate
+    // volume that produced it — so pinning it is cheap at any scale
+    val p = pairs.localCheckpoint(true)
     // hash-partition the (usually large) edge list on its join key
     // ONCE before caching — the per-round dst-keyed join then serves
     // it straight from the cache (the pagerank discipline; plan
@@ -265,7 +279,7 @@ object Dedup {
     // with AQE still on (the candidate-pair plan feeding `pairs` is
     // shuffle-heavy and wants adaptive sizing); only the fixed-shape
     // rounds run static.
-    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+    val edges = p.union(p.select(col("d2"), col("d1")))
       .toDF("src", "dst").repartition(col("dst")).cache()
     edges.count()
     val spark = docs.sparkSession
@@ -429,7 +443,7 @@ object Dedup {
   /** Same pipeline over any (doc_id, text) DataFrame. */
   private[graft] def simhashOn(docs: DataFrame): DataFrame = {
     val (reps, membership) = collapseByText(docs)
-    val sigs = simhashSignatures(reps).cache()
+    val sigs = simhashSignatures(reps).localCheckpoint(true)
     val pairs = simhashRepPairs(sigs)
     // weight each directed rep partner by its group size
     val gsz = membership.filter(col("doc_id") === col("rep"))

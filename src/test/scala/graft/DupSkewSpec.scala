@@ -168,6 +168,21 @@ class DupSkewSpec extends AnyFunSuite {
     assert(ft.length == withinA + withinB)
   }
 
+  test("no net cache growth: dedup-family queries leave the CacheManager empty") {
+    // the collapse guard's membership frame and the per-operator
+    // signature/shingle sets materialize via localCheckpoint, not
+    // cache() — a library user running dedup repeatedly from a
+    // long-lived session must not accumulate pinned storage that
+    // only spark.catalog.clearCache() would release
+    assert(spark.sharedState.cacheManager.isEmpty)
+    operators.Dedup.minhashOn(corpus).count()
+    operators.Text.ngramJaccardDocs(corpus, 0.5).count()
+    operators.Dedup.simhashOn(corpus).count()
+    operators.Dedup.clustersDocs(corpus, maxIters = 20, star = false).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a dedup-family operator pinned storage in the session CacheManager")
+  }
+
   test("dedup_clusters: linear star edges produce the exact component labels") {
     val out = operators.Dedup.clustersDocs(corpus, maxIters = 20, star = false)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
