@@ -184,8 +184,20 @@ object SparkEntry {
     * `wp`, the containment-filtered pair list. Shared by the
     * winnow_pairs and winnow_clusters oracles.
     */
+  // round 6: the index runs over exact-text REPRESENTATIVES (df
+  // counts distinct texts — m exact copies can neither blow up
+  // candidates nor push their own fingerprints past the df-cap and
+  // vanish), then verified rep pairs expand through membership with
+  // the nf columns following their side; within-group pairs are full
+  // containment (shared = nf1 = nf2) gated on the rep having ≥1 fp
   private lazy val winnowPairsCoreSql: String =
-    s"""s AS (SELECT DISTINCT doc_id, fp FROM wfp),
+    s"""wreps AS (SELECT md5(text) AS tkey, MIN(doc_id) AS rep,
+      |            CAST(COUNT(*) AS BIGINT) AS gsize
+      |          FROM documents GROUP BY 1),
+      |memb AS (SELECT d.doc_id, r.rep FROM documents d
+      |         JOIN wreps r ON md5(d.text) = r.tkey),
+      |s AS (SELECT DISTINCT w.doc_id, fp FROM wfp w
+      |      JOIN wreps r ON w.doc_id = r.rep),
       |nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM s GROUP BY 1),
       |rare AS (SELECT fp FROM s GROUP BY fp
       |         HAVING COUNT(*) <= ${operators.Text.WinnowDfCap}),
@@ -195,12 +207,24 @@ object SparkEntry {
       |  FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
       |  JOIN rare r ON r.fp = a.fp
       |  GROUP BY 1, 2),
-      |wp AS (
+      |rp AS (
       |  SELECT id1, id2, shared, n1.nf AS nf1, n2.nf AS nf2
       |  FROM p
       |  JOIN nf n1 ON n1.doc_id = id1
       |  JOIN nf n2 ON n2.doc_id = id2
-      |  WHERE shared * 100 >= ${operators.Text.WinnowMinContainPct} * least(n1.nf, n2.nf))""".stripMargin
+      |  WHERE shared * 100 >= ${operators.Text.WinnowMinContainPct} * least(n1.nf, n2.nf)),
+      |wp AS (
+      |  SELECT least(m1.doc_id, m2.doc_id) AS id1,
+      |    greatest(m1.doc_id, m2.doc_id) AS id2, rp.shared,
+      |    CASE WHEN m1.doc_id < m2.doc_id THEN rp.nf1 ELSE rp.nf2 END AS nf1,
+      |    CASE WHEN m1.doc_id < m2.doc_id THEN rp.nf2 ELSE rp.nf1 END AS nf2
+      |  FROM rp
+      |  JOIN memb m1 ON rp.id1 = m1.rep
+      |  JOIN memb m2 ON rp.id2 = m2.rep
+      |  UNION ALL
+      |  SELECT a.doc_id, b.doc_id, n.nf, n.nf, n.nf
+      |  FROM memb a JOIN memb b ON a.rep = b.rep AND a.doc_id < b.doc_id
+      |  JOIN nf n ON n.doc_id = a.rep)""".stripMargin
   private def hitsSql(vocab: Seq[String]) = {
     val arr = vocab.map(w => s"'$w'").mkString("[", ", ", "]")
     s"CAST(len(list_filter(w, x -> list_contains($arr, x))) AS BIGINT)"

@@ -168,6 +168,39 @@ class DupSkewSpec extends AnyFunSuite {
     assert(ft.length == withinA + withinB)
   }
 
+  test("winnow family under duplicate skew: copies can neither hide past the df-cap nor blow up") {
+    // pre-guard hazard, the OPPOSITE failure of candidate blowup:
+    // 150 copies push every fingerprint of textA past WinnowDfCap=64
+    // ("hot"), so the raw-corpus index emitted ZERO pairs for the
+    // most duplicated content in the corpus. Collapsed, df counts
+    // distinct texts: within-group pairs come back as full
+    // containment, the variant still pairs char-level with the whole
+    // A group, and nothing pairs the empty/distinct docs.
+    val out = operators.Text.winnowPairsOn(corpus).collect()
+    val withinA = DupA * (DupA - 1) / 2
+    val withinB = DupB * (DupB - 1) / 2
+    val byPair = out.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (s01, n01a, n01b) = byPair((0L, 1L))
+    assert(s01 > 0 && s01 == n01a && s01 == n01b)
+    assert(byPair.contains((DupA.toLong, DupA.toLong + 1)))
+    val varPairs = out.count(r => r.getLong(0) == aVarId || r.getLong(1) == aVarId)
+    assert(varPairs == DupA, s"variant must pair with every A member, got $varPairs")
+    assert(out.length == withinA + withinB + varPairs)
+    assert(!out.exists(r => r.getLong(1) >= (nDocs - 2).toLong))
+    // nf sides follow their ids through the expansion flip
+    val (sv, nv1, nv2) = byPair((0L, aVarId))
+    assert(sv < math.max(nv1, nv2) && sv * 100 >= 50L * math.min(nv1, nv2))
+
+    val cl = operators.Text.winnowClustersOn(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until DupA).foreach(i => assert(cl(i.toLong) == 0L))
+    assert(cl(aVarId) == 0L)
+    (0 until DupB).foreach(i => assert(cl((DupA + i).toLong) == DupA.toLong))
+    assert(cl((nDocs - 1).toLong) == (nDocs - 1).toLong)
+    assert(cl((DupA + DupB + 1).toLong) == (DupA + DupB + 1).toLong)
+  }
+
   test("no net cache growth: dedup-family queries leave the CacheManager empty") {
     // the collapse guard's membership frame and the per-operator
     // signature/shingle sets materialize via localCheckpoint, not
