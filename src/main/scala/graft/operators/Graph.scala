@@ -89,8 +89,13 @@ object Graph {
     // the edge list is the 100 TB side, the rank table is the
     // node-count side, and 10 rounds × an edge shuffle is the
     // difference between minutes and hours.
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    // materialize the pair list BEFORE mirroring it (the
+    // propagateLabels lesson): union branches share no computation,
+    // so the lazy self-union evaluated the lineitem⋈orders distinct
+    // twice — the single most expensive input stage of the query
+    val p = pairs.localCheckpoint(true)
+    val edges = p.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(p.select(col("s").as("src"), col("c").as("dst")))
       .repartition(col("src"))
       .cache()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -186,7 +191,10 @@ object Graph {
   /** Core enumeration over distinct undirected edges (u < v, one row
     * per pair). Returns (node_id, n_triangles), nodes in ≥ 1 triangle.
     */
-  def triangleCountOn(edges: DataFrame): DataFrame = {
+  def triangleCountOn(rawEdges: DataFrame): DataFrame = {
+    // materialize once: the degree self-union and the ranked join
+    // below otherwise evaluate the edge-construction plan three times
+    val edges = rawEdges.localCheckpoint(true)
     val deg = edges.select(col("u").as("x"))
       .unionAll(edges.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -203,7 +211,9 @@ object Graph {
           struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
-      .cache()
+      // three self-join consumers; localCheckpoint (not cache) so the
+      // materialized blocks free with the RDD — no CacheManager pin
+      .localCheckpoint(true)
     // wedge (src → b, src → c) with rank(b) < rank(c); the closing
     // edge, if present, is oriented exactly b → c
     val tri = ranked.as("e1")

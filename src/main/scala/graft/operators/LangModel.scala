@@ -62,7 +62,9 @@ object LangModel {
           expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")))
           .as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
-      .cache() // four consumers: c2, c1, V, and the scoring join
+      // four consumers (c2, c1, V, scoring join): eager
+      // localCheckpoint — reused blocks, no CacheManager pin
+      .localCheckpoint(true)
     val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val v = bi.agg(countDistinct(col("w2")).as("vocab"))
@@ -122,7 +124,9 @@ object LangModel {
           .as("g"))
       .select(col("doc_id"), col("lang"), col("is_target"),
         (hash60(col("g")) % DsirBuckets).as("b"))
-      .cache() // three consumers: raw counts, target counts, scoring
+      // three consumers (raw counts, target counts, scoring):
+      // eager localCheckpoint — reused blocks, no CacheManager pin
+      .localCheckpoint(true)
     val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val tgt = grams.filter(col("is_target"))
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))

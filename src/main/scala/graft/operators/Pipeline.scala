@@ -70,13 +70,12 @@ object Pipeline {
     // 4. mixture sampling: rates from the SURVIVING corpus's
     //    per-language token supply
     val sampled = Curation.sampleMixtureOn(s3).select(col("doc_id"))
-    // cache the survivor set: seqPackOn drives two metadata actions
-    // (shard bounds, per-shard totals) before the output job, and
-    // each would otherwise re-execute the whole four-stage chain —
-    // measured 3× the pipeline cost. Same caching contract as
-    // ngram_jaccard's shingle set: long-lived callers clearCache()
-    // or unpersist after the terminal action (Verify/Bench do).
-    val s4 = s3.join(sampled, "doc_id").cache()
+    // materialize the survivor set: seqPackOn drives two metadata
+    // actions (shard bounds, per-shard totals) before the output
+    // job, and each would otherwise re-execute the whole four-stage
+    // chain — measured 3× the pipeline cost. localCheckpoint, not
+    // cache: blocks free with the RDD, no CacheManager pin.
+    val s4 = s3.join(sampled, "doc_id").localCheckpoint(true)
 
     // 5. sequence packing over the survivors
     Curation.seqPackOn(s4)

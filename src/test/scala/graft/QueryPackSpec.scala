@@ -51,14 +51,20 @@ class QueryPackSpec extends AnyFunSuite {
     // are the only tolerated single-partition exchanges. Everything
     // else must stay hash/range partitioned — this sweep makes a
     // future operator that silently degenerates fail CI.
+    // pipeline_e2e left both lists in round 6: its survivor set now
+    // materializes via localCheckpoint, so the interior stages'
+    // scalar aggregates (sample_mixture's rates, the embedding
+    // block grid) run at construction time and the FINAL plan is
+    // pure hash-partitioned assembly — each interior stage is still
+    // guarded through its own registered query below
     val bnljOk = Set("ann_pq", "ann_topk", "dedup_embedding",
-      "pipeline_e2e", "q20_subquery", "sample_mixture", "lm_score")
+      "q20_subquery", "sample_mixture", "lm_score")
     // q24_funnel's whole-corpus funnel counts are one global
     // aggregate row, freq_words's final rank runs on one
     // ≤ FreqCapacity sketch row, lm_score's vocabulary size V is
     // a 1-row aggregate, and sketch_cube's rollup unions ≤ |langs|
     // kilobyte sketches — the scalar class, same as the others
-    val singlePartOk = Set("pipeline_e2e", "q20_subquery", "sample_mixture",
+    val singlePartOk = Set("q20_subquery", "sample_mixture",
       "q24_funnel", "freq_words", "lm_score", "sketch_cube")
     for ((name, fn) <- SparkEntry.queries) {
       spark.catalog.clearCache()
