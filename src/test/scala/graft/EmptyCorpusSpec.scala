@@ -30,6 +30,10 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "span_scrub" -> (d => operators.Text.spanScrubOn(d)),
     "ngram_jaccard" ->
       (d => operators.Text.ngramJaccardOn(operators.Text.shingleSetOf(d), 0.5)),
+    "winnow_pairs" -> (d => operators.Text.winnowPairsOn(d)),
+    "winnow_clusters" -> (d => operators.Text.winnowClustersOn(d)),
+    "dedup_minhash" -> (d => operators.Dedup.minhashOn(d)),
+    "doc_embed" -> (d => operators.Curation.docEmbedOn(d)),
     "seq_pack" -> (d => operators.Curation.seqPackOn(d)),
     "sample_mixture" -> (d => operators.Curation.sampleMixtureOn(d)),
     "corpus_stats" -> (d => operators.Curation.corpusStatsOn(d)),
