@@ -94,6 +94,7 @@ object SparkEntry {
     "ts_resample"       -> (Temporal.tsResample _),
     "freq_words"        -> (Text.freqWords _),
     "lm_score"          -> (LangModel.lmScore _),
+    "ccnet_buckets"     -> (LangModel.ccnetBuckets _),
     "dsir_select"       -> (LangModel.dsirSelect _),
     "q26_anomaly"       -> (Relational.q26 _),
     "q27_window_pack"   -> (Relational.q27 _),
@@ -1348,6 +1349,49 @@ object SparkEntry {
         |FROM bi JOIN m ON bi.w1 = m.w1 AND bi.w2 = m.w2
         |GROUP BY bi.doc_id
         |ORDER BY bi.doc_id""".stripMargin,
+
+    // CCNet tertiles: lm_score's CTEs verbatim, then exact per-lang
+    // order-statistic thresholds from a (lang, lm_ppm) histogram —
+    // t_k = the largest score whose descending cumulative count
+    // reaches ceil(k*n/3); ties bucket upward on both engines
+    "ccnet_buckets" ->
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        |bi AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+        |  FROM d, unnest(range(1, len(w))) AS t(i)),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM bi),
+        |m AS (
+        |  SELECT c2.w1, c2.w2,
+        |    CAST(CAST(c2.c2 + 1 AS HUGEINT) * 1000000 // (c1.c1 + v.vocab) AS BIGINT) AS p_ppm
+        |  FROM c2 JOIN c1 ON c2.w1 = c1.w1 CROSS JOIN v),
+        |s AS (
+        |  SELECT bi.doc_id,
+        |    CAST(CAST(SUM(p_ppm) AS HUGEINT) // COUNT(*) AS BIGINT) AS lm_ppm
+        |  FROM bi JOIN m ON bi.w1 = m.w1 AND bi.w2 = m.w2
+        |  GROUP BY bi.doc_id),
+        |sc AS (
+        |  SELECT s.doc_id, doc.lang, s.lm_ppm
+        |  FROM s JOIN documents doc ON s.doc_id = doc.doc_id),
+        |hist AS (SELECT lang, lm_ppm, COUNT(*) AS c FROM sc GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, lm_ppm,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY lm_ppm DESC
+        |                 ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM hist),
+        |n AS (SELECT lang, COUNT(*) AS n FROM sc GROUP BY 1),
+        |th AS (
+        |  SELECT cum.lang,
+        |    MAX(CASE WHEN cum >= (n + 2) // 3 THEN lm_ppm END) AS t1,
+        |    MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN lm_ppm END) AS t2
+        |  FROM cum JOIN n ON cum.lang = n.lang GROUP BY 1)
+        |SELECT sc.doc_id, sc.lang, sc.lm_ppm,
+        |  CASE WHEN sc.lm_ppm >= t1 THEN 'head'
+        |       WHEN sc.lm_ppm >= t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc JOIN th ON sc.lang = th.lang
+        |ORDER BY sc.doc_id""".stripMargin,
 
     // hashed-2-gram importance ratios against the high-quality slice
     // (score CTE identical to quality_score's — the shared definition)

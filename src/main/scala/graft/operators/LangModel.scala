@@ -52,7 +52,13 @@ object LangModel {
   def lmScore(spark: SparkSession, dir: String): DataFrame =
     lmScoreOn(Tables(spark, dir).documents)
 
-  private[graft] def lmScoreOn(docs: DataFrame): DataFrame = {
+  private[graft] def lmScoreOn(docs: DataFrame): DataFrame =
+    lmPpm(docs).orderBy(col("doc_id"))
+
+  /** Unordered per-doc (doc_id, n_bigrams, lm_ppm) — the scoring core
+    * shared by [[lmScoreOn]] and [[ccnetBucketsOn]].
+    */
+  private def lmPpm(docs: DataFrame): DataFrame = {
     // bigram INSTANCES (not distinct — counts are the model); the
     // `when` guard keeps sequence(0, -1) from fabricating grams on
     // sub-2-word docs (the doc_chunk corner)
@@ -77,6 +83,62 @@ object LangModel {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sum_ppm"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("sum_ppm div n_bigrams").as("lm_ppm"))
+  }
+
+  /** ccnet_buckets — per-language perplexity tertiles (the CCNet
+    * head/middle/tail split, Wenzek et al. 2020): every document is
+    * scored by the corpus bigram LM ([[lmScore]]'s lm_ppm — HIGH =
+    * predictable), and within each language the corpus is cut into
+    * three buckets at the exact tertile ORDER STATISTICS of the
+    * score distribution — head = the most predictable third (the
+    * slice CCNet keeps outright), tail = the least. Thresholds are
+    * data values, never interpolated: t_k = the ⌈k·n/3⌉-th largest
+    * lm_ppm per language, docs at the threshold bucket upward — so
+    * the split is deterministic on the integer ppm lattice and
+    * bit-exact in the oracle (no cross-engine float quantile drift).
+    *
+    * Scale shape: the tertiles come from a HISTOGRAM, not a per-doc
+    * sort — scores aggregate to distinct (lang, lm_ppm) cells (≤ 10⁶
+    * lattice values per language, constant metadata at any corpus
+    * size), the cumulative window runs over those cells, and the
+    * lang→(t1, t2) table (one row per language) broadcast-joins back
+    * to the docs with fan-out 1. No per-language global sort, no
+    * single-partition window over the corpus — the per-doc side is
+    * two map-side-combinable aggregations and one broadcast join.
+    * Sub-2-word docs have no bigrams and are out of scope on both
+    * engines (the [[lmScore]] contract).
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetBucketsOn(Tables(spark, dir).documents)
+
+  private[graft] def ccnetBucketsOn(docs: DataFrame): DataFrame = {
+    // three consumers (histogram, per-lang counts, the final bucket
+    // join): eager localCheckpoint — reused blocks, no pin
+    val scored = lmPpm(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("lm_ppm"))
+      .localCheckpoint(true)
+    val hist = scored.groupBy(col("lang"), col("lm_ppm"))
+      .agg(count(lit(1)).as("c"))
+    // distinct (lang, lm_ppm) cells: the window's per-lang row count
+    // is lattice-bounded, so rowsBetween over it is safe at any SF
+    val byPpmDesc = Window.partitionBy(col("lang"))
+      .orderBy(col("lm_ppm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(byPpmDesc))
+    val n = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    // t_k = the largest lm_ppm whose cumulative count reaches
+    // ⌈k·n/3⌉ — the rank-k order statistic in descending order
+    val th = cum.join(n, "lang")
+      .groupBy(col("lang"))
+      .agg(
+        max(when(col("cum") >= expr("(n + 2) div 3"), col("lm_ppm"))).as("t1"),
+        max(when(col("cum") >= expr("(2 * n + 2) div 3"), col("lm_ppm"))).as("t2"))
+    scored.join(broadcast(th), "lang")
+      .select(col("doc_id"), col("lang"), col("lm_ppm"),
+        when(col("lm_ppm") >= col("t1"), lit("head"))
+          .when(col("lm_ppm") >= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
       .orderBy(col("doc_id"))
   }
 

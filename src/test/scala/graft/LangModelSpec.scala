@@ -108,6 +108,55 @@ class LangModelSpec extends AnyFunSuite {
     assert(base == shuffled)
   }
 
+  test("ccnet_buckets: per-language tertile order statistics, ties bucketing upward") {
+    // en: 3 distinct texts x 3 copies (n=9 -> clean 3/3/3 tertiles);
+    // fr: 2 distinct texts x 2 copies (n=4 -> both thresholds land on
+    // a tied value: 2 head, 2 middle, 0 tail — the upward-tie rule)
+    val enTexts = Seq(
+      "the cat sat on the mat",
+      "a dog ran in the park",
+      "birds sing near tall trees")
+    val frTexts = Seq(
+      "le chat dort sur le lit",
+      "un chien court dans la rue")
+    val rows =
+      enTexts.zipWithIndex.flatMap { case (t, i) =>
+        (0 to 2).map(c => (1L + i * 3 + c, t, "en")) } ++
+      frTexts.zipWithIndex.flatMap { case (t, i) =>
+        (0 to 1).map(c => (10L + i * 2 + c, t, "fr")) }
+    val docs = docsOf(rows)
+    val got = operators.LangModel.ccnetBucketsOn(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+
+    // reference: rank-based tertiles over the (already spec-verified)
+    // lm_ppm scores — t_k = the ceil(k*n/3)-th largest per language
+    val scores = operators.LangModel.lmScoreOn(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val langOf = rows.map(r => r._1 -> r._3).toMap
+    val expect = scores.keys.groupBy(langOf).flatMap { case (_, ids) =>
+      val vals = ids.map(scores).toSeq.sorted(Ordering[Long].reverse)
+      val t1 = vals((vals.size + 2) / 3 - 1)
+      val t2 = vals((2 * vals.size + 2) / 3 - 1)
+      ids.map { id =>
+        val s = scores(id)
+        id -> (if (s >= t1) "head" else if (s >= t2) "middle" else "tail") }
+    }
+    assert(got == expect)
+    val en = got.collect { case (id, b) if langOf(id) == "en" => b }.toSeq
+    assert(Seq("head", "middle", "tail").map(b => en.count(_ == b)) == Seq(3, 3, 3))
+    val fr = got.collect { case (id, b) if langOf(id) == "fr" => b }.toSeq
+    assert(Seq("head", "middle", "tail").map(b => fr.count(_ == b)) == Seq(2, 2, 0),
+      "tied fr thresholds must bucket all copies upward (no tail)")
+  }
+
+  test("ccnet_buckets is invariant to partitioning") {
+    val base = operators.LangModel.ccnetBucketsOn(
+      Tables(spark, sf).documents).collect().toSeq
+    val shuffled = operators.LangModel.ccnetBucketsOn(
+      Tables(spark, sf).documents.repartition(13)).collect().toSeq
+    assert(base == shuffled)
+  }
+
   test("q26_anomaly matches an in-memory median/MAD reference and flags the planted outlier") {
     import spark.implicits._
     // user 1: tight cluster around 70 plus one wild point; user 2:
