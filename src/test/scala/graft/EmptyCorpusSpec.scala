@@ -59,6 +59,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "ann_pq" -> (e => operators.SimilaritySearch.annPqOn(e, 10, 3)),
     "knn_graph" -> (e => operators.SimilaritySearch.knnGraphOn(e, 5)),
     "dsir_select" -> (_ => operators.LangModel.dsirSelectOn(emptyDocs)),
+    "ccnet_buckets" -> (_ => operators.LangModel.ccnetBucketsOn(emptyDocs)),
     // the rest of the ANN/quantization family: an empty corpus means
     // an EMPTY MODEL too (zero centroids, zero-entry PQ codebook,
     // zero LSH buckets) — these paths exercise expression
