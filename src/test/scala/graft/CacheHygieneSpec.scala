@@ -25,7 +25,10 @@ class CacheHygieneSpec extends AnyFunSuite {
   private val formerlyPinning = Seq(
     "dedup_lines", "inverted_index", "lm_score", "dsir_select",
     "pipeline_e2e", "winnow_pairs", "winnow_clusters", "ngram_jaccard",
-    "dedup_clusters", "pagerank", "triangle_count", "mm_phash")
+    "dedup_clusters", "pagerank", "triangle_count", "mm_phash",
+    // ccnet_buckets was born on localCheckpoint (never pinned) but
+    // shares lm_score's machinery — hold it to the same contract
+    "ccnet_buckets")
 
   test("formerly-pinning operators leave the CacheManager empty") {
     spark.catalog.clearCache()
