@@ -79,6 +79,7 @@ object SparkEntry {
     "dedup_fuzzy_text"  -> (Text.dedupFuzzyText _),
     "dedup_spans"       -> (Text.dedupSpans _),
     "span_scrub"        -> (Text.spanScrub _),
+    "chunk_dedup"       -> (Text.chunkDedup _),
     "sample_mixture"    -> (Curation.sampleMixture _),
     "pq_codes"          -> (SimilaritySearch.pqCodes _),
     "ann_pq"            -> ((s, d) => SimilaritySearch.annPq(s, d)),
@@ -1754,6 +1755,40 @@ object SparkEntry {
         |  COALESCE(kept.scrubbed, '') AS scrubbed
         |FROM nw LEFT JOIN kept ON nw.doc_id = kept.doc_id
         |ORDER BY nw.doc_id""".stripMargin
+    },
+
+    // content-defined chunk boundaries: cut after word j when the
+    // trailing k-gram hashes 0 mod the divisor; chunk id = cuts
+    // strictly before the word; chunk hash over the ordered words
+    "chunk_dedup" -> {
+      val k = operators.Text.ChunkK
+      val dv = operators.Text.ChunkDiv
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        |p AS (SELECT doc_id, w, CAST(j AS BIGINT) AS j
+        |  FROM d, unnest(range(1, len(w) + 1)) AS t(j)),
+        |c AS (SELECT doc_id, j, w[CAST(j AS INT)] AS word,
+        |    CASE WHEN j >= $k AND j < len(w)
+        |      THEN ${hash60Sql(s"list_aggregate(w[CAST(j AS INT) - ${k - 1}:CAST(j AS INT)], 'string_agg', ' ')")} % $dv = 0
+        |      ELSE FALSE END AS cut
+        |  FROM p),
+        |a AS (SELECT doc_id, j, word,
+        |    1 + COALESCE(SUM(CASE WHEN cut THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY doc_id ORDER BY j
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |  FROM c),
+        |ch AS (SELECT doc_id, chunk_id, CAST(COUNT(*) AS BIGINT) AS nw,
+        |    ${hash60Sql("string_agg(word, ' ' ORDER BY j)")} AS chash
+        |  FROM a GROUP BY doc_id, chunk_id),
+        |cnt AS (SELECT chash, COUNT(*) AS cnt FROM ch GROUP BY chash)
+        |SELECT ch.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+        |  CAST(SUM(CASE WHEN cnt > 1 THEN nw ELSE 0 END) AS BIGINT) AS dup_words,
+        |  CAST(SUM(nw) AS BIGINT) AS n_words,
+        |  CAST(SUM(CASE WHEN cnt > 1 THEN nw ELSE 0 END) * 1000000 // SUM(nw) AS BIGINT) AS dup_ppm
+        |FROM ch JOIN cnt USING (chash)
+        |GROUP BY ch.doc_id
+        |ORDER BY ch.doc_id""".stripMargin
     },
 
     // same tokenization, same posting cap; row_number replicates the

@@ -26,9 +26,9 @@ class CacheHygieneSpec extends AnyFunSuite {
     "dedup_lines", "inverted_index", "lm_score", "dsir_select",
     "pipeline_e2e", "winnow_pairs", "winnow_clusters", "ngram_jaccard",
     "dedup_clusters", "pagerank", "triangle_count", "mm_phash",
-    // ccnet_buckets was born on localCheckpoint (never pinned) but
-    // shares lm_score's machinery — hold it to the same contract
-    "ccnet_buckets")
+    // ccnet_buckets / chunk_dedup were born on localCheckpoint (never
+    // pinned) but hold them to the same contract
+    "ccnet_buckets", "chunk_dedup")
 
   test("formerly-pinning operators leave the CacheManager empty") {
     spark.catalog.clearCache()

@@ -28,6 +28,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "dedup_fuzzy_text" -> (d => operators.Text.dedupFuzzyTextOn(d)),
     "dedup_spans" -> (d => operators.Text.dedupSpansOn(d)),
     "span_scrub" -> (d => operators.Text.spanScrubOn(d)),
+    "chunk_dedup" -> (d => operators.Text.chunkDedupOn(d)),
     "ngram_jaccard" ->
       (d => operators.Text.ngramJaccardOn(operators.Text.shingleSetOf(d), 0.5)),
     "winnow_pairs" -> (d => operators.Text.winnowPairsOn(d)),

@@ -247,6 +247,67 @@ class QueryPackSpec extends AnyFunSuite {
     assert(base == shuffled, "spans depend on physical partitioning")
   }
 
+  test("chunk_dedup: in-memory CDC reference, exact-dup saturation, insertion re-sync") {
+    import spark.implicits._
+    // hash60 = first 15 hex chars of md5 (the TextFunctions contract)
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    def ws(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val tail = ws("shared", 60)
+    val texts = Seq(
+      1L -> (ws("a", 30) + " " + tail),
+      2L -> (ws("b", 7) + " " + tail), // different prefix LENGTH: fixed-size chunking would misalign
+      3L -> ws("uniq", 40),
+      4L -> ws("copy", 25),
+      5L -> ws("copy", 25)) // exact duplicates
+    val got = operators.Text.chunkDedupOn(texts.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+
+    // independent reference: cut after 1-based word j in [k, n-1]
+    // when the trailing k-gram hashes 0 mod the divisor
+    val k = operators.Text.ChunkK
+    val dv = operators.Text.ChunkDiv
+    def chunksOf(t: String): Seq[Seq[String]] = {
+      val w = t.split(" ").toSeq
+      val cuts = (k to w.size - 1).filter(j =>
+        h60(w.slice(j - k, j).mkString(" ")) % dv == 0)
+      val bounds = (0L +: cuts.map(_.toLong)) :+ w.size.toLong
+      bounds.sliding(2).map { case Seq(a, b) =>
+        w.slice(a.toInt, b.toInt) }.toSeq
+    }
+    val all = texts.map { case (id, t) => id -> chunksOf(t) }
+    val counts = all.flatMap(_._2).groupBy(_.mkString(" "))
+      .view.mapValues(_.size).toMap
+    val expect = all.map { case (id, cs) =>
+      val nW = cs.map(_.size).sum.toLong
+      val dups = cs.filter(c => counts(c.mkString(" ")) > 1)
+      val dw = dups.map(_.size).sum.toLong
+      (id, cs.size.toLong, dups.size.toLong, dw, nW, dw * 1000000L / nW)
+    }
+    assert(got == expect)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(4L)._6 == 1000000L && byId(5L)._6 == 1000000L,
+      "exact duplicates must saturate dup_ppm")
+    assert(byId(3L)._4 == 0L, "unique doc must report zero duplicated words")
+    assert(byId(1L)._4 >= 40L && byId(2L)._4 >= 40L,
+      "content-defined boundaries must re-synchronize on the shared tail " +
+        s"despite different prefixes: ${byId(1L)} / ${byId(2L)}")
+  }
+
+  test("chunk_dedup: output invariant under input partitioning") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf).documents
+    val base = operators.Text.chunkDedupOn(docs).collect().toSeq
+    assert(base.exists(_.getLong(3) > 0L),
+      "no duplicated chunk mass in testdata — fixture too weak")
+    val shuffled = operators.Text.chunkDedupOn(
+      docs.repartition(13, col("n_chars"))).collect().toSeq
+    assert(base == shuffled)
+  }
+
   test("q39_cube: grouping sets partition the fact table and gid labels them") {
     val rows = operators.Relational.q39(spark, sf).collect()
     val total = Tables(spark, sf).orders.count()
