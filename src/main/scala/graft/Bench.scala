@@ -44,21 +44,46 @@ object Bench {
     }
     selected.foreach(runOnce(_, warmupDir))
 
-    // min of two timed runs: single-run numbers at this scale carry
-    // multi-second GC/JIT noise (observed 8× swings on a 1s query)
-    def minOfTwo(dir: String): Seq[(String, Double)] =
-      selected.map { n =>
-        // drain garbage inherited from earlier queries before timing:
-        // multi-round queries late in the run otherwise pay earlier
-        // queries' old-gen debt as mid-query pauses (pagerank measured
-        // 16.4 s in a full bench vs 9.2 s isolated-warm — same code)
-        System.gc()
-        val a = runOnce(n, dir); val b = runOnce(n, dir)
-        // either run failing marks the query failed (-1) in the JSON —
-        // reporting the surviving run would hide intermittent failures
-        n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    // min over adaptive timed runs. Two passes suffice for light,
+    // stable queries, but min-of-two was NOT converging on the heavy
+    // tail (r6: dedup_clusters 8.26 s driver vs 3.97 s same-code
+    // builder run, pagerank bouncing 10↔18 s across rounds) — GC/JIT
+    // noise at this scale is multi-second and concentrates on the
+    // longest queries. Damping rule: every run is preceded by a GC
+    // drain; a query gets extra passes (≤ 6 total) while its min
+    // exceeds 5 s with fewer than 3 runs taken, or its runs diverge
+    // >1.5× without the two BEST runs agreeing within 25% (two
+    // agreeing runs mean the min is reproducible, not a fluke).
+    // Per-run times are recorded in the artifact so variance is
+    // visible rather than inferred from round-to-round diffs.
+    def timeQuery(n: String, dir: String): Seq[Double] = {
+      val runs = scala.collection.mutable.ArrayBuffer[Double]()
+      // the GC drain before EVERY pass matters: multi-round queries
+      // late in the run otherwise pay earlier queries' old-gen debt
+      // as mid-query pauses (pagerank measured 16.4 s in a full
+      // bench vs 9.2 s isolated-warm — same code)
+      def pass(): Unit = { System.gc(); runs += runOnce(n, dir) }
+      pass(); pass()
+      def pos = runs.filter(_ >= 0)
+      def needMore: Boolean = {
+        if (runs.exists(_ < 0) || runs.size >= 6) return false
+        val s = pos.sorted
+        val heavyUnderSampled = s.head > 5.0 && runs.size < 3
+        val divergentUnsettled =
+          s.last > 1.5 * s.head && s(1) > 1.25 * s.head
+        heavyUnderSampled || divergentUnsettled
       }
-    val results = minOfTwo(sfDir)
+      while (needMore) pass()
+      runs.toSeq
+    }
+    def timeAll(dir: String): Seq[(String, Seq[Double])] =
+      selected.map(n => n -> timeQuery(n, dir))
+    // either run failing marks the query failed (-1) in the JSON —
+    // reporting the surviving runs would hide intermittent failures
+    def minOf(runs: Seq[Double]): Double =
+      if (runs.exists(_ < 0)) -1.0 else runs.min
+    val allRuns = timeAll(sfDir)
+    val results = allRuns.map { case (n, rs) => n -> minOf(rs) }
     // ms precision: sub-ms digits are pure noise at this scale, and a
     // compact line survives the driver's bounded tail capture (r01-r03
     // all recorded parsed:null with the front of the line truncated)
@@ -77,7 +102,8 @@ object Bench {
       val small = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
       if (!small.isDirectory || small.getPath == new java.io.File(sfDir).getPath) ""
       else {
-        val base = minOfTwo(small.getPath).toMap
+        val base = timeAll(small.getPath)
+          .map { case (n, rs) => n -> minOf(rs) }.toMap
         // denominator floor 0.3 s: below it the sf0.01 timing is JVM
         // fixed cost, not operator work, and the ratio flags noise —
         // html_extract was flagged at slope 13.2 off a ~0.15 s cold
@@ -95,7 +121,13 @@ object Bench {
         s""","slope_vs":"${small.getPath}","slope":$sl,"superlinear":$sup"""
       }
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$slopeJson}"""
+    // per-run times (the damping rule's evidence): queries with > 2
+    // entries got extra variance passes; the spread between entries
+    // IS the measured bench noise for that query
+    val runsJson = allRuns
+      .map { case (k, rs) => "\"" + k + "\":" + rs.map(fmt).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$slopeJson}"""
     // persist to a file first: log capture truncates long lines (r02's
     // tail lost the front half of the per-query map), the file never
     // two copies: target/bench.json (historic location) and a
