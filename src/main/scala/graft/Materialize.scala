@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** The library's one materialization point for fan-out intermediates
+  * (a frame about to be consumed by several downstream plans — dedup
+  * membership tables, shingle sets, scored corpora). Every operator
+  * that used to call `localCheckpoint(true)` inline routes through
+  * [[Materialize.eager]], so the STRATEGY is a session-level choice
+  * instead of a hard-coded failure-semantics decision:
+  *
+  *   spark.graft.materialize = localCheckpoint (default) | cache | checkpoint
+  *
+  * - `localCheckpoint` — eager local checkpoint: blocks free with the
+  *   RDD (no session CacheManager pin — the cache-hygiene contract,
+  *   CacheHygieneSpec), lineage truncated, fastest. CLUSTER CAVEAT
+  *   (the round-6 advisory): local-checkpoint blocks are
+  *   non-replicated and the truncated lineage cannot recompute them —
+  *   an executor loss (or a dynamic-allocation decommission, which
+  *   the Spark docs explicitly warn against combining with local
+  *   checkpoints) fails every downstream stage unrecoverably. The
+  *   right default for a single-app analytics run (this bench, a
+  *   dedicated batch job), the wrong one for long-lived clusters
+  *   with dynamic allocation.
+  * - `cache` — persist(MEMORY_AND_DISK) + an eager count: keeps full
+  *   lineage, so a lost executor transparently recomputes — at the
+  *   cost of CacheManager-pinned entries (callers' unpersist() calls
+  *   still release loop intermediates) and re-derivation work on
+  *   failure. Set this on clusters with dynamic allocation.
+  * - `checkpoint` — reliable checkpoint to the SparkContext
+  *   checkpoint dir (caller must have set one): survives executor
+  *   loss WITHOUT lineage recompute — the strongest (and slowest)
+  *   option, for expensive intermediates on flaky fleets.
+  *
+  * All three preserve the child plan's output partitioning
+  * (LogicalRDD carries it for both checkpoint flavors;
+  * InMemoryTableScan reports it because the session pins
+  * `canChangeCachedPlanOutputPartitioning=false`), so co-partitioned
+  * join plans downstream are strategy-independent — results are
+  * bit-identical under every strategy, only failure semantics and
+  * memory accounting move.
+  *
+  * OUT of scope here: the lazy per-round checkpoints inside driver
+  * loops (pagerank, BPE training, label propagation). Those exist to
+  * truncate lineage that would otherwise nest per round, so `cache`
+  * cannot replace them; cluster users needing loop fault tolerance
+  * should set a checkpoint dir and the `checkpoint` strategy, which
+  * the loops' FINAL eager materialization honors.
+  */
+object Materialize {
+
+  val StrategyKey = "spark.graft.materialize"
+
+  /** Eagerly materialize a multiply-consumed intermediate under the
+    * session's configured strategy (see object doc). Eager on
+    * purpose: the consumers are typically parallel stages of one
+    * job, and a lazy shared frame gets recomputed per consumer (the
+    * r5 self-union double-evaluation failure). Note the library-API
+    * consequence: calling an operator that materializes runs Spark
+    * jobs at DataFrame CONSTRUCTION time (documented per operator).
+    */
+  def eager(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(StrategyKey).getOrElse("localCheckpoint") match {
+      case "cache" =>
+        val c = df.persist(StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        c
+      case "checkpoint" => df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(eager = true)
+    }
+
+  /** Defensive variant for operators whose CONTRACT says "pass a
+    * materialized frame" (ngramJaccardOn): a frame that is already a
+    * checkpoint product or a cached relation passes through; anything
+    * else is materialized here instead of silently re-deriving its
+    * whole plan once per downstream consumer.
+    */
+  def ensure(df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.optimizedPlan
+    val settled =
+      plan.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] ||
+      plan.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation] ||
+      plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    if (settled) df else eager(df)
+  }
+
+  /** `df.materialized` sugar so operator chains read like the
+    * `localCheckpoint(true)` calls they replace.
+    */
+  implicit class MatOps(private val df: DataFrame) extends AnyVal {
+    def materialized: DataFrame = eager(df)
+  }
+}

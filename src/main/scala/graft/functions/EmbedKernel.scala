@@ -46,7 +46,17 @@ case class EmbedKernel(child: Expression) extends UnaryExpression with CodegenFa
 
 object EmbedKernel {
   val Dim = 64
-  private val CacheCap = 1 << 20
+
+  /** Per-thread memo bound (r6 advisory: the former 2^20 cap could
+    * pin hundreds of MB of String keys per executor thread for the
+    * JVM's lifetime). 2^16 entries ≈ a few MB per thread covers the
+    * hot vocabulary of any natural-language corpus (Zipf: the top
+    * 65k words are ~all instances); on overflow the table FLUSHES
+    * and rebuilds rather than evicting — bounded memory, one cheap
+    * amortized reset per 65k distinct cold words, and the hot head
+    * re-fills immediately.
+    */
+  private val CacheCap = 1 << 16
 
   def embedKernel(words: Column): Column =
     Bridge.column(EmbedKernel(Bridge.expression(words)))
@@ -85,7 +95,8 @@ object EmbedKernel {
     val bucket = (hash60(d, EmbPrefix, wb) % Dim).toInt
     val positive = (hash60(d, SgnPrefix, wb) & 1L) == 0L
     val packed = bucket | (if (positive) 1 << 6 else 0)
-    if (cache.size < CacheCap) cache.put(w, packed)
+    if (cache.size >= CacheCap) cache.clear() // flush-on-full: see CacheCap
+    cache.put(w, packed)
     packed
   }
 

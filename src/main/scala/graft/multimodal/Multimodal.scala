@@ -1,5 +1,6 @@
 package graft.multimodal
 
+import graft.Materialize.MatOps
 import graft.Tables
 import graft.functions.TextFunctions.{hash60, normalize}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -280,7 +281,7 @@ object Multimodal {
     // one lattice walk per rep in the specialized kernel (the SQL
     // higher-order form is kept as phashSigsSql for the equivalence
     // spec; the oracle runs its DuckDB twin)
-    val sigs = phashSigs(reps).localCheckpoint(true)
+    val sigs = phashSigs(reps).materialized
     val pairs = graft.operators.Dedup.hammingBlockPairs(
       sigs.withColumnRenamed("phash", "sig"), "sig",
       PHashBlocks, PHashBlockBits, 3)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.MatOps
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -44,12 +45,15 @@ object Dedup {
     *
     * Returns (reps, membership): `reps` = (doc_id, text) of each
     * group's min-doc_id representative; `membership` = (doc_id, rep,
-    * gsize), eagerly materialized via localCheckpoint — multiple
-    * consumers read the stored partitions, and unlike `cache()`
-    * nothing pins in the session CacheManager: the blocks free with
-    * the RDD once the query's frames are garbage, so repeated
-    * dedup-family calls from a long-lived application leave no net
-    * cache growth (asserted in DupSkewSpec).
+    * gsize), eagerly materialized via [[graft.Materialize.eager]] —
+    * multiple consumers read the stored partitions. Under the default
+    * strategy (local checkpoint) nothing pins in the session
+    * CacheManager: the blocks free with the RDD once the query's
+    * frames are garbage, so repeated dedup-family calls from a
+    * long-lived application leave no net cache growth (asserted in
+    * DupSkewSpec); clusters running dynamic allocation should set
+    * `spark.graft.materialize=cache` — see [[graft.Materialize]] for
+    * the failure-semantics trade.
     */
   private[graft] def collapseByText(docs: DataFrame): (DataFrame, DataFrame) = {
     val keyed = docs.select(col("doc_id"), col("text"))
@@ -61,7 +65,7 @@ object Dedup {
     val membership = keyed.select(col("doc_id"), col("tkey"))
       .join(groups.select(col("tkey"), col("rep"), col("gsize")), "tkey")
       .select(col("doc_id"), col("rep"), col("gsize"))
-      .localCheckpoint(true)
+      .materialized
     val reps = groups.select(col("rep").as("doc_id"), col("text"))
     (reps, membership)
   }
@@ -148,7 +152,7 @@ object Dedup {
     */
   def minhashOn(docs: DataFrame): DataFrame = {
     val (reps, membership) = collapseByText(docs)
-    val sh = shingleHashesOf(reps).localCheckpoint(true)
+    val sh = shingleHashesOf(reps).materialized
     expandPairs(minhashPairs(sh), membership, "d1", "d2",
         "jaccard", lit(1.0), sh.select(col("doc_id")).distinct())
       .orderBy(col("d1"), col("d2"))
@@ -240,7 +244,7 @@ object Dedup {
   private[graft] def clustersDocs(docs: DataFrame, maxIters: Int,
       star: Boolean): DataFrame = {
     val (reps, membership) = collapseByText(docs)
-    val sh = Text.shingleSetOf(reps).localCheckpoint(true)
+    val sh = Text.shingleSetOf(reps).materialized
     val repPairs = Text.ngramJaccardOn(sh, 0.5).select(col("d1"), col("d2"))
     val starEdges = membership
       .join(sh.select(col("doc_id")).distinct()
@@ -271,7 +275,7 @@ object Dedup {
     // CacheManager pin (blocks free with the RDD), and the pair list
     // is output-sized — orders of magnitude below the candidate
     // volume that produced it — so pinning it is cheap at any scale
-    val p = pairs.localCheckpoint(true)
+    val p = pairs.materialized
     // hash-partition the (usually large) edge list on its join key
     // ONCE before caching — the per-round dst-keyed join then serves
     // it straight from the cache (the pagerank discipline; plan
@@ -286,7 +290,7 @@ object Dedup {
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     var labels = docs.withColumn("label", col("doc_id"))
-      .repartition(col("doc_id")).localCheckpoint(true)
+      .repartition(col("doc_id")).materialized
     try {
       var converged = false
       var it = 0
@@ -372,7 +376,7 @@ object Dedup {
     // these multi-op rounds do not)
     var edges = pairs
       .select(greatest(col("d1"), col("d2")).as("u"), least(col("d1"), col("d2")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .filter(col("u") =!= col("v")).distinct().materialized
     var fp = fingerprint(edges)
     // rounds run with AQE off (the pagerank/propagation discipline:
     // fixed-shape tiny stages over checkpointed inputs re-planned
@@ -443,7 +447,7 @@ object Dedup {
   /** Same pipeline over any (doc_id, text) DataFrame. */
   private[graft] def simhashOn(docs: DataFrame): DataFrame = {
     val (reps, membership) = collapseByText(docs)
-    val sigs = simhashSignatures(reps).localCheckpoint(true)
+    val sigs = simhashSignatures(reps).materialized
     val pairs = simhashRepPairs(sigs)
     // weight each directed rep partner by its group size
     val gsz = membership.filter(col("doc_id") === col("rep"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.MatOps
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -38,6 +39,15 @@ object Pipeline {
     * Oracle: the same five stages as one DuckDB CTE chain (each
     * fragment mirrored from the already-hash-matched per-operator
     * oracles).
+    *
+    * API note (the r6 advisory): CONSTRUCTING this frame runs Spark
+    * jobs — the survivor set is eagerly materialized
+    * ([[graft.Materialize.eager]]) because seq_pack's shard-bound
+    * metadata actions would otherwise re-execute the whole four-stage
+    * chain per action. Callers composing frames they may never
+    * execute should not call pipeline operators speculatively; the
+    * same applies to every operator documented as materializing
+    * (winnow_pairs, chunk_dedup, the dedup family).
     */
   def pipelineE2e(spark: SparkSession, dir: String): DataFrame =
     pipelineE2eOn(Tables(spark, dir).documents)
@@ -75,7 +85,7 @@ object Pipeline {
     // job, and each would otherwise re-execute the whole four-stage
     // chain — measured 3× the pipeline cost. localCheckpoint, not
     // cache: blocks free with the RDD, no CacheManager pin.
-    val s4 = s3.join(sampled, "doc_id").localCheckpoint(true)
+    val s4 = s3.join(sampled, "doc_id").materialized
 
     // 5. sequence packing over the survivors
     Curation.seqPackOn(s4)
