@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize
+import graft.Materialize.MatOps
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,13 +43,15 @@ object Graph {
     * teleport + 85·Σcontrib div 100 — deterministic flooring, no
     * float drift, HUGEINT/DECIMAL(38) guard on the damped sum.
     *
-    * Scale shape: the edge list is built once (one shuffle join +
-    * distinct) and cached; each round is ONE hash join of edges
-    * against the current rank table (keyed by src) and ONE
-    * aggregation (keyed by dst, map-side partial sum) — the standard
-    * Pregel-on-MapReduce round, rounds fixed at [[PrIters]].
-    * localCheckpoint truncates lineage per round (the
-    * label-propagation lesson: without it the logical plan doubles
+    * Scale shape: the edge list is built once (broadcast-dimension
+    * join + distinct) and materialized hash-partitioned on src; each
+    * round is ONE co-partitioned shuffled-hash join of edges against
+    * the current rank table (zero exchanges — the rank table is
+    * node-count-sized, so broadcasting it would break at 10⁹ nodes)
+    * and ONE aggregation (keyed by dst, map-side partial sum) — the
+    * standard Pregel-on-MapReduce round, rounds fixed at
+    * [[PrIters]]. Per-round checkpoints truncate lineage (the
+    * label-propagation lesson: without them the logical plan doubles
     * per round). A hot node (a supplier everyone buys from) is a hot
     * AGGREGATION key, not a join explosion — partial aggregation
     * absorbs it map-side.
@@ -77,40 +81,64 @@ object Graph {
       orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val nodes = customer.select(col("c_custkey").as("id"))
       .unionAll(supplier.select((col("s_suppkey") + SupplierNodeOffset).as("id")))
+    // orders is the dimension side of the edge derivation (two long
+    // columns): broadcast-hinted so the 100 TB side (lineitem) joins
+    // in its scan stage — no fact-table shuffle just to build edges
     val pairs = lineitem
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), (col("l_suppkey") + SupplierNodeOffset).as("s"))
       .distinct()
-    // hash-partition the edge list on src ONCE before caching: the
-    // per-round src-keyed join then reads the cache's partitioning
-    // and never re-shuffles the edges — the only per-round shuffles
-    // are the (tiny, map-side-combined) contrib aggregation and the
-    // rank table itself. At cluster scale this is the whole game:
-    // the edge list is the 100 TB side, the rank table is the
-    // node-count side, and 10 rounds × an edge shuffle is the
-    // difference between minutes and hours.
-    // materialize the pair list BEFORE mirroring it (the
-    // propagateLabels lesson): union branches share no computation,
-    // so the lazy self-union evaluated the lineitem⋈orders distinct
-    // twice — the single most expensive input stage of the query
-    val p = pairs.localCheckpoint(true)
-    val edges = p.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(p.select(col("s").as("src"), col("c").as("dst")))
+    // hash-partition the mirrored edge list on src ONCE and
+    // materialize it as ROW blocks: the per-round src-keyed join
+    // then reads the stored partitioning and never re-shuffles the
+    // edges — the only per-round shuffle is the (tiny,
+    // map-side-combined) contrib aggregation. At cluster scale this
+    // is the whole game: the edge list is the 100 TB side, and 10
+    // rounds × an edge shuffle is the difference between minutes and
+    // hours. Two measured choices (DebugPr A/B, sf0.1): materialized
+    // row blocks beat a columnar cache() ~2× per round (the rounds
+    // re-decode the columnar cache every scan — encode/decode buys
+    // nothing for an intermediate read 10× in row form), and the
+    // mirror union needs NO separate pairs materialization — both
+    // union branches read the distinct's OWN shuffle via
+    // ReusedExchange, so the lineitem⋈orders plan still executes
+    // once (the r5 double-evaluation was pre-repartition lineage,
+    // which the repartition exchange now deduplicates).
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
       .repartition(col("src"))
-      .cache()
+      .materialized
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // nodes⋈deg is id-keyed, so the join's own exchange already
+    // leaves pr hash(id)-partitioned — no explicit repartition
     var pr = nodes
       .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
         lit(PrScale).as("pr"))
-      .repartition(col("id"))
-      .localCheckpoint(true)
-    // checkpoint EVERY round: measured (TimeOne, sf0.1) a 2-round
-    // cadence is ~2× SLOWER (21s vs 10s) — with the rank table this
-    // small the cost is the two extra shuffle stages a fused
-    // two-round job plans, not the materialization itself
-    for (_ <- 1 to PrIters)
-      pr = pagerankRound(edges, pr).localCheckpoint(true)
+      .materialized
+    // checkpoint EVERY round — but LAZILY (the bpe_train lesson), with
+    // only the final round eager (strategy-gated: under the
+    // `checkpoint` strategy the final state lands reliably). Lazy
+    // localCheckpoint still replaces the logical plan with a
+    // LogicalRDD immediately (lineage cannot nest round-over-round —
+    // the r4 exponential-plan failure) and still preserves the
+    // plan's hash(id) output partitioning AND id-ordering, so each
+    // round stays one shuffle and the join-back needs no sort on the
+    // rank side; materialization happens inside the FINAL round's
+    // single job instead of 10 eager per-round jobs. Measured
+    // (DebugPr, sf0.1, warm): full pagerank pass 17.9 s (r6 driver
+    // record, eager cache shape) → 7.6-8.5 s for this shape; the
+    // remaining cost is ~0.45 s/round of join+agg stage work, not
+    // launches. (The r5 "2-round cadence 2× slower" measurement was
+    // about skipping checkpoints — plan doubling — not laziness.)
+    for (r <- 1 to PrIters)
+      pr =
+        if (r == PrIters) Materialize.eager(pagerankRound(edges, pr))
+        else pagerankRound(edges, pr).localCheckpoint(false)
+    // release edges promptly under the `cache` strategy (no-op under
+    // the default: checkpoint blocks free with the RDD); safe only
+    // AFTER the eager final round has run the chain
     edges.unpersist()
     pr.select(col("id").as("node_id"),
         when(col("id") >= SupplierNodeOffset, lit("s")).otherwise(lit("c")).as("node_type"),
@@ -134,15 +162,31 @@ object Graph {
     // dangling node kills the job (found by the 5×-replica scale
     // sweep — the driver's sf0.1 has exactly one isolated customer
     // whose row happened to never reach the projection)
+    // SHUFFLE_HASH-hinted build side, NOT broadcast: the rank table
+    // is node-count-sized — broadcastable at bench SF, not at 10⁹
+    // nodes — and both sides are already hash-partitioned on the
+    // join key (edges by construction, pr as the previous round's
+    // checkpointed join output), so the shuffled-hash join plans
+    // with ZERO exchanges: each round builds a per-partition map of
+    // its rank slice and streams the co-located edge partition.
+    // Also skips the per-round BroadcastExchange driver round-trip
+    // the default plan was paying 10× (DebugPr A/B).
     val contribs = edges
       .join(pr.filter(col("outdeg") > 0)
-          .select(col("id"), expr("pr div outdeg").as("contrib")),
+          .select(col("id"), expr("pr div outdeg").as("contrib"))
+          .hint("SHUFFLE_HASH"),
         edges("src") === col("id"))
       .groupBy(col("dst"))
       .agg(expr(s"CAST($PrDampPct * sum(CAST(contrib AS DECIMAL(38,0))) div 100 AS BIGINT)")
         .as("damped"))
+    // the join-back build side (damped mass per dst) is ALSO
+    // node-count-sized — one row per node with in-edges — so it gets
+    // the same SHUFFLE_HASH treatment: its agg output is already
+    // hash(dst)-partitioned, pr is hash(id)-partitioned → zero
+    // exchanges, and no broadcast that would OOM at 10⁹ nodes
+    val damped = contribs.hint("SHUFFLE_HASH")
     pr.select(col("id"), col("outdeg"))
-      .join(contribs, pr("id") === contribs("dst"), "left")
+      .join(damped, pr("id") === damped("dst"), "left")
       .select(col("id"), col("outdeg"),
         (lit(PrTeleport) + coalesce(col("damped"), lit(0L))).as("pr"))
   }
@@ -194,7 +238,7 @@ object Graph {
   def triangleCountOn(rawEdges: DataFrame): DataFrame = {
     // materialize once: the degree self-union and the ranked join
     // below otherwise evaluate the edge-construction plan three times
-    val edges = rawEdges.localCheckpoint(true)
+    val edges = rawEdges.materialized
     val deg = edges.select(col("u").as("x"))
       .unionAll(edges.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -213,7 +257,7 @@ object Graph {
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
       // three self-join consumers; localCheckpoint (not cache) so the
       // materialized blocks free with the RDD — no CacheManager pin
-      .localCheckpoint(true)
+      .materialized
     // wedge (src → b, src → c) with rank(b) < rank(c); the closing
     // edge, if present, is oriented exactly b → c
     val tri = ranked.as("e1")

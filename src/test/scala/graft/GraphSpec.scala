@@ -70,32 +70,39 @@ class GraphSpec extends AnyFunSuite {
       "the hub supplier must out-rank its leaf customers")
   }
 
-  test("a pagerank round never re-shuffles the partitioned cached edge list") {
+  test("a pagerank round never re-shuffles the partitioned edge list") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    // mirror pagerankOn's static tables: edges hash-partitioned on
-    // src and cached, ranks partitioned on id
-    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
-      .toDF("src", "dst").repartition(col("src")).cache()
-    val pr = Seq((1L, 1L, 1000L), (2L, 2L, 1000L), (3L, 1L, 1000L))
-      .toDF("id", "outdeg", "pr").repartition(col("id")).localCheckpoint(true)
+    // mirror pagerankOn's EXACT round environment: edges
+    // hash-partitioned on src and materialized as row blocks, ranks
+    // partitioned on id, AQE off (pagerankOn pins it off for the
+    // loop — the round is never planned under AQE)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
+      val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+        .toDF("src", "dst").repartition(col("src")).localCheckpoint(true)
+      val pr = Seq((1L, 1L, 1000L), (2L, 2L, 1000L), (3L, 1L, 1000L))
+        .toDF("id", "outdeg", "pr").repartition(col("id")).localCheckpoint(true)
       val round = operators.Graph.pagerankRound(edges, pr)
       val plan = round.queryExecution.executedPlan.toString
-      // the edge side must be served straight from the cache: no
-      // planner-inserted (ENSURE_REQUIREMENTS) exchange may re-shuffle
-      // src. The REPARTITION_BY_COL exchange inside the
-      // InMemoryRelation is the one-time cache build, not per-round
-      // work. Allowed per-round exchanges: the contrib aggregation
-      // (dst) and at most the rank side — the complete shuffle budget
-      // when both inputs are pre-partitioned on their join keys.
+      // both join inputs are pre-partitioned on their join keys, so
+      // the round's COMPLETE shuffle budget is the ONE contrib
+      // aggregation exchange (dst): the shuffled-hash contrib join
+      // and the rank join-back must both consume the existing
+      // hash(·) partitioning with no planner-inserted exchange, and
+      // the rank table must never be broadcast (node-count-sized at
+      // cluster scale).
       val perRound = "Exchange hashpartitioning\\([^)]*\\), ENSURE_REQUIREMENTS".r
         .findAllIn(plan).toSeq
-      assert(perRound.size <= 2, s"round plans ${perRound.size} planner exchanges:\n$plan")
+      assert(perRound.size <= 1, s"round plans ${perRound.size} planner exchanges:\n$plan")
       assert(!perRound.exists(_.contains("src#")),
-        s"the cached edge list is being re-shuffled on src:\n$plan")
-      assert(plan.contains("InMemoryTableScan"), plan)
-    } finally edges.unpersist()
+        s"the materialized edge list is being re-shuffled on src:\n$plan")
+      assert(plan.contains("ShuffledHashJoin"),
+        s"contrib join must be the co-partitioned shuffled-hash join:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"a round must not broadcast the node-count-sized rank table:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   test("pagerank is invariant to partitioning") {
