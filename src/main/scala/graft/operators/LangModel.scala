@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.MatOps
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -49,11 +50,49 @@ object LangModel {
     * allowlisted in the plan guard); docs with fewer than 2 words
     * have no bigrams and are out of scope on both engines.
     */
-  def lmScore(spark: SparkSession, dir: String): DataFrame =
-    lmScoreOn(Tables(spark, dir).documents)
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    // train + score unconditionally (this query IS the training cost,
+    // the bpe_train convention) and refresh the artifact
+    // [[ccnetBuckets]] reuses
+    val fresh = trainAndScore(spark, dir)
+    scoreCache.put(dir, fresh)
+    fresh.orderBy(col("doc_id"))
+  }
 
   private[graft] def lmScoreOn(docs: DataFrame): DataFrame =
     lmPpm(docs).orderBy(col("doc_id"))
+
+  /** Scored-corpus ARTIFACT shared by the LM family (the bpe_encode
+    * artifact-cache contract, applied to CCNet's intermediate): the
+    * per-doc (doc_id, n_bigrams, lm_ppm) frame is deterministic in
+    * the corpus — training is add-one bigram counting, scoring is
+    * floor division on the ppm lattice — so memoizing it per corpus
+    * dir can never change an answer; it only stops every downstream
+    * consumer (ccnet_buckets today, a streaming admission gate
+    * tomorrow) from re-paying the model train + score join that
+    * lm_score already ran. This mirrors CCNet's production shape:
+    * the LM is trained once and shipped as a file; per-shard scores
+    * are materialized once and reused by every bucket split.
+    *
+    * Contract notes (same as the BPE merge table): a changed corpus
+    * under the SAME path needs a new session; entries are
+    * [[graft.Materialize.eager]] products (under the default strategy,
+    * localCheckpoint blocks — never CacheManager, so
+    * CacheHygieneSpec's invariant holds) reclaimed by the
+    * ContextCleaner when a refreshed entry drops the old frame's last
+    * reference. Stale frames from a stopped session are detected by
+    * identity and rebuilt.
+    */
+  private val scoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def trainAndScore(spark: SparkSession, dir: String): DataFrame =
+    lmPpm(Tables(spark, dir).documents).materialized
+
+  private def scoredArtifact(spark: SparkSession, dir: String): DataFrame =
+    scoreCache.compute(dir, (_, cached) =>
+      if (cached != null && (cached.sparkSession eq spark)) cached
+      else trainAndScore(spark, dir))
 
   /** Unordered per-doc (doc_id, n_bigrams, lm_ppm) — the scoring core
     * shared by [[lmScoreOn]] and [[ccnetBucketsOn]].
@@ -70,7 +109,7 @@ object LangModel {
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
       // four consumers (c2, c1, V, scoring join): eager
       // localCheckpoint — reused blocks, no CacheManager pin
-      .localCheckpoint(true)
+      .materialized
     val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val v = bi.agg(countDistinct(col("w2")).as("vocab"))
@@ -109,15 +148,22 @@ object LangModel {
     * engines (the [[lmScore]] contract).
     */
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
-    ccnetBucketsOn(Tables(spark, dir).documents)
+    // consume the scored-corpus artifact (train it if lm_score hasn't
+    // run this session) — the bucket split itself is all this query
+    // should pay for
+    ccnetFromScored(scoredArtifact(spark, dir),
+      Tables(spark, dir).documents)
 
-  private[graft] def ccnetBucketsOn(docs: DataFrame): DataFrame = {
+  private[graft] def ccnetBucketsOn(docs: DataFrame): DataFrame =
+    ccnetFromScored(lmPpm(docs), docs)
+
+  private def ccnetFromScored(ppm: DataFrame, docs: DataFrame): DataFrame = {
     // three consumers (histogram, per-lang counts, the final bucket
     // join): eager localCheckpoint — reused blocks, no pin
-    val scored = lmPpm(docs)
+    val scored = ppm
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("lm_ppm"))
-      .localCheckpoint(true)
+      .materialized
     val hist = scored.groupBy(col("lang"), col("lm_ppm"))
       .agg(count(lit(1)).as("c"))
     // distinct (lang, lm_ppm) cells: the window's per-lang row count
@@ -188,7 +234,7 @@ object LangModel {
         (hash60(col("g")) % DsirBuckets).as("b"))
       // three consumers (raw counts, target counts, scoring):
       // eager localCheckpoint — reused blocks, no CacheManager pin
-      .localCheckpoint(true)
+      .materialized
     val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val tgt = grams.filter(col("is_target"))
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))

@@ -57,15 +57,20 @@ class QueryPackSpec extends AnyFunSuite {
     // block grid) run at construction time and the FINAL plan is
     // pure hash-partitioned assembly — each interior stage is still
     // guarded through its own registered query below
+    // lm_score left both lists in round 7: its train+score now
+    // materializes as the LM-family artifact at construction (the
+    // pipeline_e2e pattern above), so the vocabulary-size scalar
+    // aggregate and the broadcast-V cross join run inside the
+    // artifact build and the FINAL plan is a pure artifact scan +
+    // output sort
     val bnljOk = Set("ann_pq", "ann_topk", "dedup_embedding",
-      "q20_subquery", "sample_mixture", "lm_score")
+      "q20_subquery", "sample_mixture")
     // q24_funnel's whole-corpus funnel counts are one global
     // aggregate row, freq_words's final rank runs on one
-    // ≤ FreqCapacity sketch row, lm_score's vocabulary size V is
-    // a 1-row aggregate, and sketch_cube's rollup unions ≤ |langs|
-    // kilobyte sketches — the scalar class, same as the others
+    // ≤ FreqCapacity sketch row, and sketch_cube's rollup unions
+    // ≤ |langs| kilobyte sketches — the scalar class
     val singlePartOk = Set("q20_subquery", "sample_mixture",
-      "q24_funnel", "freq_words", "lm_score", "sketch_cube")
+      "q24_funnel", "freq_words", "sketch_cube")
     for ((name, fn) <- SparkEntry.queries) {
       spark.catalog.clearCache()
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
