@@ -92,6 +92,7 @@ object SparkEntry {
     "bpe_train"         -> (Tokenizer.bpeTrain _),
     "bpe_encode"        -> (Tokenizer.bpeEncode _),
     "corpus_stats"      -> (Curation.corpusStats _),
+    "quantile_sketch"   -> (Curation.quantileCard _),
     "ts_resample"       -> (Temporal.tsResample _),
     "freq_words"        -> (Text.freqWords _),
     "lm_score"          -> (LangModel.lmScore _),
@@ -752,6 +753,35 @@ object SparkEntry {
         |FROM g
         |GROUP BY CUBE(lang, source)
         |ORDER BY lang, source""".stripMargin,
+
+    // the mergeable log-histogram quantile card: the bucket lattice
+    // (exponent + 5 mantissa bits) is integer-exact in both engines —
+    // bin()/shift/mask reproduce QuantileSketchAgg.bucketOf/repOf
+    // bit-for-bit, and each percentile is the lattice order statistic
+    // at ceil(p·n/100) (the ccnet_buckets max/when threshold trick,
+    // mirrored as min over ascending reps)
+    "quantile_sketch" ->
+      """WITH v AS (SELECT lang, CAST(length(text) AS BIGINT) AS len FROM documents),
+        |b AS (SELECT lang,
+        |    CASE WHEN len < 32 THEN len
+        |         ELSE (length(bin(len)) - 5) * 32 + ((len >> (length(bin(len)) - 6)) & 31)
+        |    END AS idx, COUNT(*) AS c
+        |  FROM v GROUP BY 1, 2),
+        |cum AS (SELECT lang, idx, c,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY idx) AS cum,
+        |    SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM b),
+        |r AS (SELECT lang, n, cum,
+        |    CASE WHEN idx < 32 THEN idx
+        |         ELSE (32 + (idx & 31)) << CAST((idx // 32) - 1 AS INT) END AS rep
+        |  FROM cum)
+        |SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+        |  CAST(MIN(CASE WHEN cum >= (25*n+99)//100 THEN rep END) AS BIGINT) AS len_p25,
+        |  CAST(MIN(CASE WHEN cum >= (50*n+99)//100 THEN rep END) AS BIGINT) AS len_p50,
+        |  CAST(MIN(CASE WHEN cum >= (75*n+99)//100 THEN rep END) AS BIGINT) AS len_p75,
+        |  CAST(MIN(CASE WHEN cum >= (90*n+99)//100 THEN rep END) AS BIGINT) AS len_p90,
+        |  CAST(MIN(CASE WHEN cum >= (99*n+99)//100 THEN rep END) AS BIGINT) AS len_p99
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     // exact counts: capacity > vocabulary means the sketch IS exact
     "freq_words" ->

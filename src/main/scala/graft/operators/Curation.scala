@@ -432,6 +432,38 @@ object Curation {
         expr("n_chars div 4").as("est_tokens"))
       .orderBy(col("lang"), col("source"))
 
+  /** quantile_sketch — per-language doc-length quantile card from a
+    * MERGEABLE log-histogram summary
+    * ([[graft.functions.QuantileSketchAgg]], the DDSketch/HDR class):
+    * the dataset-card percentile column [[corpusStats]] couldn't
+    * provide without a per-group sort. One map pass collapses every
+    * doc into a ≤ 2048-cell bucket map map-side; only kilobyte
+    * summaries shuffle, and p25/p50/p75/p90/p99 read off the merged
+    * histogram as lattice order statistics — the corpus is NEVER
+    * re-sorted, at any scale. Relative value error ≤ 2^-5 (spec-
+    * bounded vs the exact per-group percentiles); the bucket lattice
+    * is integer-exact, so the oracle reproduces the card bit-for-bit
+    * with `bin()`/shift/mask SQL.
+    */
+  def quantileCard(spark: SparkSession, dir: String): DataFrame =
+    quantileCardOn(Tables(spark, dir).documents)
+
+  private[graft] def quantileCardOn(docs: DataFrame): DataFrame = {
+    import graft.functions.QuantileSketchAgg.quantileSketch
+    docs
+      .select(col("lang"), length(col("text")).cast("long").as("len"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        quantileSketch(col("len"), Seq(25, 50, 75, 90, 99)).as("qs"))
+      .select(col("lang"), col("n_docs"),
+        col("qs").getItem(0).as("len_p25"),
+        col("qs").getItem(1).as("len_p50"),
+        col("qs").getItem(2).as("len_p75"),
+        col("qs").getItem(3).as("len_p90"),
+        col("qs").getItem(4).as("len_p99"))
+      .orderBy(col("lang"))
+  }
+
   /** Split fractions (ppm of the hash space) for [[dataSplit]]:
     * train/val/test = 90/5/5. Boundaries injected into the oracle.
     */
