@@ -94,22 +94,27 @@ object LangModel {
       if (cached != null && (cached.sparkSession eq spark)) cached
       else trainAndScore(spark, dir))
 
-  /** Unordered per-doc (doc_id, n_bigrams, lm_ppm) — the scoring core
-    * shared by [[lmScoreOn]] and [[ccnetBucketsOn]].
+  /** Bigram INSTANCES (not distinct — counts are the model); the
+    * `when` guard keeps sequence(0, -1) from fabricating grams on
+    * sub-2-word docs (the doc_chunk corner).
     */
-  private def lmPpm(docs: DataFrame): DataFrame = {
-    // bigram INSTANCES (not distinct — counts are the model); the
-    // `when` guard keeps sequence(0, -1) from fabricating grams on
-    // sub-2-word docs (the doc_chunk corner)
-    val bi = docs.withColumn("w", words(col("text")))
+  private def bigramInstances(docs: DataFrame): DataFrame =
+    docs.withColumn("w", words(col("text")))
       .select(col("doc_id"),
         explode(when(size(col("w")) >= 2,
           expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")))
           .as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
-      // four consumers (c2, c1, V, scoring join): eager
-      // localCheckpoint — reused blocks, no CacheManager pin
-      .materialized
+
+  /** Unordered per-doc (doc_id, n_bigrams, lm_ppm) — the scoring core
+    * shared by [[lmScoreOn]] and [[ccnetBucketsOn]].
+    */
+  private def lmPpm(docs: DataFrame): DataFrame =
+    // four consumers (c2, c1, V, scoring join): eager materialization
+    // — reused blocks, no CacheManager pin under the default strategy
+    lmPpmFromBi(bigramInstances(docs).materialized)
+
+  private def lmPpmFromBi(bi: DataFrame): DataFrame = {
     val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val v = bi.agg(countDistinct(col("w2")).as("vocab"))
@@ -122,6 +127,35 @@ object LangModel {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sum_ppm"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("sum_ppm div n_bigrams").as("lm_ppm"))
+  }
+
+  /** Batch-trained CCNet admission artifacts for the STREAMING gate
+    * ([[graft.streaming.CurationStream.curateGated]]): the RAW bigram
+    * model (c2, c1, V — what add-one smoothing needs to score unseen
+    * bigrams, which the batch scorer never meets because it trains on
+    * the corpus it scores) plus the per-language tail thresholds t2.
+    * The model collects to the driver — VOCABULARY-sized under Heaps'
+    * law, never corpus-sized — which is exactly CCNet's production
+    * shape: the LM trains once in batch and the model FILE ships to
+    * every ingest node; these maps are that file.
+    */
+  private[graft] def perplexityGateData(docs: DataFrame)
+      : (Map[(String, String), Long], Map[String, Long], Long, Seq[(String, Long)]) = {
+    val bi = bigramInstances(docs).materialized
+    val scored = lmPpmFromBi(bi)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("lm_ppm"))
+    val th = tertileThresholds(scored)
+      .filter(col("lang").isNotNull && col("t2").isNotNull)
+      .select(col("lang"), col("t2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val c2m = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val c1m = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vRow = bi.agg(countDistinct(col("w2"))).collect()
+    val vocab = if (vRow.isEmpty || vRow(0).isNullAt(0)) 0L else vRow(0).getLong(0)
+    (c2m, c1m, vocab, th)
   }
 
   /** ccnet_buckets — per-language perplexity tertiles (the CCNet
@@ -164,6 +198,22 @@ object LangModel {
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("lm_ppm"))
       .materialized
+    val th = tertileThresholds(scored)
+    scored.join(broadcast(th), "lang")
+      .select(col("doc_id"), col("lang"), col("lm_ppm"),
+        when(col("lm_ppm") >= col("t1"), lit("head"))
+          .when(col("lm_ppm") >= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language tertile order statistics over a (lang, lm_ppm)
+    * frame, from a lattice-bounded HISTOGRAM window — never a
+    * per-doc sort. t_k = the largest lm_ppm whose cumulative
+    * descending count reaches ⌈k·n/3⌉ (the rank-k order statistic);
+    * docs at the threshold bucket upward.
+    */
+  private[graft] def tertileThresholds(scored: DataFrame): DataFrame = {
     val hist = scored.groupBy(col("lang"), col("lm_ppm"))
       .agg(count(lit(1)).as("c"))
     // distinct (lang, lm_ppm) cells: the window's per-lang row count
@@ -173,19 +223,11 @@ object LangModel {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum(col("c")).over(byPpmDesc))
     val n = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    // t_k = the largest lm_ppm whose cumulative count reaches
-    // ⌈k·n/3⌉ — the rank-k order statistic in descending order
-    val th = cum.join(n, "lang")
+    cum.join(n, "lang")
       .groupBy(col("lang"))
       .agg(
         max(when(col("cum") >= expr("(n + 2) div 3"), col("lm_ppm"))).as("t1"),
         max(when(col("cum") >= expr("(2 * n + 2) div 3"), col("lm_ppm"))).as("t2"))
-    scored.join(broadcast(th), "lang")
-      .select(col("doc_id"), col("lang"), col("lm_ppm"),
-        when(col("lm_ppm") >= col("t1"), lit("head"))
-          .when(col("lm_ppm") >= col("t2"), lit("middle"))
-          .otherwise(lit("tail")).as("bucket"))
-      .orderBy(col("doc_id"))
   }
 
   /** Hashed-feature space for [[dsirSelect]] — fixed bucket count, so

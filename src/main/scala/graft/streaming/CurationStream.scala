@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   * The heavy corpus-statistics stages (decontamination df, mixture
   * rates, packing) stay batch — they need corpus totals a stream
   * doesn't have yet; this is the standard lambda split: stream
-  * admits and normalizes, batch periodically re-curates.
+  * admits and normalizes, batch periodically re-curates. The CCNet
+  * perplexity filter crosses the split via [[curateGated]]: its
+  * corpus statistics (bigram LM + per-language tertiles) train in
+  * batch and ride into the stream as a broadcast-shaped artifact,
+  * so the tail third is rejected at the door instead of at the next
+  * batch re-curation.
   */
 object CurationStream {
 
@@ -41,5 +46,66 @@ object CurationStream {
         .withWatermark("event_ts", watermark)
         .dropDuplicatesWithinWatermark("fingerprint")
     else scored
+  }
+
+  /** Batch-trained perplexity-admission artifacts for
+    * [[curateGated]]: the raw bigram model (c2/c1/V) the map-side
+    * scorer needs, and the per-language CCNet tail thresholds. Train
+    * on a curated batch corpus with [[trainPerplexityGate]]; ship
+    * the value to the ingest job (it is plain serializable data —
+    * the LM-file shape).
+    */
+  final case class PerplexityGate(
+      c2: Map[(String, String), Long],
+      c1: Map[String, Long],
+      vocab: Long,
+      tailThresholds: Seq[(String, Long)])
+
+  /** Train the admission gate on a batch (doc_id, text, lang)
+    * corpus: the same bigram LM and per-language tertile order
+    * statistics the registered lm_score / ccnet_buckets queries
+    * compute (shared code — the gate CANNOT drift from the batch
+    * split), collected to driver-side maps. Vocabulary-sized, never
+    * corpus-sized (the Heaps-law bound the batch scaladoc proves
+    * out); the periodic lambda re-train is the caller's schedule.
+    */
+  def trainPerplexityGate(docs: DataFrame): PerplexityGate = {
+    val (c2, c1, vocab, th) =
+      graft.operators.LangModel.perplexityGateData(docs)
+    PerplexityGate(c2, c1, vocab, th)
+  }
+
+  /** [[curate]] plus the CCNet perplexity gate AT INGEST (the round-6
+    * verdict's lambda-split extension): each arriving doc is scored
+    * map-side by the batch-trained bigram LM
+    * ([[graft.functions.LmPpmKernel]] — no join, no shuffle, no
+    * state) and rejected when its language has a trained threshold
+    * and the score falls in the TAIL third (the slice batch
+    * ccnet_buckets labels 'tail'). Unmodeled languages and
+    * sub-2-word docs pass through — the decontaminate convention:
+    * what cannot be measured is not dropped. Exactly-once content
+    * admission is unchanged (same watermarked fingerprint dedup,
+    * AFTER the gate so rejected content never occupies state).
+    */
+  def curateGated(docs: DataFrame, gate: PerplexityGate,
+      watermark: String = "10 minutes"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val th = gate.tailThresholds.toDF("lang", "t2")
+    val scored = graft.operators.Text.withQualityScore(docs)
+      .filter(col("score") >= MinQuality)
+      .withColumn("lm_ppm",
+        graft.functions.LmPpmKernel.lmPpm(col("w"), gate.c2, gate.c1, gate.vocab))
+      .withColumn("fingerprint", md5(col("norm")))
+    val gated = scored
+      .join(broadcast(th), Seq("lang"), "left_outer")
+      .filter(col("t2").isNull || col("lm_ppm").isNull ||
+        col("lm_ppm") >= col("t2"))
+      .select(col("doc_id"), col("event_ts"), col("lang"),
+        col("score"), col("lm_ppm"), col("fingerprint"))
+    if (docs.isStreaming)
+      gated
+        .withWatermark("event_ts", watermark)
+        .dropDuplicatesWithinWatermark("fingerprint")
+    else gated
   }
 }

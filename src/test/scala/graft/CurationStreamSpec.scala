@@ -79,4 +79,67 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(byFp.keySet == gateFps,
       "stream gate diverges from the batch quality_score operator")
   }
+
+  test("perplexity-gated ingest rejects the ccnet tail at the door, exactly-once unchanged") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = "target/tmp/curationstream_gated"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(base))
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"), col("lang"))
+    // the gate trains on the BATCH corpus (the lambda split's slow
+    // path); the stream then ingests that corpus plus re-crawl echoes
+    val gate = CurationStream.trainPerplexityGate(docs)
+    assert(gate.vocab > 0 && gate.tailThresholds.nonEmpty)
+    val echoes = docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"), col("lang"))
+    val ingest = docs.unionAll(echoes)
+      .withColumn("event_ts",
+        expr("timestamp_micros(CAST(1700000000000000 + doc_id * 1000 AS BIGINT))"))
+    ingest.coalesce(2).write.mode("overwrite").parquet(inDir)
+
+    val streamIn = spark.readStream.schema(ingest.schema).parquet(inDir)
+    val q = CurationStream.curateGated(streamIn, gate).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "gated stream did not finish")
+
+    val admitted = spark.read.parquet(outDir).collect()
+    assert(admitted.nonEmpty)
+    // exactly-once per content, unchanged by the gate
+    val byFp = admitted.groupBy(_.getAs[String]("fingerprint"))
+    assert(byFp.forall(_._2.length == 1),
+      s"content admitted twice: ${byFp.filter(_._2.length > 1).keys.take(3)}")
+    // the admitted content set equals the batch form of the SAME gate
+    val expectFps = CurationStream.curateGated(ingest, gate)
+      .select("fingerprint").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(byFp.keySet == expectFps,
+      "streamed gate diverges from its batch form")
+    // and the gate IS the registered ccnet_buckets split: admitted ==
+    // ungated admission minus exactly the batch operator's tail slice
+    // (bit-exact kernel/batch score equivalence on the training corpus)
+    val ungatedFps = CurationStream.curate(ingest)
+      .select("fingerprint").distinct()
+      .collect().map(_.getString(0)).toSet
+    import graft.functions.TextFunctions.normalize
+    val tailFps = operators.LangModel.ccnetBucketsOn(docs)
+      .filter(col("bucket") === "tail")
+      .join(docs, "doc_id")
+      .select(md5(normalize(col("text"))).as("fp"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(expectFps == (ungatedFps diff tailFps),
+      s"gate admission is not 'everything but the ccnet tail': " +
+        s"admitted ${expectFps.size}, ungated ${ungatedFps.size}, tail ${tailFps.size}")
+    // the gate actually rejected something
+    assert(expectFps.size < ungatedFps.size, "no tail content was rejected at ingest")
+  }
 }
