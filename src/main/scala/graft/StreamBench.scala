@@ -100,8 +100,20 @@ object StreamBench {
     val cSec = runStream(streaming.CurationStream.curate(_), cStream,
       s"$base/c_out", s"$base/c_ckpt")
 
+    // gated curation: same ingest through the batch-trained ccnet
+    // gate — the training (the lambda split's slow path) happens
+    // OUTSIDE the timed region, like any shipped model artifact;
+    // the timed delta vs `curation` is the gate's map-side cost
+    val gate = streaming.CurationStream.trainPerplexityGate(
+      Tables(spark, sfDir).documents.select(col("doc_id"), col("text"), col("lang")))
+    val gStream = spark.readStream.schema(curation.schema)
+      .option("maxFilesPerTrigger", FilesPerTrigger).parquet(cIn)
+    val gSec = runStream(streaming.CurationStream.curateGated(_, gate), gStream,
+      s"$base/g_out", s"$base/g_ckpt")
+
     Map("health_alerts" -> PathResult(hRows, hSec),
-      "curation" -> PathResult(cRows, cSec))
+      "curation" -> PathResult(cRows, cSec),
+      "curation_gated" -> PathResult(cRows, gSec))
   }
 
   def main(args: Array[String]): Unit = {

@@ -86,8 +86,18 @@ object LangModel {
   private val scoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def trainAndScore(spark: SparkSession, dir: String): DataFrame =
-    lmPpm(Tables(spark, dir).documents).materialized
+  private def trainAndScore(spark: SparkSession, dir: String): DataFrame = {
+    val bi = bigramInstances(Tables(spark, dir).documents).materialized
+    val scored = lmPpmFromBi(bi).materialized
+    // the bigram-instance blocks (the corpus-sized intermediate, far
+    // larger than the per-doc scores) are dead once the artifact is
+    // materialized: release them NOW instead of at the async
+    // ContextCleaner's leisure — measured at the R=20 scale point,
+    // leaving them to GC made back-to-back trains degrade 11 → 26 s
+    // as dead blocks accumulated faster than collection
+    bi.unpersist()
+    scored
+  }
 
   private def scoredArtifact(spark: SparkSession, dir: String): DataFrame =
     scoreCache.compute(dir, (_, cached) =>
@@ -155,6 +165,7 @@ object LangModel {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val vRow = bi.agg(countDistinct(col("w2"))).collect()
     val vocab = if (vRow.isEmpty || vRow(0).isNullAt(0)) 0L else vRow(0).getLong(0)
+    bi.unpersist() // all consumers collected — release the blocks now
     (c2m, c1m, vocab, th)
   }
 

@@ -38,6 +38,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "seq_pack" -> (d => operators.Curation.seqPackOn(d)),
     "sample_mixture" -> (d => operators.Curation.sampleMixtureOn(d)),
     "corpus_stats" -> (d => operators.Curation.corpusStatsOn(d)),
+    "quantile_sketch" -> (d => operators.Curation.quantileCardOn(d)),
     "corpus_shuffle" -> (d => operators.Curation.corpusShuffleOn(d)),
     "freq_words" -> (d => operators.Text.freqWordsOn(d)),
     "inverted_index" -> (d => operators.Text.invertedIndexOn(d)),
@@ -49,6 +50,25 @@ class EmptyCorpusSpec extends AnyFunSuite {
     test(s"$name survives an empty corpus") {
       assert(op(emptyDocs).count() == 0L, s"$name emitted rows from nothing")
     }
+
+  test("a perplexity gate trained on an empty corpus is a pass-through") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val gate = streaming.CurationStream.trainPerplexityGate(
+      emptyDocs.select(col("doc_id"), col("text"), col("lang")))
+    assert(gate.vocab == 0L && gate.tailThresholds.isEmpty && gate.c2.isEmpty)
+    // no model, no thresholds: the gated stream admits exactly what
+    // the ungated one does (what cannot be measured is not dropped)
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"), col("text"), col("lang"))
+      .withColumn("event_ts",
+        expr("timestamp_micros(CAST(1700000000000000 + doc_id AS BIGINT))"))
+    val gated = streaming.CurationStream.curateGated(docs, gate)
+      .select("fingerprint").distinct().collect().map(_.getString(0)).toSet
+    val ungated = streaming.CurationStream.curate(docs)
+      .select("fingerprint").distinct().collect().map(_.getString(0)).toSet
+    assert(gated == ungated)
+  }
 
   private def emptyEmb: DataFrame = {
     import spark.implicits._
