@@ -48,6 +48,35 @@ object CurationStream {
     else scored
   }
 
+  /** Ingest drift monitor: per-(event-time window, language) doc
+    * counts and length-quantile cards over the arriving corpus — the
+    * dataset-card statistics ([[graft.operators.Curation
+    * .quantileCardOn]]) computed LIVE, so a crawl whose p99 document
+    * length suddenly doubles (boilerplate regression, markup leak)
+    * shows up within a window instead of at the next batch re-card.
+    * The quantile column is the mergeable log-histogram sketch
+    * ([[graft.functions.QuantileSketchAgg]]): its kilobyte buffers
+    * are what the streaming STATE STORE holds per (window, lang) and
+    * merges across micro-batches — a per-group sort would be
+    * impossible in a stream, which is exactly why the sketch family
+    * exists. Works unchanged on a batch frame (the spec's
+    * equivalence oracle).
+    */
+  def ingestCard(docs: DataFrame, windowLen: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.QuantileSketchAgg.quantileSketch
+    val base =
+      if (docs.isStreaming) docs.withWatermark("event_ts", watermark) else docs
+    base
+      .groupBy(window(col("event_ts"), windowLen).as("win"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        quantileSketch(length(col("text")).cast("long"), Seq(50, 90, 99)).as("qs"))
+      .select(col("win.start").as("win_start"), col("lang"), col("n_docs"),
+        col("qs").getItem(0).as("len_p50"),
+        col("qs").getItem(1).as("len_p90"),
+        col("qs").getItem(2).as("len_p99"))
+  }
+
   /** Batch-trained perplexity-admission artifacts for
     * [[curateGated]]: the raw bigram model (c2/c1/V) the map-side
     * scorer needs, and the per-language CCNet tail thresholds. Train

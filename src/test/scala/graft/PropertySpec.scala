@@ -130,6 +130,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("quantile lattice: floor, error bound, monotone, fixed points on random longs") {
+    import graft.functions.QuantileSketchAgg.{bucketOf, repOf}
+    val valGen = Gen.oneOf(
+      Gen.chooseNum(0L, 2048L),                       // exact + first blocks
+      Gen.chooseNum(0L, Long.MaxValue),               // full range
+      Gen.chooseNum(Long.MinValue, 0L),               // clamp domain
+      Gen.choose(0, 62).map(1L << _),                 // exact powers
+      Gen.choose(0, 62).map(e => (1L << e) - 1))      // power boundaries
+    val vals = Gen.listOfN(2000, valGen).sample.getOrElse(List(0L, 1L, Long.MaxValue))
+    vals.foreach { v =>
+      val x = math.max(v, 0L)
+      val idx = bucketOf(v)
+      val rep = repOf(idx)
+      assert(rep <= x && (x - rep) <= math.max(rep / 32, 0), s"error bound broken at $v")
+      assert(bucketOf(rep) == idx, s"rep not a fixed point at $v")
+      if (x > 0) assert(bucketOf(x - 1) <= idx, s"non-monotone at $v")
+      if (x < Long.MaxValue) assert(bucketOf(x + 1) >= idx, s"non-monotone above $v")
+    }
+    // sorted-by-index == sorted-by-representative (order statistics
+    // on the lattice are order statistics on values)
+    val idxSorted = vals.map(v => bucketOf(v)).sorted.map(repOf)
+    assert(idxSorted == idxSorted.sorted)
+  }
+
   test("BPE merge pass: conserves content, merges are irreversible-prefix-safe") {
     import graft.functions.BpeFunctions.mergeOnce
     val symGen = Gen.oneOf("a", "b", "c", "ab", "bc")

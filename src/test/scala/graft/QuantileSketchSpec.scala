@@ -126,6 +126,43 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(rows("zero") && !rows("one") && !rows("tied"))
   }
 
+  test("sketch buffers merge through the streaming state store across micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = "target/tmp/quantilestream"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(base))
+    // 4 event-time windows × langs, arrival split into 4 files → 4
+    // micro-batches with maxFilesPerTrigger=1: most (window, lang)
+    // groups receive rows in SEVERAL batches, so their sketch
+    // buffers round-trip the state store and merge incrementally
+    val ingest = docs(2000, 4)
+      .withColumn("text", expr("repeat('x', CAST(len AS INT))"))
+      .withColumn("event_ts",
+        expr("timestamp_micros(CAST(1700000000000000 + (doc_id % 4) * 60000000 + doc_id AS BIGINT))"))
+      .select("doc_id", "lang", "text", "event_ts")
+    val inDir = s"$base/in"
+    ingest.repartition(4).write.mode("overwrite").parquet(inDir)
+    val streamIn = spark.readStream.schema(ingest.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = streaming.CurationStream.ingestCard(streamIn).writeStream
+      .format("memory").queryName("qs_cards")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "card stream did not finish")
+    val got = spark.table("qs_cards").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(t => (t._1.getTime, t._2))
+    val expected = streaming.CurationStream
+      .ingestCard(spark.read.parquet(inDir)).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(t => (t._1.getTime, t._2))
+    assert(got.nonEmpty && got.sameElements(expected),
+      s"streamed cards (${got.length}) diverge from batch cards (${expected.length})")
+  }
+
   test("registered card: aggregate-shaped plan, never a corpus sort/window") {
     val d = docs(1000, 4)
       .withColumn("text", expr("repeat('x', CAST(len AS INT))"))
