@@ -123,7 +123,10 @@ object SparkEntry {
     "q29_zorder"        -> (Layout.q29 _),
     "q39_cube"          -> (Relational.q39 _),
     "q40_lateral"       -> (Relational.q40 _),
-    "inverted_index"    -> (Text.invertedIndex _)
+    "inverted_index"    -> (Text.invertedIndex _),
+    "gopher_quality"    -> (Text.gopherQuality _),
+    "cms_words"         -> (Text.cmsWords _),
+    "domain_stats"      -> (Text.domainStats _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -2056,6 +2059,122 @@ object SparkEntry {
         |  UNION ALL SELECT c FROM t) x
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // same thresholds injected from the Scala constants; lateral
+    // alias references avoided (flags recomputed in the outer CTE)
+    "gopher_quality" -> {
+      import operators.Text._
+      val en = profiles.head._2
+      val stopArr = en.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        |f AS (SELECT doc_id, w, list_distinct(w) AS wd,
+        |    CAST(len(w) AS BIGINT) AS n_words FROM e),
+        |g AS (SELECT doc_id, n_words,
+        |    ROUND(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+        |      / n_words + 1e-9, 4) AS mean_word_len,
+        |    ROUND(CAST(list_max(list_transform(wd,
+        |        x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
+        |      / n_words + 1e-9, 4) AS top_word_frac,
+        |    CAST(len(list_filter(wd, x -> list_contains($stopArr, x))) AS BIGINT)
+        |      AS n_stop_distinct,
+        |    ROUND(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |        AS DOUBLE) / n_words + 1e-9, 4) AS alpha_frac
+        |  FROM f),
+        |r AS (SELECT *,
+        |    CAST(n_words >= $GopherMinWords AND n_words <= $GopherMaxWords AS BIGINT) AS r_words,
+        |    CAST(mean_word_len >= $GopherMinWordLen AND mean_word_len <= $GopherMaxWordLen AS BIGINT) AS r_wordlen,
+        |    CAST(top_word_frac <= $GopherMaxTopFrac AS BIGINT) AS r_rep,
+        |    CAST(n_stop_distinct >= $GopherMinStopHits AS BIGINT) AS r_stop,
+        |    CAST(alpha_frac >= $GopherMinAlphaFrac AS BIGINT) AS r_alpha
+        |  FROM g)
+        |SELECT doc_id, n_words, mean_word_len, top_word_frac, n_stop_distinct,
+        |  alpha_frac, r_words, r_wordlen, r_rep, r_stop, r_alpha,
+        |  r_words * r_wordlen * r_rep * r_stop * r_alpha AS keep
+        |FROM r
+        |ORDER BY doc_id""".stripMargin
+    },
+
+    // identical md5-lattice hash per (depth, word); cells and probes
+    // recomputed relationally — CMS is purely relational
+    "cms_words" -> {
+      import operators.Text._
+      s"""WITH t AS (SELECT unnest($wordsSql) AS w FROM documents),
+        |tw AS (SELECT w FROM t WHERE length(w) > 0),
+        |dep AS (SELECT unnest(range(0, $CmsDepth)) AS d),
+        |cells AS (
+        |  SELECT d, ${hash60Sql("CAST(d AS VARCHAR) || '|' || w")} % $CmsWidth AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS cell
+        |  FROM tw CROSS JOIN dep GROUP BY 1, 2),
+        |top AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_count FROM tw
+        |  GROUP BY 1 ORDER BY exact_count DESC, w LIMIT $CmsTopK),
+        |probes AS (
+        |  SELECT top.w, top.exact_count, dep.d,
+        |    ${hash60Sql("CAST(dep.d AS VARCHAR) || '|' || top.w")} % $CmsWidth AS b
+        |  FROM top CROSS JOIN dep)
+        |SELECT p.w AS term, p.exact_count, MIN(c.cell) AS cms_est,
+        |  MIN(c.cell) - p.exact_count AS overcount
+        |FROM probes p JOIN cells c ON c.d = p.d AND c.b = p.b
+        |GROUP BY 1, 2
+        |ORDER BY exact_count DESC, term""".stripMargin
+    },
+
+    // url_normalize's fixture + rewrite chain, quality_score's score
+    // lattice, aggregated per host (scores sum as 1e-4-lattice longs)
+    "domain_stats" ->
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTP://Www.' || source || '.EXAMPLE.com:80'
+        |          ELSE 'HTTPS://WWW.' || source || '.Example.COM:443' END)
+        |    || '/News/Item-' || CAST(doc_id % 13 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        |    || '?id=' || CAST(doc_id % 13 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 <> 0 THEN '&utm_source=rss&fbclid=x1Y2' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END) AS url
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    regexp_extract(regexp_replace(url, '#.*$$', '', 'g'), '^[A-Za-z]+://[^/?#]*') AS pre,
+        |    substr(regexp_replace(url, '#.*$$', '', 'g'),
+        |      length(regexp_extract(regexp_replace(url, '#.*$$', '', 'g'), '^[A-Za-z]+://[^/?#]*')) + 1) AS rest
+        |  FROM u),
+        |n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      CASE WHEN lower(pre) LIKE 'http://%' THEN regexp_replace(lower(pre), ':80$$', '', 'g')
+        |           ELSE regexp_replace(lower(pre), ':443$$', '', 'g') END,
+        |      '://www\\.', '://', 'g') ||
+        |    regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(rest,
+        |        '&(utm_[a-z]+|fbclid)=[^&]*', '', 'g'),
+        |        '\\?(utm_[a-z]+|fbclid)=[^&]*&', '?', 'g'),
+        |        '\\?(utm_[a-z]+|fbclid)=[^&]*$$', '', 'g'),
+        |      '/\\?', '?', 'g'), '/$$', '', 'g') AS url_norm
+        |  FROM q),
+        |e2 AS (SELECT doc_id, $wordsSql AS w,
+        |    CAST(len($wordsSql) AS BIGINT) AS n_words FROM documents),
+        |f2 AS (SELECT doc_id, n_words,
+        |    ROUND(CAST(${hitsSql(profiles.head._2)} AS DOUBLE) / n_words + 1e-9, 4) AS stopword_ratio
+        |  FROM e2),
+        |g2 AS (SELECT doc_id, n_words,
+        |    ROUND(least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 +
+        |          least(1.0, stopword_ratio * 5.0) * 0.5 + 1e-9, 4) AS score
+        |  FROM f2),
+        |j AS (SELECT doc_id, url_norm,
+        |    CAST(doc_id = MIN(doc_id) OVER (PARTITION BY url_norm) AS BIGINT) AS is_canonical
+        |  FROM n),
+        |h AS (SELECT regexp_extract(j.url_norm, '^[a-z]+://([^/:?#]+)', 1) AS host,
+        |    j.url_norm, j.is_canonical, g2.n_words,
+        |    CAST(ROUND(g2.score * 10000, 0) AS BIGINT) AS s4
+        |  FROM j JOIN g2 ON j.doc_id = g2.doc_id)
+        |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT url_norm) AS BIGINT) AS n_urls,
+        |  CAST(SUM(is_canonical) AS BIGINT) AS n_canonical,
+        |  ROUND(1.0 - CAST(SUM(is_canonical) AS DOUBLE) / COUNT(*) + 1e-9, 4) AS dup_rate,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |  ROUND(CAST(SUM(s4) AS DOUBLE) / 10000.0 / COUNT(*) + 1e-9, 4) AS avg_score
+        |FROM h GROUP BY host
+        |ORDER BY host""".stripMargin,
 
     // same spread constants, same fold order as Layout.SpreadSteps
     "q29_zorder" -> {

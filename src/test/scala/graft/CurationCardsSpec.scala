@@ -1,0 +1,166 @@
+package graft
+
+import graft.operators.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The three curation-card operators added in round 7's second wave:
+  * gopher_quality (rule-based admission gate), cms_words (Count-Min
+  * point-frequency sketch vs exact counts), domain_stats (per-host
+  * curation card). Each is checked against an independent
+  * recomputation, its structural invariants, and — for the sketch —
+  * partitioning invariance and the CMS overcount guarantee.
+  */
+class CurationCardsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- gopher_quality ----
+
+  test("gopher flags are the thresholds applied to the features, keep is their conjunction") {
+    val rows = Text.gopherQuality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nWords = r.getAs[Long]("n_words")
+      val mwl = r.getAs[Double]("mean_word_len")
+      val topFrac = r.getAs[Double]("top_word_frac")
+      val nStop = r.getAs[Long]("n_stop_distinct")
+      val alpha = r.getAs[Double]("alpha_frac")
+      assert(r.getAs[Long]("r_words") ==
+        (if (nWords >= Text.GopherMinWords && nWords <= Text.GopherMaxWords) 1L else 0L))
+      assert(r.getAs[Long]("r_wordlen") ==
+        (if (mwl >= Text.GopherMinWordLen && mwl <= Text.GopherMaxWordLen) 1L else 0L))
+      assert(r.getAs[Long]("r_rep") == (if (topFrac <= Text.GopherMaxTopFrac) 1L else 0L))
+      assert(r.getAs[Long]("r_stop") == (if (nStop >= Text.GopherMinStopHits) 1L else 0L))
+      assert(r.getAs[Long]("r_alpha") == (if (alpha >= Text.GopherMinAlphaFrac) 1L else 0L))
+      val flags = Seq("r_words", "r_wordlen", "r_rep", "r_stop", "r_alpha")
+        .map(r.getAs[Long])
+      assert(r.getAs[Long]("keep") == flags.product)
+    }
+    // the corpus must actually exercise the gate both ways
+    assert(rows.exists(_.getAs[Long]("keep") == 1L))
+    assert(rows.exists(_.getAs[Long]("keep") == 0L))
+  }
+
+  test("gopher features match a scalar recomputation from the raw text") {
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents
+    val raw = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val en = graft.functions.TextFunctions.stopwordProfiles.head._2.toSet
+    Text.gopherQuality(spark, sf).collect().foreach { r =>
+      val w = raw(r.getAs[Long]("doc_id")).toLowerCase
+        .replaceAll("\\s+", " ").trim.split(" ", -1)
+      assert(r.getAs[Long]("n_words") == w.length.toLong)
+      def lat(x: Double) = math.rint((x + 1e-9) * 1e4) / 1e4
+      assert(r.getAs[Double]("mean_word_len") ==
+        lat(w.map(_.length.toLong).sum.toDouble / w.length))
+      assert(r.getAs[Double]("top_word_frac") ==
+        lat(w.groupBy(identity).values.map(_.size).max.toDouble / w.length))
+      assert(r.getAs[Long]("n_stop_distinct") == w.distinct.count(en).toLong)
+    }
+  }
+
+  test("gopher rejects each synthetic pathology on the right rule") {
+    import spark.implicits._
+    val bad = Seq(
+      (1L, "too short a doc of the kind"),                        // < MinWords
+      (2L, Seq.fill(40)("the the spam spam spam").mkString(" ")), // repetition
+      (3L, Seq.fill(8)("alpha beta gamma delta").mkString(" ")))  // no stopwords
+      .toDF("doc_id", "text")
+    val out = Text.gopherQualityOn(bad).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("r_words") == 0L)
+    assert(out(2L).getAs[Long]("r_rep") == 0L)
+    assert(out(3L).getAs[Long]("r_stop") == 0L)
+    assert(out.values.forall(_.getAs[Long]("keep") == 0L))
+  }
+
+  test("gopher plan is map-only: the output sort is its single exchange") {
+    val plan = Text.gopherQuality(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected map-only + sort, got:\n$plan")
+  }
+
+  // ---- cms_words ----
+
+  test("cms estimates dominate exact counts (the one-sided CMS guarantee)") {
+    val rows = Text.cmsWords(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= Text.CmsTopK)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_count"))
+      assert(r.getAs[Long]("overcount") ==
+        r.getAs[Long]("cms_est") - r.getAs[Long]("exact_count"))
+    }
+    // depth 4 x width 512 over a 31-word vocabulary: collisions are
+    // possible per row but the aggregate overcount must stay small
+    val n = rows.map(_.getAs[Long]("exact_count")).sum
+    val over = rows.map(_.getAs[Long]("overcount")).sum
+    assert(over <= n / 64, s"aggregate overcount $over too large for n=$n")
+  }
+
+  test("cms is partitioning-invariant (mergeable cell sums)") {
+    val docs = Tables(spark, sf).documents
+    val a = Text.cmsWordsOn(docs.repartition(1)).collect().toSeq
+    val b = Text.cmsWordsOn(docs.repartition(13)).collect().toSeq
+    assert(a == b)
+  }
+
+  test("cms is exact when the sketch is collision-free") {
+    import spark.implicits._
+    // 4 distinct words in 512 buckets: astronomically unlikely to
+    // collide in ALL 4 depths; min over depths is then exact
+    val tiny = Seq((1L, "alpha beta alpha"), (2L, "gamma delta alpha beta"))
+      .toDF("doc_id", "text")
+    Text.cmsWordsOn(tiny).collect().foreach { r =>
+      assert(r.getAs[Long]("overcount") == 0L,
+        s"unexpected collision for ${r.getAs[String]("term")}")
+    }
+  }
+
+  // ---- domain_stats ----
+
+  test("domain card matches the url_normalize x quality_score recomputation") {
+    val urls = Text.urlNormalize(spark, sf)
+      .select(col("doc_id"), col("url_norm"), col("is_canonical"))
+    val scored = Text.qualityScore(spark, sf)
+      .select(col("doc_id"), col("n_words"), col("score"))
+    val expect = urls.join(scored, "doc_id")
+      .withColumn("host", regexp_extract(col("url_norm"), "^[a-z]+://([^/:?#]+)", 1))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url_norm")).as("n_urls"),
+        sum(col("is_canonical")).as("n_canonical"),
+        sum(col("n_words")).as("total_words"),
+        sum(round(col("score") * 10000).cast("long")).as("s4"))
+      .collect().map(r => r.getAs[String]("host") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_urls"),
+          r.getAs[Long]("n_canonical"), r.getAs[Long]("total_words"))).toMap
+    val got = Text.domainStats(spark, sf).collect()
+    assert(got.map(_.getAs[String]("host")).toSet == expect.keySet)
+    got.foreach { r =>
+      val (nd, nu, nc, tw) = expect(r.getAs[String]("host"))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("n_urls") == nu)
+      assert(r.getAs[Long]("n_canonical") == nc)
+      assert(r.getAs[Long]("total_words") == tw)
+      val dup = r.getAs[Double]("dup_rate")
+      assert(dup >= 0.0 && dup <= 1.0)
+      assert(math.abs(dup - (1.0 - nc.toDouble / nd)) < 1e-6)
+    }
+  }
+
+  test("domain card invariants: canonical count is the distinct-URL count, totals add up") {
+    val got = Text.domainStats(spark, sf).collect()
+    // every url_norm group lives inside one host, so the per-host
+    // keeper count IS the per-host distinct-URL count
+    got.foreach(r =>
+      assert(r.getAs[Long]("n_canonical") == r.getAs[Long]("n_urls")))
+    val nDocs = Tables(spark, sf).documents.count()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    got.foreach { r =>
+      val s = r.getAs[Double]("avg_score")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+}
