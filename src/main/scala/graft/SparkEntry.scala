@@ -126,7 +126,8 @@ object SparkEntry {
     "inverted_index"    -> (Text.invertedIndex _),
     "gopher_quality"    -> (Text.gopherQuality _),
     "cms_words"         -> (Text.cmsWords _),
-    "domain_stats"      -> (Text.domainStats _)
+    "domain_stats"      -> (Text.domainStats _),
+    "bloom_decontaminate" -> (Text.bloomDecontaminate _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -1133,6 +1134,36 @@ object SparkEntry {
         |  CAST(COALESCE(dov.n_overlap, 0) * 4 >= dsz.n_shingles AS BIGINT) AS contaminated
         |FROM dsz LEFT JOIN dov ON dsz.doc_id = dov.doc_id
         |ORDER BY dsz.doc_id""".stripMargin,
+
+    // Bloom filter rebuilt relationally: same md5-lattice probe
+    // positions, distinct position set, all-k-bits membership
+    "bloom_decontaminate" -> {
+      import operators.Text.{BloomBits, BloomK}
+      val probeHash = hash60Sql("CAST(i AS VARCHAR) || '|' || shingle")
+      s"""WITH $ngramCtes,
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 3),
+        |ks AS (SELECT unnest(range(0, $BloomK)) AS i),
+        |ep AS (SELECT DISTINCT $probeHash % $BloomBits AS p FROM ev CROSS JOIN ks),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 <> 3),
+        |dsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM tr GROUP BY 1),
+        |pb AS (SELECT doc_id, shingle, $probeHash % $BloomBits AS p
+        |  FROM tr CROSS JOIN ks),
+        |bh AS (SELECT doc_id, shingle FROM pb JOIN ep USING (p)
+        |  GROUP BY 1, 2 HAVING COUNT(*) = $BloomK),
+        |bl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits FROM bh GROUP BY 1),
+        |dov AS (SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |  FROM tr JOIN ev ON tr.shingle = ev.shingle GROUP BY 1)
+        |SELECT dsz.doc_id, dsz.n_shingles,
+        |  CAST(COALESCE(bl.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+        |  CAST(COALESCE(dov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(COALESCE(bl.n_bloom_hits, 0) - COALESCE(dov.n_overlap, 0) AS BIGINT) AS n_false_pos,
+        |  CAST(COALESCE(bl.n_bloom_hits, 0) * 4 >= dsz.n_shingles AS BIGINT) AS bloom_contaminated,
+        |  CAST(COALESCE(dov.n_overlap, 0) * 4 >= dsz.n_shingles AS BIGINT) AS contaminated
+        |FROM dsz
+        |LEFT JOIN bl ON dsz.doc_id = bl.doc_id
+        |LEFT JOIN dov ON dsz.doc_id = dov.doc_id
+        |ORDER BY dsz.doc_id""".stripMargin
+    },
 
     "rep_stats" ->
       s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),

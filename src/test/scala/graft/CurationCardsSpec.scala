@@ -118,6 +118,58 @@ class CurationCardsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- bloom_decontaminate ----
+
+  test("bloom dominates the exact overlap one-sidedly; flags are monotone") {
+    val rows = Text.bloomDecontaminate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bloom_hits") >= r.getAs[Long]("n_overlap"))
+      assert(r.getAs[Long]("n_false_pos") ==
+        r.getAs[Long]("n_bloom_hits") - r.getAs[Long]("n_overlap"))
+      // never a false negative: exact-contaminated implies bloom-contaminated
+      if (r.getAs[Long]("contaminated") == 1L)
+        assert(r.getAs[Long]("bloom_contaminated") == 1L)
+    }
+    // the fixture slice must actually contaminate some docs
+    assert(rows.exists(_.getAs[Long]("contaminated") == 1L))
+  }
+
+  test("bloom false-positive rate stays under the geometry's bound") {
+    val rows = Text.bloomDecontaminate(spark, sf).collect()
+    val clean = rows.map(r =>
+      r.getAs[Long]("n_shingles") - r.getAs[Long]("n_overlap")).sum
+    val fps = rows.map(_.getAs[Long]("n_false_pos")).sum
+    // density ~0.1-0.35 at these corpus sizes -> density^3 well < 5%
+    assert(fps.toDouble / clean <= 0.05, s"fp rate ${fps.toDouble / clean}")
+  }
+
+  test("bloom tests bits MAP-SIDE on the literal bitmap (getbit in the plan, no probe join)") {
+    val qe = Text.bloomDecontaminate(spark, sf).queryExecution
+    val optimized = qe.optimizedPlan.toString.toLowerCase
+    assert(optimized.contains("getbit") || optimized.contains("bit_get"),
+      s"expected a literal-bitmap bit test:\n$optimized")
+    // joins in the plan: the exact-overlap verification branch and
+    // the final doc_id stitch — nothing joins the bloom probes
+    val joins = "Join".r.findAllIn(qe.optimizedPlan.toString).size
+    assert(joins <= 2, s"unexpected extra join:\n${qe.optimizedPlan}")
+  }
+
+  test("bloom with an empty eval slice: zero hits, zero flags, no failure") {
+    import spark.implicits._
+    // doc_ids chosen so none satisfy id % 17 == 3
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val out = Text.bloomDecontaminateOn(
+      graft.operators.Text.shingleSetOf(docs)).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_bloom_hits") == 0L)
+      assert(r.getAs[Long]("n_overlap") == 0L)
+      assert(r.getAs[Long]("bloom_contaminated") == 0L)
+    }
+  }
+
   // ---- domain_stats ----
 
   test("domain card matches the url_normalize x quality_score recomputation") {
