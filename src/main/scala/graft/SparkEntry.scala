@@ -127,7 +127,9 @@ object SparkEntry {
     "gopher_quality"    -> (Text.gopherQuality _),
     "cms_words"         -> (Text.cmsWords _),
     "domain_stats"      -> (Text.domainStats _),
-    "bloom_decontaminate" -> (Text.bloomDecontaminate _)
+    "bloom_decontaminate" -> (Text.bloomDecontaminate _),
+    "domain_topk"       -> (Text.domainTopk _),
+    "sample_weighted"   -> (Curation.sampleWeighted _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -2206,6 +2208,58 @@ object SparkEntry {
         |  ROUND(CAST(SUM(s4) AS DOUBLE) / 10000.0 / COUNT(*) + 1e-9, 4) AS avg_score
         |FROM h GROUP BY host
         |ORDER BY host""".stripMargin,
+
+    // same url fixture + score lattice as domain_stats; the window
+    // formulation is the oracle for the TopKPerKey physical operator
+    "domain_topk" ->
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTP://Www.' || source || '.EXAMPLE.com:80'
+        |          ELSE 'HTTPS://WWW.' || source || '.Example.COM:443' END)
+        |    || '/News/Item-' || CAST(doc_id % 13 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        |    || '?id=' || CAST(doc_id % 13 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 <> 0 THEN '&utm_source=rss&fbclid=x1Y2' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END) AS url
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    regexp_extract(regexp_replace(url, '#.*$$', '', 'g'), '^[A-Za-z]+://[^/?#]*') AS pre,
+        |    substr(regexp_replace(url, '#.*$$', '', 'g'),
+        |      length(regexp_extract(regexp_replace(url, '#.*$$', '', 'g'), '^[A-Za-z]+://[^/?#]*')) + 1) AS rest
+        |  FROM u),
+        |n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      CASE WHEN lower(pre) LIKE 'http://%' THEN regexp_replace(lower(pre), ':80$$', '', 'g')
+        |           ELSE regexp_replace(lower(pre), ':443$$', '', 'g') END,
+        |      '://www\\.', '://', 'g') ||
+        |    regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(rest,
+        |        '&(utm_[a-z]+|fbclid)=[^&]*', '', 'g'),
+        |        '\\?(utm_[a-z]+|fbclid)=[^&]*&', '?', 'g'),
+        |        '\\?(utm_[a-z]+|fbclid)=[^&]*$$', '', 'g'),
+        |      '/\\?', '?', 'g'), '/$$', '', 'g') AS url_norm
+        |  FROM q),
+        |e2 AS (SELECT doc_id, $wordsSql AS w,
+        |    CAST(len($wordsSql) AS BIGINT) AS n_words FROM documents),
+        |f2 AS (SELECT doc_id, n_words,
+        |    ROUND(CAST(${hitsSql(profiles.head._2)} AS DOUBLE) / n_words + 1e-9, 4) AS stopword_ratio
+        |  FROM e2),
+        |g2 AS (SELECT doc_id,
+        |    ROUND(least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 +
+        |          least(1.0, stopword_ratio * 5.0) * 0.5 + 1e-9, 4) AS score
+        |  FROM f2),
+        |h AS (SELECT regexp_extract(n.url_norm, '^[a-z]+://([^/:?#]+)', 1) AS host,
+        |    n.doc_id, g2.score
+        |  FROM n JOIN g2 ON n.doc_id = g2.doc_id),
+        |r AS (SELECT host, doc_id, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY host
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS host_rank
+        |  FROM h)
+        |SELECT host, host_rank, doc_id, score FROM r
+        |WHERE host_rank <= ${operators.Text.DomainTopK}
+        |ORDER BY host, host_rank""".stripMargin,
 
     // same spread constants, same fold order as Layout.SpreadSteps
     "q29_zorder" -> {

@@ -401,6 +401,52 @@ object Curation {
       .select(col("lang"), (col("i") + 1).cast("long").as("rank"), col("doc_id"))
       .orderBy(col("lang"), col("rank"))
 
+  /** Weighted-sample size for [[sampleWeighted]], and the weight
+    * floor (a zero weight would make the E-S key infinite).
+    */
+  val WeightedK = 8
+  val WeightFloor = 1e-4
+
+  /** sample_weighted — Efraimidis–Spirakis weighted k-sample per
+    * group through the SAME mergeable bottom-k sketch as
+    * [[sampleReservoir]]: each doc's rank is −ln(u)/w on a 2⁴⁰
+    * integer lattice, where u is an exact-double 53-bit uniform from
+    * the doc's md5 hash and w the quality score — the k smallest
+    * ranks per group are a weighted-without-replacement sample with
+    * inclusion odds proportional to weight (the A-ES result). The
+    * quality-weighted subsampling a curation mix actually ships
+    * (sample MORE from what's good) where [[sampleReservoir]]
+    * samples uniformly.
+    *
+    * Scale shape identical to the uniform sketch: ≤ k rows per group
+    * leave each partition map-side; only kilobyte buffers shuffle.
+    * Deterministic at any parallelism (bottom-k of a pure function
+    * of the row); registered rows-only — the ln() is JVM-float
+    * territory, so exactness lives in the spec's bit-identical
+    * in-JVM recomputation, not a cross-engine hash.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Text.withQualityScore(Tables(spark, dir).documents)
+      .select(col("doc_id"), col("lang"), col("score"))
+    sampleWeightedOn(scored, greatest(col("score"), lit(WeightFloor)))
+  }
+
+  /** The E-S rank of the doc_id column under the given weight. */
+  private[graft] def esRank(weight: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val u = (shiftrightunsigned(hash60(col("doc_id").cast("string")), 7) + 1)
+      .cast("double") / lit(9007199254740992.0) // 2^53: exact-double lattice
+    (-log(u) / weight * lit(1099511627776.0)).cast("long") // 2^40 lattice
+  }
+
+  private[graft] def sampleWeightedOn(
+      docs: DataFrame, weight: org.apache.spark.sql.Column): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(graft.functions.ReservoirAgg.reservoir(
+        esRank(weight), col("doc_id"), WeightedK).as("rs"))
+      .select(col("lang"), posexplode(col("rs")).as(Seq("i", "doc_id")))
+      .select(col("lang"), (col("i") + 1).cast("long").as("rank"), col("doc_id"))
+      .orderBy(col("lang"), col("rank"))
+
   /** corpus_stats — the dataset card: doc / word / char / token-
     * estimate / high-quality counts per language × source with CUBE
     * subtotals ('ALL' rows), in ONE pass over the corpus. The

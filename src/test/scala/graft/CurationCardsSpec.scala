@@ -170,6 +170,75 @@ class CurationCardsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- domain_topk ----
+
+  test("domain_topk equals the window formulation and plans TopKPerKeyExec") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Text.domainTopk(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected the custom operator:\n$plan")
+    val scored = Text.qualityScore(spark, sf).select(col("doc_id"), col("score"))
+    val hosts = Text.urlNormalize(spark, sf)
+      .withColumn("host", regexp_extract(col("url_norm"), "^[a-z]+://([^/:?#]+)", 1))
+      .select(col("doc_id"), col("host"))
+    val expect = hosts.join(scored, "doc_id")
+      .withColumn("host_rank", row_number().over(
+        Window.partitionBy(col("host")).orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("host_rank") <= Text.DomainTopK)
+      .select(col("host"), col("host_rank"), col("doc_id"), col("score"))
+      .orderBy(col("host"), col("host_rank"))
+      .collect().toSeq
+    assert(df.collect().toSeq == expect)
+  }
+
+  // ---- sample_weighted ----
+
+  test("weighted sample equals the exact in-JVM E-S recomputation") {
+    import spark.implicits._
+    def hash60Jvm(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val scores = Text.qualityScore(spark, sf)
+      .select(col("doc_id"), col("score")).as[(Long, Double)].collect().toMap
+    val langs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect()
+    val expected = langs.groupBy(_._2).map { case (lang, ds) =>
+      val ranked = ds.map { case (id, _) =>
+        val u = ((hash60Jvm(id.toString) >>> 7) + 1).toDouble / 9007199254740992.0
+        val w = math.max(scores(id), graft.operators.Curation.WeightFloor)
+        ((-math.log(u) / w * 1099511627776.0).toLong, id)
+      }.sortBy(identity).take(graft.operators.Curation.WeightedK).map(_._2)
+      lang -> ranked.toSeq
+    }
+    val got = graft.operators.Curation.sampleWeighted(spark, sf).collect()
+      .groupBy(_.getAs[String]("lang"))
+      .map { case (l, rs) => l -> rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("doc_id")).toSeq }
+    assert(got == expected)
+  }
+
+  test("weighted sample favors weight: a dominant-weight doc is always included") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val weight = when(col("doc_id") === 7L, lit(1e6)).otherwise(lit(1e-4))
+    val got = graft.operators.Curation.sampleWeightedOn(docs, weight)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(got.contains(7L))
+    assert(got.length == graft.operators.Curation.WeightedK)
+  }
+
+  test("weighted sample is partitioning-invariant") {
+    val docs = Tables(spark, sf).documents
+    def run(parts: Int) = {
+      val scored = graft.operators.Text.withQualityScore(docs.repartition(parts))
+        .select(col("doc_id"), col("lang"), col("score"))
+      graft.operators.Curation.sampleWeightedOn(scored,
+        greatest(col("score"), lit(graft.operators.Curation.WeightFloor))).collect().toSeq
+    }
+    assert(run(1) == run(11))
+  }
+
   // ---- domain_stats ----
 
   test("domain card matches the url_normalize x quality_score recomputation") {
