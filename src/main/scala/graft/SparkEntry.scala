@@ -129,7 +129,8 @@ object SparkEntry {
     "domain_stats"      -> (Text.domainStats _),
     "bloom_decontaminate" -> (Text.bloomDecontaminate _),
     "domain_topk"       -> (Text.domainTopk _),
-    "sample_weighted"   -> (Curation.sampleWeighted _)
+    "sample_weighted"   -> (Curation.sampleWeighted _),
+    "word_pmi"          -> (Text.wordPmi _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -1165,6 +1166,27 @@ object SparkEntry {
         |LEFT JOIN bl ON dsz.doc_id = bl.doc_id
         |LEFT JOIN dov ON dsz.doc_id = dov.doc_id
         |ORDER BY dsz.doc_id""".stripMargin
+    },
+
+    // same positional-marginal lift on DuckDB's HUGEINT; // is
+    // integer division (both engines floor an exact rational)
+    "word_pmi" -> {
+      import operators.Text.{PmiMinCount, PmiTopK}
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        |pr AS (SELECT w[i] AS w1, w[i + 1] AS w2
+        |  FROM d, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |p AS (SELECT w1, w2 FROM pr WHERE length(w1) > 0 AND length(w2) > 0),
+        |pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM p GROUP BY 1, 2),
+        |cf AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_w1_first FROM pc GROUP BY 1),
+        |cs AS (SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS n_w2_second FROM pc GROUP BY 1),
+        |b AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS b_total FROM pc)
+        |SELECT pc.w1, pc.w2, pc.n_pair, cf.n_w1_first, cs.n_w2_second,
+        |  CAST((CAST(pc.n_pair AS HUGEINT) * b.b_total * 1000000)
+        |    // (CAST(cf.n_w1_first AS HUGEINT) * cs.n_w2_second) AS BIGINT) AS lift_ppm
+        |FROM pc JOIN cf USING (w1) JOIN cs USING (w2) CROSS JOIN b
+        |WHERE pc.n_pair >= $PmiMinCount
+        |ORDER BY lift_ppm DESC, w1, w2
+        |LIMIT $PmiTopK""".stripMargin
     },
 
     "rep_stats" ->

@@ -239,6 +239,53 @@ class CurationCardsSpec extends AnyFunSuite {
     assert(run(1) == run(11))
   }
 
+  // ---- word_pmi ----
+
+  test("word_pmi equals the BigInt scalar recomputation") {
+    import spark.implicits._
+    val texts = Tables(spark, sf).documents
+      .select(col("text")).as[String].collect()
+    val pairs = texts.flatMap { t =>
+      val w = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)
+        .filter(_.nonEmpty)
+      w.iterator.zip(w.iterator.drop(1)).toSeq
+    }
+    val pc = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cf = pc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cs = pc.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val b = pc.values.sum
+    val expected = pc.toSeq
+      .filter(_._2 >= Text.PmiMinCount)
+      .map { case ((w1, w2), n) =>
+        val lift = (BigInt(n) * b * 1000000L / (BigInt(cf(w1)) * cs(w2))).toLong
+        (w1, w2, n, cf(w1), cs(w2), lift)
+      }
+      .sortBy { case (w1, w2, _, _, _, lift) => (-lift, w1, w2) }
+      .take(Text.PmiTopK)
+    val got = Text.wordPmi(spark, sf).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+  }
+
+  test("word_pmi surfaces a planted collocation above independent pairs") {
+    import spark.implicits._
+    // 'rare gem' always adjacent; the filler tail mixes its four
+    // words pseudo-deterministically so filler pairs are ~independent
+    val fillers = Vector("alpha", "beta", "gamma", "delta")
+    val docs = (1L to 40L).map { i =>
+      val tail = (0 until 10)
+        .map(j => fillers(((i * 7 + j * 5 + j * j) % 4).toInt)).mkString(" ")
+      (i, s"rare gem $tail")
+    }.toDF("doc_id", "text")
+    val out = Text.wordPmiOn(docs).collect()
+    val top = out.head
+    assert((top.getString(0), top.getString(1)) == ("rare", "gem"))
+    val fillerMax = out.drop(1).map(_.getAs[Long]("lift_ppm")).max
+    assert(top.getAs[Long]("lift_ppm") > 2 * fillerMax,
+      s"planted ${top.getAs[Long]("lift_ppm")} vs filler $fillerMax")
+  }
+
   // ---- domain_stats ----
 
   test("domain card matches the url_normalize x quality_score recomputation") {

@@ -43,7 +43,19 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "freq_words" -> (d => operators.Text.freqWordsOn(d)),
     "inverted_index" -> (d => operators.Text.invertedIndexOn(d)),
     "html_extract" -> (d => operators.Text.htmlExtractOn(d)),
-    "pipeline_e2e" -> (d => operators.Pipeline.pipelineE2eOn(d))
+    "pipeline_e2e" -> (d => operators.Pipeline.pipelineE2eOn(d)),
+    // round-7 wave-2/3 curation cards
+    "gopher_quality" -> (d => operators.Text.gopherQualityOn(d)),
+    "cms_words" -> (d => operators.Text.cmsWordsOn(d)),
+    "domain_stats" -> (d => operators.Text.domainStatsOn(d)),
+    "domain_topk" -> (d => operators.Text.domainTopkOn(d)),
+    "bloom_decontaminate" ->
+      (d => operators.Text.bloomDecontaminateOn(operators.Text.shingleSetOf(d))),
+    "sample_weighted" -> (d => operators.Curation.sampleWeightedOn(
+      d.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang")),
+      org.apache.spark.sql.functions.lit(1.0))),
+    "word_pmi" -> (d => operators.Text.wordPmiOn(d))
   )
 
   for ((name, op) <- ops)

@@ -63,14 +63,17 @@ class QueryPackSpec extends AnyFunSuite {
     // aggregate and the broadcast-V cross join run inside the
     // artifact build and the FINAL plan is a pure artifact scan +
     // output sort
+    // word_pmi joined round 7 wave 4: its 1-row bigram-total B is
+    // the scalar-subquery shape (broadcast cross join + one
+    // single-partition aggregate)
     val bnljOk = Set("ann_pq", "ann_topk", "dedup_embedding",
-      "q20_subquery", "sample_mixture")
+      "q20_subquery", "sample_mixture", "word_pmi")
     // q24_funnel's whole-corpus funnel counts are one global
     // aggregate row, freq_words's final rank runs on one
     // ≤ FreqCapacity sketch row, and sketch_cube's rollup unions
     // ≤ |langs| kilobyte sketches — the scalar class
     val singlePartOk = Set("q20_subquery", "sample_mixture",
-      "q24_funnel", "freq_words", "sketch_cube")
+      "q24_funnel", "freq_words", "sketch_cube", "word_pmi")
     for ((name, fn) <- SparkEntry.queries) {
       spark.catalog.clearCache()
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
