@@ -111,9 +111,18 @@ object StreamBench {
     val gSec = runStream(streaming.CurationStream.curateGated(_, gate), gStream,
       s"$base/g_out", s"$base/g_ckpt")
 
+    // strict curation: the same ingest through the Gopher rule gate
+    // — pure map-side flags, no artifact; the delta vs `curation` is
+    // the per-doc lambda cost of the rules
+    val sStream = spark.readStream.schema(curation.schema)
+      .option("maxFilesPerTrigger", FilesPerTrigger).parquet(cIn)
+    val sSec = runStream(streaming.CurationStream.curateStrict(_), sStream,
+      s"$base/s_out", s"$base/s_ckpt")
+
     Map("health_alerts" -> PathResult(hRows, hSec),
       "curation" -> PathResult(cRows, cSec),
-      "curation_gated" -> PathResult(cRows, gSec))
+      "curation_gated" -> PathResult(cRows, gSec),
+      "curation_strict" -> PathResult(cRows, sSec))
   }
 
   def main(args: Array[String]): Unit = {

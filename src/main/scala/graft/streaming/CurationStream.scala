@@ -48,6 +48,31 @@ object CurationStream {
     else scored
   }
 
+  /** [[curate]] plus the Gopher rule gate AT INGEST: the hard
+    * admission rules ([[graft.operators.Text.withGopherFlags]] — the
+    * batch operator's OWN flag expressions on the quality chain's
+    * existing word array, so the stream cannot drift from the batch
+    * gopher_quality verdicts) applied before the fingerprint dedup.
+    * Everything is map-side column work — no model artifact, no
+    * join, no extra state; rejected content never occupies dedup
+    * state. The per-rule flags ride along in the output so an
+    * ingest dashboard can attribute rejections to rules live.
+    */
+  def curateStrict(docs: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val flagged = graft.operators.Text.withGopherFlags(
+        graft.operators.Text.withQualityScore(docs))
+      .filter(col("score") >= MinQuality && col("keep") === 1)
+      .withColumn("fingerprint", md5(col("norm")))
+      .select(col("doc_id"), col("event_ts"), col("lang"), col("score"),
+        col("r_words"), col("r_wordlen"), col("r_rep"), col("r_stop"),
+        col("r_alpha"), col("fingerprint"))
+    if (docs.isStreaming)
+      flagged
+        .withWatermark("event_ts", watermark)
+        .dropDuplicatesWithinWatermark("fingerprint")
+    else flagged
+  }
+
   /** Ingest drift monitor: per-(event-time window, language) doc
     * counts and length-quantile cards over the arriving corpus — the
     * dataset-card statistics ([[graft.operators.Curation

@@ -142,4 +142,60 @@ class CurationStreamSpec extends AnyFunSuite {
     // the gate actually rejected something
     assert(expectFps.size < ungatedFps.size, "no tail content was rejected at ingest")
   }
+
+  test("gopher-strict ingest rejects rule-failing content at the door, exactly-once unchanged") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = "target/tmp/curationstrict"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(base))
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"), col("lang"))
+    val ingest = docs.withColumn("event_ts",
+      expr("timestamp_micros(CAST(1700000000000000 + doc_id * 1000 AS BIGINT))"))
+    ingest.coalesce(2).write.mode("overwrite").parquet(inDir)
+
+    val streamIn = spark.readStream.schema(ingest.schema).parquet(inDir)
+    val q = CurationStream.curateStrict(streamIn).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "strict stream did not finish")
+
+    val admitted = spark.read.parquet(outDir).collect()
+    assert(admitted.nonEmpty)
+    val byFp = admitted.groupBy(_.getAs[String]("fingerprint"))
+    assert(byFp.forall(_._2.length == 1), "content admitted twice")
+    // admitted rows all carry fully-passing rule flags
+    admitted.foreach { r =>
+      Seq("r_words", "r_wordlen", "r_rep", "r_stop", "r_alpha")
+        .foreach(f => assert(r.getAs[Long](f) == 1L, s"admitted row fails $f"))
+    }
+    // the stream's verdicts ARE the registered batch operator's:
+    // admitted contents == quality-gate ∩ gopher-keep contents
+    import graft.functions.TextFunctions.normalize
+    val gopherKeep = graft.operators.Text
+      .gopherQualityOn(ingest.select(col("doc_id"), col("text")))
+      .filter(col("keep") === 1).select("doc_id")
+    val qualityKeep = graft.operators.Text
+      .qualityScoreOn(ingest.select(col("doc_id"), col("text")))
+      .filter(col("score") >= CurationStream.MinQuality).select("doc_id")
+    val expectFps = ingest
+      .join(gopherKeep, "doc_id").join(qualityKeep, "doc_id")
+      .select(md5(normalize(col("text"))).as("fp"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(byFp.keySet == expectFps,
+      "strict stream diverges from batch gopher_quality ∩ quality_score")
+    // the gopher rules rejected content the quality gate alone passes
+    val qualityOnlyFps = CurationStream.curate(ingest)
+      .select("fingerprint").distinct().collect().map(_.getString(0)).toSet
+    assert(expectFps.size < qualityOnlyFps.size,
+      "gopher gate rejected nothing beyond the quality gate")
+  }
 }
