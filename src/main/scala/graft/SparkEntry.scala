@@ -130,7 +130,8 @@ object SparkEntry {
     "bloom_decontaminate" -> (Text.bloomDecontaminate _),
     "domain_topk"       -> (Text.domainTopk _),
     "sample_weighted"   -> (Curation.sampleWeighted _),
-    "word_pmi"          -> (Text.wordPmi _)
+    "word_pmi"          -> (Text.wordPmi _),
+    "source_overlap"    -> (Curation.sourceOverlap _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -2230,6 +2231,35 @@ object SparkEntry {
         |  ROUND(CAST(SUM(s4) AS DOUBLE) / 10000.0 / COUNT(*) + 1e-9, 4) AS avg_score
         |FROM h GROUP BY host
         |ORDER BY host""".stripMargin,
+
+    // KMV rebuilt relationally: bottom-k distinct fingerprints per
+    // source, k-min-of-union membership count per pair
+    "source_overlap" -> {
+      val k = operators.Curation.KmvK
+      s"""WITH f AS (SELECT DISTINCT source, ${hash60Sql(normSql)} AS fp FROM documents),
+        |sk AS (SELECT source, fp FROM (
+        |    SELECT source, fp,
+        |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY fp) AS r
+        |    FROM f) WHERE r <= $k),
+        |srcs AS (SELECT DISTINCT source FROM sk),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |m AS (SELECT p.src_a, p.src_b, s.fp,
+        |    MAX(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS ina,
+        |    MAX(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS inb
+        |  FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT src_a, src_b, ina, inb,
+        |    ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY fp) AS rr
+        |  FROM m)
+        |SELECT src_a, src_b,
+        |  CAST(LEAST($k, COUNT(*)) AS BIGINT) AS k_used,
+        |  CAST(SUM(CASE WHEN rr <= $k AND ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |  CAST(SUM(CASE WHEN rr <= $k AND ina = 1 AND inb = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // LEAST($k, COUNT(*)) AS BIGINT) AS jaccard_est_ppm
+        |FROM r GROUP BY 1, 2
+        |ORDER BY src_a, src_b""".stripMargin
+    },
 
     // same url fixture + score lattice as domain_stats; the window
     // formulation is the oracle for the TopKPerKey physical operator

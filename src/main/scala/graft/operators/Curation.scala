@@ -447,6 +447,52 @@ object Curation {
       .select(col("lang"), (col("i") + 1).cast("long").as("rank"), col("doc_id"))
       .orderBy(col("lang"), col("rank"))
 
+  /** KMV sketch size for [[sourceOverlap]]. Above the per-source
+    * distinct-content count (25-2500 docs/source at test SFs) the
+    * k-minimum-values sketch never evicts and IS the exact
+    * fingerprint set — which makes the registered query
+    * oracle-checkable; the eviction regime (estimate error
+    * ≤ ~1/√k) is property-tested on an over-capacity synthetic.
+    */
+  val KmvK = 4096
+
+  /** source_overlap — pairwise content overlap BETWEEN sources from
+    * per-source KMV (k-minimum-values) sketches: which crawls/feeds
+    * duplicate each other, the provenance card that decides source
+    * dedup order and mixture double-counting corrections. Per
+    * source, the [[KmvK]] smallest distinct content fingerprints
+    * (the same mergeable bottom-k aggregate as the samplers — the
+    * corpus never shuffles, only kilobyte sketches do); per source
+    * pair, the standard KMV estimator Ĵ = |k-min of union ∩ both| /
+    * k′ on an integer ppm lattice. The pair grid is |sources|²
+    * metadata (the embedding block-grid class, plan-guard
+    * allowlisted); everything pairwise happens on sketch ARRAYS
+    * with higher-order functions — doc-level rows never meet across
+    * sources.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapOn(Tables(spark, dir).documents)
+
+  private[graft] def sourceOverlapOn(docs: DataFrame, k: Int = KmvK): DataFrame = {
+    val fps = docs
+      .select(col("source"), hash60(normalize(col("text"))).as("fp"))
+      .distinct()
+    val sk = fps.groupBy(col("source"))
+      .agg(graft.functions.ReservoirAgg.reservoir(
+        col("fp"), col("fp"), k).as("fps"))
+    val a = sk.select(col("source").as("src_a"), col("fps").as("fa"))
+    val b = sk.select(col("source").as("src_b"), col("fps").as("fb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("src_a") < col("src_b"))
+      .withColumn("u", expr("array_sort(array_union(fa, fb))"))
+      .withColumn("k_used", least(lit(k), size(col("u"))).cast("long"))
+      .withColumn("n_common", expr(
+        s"size(array_intersect(slice(u, 1, $k), array_intersect(fa, fb)))").cast("long"))
+      .select(col("src_a"), col("src_b"), col("k_used"), col("n_common"),
+        expr("CAST(n_common * 1000000 AS BIGINT) div k_used").as("jaccard_est_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** corpus_stats — the dataset card: doc / word / char / token-
     * estimate / high-quality counts per language × source with CUBE
     * subtotals ('ALL' rows), in ONE pass over the corpus. The

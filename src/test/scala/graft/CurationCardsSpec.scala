@@ -286,6 +286,59 @@ class CurationCardsSpec extends AnyFunSuite {
       s"planted ${top.getAs[Long]("lift_ppm")} vs filler $fillerMax")
   }
 
+  // ---- source_overlap ----
+
+  test("source_overlap equals exact pairwise Jaccard when the sketch holds everything") {
+    val fpSets = fingerprintSets(Tables(spark, sf).documents)
+    val got = graft.operators.Curation.sourceOverlap(spark, sf).collect()
+    got.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      val (sa, sb) = (fpSets(a), fpSets(b))
+      val inter = (sa intersect sb).size.toLong
+      val union = (sa union sb).size.toLong
+      assert(r.getAs[Long]("k_used") == union)
+      assert(r.getAs[Long]("n_common") == inter)
+      assert(r.getAs[Long]("jaccard_est_ppm") == inter * 1000000L / union)
+    }
+    // sources pair exhaustively: C(|sources|, 2) rows
+    val n = fpSets.size.toLong
+    assert(got.length.toLong == n * (n - 1) / 2)
+  }
+
+  private def fingerprintSets(docs: org.apache.spark.sql.DataFrame): Map[String, Set[Long]] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.TextFunctions.{hash60, normalize}
+    docs.select(col("source"), hash60(normalize(col("text"))).as("fp"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
+
+  test("source_overlap under eviction: estimate within the KMV error bound") {
+    import spark.implicits._
+    // two sources, 4000 contents each, true overlap 1/3 of the union
+    val shared = (1L to 2000L).map(i => ("both" + i, true))
+    val docs = (shared.map { case (t, _) => ("sA", t) } ++
+      (1L to 2000L).map(i => ("sA", s"onlyA $i")) ++
+      shared.map { case (t, _) => ("sB", t) } ++
+      (1L to 2000L).map(i => ("sB", s"onlyB $i")))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, t, s) }
+      .toDF("doc_id", "text", "source")
+    val k = 256
+    val r = graft.operators.Curation.sourceOverlapOn(docs, k).collect().head
+    val est = r.getAs[Long]("jaccard_est_ppm").toDouble / 1e6
+    val trueJ = 2000.0 / 6000.0
+    // KMV standard error ~ 1/sqrt(k) ≈ 0.0625; allow 4 sigma
+    assert(math.abs(est - trueJ) < 0.25, s"est $est vs $trueJ")
+    assert(r.getAs[Long]("k_used") == k)
+  }
+
+  test("source_overlap is partitioning-invariant") {
+    val docs = Tables(spark, sf).documents
+    def run(p: Int) =
+      graft.operators.Curation.sourceOverlapOn(docs.repartition(p)).collect().toSeq
+    assert(run(1) == run(9))
+  }
+
   // ---- domain_stats ----
 
   test("domain card matches the url_normalize x quality_score recomputation") {

@@ -66,8 +66,10 @@ class QueryPackSpec extends AnyFunSuite {
     // word_pmi joined round 7 wave 4: its 1-row bigram-total B is
     // the scalar-subquery shape (broadcast cross join + one
     // single-partition aggregate)
+    // source_overlap's pair grid is |sources|² rows of kilobyte
+    // sketches (the embedding block-grid class)
     val bnljOk = Set("ann_pq", "ann_topk", "dedup_embedding",
-      "q20_subquery", "sample_mixture", "word_pmi")
+      "q20_subquery", "sample_mixture", "word_pmi", "source_overlap")
     // q24_funnel's whole-corpus funnel counts are one global
     // aggregate row, freq_words's final rank runs on one
     // ≤ FreqCapacity sketch row, and sketch_cube's rollup unions
