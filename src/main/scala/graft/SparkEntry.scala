@@ -131,7 +131,8 @@ object SparkEntry {
     "domain_topk"       -> (Text.domainTopk _),
     "sample_weighted"   -> (Curation.sampleWeighted _),
     "word_pmi"          -> (Text.wordPmi _),
-    "source_overlap"    -> (Curation.sourceOverlap _)
+    "source_overlap"    -> (Curation.sourceOverlap _),
+    "mm_audio_fp"       -> (graft.multimodal.Multimodal.mmAudioFp _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -869,6 +870,32 @@ object SparkEntry {
         |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, ROUND(rawsim, 6) AS sim
         |FROM r WHERE rk <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // same stub-PCM lattice: frame energies via list folds, delta
+    // bits via LEAD, both engines on pure integer arithmetic
+    "mm_audio_fp" -> {
+      import graft.multimodal.Multimodal.{AudioFrame, AudioMinSamples, AudioSamplesMod}
+      s"""WITH d AS (SELECT doc_id, ${hash60Sql(normSql)} AS fp60 FROM documents),
+        |p AS (SELECT doc_id, fp60,
+        |    fp60 % $AudioSamplesMod + $AudioMinSamples AS n_samples,
+        |    (fp60 % $AudioSamplesMod + $AudioMinSamples) // $AudioFrame AS n_frames
+        |  FROM d),
+        |e AS (SELECT doc_id, n_samples, n_frames, t.f AS f,
+        |    list_sum(list_transform(
+        |      range(t.f * $AudioFrame, t.f * $AudioFrame + $AudioFrame),
+        |      x -> ABS((fp60 + 37 * x + (x * x) % 97) % 65536 - 32768))) AS en
+        |  FROM p, unnest(range(0, n_frames)) AS t(f)),
+        |w AS (SELECT doc_id, n_samples, n_frames, f, en,
+        |    LEAD(en) OVER (PARTITION BY doc_id ORDER BY f) AS en_next
+        |  FROM e)
+        |SELECT doc_id, CAST(MAX(n_samples) AS BIGINT) AS n_samples,
+        |  CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+        |  CAST(SUM(CASE WHEN en_next IS NOT NULL AND en_next > en
+        |    THEN (CAST(1 AS BIGINT) << CAST(f AS INT)) ELSE 0 END) AS BIGINT) AS afp,
+        |  CAST(SUM((f + 1) * en) AS BIGINT) AS energy_checksum
+        |FROM w GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    },
 
     "mm_meta" ->
       s"""SELECT doc_id,

@@ -325,4 +325,84 @@ object Multimodal {
       s"list_sum(list_transform(range($y0, $y1e), y -> (fp60 + 31 * x + 17 * y) % 256))))"
     s"($sum // (($x1e - $x0) * ($y1e - $y0)))"
   }
+
+  /** mm_audio_fp geometry: hash-derived sample count (512-1535 16-bit
+    * samples — short clips on the stub lattice), 64-sample frames
+    * (8-23 full frames; the tail partial frame is dropped, both
+    * engines alike). The fingerprint is the energy-DELTA sign bit per
+    * frame boundary (the Shazam/Chromaprint family's core idea on
+    * the simplest feature): robust to gain because a monotone
+    * per-sample transform preserves energy ordering.
+    */
+  val AudioFrame = 64L
+  val AudioMinSamples = 512L
+  val AudioSamplesMod = 1024L
+
+  /** The stub PCM function: sample(t) = (fp60 + 37t + t² mod 97)
+    * mod 65536 − 32768 — deterministic fake 16-bit audio a real
+    * decoder would replace (the quadratic term keeps frame energies
+    * from collapsing to a linear ramp). Single source of truth for
+    * the engine and oracle fragments.
+    */
+  private def pcmExpr(t: String): String =
+    s"(pmod(fp60 + 37 * $t + pmod($t * $t, 97), 65536) - 32768)"
+
+  /** mm_audio_fp — audio fingerprinting on the stub PCM: per doc,
+    * frame energies (Σ|sample| per 64-sample frame), a packed
+    * energy-delta sign fingerprint (bit f set iff E_{f+1} > E_f —
+    * ≤ 22 bits, BIGINT-safe), and a position-weighted energy
+    * checksum so the oracle verifies every frame energy, not just
+    * the signs. Completes the modality cards next to [[mmResize]] /
+    * [[mmPhash]] (image) and [[mmFrames]] (video): a real
+    * deployment swaps [[pcmExpr]] for decoded PCM — framing, energy
+    * folds, bit packing and the map-side shape ship unchanged.
+    *
+    * Scale shape: one map-side pass, zero shuffles except the
+    * output sort; all arithmetic on the integer lattice, so the
+    * oracle reproduces the fingerprints bit-for-bit.
+    */
+  def mmAudioFp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AudioFpKernel
+    // the kernel mirrors the geometry constants; a drifted edit here
+    // must fail loudly, not produce a subtly different lattice
+    require(AudioFpKernel.Frame == AudioFrame &&
+      AudioFpKernel.MinSamples == AudioMinSamples &&
+      AudioFpKernel.SamplesMod == AudioSamplesMod)
+    val docs = Tables(spark, dir).documents
+    docs
+      .withColumn("fp60", hash60(normalize(col("text"))))
+      .withColumn("a", AudioFpKernel.audioFpKernel(col("fp60")))
+      .select(col("doc_id"), col("a.n_samples").as("n_samples"),
+        col("a.n_frames").as("n_frames"), col("a.afp").as("afp"),
+        col("a.energy_checksum").as("energy_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The SQL higher-order form of the audio fingerprint — retained
+    * as the in-engine reference for the kernel's row-for-row
+    * equivalence spec (and as documentation of the folds the kernel
+    * hand-loops).
+    */
+  private[graft] def mmAudioFpSql(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    docs
+      .withColumn("fp60", hash60(normalize(col("text"))))
+      .withColumn("n_samples", col("fp60") % AudioSamplesMod + AudioMinSamples)
+      .withColumn("n_frames", expr(s"n_samples div $AudioFrame"))
+      .withColumn("en", expr(
+        s"""transform(sequence(0L, n_frames - 1), f ->
+           |  aggregate(sequence(f * $AudioFrame, f * $AudioFrame + ${AudioFrame - 1}),
+           |    0L, (a, t) -> a + abs(${pcmExpr("t")})))""".stripMargin))
+      .withColumn("afp", expr(
+        """aggregate(sequence(0L, n_frames - 2), 0L, (a, f) ->
+          |  a + CASE WHEN element_at(en, CAST(f AS INT) + 2) >
+          |                element_at(en, CAST(f AS INT) + 1)
+          |           THEN shiftleft(1L, CAST(f AS INT)) ELSE 0L END)""".stripMargin))
+      .withColumn("energy_checksum", expr(
+        """aggregate(sequence(0L, n_frames - 1), 0L, (a, f) ->
+          |  a + (f + 1) * element_at(en, CAST(f AS INT) + 1))""".stripMargin))
+      .select(col("doc_id"), col("n_samples"), col("n_frames"),
+        col("afp"), col("energy_checksum"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -104,4 +104,50 @@ class IngestOpsSpec extends AnyFunSuite {
       assert(g.forall(_.getAs[Long]("frame_ts_ms") >= 0))
     }
   }
+
+  /** Plain-Scala mirror of the stub PCM + energy-delta fingerprint. */
+  private def refAudioFp(fp60: Long): (Long, Long, Long, Long) = {
+    val nSamples = fp60 % Multimodal.AudioSamplesMod + Multimodal.AudioMinSamples
+    val nFrames = nSamples / Multimodal.AudioFrame
+    def sample(t: Long): Long = (fp60 + 37 * t + (t * t) % 97) % 65536 - 32768
+    val en = (0L until nFrames).map { f =>
+      (f * Multimodal.AudioFrame until (f + 1) * Multimodal.AudioFrame)
+        .map(t => math.abs(sample(t))).sum
+    }
+    val afp = (0L until nFrames - 1)
+      .map(f => if (en(f.toInt + 1) > en(f.toInt)) 1L << f else 0L).sum
+    val cs = en.zipWithIndex.map { case (e, f) => (f + 1) * e }.sum
+    (nSamples, nFrames, afp, cs)
+  }
+
+  test("mm_audio_fp equals the in-memory PCM reference; fingerprints discriminate") {
+    import graft.functions.TextFunctions.{hash60, normalize}
+    import org.apache.spark.sql.functions.col
+    val fp60s = Tables(spark, sf).documents
+      .select(col("doc_id"), hash60(normalize(col("text"))).as("fp60"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Multimodal.mmAudioFp(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ns, nf, afp, cs) = refAudioFp(fp60s(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("n_samples") == ns)
+      assert(r.getAs[Long]("n_frames") == nf)
+      assert(r.getAs[Long]("afp") == afp)
+      assert(r.getAs[Long]("energy_checksum") == cs)
+      // fingerprint fits the frame-boundary bit budget
+      assert(afp >= 0 && afp < (1L << (nf - 1)))
+    }
+    // distinct contents should rarely collide on the fingerprint
+    val distinctContents = fp60s.values.toSet.size
+    val distinctPrints = rows.map(r =>
+      (r.getAs[Long]("n_frames"), r.getAs[Long]("afp"))).toSet.size
+    assert(distinctPrints * 10 >= distinctContents * 5,
+      s"$distinctPrints prints for $distinctContents contents")
+  }
+
+  test("mm_audio_fp kernel is row-for-row identical to the SQL higher-order form it replaced") {
+    val a = Multimodal.mmAudioFp(spark, sf).collect().map(_.toSeq)
+    val b = Multimodal.mmAudioFpSql(spark, sf).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
 }
