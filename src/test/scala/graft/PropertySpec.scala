@@ -171,4 +171,83 @@ class PropertySpec extends AnyFunSuite {
         assert(merged.sameElements(Array("a", "ab")))
     }
   }
+
+  test("CMS property: estimates dominate exact counts on random corpora") {
+    import spark.implicits._
+    // 3 random corpora with skewed vocabularies (collisions likely)
+    (1 to 3).foreach { seed =>
+      val words = Gen.listOfN(30, wordGen).sample.getOrElse(List("w"))
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 60L).map { i =>
+        val n = 5 + rnd.nextInt(40)
+        // Zipf-ish: low indices much more likely
+        (i, (0 until n).map(_ =>
+          words(math.min(words.size - 1,
+            (math.pow(rnd.nextDouble(), 2) * words.size).toInt))).mkString(" "))
+      }.toDF("doc_id", "text")
+      graft.operators.Text.cmsWordsOn(docs).collect().foreach { r =>
+        assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_count"),
+          s"seed $seed: CMS underestimated ${r.getAs[String]("term")}")
+      }
+    }
+  }
+
+  test("Bloom property: never a false negative on random eval/train splits") {
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val docs = (0L until 68L).map { i =>
+        (i, (0 until 8).map(_ => s"w${rnd.nextInt(40)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      graft.operators.Text
+        .bloomDecontaminateOn(graft.operators.Text.shingleSetOf(docs))
+        .collect().foreach { r =>
+          assert(r.getAs[Long]("n_bloom_hits") >= r.getAs[Long]("n_overlap"),
+            s"seed $seed: bloom missed an exact overlap (false negative)")
+        }
+    }
+  }
+
+  test("E-S weighted sampling property: deterministic, and tilted toward heavy weights") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, "en")).toDF("doc_id", "lang")
+    // weight proportional to a deterministic per-doc value
+    def w(scale: Double) =
+      (pmod(col("doc_id") * 37, lit(101)) + lit(1)).cast("double") * lit(scale)
+    val a = graft.operators.Curation.sampleWeightedOn(docs, w(1.0))
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val b = graft.operators.Curation.sampleWeightedOn(docs, w(1.0))
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(a == b) // deterministic
+    // the E-S KEY changes under scaling but the top-k ORDER need not
+    // be identical in floating point; assert the heavy-tail property
+    // instead: the top-weight decile is over-represented vs uniform
+    val weights = (1L to 300L).map(i => i -> ((i * 37 % 101) + 1).toDouble).toMap
+    val sampleMeanW = a.map(weights).sum / a.size
+    val popMeanW = weights.values.sum / weights.size
+    assert(sampleMeanW > popMeanW,
+      s"weighted sample mean weight $sampleMeanW not above population $popMeanW")
+  }
+
+  test("KMV property: overlap estimate within 4/sqrt(k) across random overlap levels") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val common = 500 + rnd.nextInt(1000)
+      val onlyEach = 500 + rnd.nextInt(1000)
+      val rows =
+        (1 to common).map(i => (s"c $i", "sA")) ++
+          (1 to onlyEach).map(i => (s"a $i", "sA")) ++
+          (1 to common).map(i => (s"c $i", "sB")) ++
+          (1 to onlyEach).map(i => (s"b $i", "sB"))
+      val docs = rows.zipWithIndex
+        .map { case ((t, s), i) => (i.toLong, t, s) }.toDF("doc_id", "text", "source")
+      val k = 512
+      val r = graft.operators.Curation.sourceOverlapOn(docs, k).collect().head
+      val est = r.getAs[Long]("jaccard_est_ppm").toDouble / 1e6
+      val trueJ = common.toDouble / (common + 2.0 * onlyEach)
+      assert(math.abs(est - trueJ) <= 4.0 / math.sqrt(k),
+        s"trial $trial: est $est vs true $trueJ")
+    }
+  }
 }
