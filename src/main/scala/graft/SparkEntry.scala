@@ -132,7 +132,9 @@ object SparkEntry {
     "sample_weighted"   -> (Curation.sampleWeighted _),
     "word_pmi"          -> (Text.wordPmi _),
     "source_overlap"    -> (Curation.sourceOverlap _),
-    "mm_audio_fp"       -> (graft.multimodal.Multimodal.mmAudioFp _)
+    "mm_audio_fp"       -> (graft.multimodal.Multimodal.mmAudioFp _),
+    "bm25_search"       -> (Retrieval.bm25Search _),
+    "ann_maxsim"        -> (Retrieval.annMaxsim _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -2350,6 +2352,97 @@ object SparkEntry {
         |  ($zx | ($zy << 1)) AS zval
         |FROM lineitem
         |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
+    },
+
+    // same rational-idf / rational-tf-norm ppm lattice as the
+    // operator: every per-term weight is one HUGEINT integral
+    // division, summed as integers — no ln, no float
+    "bm25_search" -> {
+      val stride = operators.Retrieval.QueryStride
+      val cap = stride.toLong * operators.Retrieval.MaxQueries
+      val nq = operators.Retrieval.QueryTermCount
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+        |tf AS (
+        |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |  WHERE length(term) > 0 GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS a_words FROM dlen),
+        |qe AS (
+        |  SELECT doc_id AS query_id, unnest(($wordsSql)[1:$nq]) AS term
+        |  FROM documents WHERE doc_id % $stride = 0 AND doc_id < $cap),
+        |q AS (SELECT DISTINCT query_id, term FROM qe WHERE length(term) > 0),
+        |m AS (
+        |  SELECT q.query_id, tf.doc_id, tf.tf, stats.df, dlen.dl
+        |  FROM q JOIN tf USING (term) JOIN stats USING (term)
+        |  JOIN dlen ON tf.doc_id = dlen.doc_id),
+        |s AS (
+        |  SELECT query_id, m.doc_id,
+        |    SUM((CAST(2 * n_docs - 2 * df + 1 AS HUGEINT) * 22 * a_words * tf * 1000000)
+        |      // (CAST(2 * df + 1 AS HUGEINT) *
+        |          (CAST(10 AS HUGEINT) * a_words * tf + 3 * a_words + 9 * dl * n_docs))) AS score_ppm,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms
+        |  FROM m CROSS JOIN sc GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score_ppm, n_terms,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_ppm DESC, doc_id) AS rk
+        |  FROM s)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id,
+        |  CAST(score_ppm AS BIGINT) AS score_ppm, n_terms
+        |FROM r WHERE rk <= ${operators.Retrieval.Bm25TopK}
+        |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // doc_chunk's slicing + doc_embed's hashing trick per chunk,
+    // then the signed-cos² ppm MaxSim — all integers end to end
+    "ann_maxsim" -> {
+      val dim = operators.Curation.EmbedDim
+      val cw = operators.Curation.ChunkWords
+      val cs = operators.Curation.ChunkStride
+      val stride = operators.Retrieval.MaxsimStride
+      val cap = stride.toLong * operators.Retrieval.MaxQueries
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        |c AS (SELECT doc_id,
+        |    unnest(generate_series(0, (len(w) + ${cs - 1}) // $cs - 1)) AS chunk_id, w
+        |  FROM d WHERE len(w) > 0),
+        |cw AS (SELECT doc_id, chunk_id,
+        |    list_filter(w[CAST(chunk_id*$cs+1 AS INT):CAST(chunk_id*$cs+$cw AS INT)],
+        |      x -> x <> '') AS ws
+        |  FROM c),
+        |cb AS (SELECT doc_id, chunk_id,
+        |    list_transform(ws, x -> struct_pack(
+        |      b := ${hash60Sql("'emb:' || x")} % $dim,
+        |      s := CASE WHEN ${hash60Sql("'sgn:' || x")} % 2 = 0 THEN 1 ELSE -1 END)) AS bs
+        |  FROM cw),
+        |cv AS (SELECT doc_id, chunk_id,
+        |    list_transform(range(0, $dim), i ->
+        |      coalesce(list_sum(list_transform(list_filter(bs, e -> e.b = i), e -> e.s)), 0)) AS vec
+        |  FROM cb),
+        |ce AS (SELECT doc_id, chunk_id, vec,
+        |    CAST(coalesce(list_sum(list_transform(vec, x -> x * x)), 0) AS BIGINT) AS n2
+        |  FROM cv),
+        |q AS (SELECT doc_id AS qid, chunk_id AS qcid, vec AS qv, n2 AS qn2 FROM ce
+        |  WHERE doc_id % $stride = 0 AND doc_id < $cap),
+        |p AS (SELECT q.qid, q.qcid, ce.doc_id, ce.chunk_id,
+        |    CAST(coalesce(list_sum(list_transform(range(0, $dim), i ->
+        |      CAST(q.qv[i+1] AS BIGINT) * ce.vec[i+1])), 0) AS BIGINT) AS dot,
+        |    q.qn2, ce.n2
+        |  FROM ce JOIN q ON ce.doc_id <> q.qid),
+        |s AS (SELECT qid, qcid, doc_id,
+        |    CASE WHEN dot > 0 AND qn2 > 0 AND n2 > 0
+        |      THEN (dot * dot * 1000000) // (qn2 * n2) ELSE 0 END AS s2
+        |  FROM p),
+        |mx AS (SELECT qid, qcid, doc_id, MAX(s2) AS best FROM s GROUP BY 1, 2, 3),
+        |scd AS (SELECT qid, doc_id, CAST(SUM(best) AS BIGINT) AS score_ppm
+        |  FROM mx GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, score_ppm,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_ppm DESC, doc_id) AS rk
+        |  FROM scd)
+        |SELECT qid, CAST(rk AS BIGINT) AS rank, doc_id, score_ppm
+        |FROM r WHERE rk <= ${operators.Retrieval.MaxsimTopK}
+        |ORDER BY qid, rank""".stripMargin
     }
   )
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Vector similarity kernels as native Catalyst expressions.
   *
@@ -83,6 +83,46 @@ case class DotProduct(left: Expression, right: Expression) extends VectorKernel 
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Exact integer dot product of two array<long> columns (the
+  * hashing-trick chunk vectors of ann_maxsim): accumulates in a
+  * long, so the result is integer-exact and engine-portable — the
+  * double kernel above would be too at these magnitudes, but the
+  * consumer feeds an integer ppm lattice and an integer source type
+  * keeps the whole chain float-free. Chunk vectors bound the terms:
+  * |dot| ≤ n2 ≤ ChunkWords² = 10⁴, far from long overflow at any
+  * corpus size (chunks are fixed-width by construction).
+  */
+case class DotProductLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L; var i = 0
+    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $dot;
        """.stripMargin
@@ -326,6 +366,10 @@ object VectorFunctions {
 
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Exact integer dot product of two array<long> columns. */
+  def dotProductLong(a: Column, b: Column): Column =
+    Bridge.column(DotProductLong(Bridge.expression(a), Bridge.expression(b)))
 
   /** Per-table LSH signatures (array of longs) of a vector column. */
   def hyperplaneSignatures(v: Column, planes: Seq[Seq[Double]],

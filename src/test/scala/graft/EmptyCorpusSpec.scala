@@ -55,7 +55,10 @@ class EmptyCorpusSpec extends AnyFunSuite {
       d.select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("lang")),
       org.apache.spark.sql.functions.lit(1.0))),
-    "word_pmi" -> (d => operators.Text.wordPmiOn(d))
+    "word_pmi" -> (d => operators.Text.wordPmiOn(d)),
+    // round-7 wave-8 retrieval pair
+    "bm25_search" -> (d => operators.Retrieval.bm25SearchOn(d)),
+    "ann_maxsim" -> (d => operators.Retrieval.annMaxsimOn(d))
   )
 
   for ((name, op) <- ops)

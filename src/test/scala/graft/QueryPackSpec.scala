@@ -68,14 +68,19 @@ class QueryPackSpec extends AnyFunSuite {
     // single-partition aggregate)
     // source_overlap's pair grid is |sources|² rows of kilobyte
     // sketches (the embedding block-grid class)
+    // bm25_search's 1-row (N, A) corpus scalar is the word_pmi
+    // scalar-subquery shape; ann_maxsim's broadcast side is the
+    // ≤ MaxQueries query-chunk table (the ann scoring O(n·q) class)
     val bnljOk = Set("ann_pq", "ann_topk", "dedup_embedding",
-      "q20_subquery", "sample_mixture", "word_pmi", "source_overlap")
+      "q20_subquery", "sample_mixture", "word_pmi", "source_overlap",
+      "bm25_search", "ann_maxsim")
     // q24_funnel's whole-corpus funnel counts are one global
     // aggregate row, freq_words's final rank runs on one
     // ≤ FreqCapacity sketch row, and sketch_cube's rollup unions
     // ≤ |langs| kilobyte sketches — the scalar class
     val singlePartOk = Set("q20_subquery", "sample_mixture",
-      "q24_funnel", "freq_words", "sketch_cube", "word_pmi")
+      "q24_funnel", "freq_words", "sketch_cube", "word_pmi",
+      "bm25_search")
     for ((name, fn) <- SparkEntry.queries) {
       spark.catalog.clearCache()
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
