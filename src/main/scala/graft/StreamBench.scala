@@ -119,10 +119,21 @@ object StreamBench {
     val sSec = runStream(streaming.CurationStream.curateStrict(_), sStream,
       s"$base/s_out", s"$base/s_ckpt")
 
+    // near-dup gate: band-keyed SimHash state + windowed per-doc OR
+    // (two chained stateful operators); worst case for state — the
+    // monotone timestamps keep every bucket live
+    val nStream = spark.readStream.schema(curation.schema)
+      .option("maxFilesPerTrigger", FilesPerTrigger).parquet(cIn)
+    val nSec = runStream(
+      df => streaming.NearDupStream.nearDupFlags(
+        df.select(col("doc_id"), col("text"), col("event_ts"))),
+      nStream, s"$base/n_out", s"$base/n_ckpt")
+
     Map("health_alerts" -> PathResult(hRows, hSec),
       "curation" -> PathResult(cRows, cSec),
       "curation_gated" -> PathResult(cRows, gSec),
-      "curation_strict" -> PathResult(cRows, sSec))
+      "curation_strict" -> PathResult(cRows, sSec),
+      "neardup" -> PathResult(cRows, nSec))
   }
 
   def main(args: Array[String]): Unit = {

@@ -66,3 +66,52 @@ object SimHashAgg {
   def simhashAgg(h: Column, bits: Int): Column =
     Bridge.column(SimHashAgg(Bridge.expression(h), bits).toAggregateExpression())
 }
+
+/** Map-side SimHash of a word ARRAY in one pass — the streaming
+  * complement of [[SimHashAgg]] (which aggregates an exploded word
+  * stream and therefore needs a shuffle): a stream computes the
+  * signature inside the scan stage, no explode, no state. Bit-exact
+  * with the aggregate by construction: the same xxhash64(seed 42)
+  * per word ([[org.apache.spark.sql.catalyst.expressions.XxHash64Function]],
+  * the interpreted path of the SQL xxhash64), the same ±1 per-bit
+  * counters, the same `> 0` majority — NearDupStreamSpec asserts
+  * signature equality over the corpus.
+  */
+case class SimHashKernel(child: Expression, bits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val counts = new Array[Long](bits)
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val hv = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(words.getUTF8String(i), org.apache.spark.sql.types.StringType, 42L)
+        var b = 0
+        while (b < bits) {
+          counts(b) += (if (((hv >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashKernel =
+    copy(child = c)
+}
+
+object SimHashKernel {
+  def simhashKernel(words: Column, bits: Int): Column =
+    Bridge.column(SimHashKernel(Bridge.expression(words), bits))
+}

@@ -406,9 +406,9 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
   }
 
-  private val SimBits = 60
-  private val Blocks = 4
-  private val BlockBits = SimBits / Blocks // hamming ≤ Blocks-1 guaranteed found
+  private[graft] val SimBits = 60
+  private[graft] val Blocks = 4
+  private[graft] val BlockBits = SimBits / Blocks // hamming ≤ Blocks-1 guaranteed found
 
   /** Per-document 60-bit SimHash (frequency-weighted bit majority
     * over word hashes).
