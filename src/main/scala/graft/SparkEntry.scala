@@ -134,7 +134,9 @@ object SparkEntry {
     "source_overlap"    -> (Curation.sourceOverlap _),
     "mm_audio_fp"       -> (graft.multimodal.Multimodal.mmAudioFp _),
     "bm25_search"       -> (Retrieval.bm25Search _),
-    "ann_maxsim"        -> (Retrieval.annMaxsim _)
+    "ann_maxsim"        -> (Retrieval.annMaxsim _),
+    "unigram_train"     -> (Tokenizer.unigramTrain _),
+    "unigram_encode"    -> (Tokenizer.unigramEncode _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money

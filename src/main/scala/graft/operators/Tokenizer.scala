@@ -169,4 +169,128 @@ object Tokenizer {
         size(col("toks")).cast("long").as("n_tokens"),
         concat_ws(" ", slice(col("toks"), 1, 8)).as("tok_preview"))
       .orderBy(col("doc_id"))
+
+  // ---- Unigram-LM tokenizer (SentencePiece class, Kudo 2018) ----
+
+  /** Candidate piece length bound, seed-vocabulary cap, hard-EM
+    * rounds, and final vocabulary size. The caps are what keep every
+    * driver-side collect METADATA-sized at any corpus scale: the
+    * seed shortlist is a TakeOrdered over the substring-count frame
+    * (never a full collect), and each E-step ships ≤ UniSeedCap
+    * (piece, count) rows to the driver.
+    */
+  val UniMaxPieceLen = 5
+  val UniSeedCap = 256
+  val UniEmRounds = 3
+  val UniVocabTarget = 64
+
+  /** unigram_train — estimate the unigram-LM piece vocabulary (the
+    * OTHER production subword family next to BPE; SentencePiece's
+    * default): seed with the [[UniSeedCap]] most frequent word
+    * substrings (≤ [[UniMaxPieceLen]] chars, plus every single
+    * character for total coverage), then [[UniEmRounds]] hard-EM
+    * rounds — each word Viterbi-segments under the current model
+    * ([[graft.functions.UnigramEncodeText]], model as expression
+    * data) and piece counts re-estimate from the frequency-weighted
+    * best segmentations.
+    *
+    * 100 TB shape = the bpe_train shape: ONE corpus pass builds the
+    * word-frequency vocabulary (Heaps-law sublinear), every EM round
+    * is one vocabulary-sized aggregation with the bounded model
+    * broadcast inside the expression, and only capped (piece, count)
+    * shortlists reach the driver. Rows-only: an EM loop is not
+    * oracle SQL; UnigramSpec proves exact equality against an
+    * independent in-JVM reference trainer (the bpe_train
+    * convention) plus lossless round-trip and compression.
+    */
+  def unigramTrain(spark: SparkSession, dir: String): DataFrame = {
+    val model = trainUnigramModel(Tables(spark, dir).documents)
+    unigramCache.put(dir, model)
+    unigramModelDf(spark, model)
+  }
+
+  private[graft] def unigramModelDf(spark: SparkSession,
+      model: Seq[(String, Long)]): DataFrame = {
+    import spark.implicits._
+    val b = math.max(1L, model.map(_._2).sum)
+    model.zipWithIndex.map { case ((p, c), i) =>
+      (i + 1L, p, c, (BigInt(c) * 1000000 / b).toLong)
+    }.toDF("piece_rank", "piece", "cnt", "prob_ppm")
+      .orderBy(col("piece_rank"))
+  }
+
+  /** The trained (piece, count) model, count-descending. */
+  private[graft] def trainUnigramModel(docs: DataFrame): Seq[(String, Long)] = {
+    val wordFreq = docs
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint(false)
+    val subsExpr = expr(
+      "flatten(transform(sequence(1, length(word)), i -> " +
+        s"transform(sequence(i, least(i + ${UniMaxPieceLen - 1}, length(word))), " +
+        "j -> substring(word, CAST(i AS INT), CAST(j - i + 1 AS INT)))))")
+    val subs = wordFreq
+      .select(col("freq"), explode(subsExpr).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint(false) // two bounded consumers: shortlist + charset
+    val top = subs.orderBy(col("cnt").desc, col("piece")).limit(UniSeedCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val chars = subs.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var model: Seq[(String, Long)] =
+      (top ++ chars).distinctBy(_._1).sortBy { case (p, c) => (-c, p) }.toSeq
+    for (_ <- 1 to UniEmRounds if model.nonEmpty) {
+      val counts = wordFreq
+        .select(col("freq"), explode(graft.functions.UnigramFunctions
+          .encodeText(array(col("word")), model)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val inModel = model.map(_._1).toSet
+      // observed pieces keep their counts; cover characters stay
+      // alive at count 1 (the SentencePiece required-char set);
+      // unknown chars the encoder surfaced join the model
+      val kept = model.flatMap { case (p, _) =>
+        counts.get(p) match {
+          case Some(c) => Some((p, c))
+          case None if p.length == 1 => Some((p, 1L))
+          case None => None
+        }
+      } ++ counts.collect { case (p, c) if !inModel(p) => (p, c) }
+      model = kept.sortBy { case (p, c) => (-c, p) }
+    }
+    val capped = (model.take(UniVocabTarget) ++ model.filter(_._1.length == 1))
+      .distinctBy(_._1).sortBy { case (p, c) => (-c, p) }.toSeq
+    subs.unpersist()
+    wordFreq.unpersist()
+    capped
+  }
+
+  private val unigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+
+  /** unigram_encode — Viterbi-tokenize every document with the
+    * trained model: one [[graft.functions.UnigramEncodeText]] eval
+    * per doc, map-side inside the scan stage, corpus never joined or
+    * shuffled (the output sort is the only exchange). Same artifact
+    * contract as bpe_encode: the model memoizes per corpus dir for
+    * the JVM's lifetime (training is deterministic in the corpus).
+    */
+  def unigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val model = unigramCache.computeIfAbsent(dir, _ => trainUnigramModel(docs))
+    unigramEncodeOn(docs, model)
+  }
+
+  private[graft] def unigramEncodeOn(docs: DataFrame,
+      model: Seq[(String, Long)]): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_words"),
+        graft.functions.UnigramFunctions
+          .encodeText(words(col("text")), model).as("toks"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), 1, 8)).as("tok_preview"))
+      .orderBy(col("doc_id"))
 }

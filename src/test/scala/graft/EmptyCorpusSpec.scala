@@ -58,7 +58,13 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "word_pmi" -> (d => operators.Text.wordPmiOn(d)),
     // round-7 wave-8 retrieval pair
     "bm25_search" -> (d => operators.Retrieval.bm25SearchOn(d)),
-    "ann_maxsim" -> (d => operators.Retrieval.annMaxsimOn(d))
+    "ann_maxsim" -> (d => operators.Retrieval.annMaxsimOn(d)),
+    // round-7 wave-10 unigram tokenizer: empty corpus → empty model
+    // → empty frames, and the empty model must still encode
+    "unigram_train" -> (d => operators.Tokenizer.unigramModelDf(
+      d.sparkSession, operators.Tokenizer.trainUnigramModel(d))),
+    "unigram_encode" -> (d => operators.Tokenizer.unigramEncodeOn(
+      d, operators.Tokenizer.trainUnigramModel(d)))
   )
 
   for ((name, op) <- ops)
