@@ -136,7 +136,10 @@ object SparkEntry {
     "bm25_search"       -> (Retrieval.bm25Search _),
     "ann_maxsim"        -> (Retrieval.annMaxsim _),
     "unigram_train"     -> (Tokenizer.unigramTrain _),
-    "unigram_encode"    -> (Tokenizer.unigramEncode _)
+    "unigram_encode"    -> (Tokenizer.unigramEncode _),
+    "mix_budget"        -> (Curation.mixBudget _),
+    "dedup_containment" -> (Text.dedupContainment _),
+    "k_core"            -> (Graph.kCore _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -2445,6 +2448,58 @@ object SparkEntry {
         |SELECT qid, CAST(rk AS BIGINT) AS rank, doc_id, score_ppm
         |FROM r WHERE rk <= ${operators.Retrieval.MaxsimTopK}
         |ORDER BY qid, rank""".stripMargin
-    }
+    },
+
+    // waterfilling in window functions: sorted prefix sums find the
+    // last uncapped source (violators form a suffix — monotone
+    // condition), integer cap + rates match the driver's BigInt
+    "mix_budget" ->
+      s"""WITH t AS (
+        |  SELECT source, CAST(SUM(len($wordsSql)) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT source, tokens,
+        |    ROW_NUMBER() OVER (ORDER BY tokens, source) AS idx,
+        |    SUM(tokens) OVER (ORDER BY tokens, source
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    COUNT(*) OVER () AS n,
+        |    SUM(tokens) OVER () // ${operators.Curation.MixBudgetDen} AS budget
+        |  FROM t),
+        |u AS (SELECT *, CASE WHEN tokens * (n - idx + 1) <= budget - (cum - tokens)
+        |    THEN idx ELSE 0 END AS unc FROM s),
+        |jj AS (SELECT MAX(unc) AS j FROM u),
+        |pp AS (SELECT COALESCE(MAX(CASE WHEN idx = j THEN cum END), 0) AS pj
+        |  FROM u CROSS JOIN jj),
+        |f AS (SELECT u.*, jj.j, pp.pj,
+        |    CASE WHEN jj.j >= u.n THEN u.tokens
+        |      ELSE LEAST(u.tokens, (u.budget - pp.pj) // (u.n - jj.j)) END AS alloc
+        |  FROM u CROSS JOIN jj CROSS JOIN pp)
+        |SELECT source, tokens, alloc,
+        |  CASE WHEN tokens = 0 THEN 0
+        |    ELSE CAST(alloc AS HUGEINT) * 1000000 // tokens END AS rate_ppm,
+        |  CAST(alloc < tokens AS BIGINT) AS capped
+        |FROM f ORDER BY source""".stripMargin,
+
+    // ground truth is the DIRECT all-pairs containment over every
+    // doc — the Spark side's collapse guard + closed-form member
+    // expansion must be invisible here
+    "dedup_containment" ->
+      s"""WITH $ngramCtes,
+        |dir2 AS (SELECT d1 AS doc_id, d2 AS other, inter FROM pr
+        |  UNION ALL SELECT d2, d1, inter FROM pr),
+        |sc AS (SELECT dir2.doc_id, dir2.other,
+        |    inter * 1000000 // sz.n AS cont
+        |  FROM dir2 JOIN sz ON dir2.doc_id = sz.doc_id),
+        |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY cont DESC, other) AS rk FROM sc),
+        |best AS (SELECT doc_id, cont AS best_cont, other AS best_partner
+        |  FROM rr WHERE rk = 1),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_containers
+        |  FROM sc WHERE cont >= ${operators.Text.ContainTPpm} GROUP BY 1)
+        |SELECT sz.doc_id, CAST(sz.n AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(best_cont, 0) AS BIGINT) AS best_cont_ppm,
+        |  CAST(COALESCE(best_partner, -1) AS BIGINT) AS best_partner,
+        |  COALESCE(n_containers, 0) AS n_containers
+        |FROM sz LEFT JOIN best USING (doc_id) LEFT JOIN cnt USING (doc_id)
+        |ORDER BY sz.doc_id""".stripMargin
   )
 }

@@ -325,6 +325,64 @@ object Curation {
     * rate table, then a scan-level filter — the sample itself costs
     * no shuffle, exactly like sample_stratified.
     */
+  /** Budget denominator for [[mixBudget]]: the fixture budget is
+    * half the corpus's tokens — enough that small sources survive
+    * whole and large ones cap (both regimes exercised at every SF).
+    */
+  val MixBudgetDen = 2L
+
+  /** mix_budget — token-budget waterfilling across sources (the
+    * mixture-construction solver a training run uses when the token
+    * budget is smaller than the corpus: sources below the water
+    * level keep every token, sources above it are capped at a
+    * common level c chosen so the total exactly fills the budget —
+    * the allocation that maximizes the minimum source share, i.e.
+    * the standard max-min fair / waterfilling solution). Emits the
+    * per-source card: tokens, allocated tokens, keep rate (ppm),
+    * capped flag; [[sampleStratified]]-style hash sampling applies
+    * the rates map-side downstream.
+    *
+    * Exactness: sort sources by size, then source i is uncapped iff
+    * Tᵢ·(n−i+1) ≤ B − P_{i−1} (prefix sums; the condition is
+    * monotone — g(i+1)−g(i) = (n−i)(T_{i+1}−Tᵢ) ≥ 0 — so violators
+    * form a suffix) and the cap is c = (B − P_j) div (n − j) for the
+    * last uncapped j. Pure integer arithmetic — DuckDB reproduces it
+    * with window functions bit-for-bit.
+    *
+    * Scale shape: ONE corpus aggregation (map-side-combinable token
+    * sums per source) produces a card that is metadata-sized BY
+    * NATURE (one row per source); the solve runs on the driver over
+    * that bounded card (the BPE-argmax collect class) in exact
+    * BigInt. At 100 TB only the groupBy scales; the solver does not.
+    */
+  def mixBudget(spark: SparkSession, dir: String): DataFrame =
+    mixBudgetOn(Tables(spark, dir).documents)
+
+  private[graft] def mixBudgetOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val card = docs
+      .select(col("source"), size(words(col("text"))).cast("long").as("nw"))
+      .groupBy(col("source")).agg(sum(col("nw")).as("tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s, t) => (t, s) } // waterfill order: size, then name
+    val total = card.map(_._2).sum
+    val budget = total / MixBudgetDen
+    val n = card.length
+    val prefix = card.scanLeft(0L) { case (acc, (_, t)) => acc + t }
+    // last uncapped index (1-based); violators form a suffix
+    val j = (1 to n).takeWhile(i =>
+      BigInt(card(i - 1)._2) * (n - i + 1) <= BigInt(budget) - prefix(i - 1)).lastOption
+      .getOrElse(0)
+    val cap = if (j == n) Long.MaxValue else (budget - prefix(j)) / (n - j)
+    card.map { case (s, t) =>
+      val alloc = math.min(t, cap)
+      val rate = if (t == 0) 0L else (BigInt(alloc) * 1000000 / t).toLong
+      (s, t, alloc, rate, if (t > cap) 1L else 0L)
+    }.sortBy(_._1).toSeq
+      .toDF("source", "tokens", "alloc", "rate_ppm", "capped")
+  }
+
   def sampleMixture(spark: SparkSession, dir: String): DataFrame =
     sampleMixtureOn(Tables(spark, dir).documents)
 

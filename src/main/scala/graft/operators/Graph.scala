@@ -274,4 +274,100 @@ object Graph {
       .orderBy(col("node_id"))
     out
   }
+
+  /** K for [[kCore]], and a safety cap on peel rounds (each round
+    * removes ≥ 1 node before the fixpoint, so the cap only guards a
+    * logic error, not convergence).
+    */
+  val KCoreK = 3
+  val KCoreMaxRounds = 50
+
+  /** k_core — the [[KCoreK]]-core of the trade graph (iterative
+    * peeling to fixpoint): repeatedly delete nodes of degree < K
+    * until none remain; the survivors are the maximal subgraph with
+    * min-degree ≥ K — the standard dense-substructure primitive
+    * (community seeds, spam rings, the "stable trading core" here)
+    * that completes the graph family next to pagerank (centrality),
+    * triangle_count (local density) and dedup_clusters (connected
+    * components). Output: one row per surviving node with its
+    * IN-CORE degree.
+    *
+    * Scale shape: the same mirrored src-partitioned trade edge list
+    * as pagerank; each round is one degree aggregation (map-side
+    * combinable — a hot node is a hot agg key, never a join blowup)
+    * and two node-keyed SEMI joins (SHUFFLE_HASH — the alive set is
+    * node-count-sized, never broadcast) filtering both endpoints.
+    * Unlike pagerank the edge set SHRINKS per round, so rounds
+    * re-partition what survives; only a 2-long convergence scalar
+    * visits the driver per round (the dedup_clusters convention).
+    * Rows-only: data-dependent round counts are not oracle SQL;
+    * GraphSpec proves equality against an in-JVM reference peeler.
+    */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    kCoreOn(t.orders, t.lineitem)
+  }
+
+  private[graft] def kCoreOn(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // AQE off for the driver loop only (the pagerank rationale)
+    val spark = orders.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try kCoreRounds(orders, lineitem)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def kCoreRounds(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val pairs = lineitem
+      .join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + SupplierNodeOffset).as("s"))
+      .distinct()
+    var edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .repartition(col("src"))
+      .materialized
+    var prev: DataFrame = null
+    var rounds = 0
+    var done = false
+    while (!done && rounds < KCoreMaxRounds) {
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // ONE action per round: (node count, nodes below K); running it
+      // also materializes the previous round's lazy checkpoint
+      val stats = deg.agg(count(lit(1)).as("n"),
+        sum(when(col("deg") < KCoreK, 1L).otherwise(0L)).as("below")).head()
+      if (prev != null) { prev.unpersist(); prev = null }
+      val below = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      if (below == 0L) done = true
+      else {
+        val alive = deg.filter(col("deg") >= KCoreK).select(col("src").as("id"))
+        prev = edges
+        edges = kCoreFilterRound(edges, alive).localCheckpoint(false)
+        rounds += 1
+      }
+    }
+    val out = Materialize.eager(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+        .select(col("src").as("node_id"),
+          when(col("src") >= SupplierNodeOffset, lit("s")).otherwise(lit("c"))
+            .as("node_type"),
+          col("core_degree")))
+    if (prev != null) prev.unpersist()
+    edges.unpersist()
+    out.orderBy(col("node_id"))
+  }
+
+  /** One peel round: keep edges whose BOTH endpoints survive —
+    * factored out so its plan is directly assertable (the
+    * driver-loop discipline of [[pagerankRound]]). Two semi joins,
+    * SHUFFLE_HASH build sides (alive is node-count-sized), then
+    * restore the src partitioning the next degree count consumes.
+    */
+  private[graft] def kCoreFilterRound(edges: DataFrame, alive: DataFrame): DataFrame =
+    edges
+      .join(alive.select(col("id").as("src")).hint("SHUFFLE_HASH"),
+        Seq("src"), "left_semi")
+      .join(alive.select(col("id").as("dst")).hint("SHUFFLE_HASH"),
+        Seq("dst"), "left_semi")
+      .repartition(col("src"))
 }

@@ -384,4 +384,53 @@ class CurationCardsSpec extends AnyFunSuite {
       assert(s >= 0.0 && s <= 1.0)
     }
   }
+
+  // ---- mix_budget ----
+
+  /** Synthetic docs: one row per (source, word count). */
+  private def docsWithTokens(card: Seq[(String, Int)]): DataFrame = {
+    import spark.implicits._
+    card.zipWithIndex.map { case ((s, k), i) =>
+      (i.toLong, Seq.fill(k)("w").mkString(" "), s)
+    }.toDF("doc_id", "text", "source")
+  }
+
+  test("mix_budget waterfill: both regimes, budget filled, max-min fairness invariants") {
+    import operators.Curation.MixBudgetDen
+    // skewed card: small sources must survive whole, the giants cap
+    val card = Seq("tiny" -> 10, "small" -> 40, "mid" -> 200,
+      "big" -> 900, "giant" -> 2000)
+    val rows = operators.Curation.mixBudgetOn(docsWithTokens(card))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val byName = rows.map(r => r._1 -> r).toMap
+    val total = card.map(_._2.toLong).sum
+    val budget = total / MixBudgetDen
+    val allocSum = rows.map(_._3).sum
+    val n = rows.length
+    // budget respected, and filled up to floor remainders (< n)
+    assert(allocSum <= budget, s"over budget: $allocSum > $budget")
+    assert(budget - allocSum < n, s"budget underfilled: $allocSum vs $budget")
+    // uncapped sources keep every token; capped share one level
+    assert(byName("tiny")._5 == 0L && byName("tiny")._3 == 10L)
+    assert(byName("small")._5 == 0L && byName("small")._3 == 40L)
+    val capLevels = rows.filter(_._5 == 1L).map(_._3).distinct
+    assert(capLevels.length == 1, s"capped sources not at one level: $rows")
+    // max-min fairness: alloc is monotone in tokens
+    val sorted = rows.sortBy(_._2)
+    assert(sorted.map(_._3).zip(sorted.map(_._3).tail).forall { case (a, b) => a <= b })
+    // capped flag consistent
+    rows.foreach { case (_, t, a, ppm, c) =>
+      assert((c == 1L) == (a < t))
+      assert(ppm == (BigInt(a) * 1000000 / t).toLong)
+    }
+    // symmetric card: two equal sources split the half-total budget
+    // evenly, both capped at exactly budget/2
+    val even = operators.Curation.mixBudgetOn(
+      docsWithTokens(Seq("a" -> 4, "b" -> 4))).collect()
+    even.foreach { r =>
+      assert(r.getLong(2) == 2L && r.getLong(4) == 1L,
+        s"symmetric split broken: ${r.mkString(",")}")
+    }
+  }
 }

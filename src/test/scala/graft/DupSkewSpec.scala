@@ -232,4 +232,45 @@ class DupSkewSpec extends AnyFunSuite {
     // distinct docs: singletons
     assert(out((DupA + DupB + 1).toLong)._1 == (DupA + DupB + 1).toLong)
   }
+
+  test("dedup_containment: member expansion equals brute-force ground truth; quote-inclusion caught") {
+    import spark.implicits._
+    // plant the asymmetric case Jaccard misses: a 20-word prefix of
+    // textA — fully contained in every A copy, J ≈ 18/38 below 0.5
+    val containedId = nDocs.toLong
+    val docs = corpus.union(
+      Seq((containedId, wordsA.take(20).mkString(" "))).toDF("doc_id", "text"))
+    val got = operators.Text.containmentOn(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // brute force over every doc (no collapse, no expansion)
+    def shingleSet(t: String): Set[String] = {
+      val w = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ").filter(_.nonEmpty)
+      if (w.length < 3) Set.empty[String] else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.collect().map(r => (r.getLong(0), shingleSet(r.getString(1))))
+      .filter(_._2.nonEmpty)
+    val ref = sets.map { case (id, s) =>
+      val overlapping = sets.iterator.filter(_._1 != id).map { case (oid, os) =>
+        (oid, s.intersect(os).size.toLong * 1000000L / s.size)
+      }.filter(_._2 > 0).toSeq
+      val best =
+        if (overlapping.isEmpty) (0L, -1L)
+        else {
+          val m = overlapping.map(_._2).max
+          (m, overlapping.filter(_._2 == m).map(_._1).min)
+        }
+      id -> ((s.size.toLong, best._1, best._2,
+        overlapping.count(_._2 >= operators.Text.ContainTPpm).toLong))
+    }.toMap
+    assert(got.keySet == ref.keySet, "row coverage differs from ground truth")
+    for ((id, exp) <- ref)
+      assert(got(id) == exp, s"doc $id: got ${got(id)} want $exp")
+    // the planted doc is contained in all 150 A copies AND the
+    // variant (39 of its 40 words intact), and Jaccard would miss it
+    assert(got(containedId)._2 == 1000000L)
+    assert(got(containedId)._4 >= DupA.toLong)
+    val j = 18.0 / (18 + 38 - 18)
+    assert(j < 0.5, "fixture sanity: the planted pair must be sub-Jaccard-threshold")
+  }
 }

@@ -64,7 +64,9 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "unigram_train" -> (d => operators.Tokenizer.unigramModelDf(
       d.sparkSession, operators.Tokenizer.trainUnigramModel(d))),
     "unigram_encode" -> (d => operators.Tokenizer.unigramEncodeOn(
-      d, operators.Tokenizer.trainUnigramModel(d)))
+      d, operators.Tokenizer.trainUnigramModel(d))),
+    "mix_budget" -> (d => operators.Curation.mixBudgetOn(d)),
+    "dedup_containment" -> (d => operators.Text.containmentOn(d))
   )
 
   for ((name, op) <- ops)

@@ -153,6 +153,40 @@ class GraphSpec extends AnyFunSuite {
     assert(got(1L) == 1L && got(100L) == 1L)
   }
 
+  test("k_core equals the in-memory reference peeler on the sf0.001 trade graph") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sf)
+    val pairs = t.lineitem
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"),
+        (col("l_suppkey") + operators.Graph.SupplierNodeOffset).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reference: peel undirected adjacency until fixpoint
+    var adj: Map[Long, Set[Long]] = (pairs.flatMap { case (c, s) =>
+      Seq(c -> s, s -> c) }).groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val doomed = adj.collect { case (n, es) if es.size < operators.Graph.KCoreK => n }.toSet
+      changed = doomed.nonEmpty
+      if (changed)
+        adj = adj.collect { case (n, es) if !doomed(n) => n -> (es -- doomed) }
+    }
+    val want = adj.map { case (n, es) => n -> es.size.toLong }
+    val got = operators.Graph.kCore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want, s"k-core differs: got ${got.size} nodes, want ${want.size}")
+    assert(got.nonEmpty, "fixture sanity: the trade graph must have a 3-core")
+    assert(got.values.forall(_ >= operators.Graph.KCoreK),
+      "fixpoint violated: a survivor has degree below K")
+    // node_type tagging
+    val types = operators.Graph.kCore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    types.foreach { case (id, tp) =>
+      assert(tp == (if (id >= operators.Graph.SupplierNodeOffset) "s" else "c"))
+    }
+  }
+
   test("triangle_count is invariant to partitioning") {
     val e = operators.Graph.triangleEdges(Tables(spark, sf).customer)
     val a = operators.Graph.triangleCountOn(e).collect().toSeq

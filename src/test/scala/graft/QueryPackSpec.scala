@@ -113,7 +113,11 @@ class QueryPackSpec extends AnyFunSuite {
       "pagerankRound" ->
         operators.Graph.pagerankRound(
           Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
-          Seq((1L, 1L, 1000000000L), (2L, 1L, 1000000000L)).toDF("id", "outdeg", "pr")))
+          Seq((1L, 1L, 1000000000L), (2L, 1L, 1000000000L)).toDF("id", "outdeg", "pr")),
+      "kCoreFilterRound" ->
+        operators.Graph.kCoreFilterRound(
+          Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+          Seq(Tuple1(1L), Tuple1(2L)).toDF("id")))
     roundPlans.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
