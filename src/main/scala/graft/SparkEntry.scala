@@ -139,7 +139,9 @@ object SparkEntry {
     "unigram_encode"    -> (Tokenizer.unigramEncode _),
     "mix_budget"        -> (Curation.mixBudget _),
     "dedup_containment" -> (Text.dedupContainment _),
-    "k_core"            -> (Graph.kCore _)
+    "k_core"            -> (Graph.kCore _),
+    "dq_check"          -> (Quality.dqCheck _),
+    "drift_check"       -> (Quality.driftCheck _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -2500,6 +2502,59 @@ object SparkEntry {
         |  CAST(COALESCE(best_partner, -1) AS BIGINT) AS best_partner,
         |  COALESCE(n_containers, 0) AS n_containers
         |FROM sz LEFT JOIN best USING (doc_id) LEFT JOIN cnt USING (doc_id)
-        |ORDER BY sz.doc_id""".stripMargin
+        |ORDER BY sz.doc_id""".stripMargin,
+
+    "dq_check" ->
+      """WITH r AS (
+        |  SELECT 'unique_c_custkey' AS check_name,
+        |    CAST(COUNT(*) AS BIGINT) AS n_checked,
+        |    CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS n_violations
+        |  FROM customer
+        |  UNION ALL SELECT 'unique_o_orderkey', COUNT(*),
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL SELECT 'complete_c_name', COUNT(*),
+        |    SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) FROM customer
+        |  UNION ALL SELECT 'range_l_quantity_1_50', COUNT(*),
+        |    SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) FROM lineitem
+        |  UNION ALL SELECT 'range_l_discount_0_01', COUNT(*),
+        |    SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) FROM lineitem
+        |  UNION ALL SELECT 'accepted_l_returnflag', COUNT(*),
+        |    SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) FROM lineitem
+        |  UNION ALL SELECT 'ref_o_custkey_in_customer', COUNT(*),
+        |    SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey
+        |  UNION ALL SELECT 'ref_l_orderkey_in_orders', COUNT(*),
+        |    SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey)
+        |SELECT check_name, n_checked, CAST(n_violations AS BIGINT) AS n_violations,
+        |  CAST(n_violations = 0 AS BIGINT) AS pass
+        |FROM r ORDER BY check_name""".stripMargin,
+
+    "drift_check" ->
+      s"""WITH f AS (
+        |  SELECT CAST(doc_id % 2 = 1 AS BIGINT) AS late, lang,
+        |    LEAST(${operators.Quality.DriftLenMax},
+        |      len($wordsSql) // ${operators.Quality.DriftLenBucket}) AS len_b
+        |  FROM documents),
+        |x AS (
+        |  SELECT late, 'lang' AS feature, lang AS bucket FROM f
+        |  UNION ALL SELECT late, 'len', 'b' || CAST(len_b AS VARCHAR) FROM f),
+        |b AS (SELECT feature, bucket,
+        |    CAST(SUM(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS early_cnt,
+        |    CAST(SUM(late) AS BIGINT) AS late_cnt
+        |  FROM x GROUP BY 1, 2),
+        |t AS (SELECT
+        |    CAST(SUM(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+        |    CAST(SUM(late) AS BIGINT) AS n_late FROM f),
+        |e AS (SELECT b.*, CASE WHEN n_early > 0
+        |    THEN CAST(CAST(early_cnt AS HUGEINT) * n_late // n_early AS BIGINT)
+        |    ELSE 0 END AS expected
+        |  FROM b CROSS JOIN t)
+        |SELECT feature, bucket, early_cnt, late_cnt, expected,
+        |  CAST(CAST(late_cnt - expected AS HUGEINT) * (late_cnt - expected) * 1000000
+        |    // GREATEST(expected, 1) AS BIGINT) AS chi2_ppm
+        |FROM e ORDER BY feature, bucket""".stripMargin
   )
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** dq_check / drift_check semantics: planted violations are counted
+  * exactly (per constraint), clean tables pass wholesale, and the
+  * drift card flags a planted distribution shift with the
+  * novel-bucket convention.
+  */
+class QualitySpec extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("local[4]", 4).getOrCreate()
+
+  test("dq_check: planted violations count exactly, clean corpus passes everything") {
+    import spark.implicits._
+    // clean baseline at sf0.001
+    val clean = operators.Quality.dqCheck(spark, "/root/testdata/sf0.001").collect()
+    assert(clean.length == 8)
+    clean.foreach(r => assert(r.getLong(3) == 1L,
+      s"clean data failed ${r.getString(0)}: ${r.getLong(2)} violations"))
+
+    // dirty fixture: 2 duplicate custkeys, 1 null name, 1 orphan
+    // order, 1 bad quantity, 1 bad discount, 2 bad returnflags,
+    // 1 orphan lineitem
+    val customer = Seq((1L, "alice"), (2L, "bob"), (2L, "bob2"), (3L, null))
+      .toDF("c_custkey", "c_name")
+    val orders = Seq((10L, 1L), (11L, 2L), (12L, 99L)) // 99: orphan
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (10L, 5.0, 0.05, "A"), (10L, 99.0, 0.05, "N"), // bad quantity
+      (11L, 5.0, 0.50, "R"),                         // bad discount
+      (11L, 5.0, 0.05, "X"), (11L, 5.0, 0.05, "Y"),  // bad flags
+      (77L, 5.0, 0.05, "A"))                         // orphan line
+      .toDF("l_orderkey", "l_quantity", "l_discount", "l_returnflag")
+    val dirty = operators.Quality.dqCheckOn(customer, orders, lineitem)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(dirty("unique_c_custkey") == ((4L, 1L, 0L)))
+    assert(dirty("complete_c_name") == ((4L, 1L, 0L)))
+    assert(dirty("ref_o_custkey_in_customer") == ((3L, 1L, 0L)))
+    assert(dirty("range_l_quantity_1_50") == ((6L, 1L, 0L)))
+    assert(dirty("range_l_discount_0_01") == ((6L, 1L, 0L)))
+    assert(dirty("accepted_l_returnflag") == ((6L, 2L, 0L)))
+    assert(dirty("ref_l_orderkey_in_orders") == ((6L, 1L, 0L)))
+    assert(dirty("unique_o_orderkey") == ((3L, 0L, 1L)))
+  }
+
+  test("drift_check: planted shift flagged, stable buckets quiet, novel bucket reads expected 0") {
+    import spark.implicits._
+    // early half: all english; late half: french appears (novel) and
+    // english drops — a real distribution shift
+    val docs = ((0 until 100).map { i =>
+      val lang = if (i % 2 == 0) "en" else if (i < 50) "en" else "fr"
+      (i.toLong, Seq.fill(60)("w").mkString(" "), lang)
+    }).toDF("doc_id", "text", "lang")
+    val rows = operators.Quality.driftCheckOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // novel bucket: fr only exists late → expected 0, chi2 blows up
+    val fr = rows(("lang", "fr"))
+    assert(fr._1 == 0L && fr._2 == 25L && fr._3 == 0L)
+    assert(fr._4 == 25L * 25L * 1000000L, s"novel-bucket chi2 wrong: $fr")
+    // en drifted down: expected 50, observed 25
+    val en = rows(("lang", "en"))
+    assert(en == ((50L, 25L, 50L, 25L * 25L * 1000000L / 50L)))
+    // length is IDENTICAL across halves → zero contribution
+    val len = rows(("len", "b1"))
+    assert(len._2 == len._3 && len._4 == 0L, s"stable bucket not quiet: $len")
+  }
+}

@@ -73,14 +73,18 @@ class QueryPackSpec extends AnyFunSuite {
     // ≤ MaxQueries query-chunk table (the ann scoring O(n·q) class)
     val bnljOk = Set("ann_pq", "ann_topk", "dedup_embedding",
       "q20_subquery", "sample_mixture", "word_pmi", "source_overlap",
-      "bm25_search", "ann_maxsim")
+      "bm25_search", "ann_maxsim", "drift_check")
+    // dq_check is the documented MULTI-scalar class: one scalar
+    // aggregation per declared constraint (a code constant, never
+    // data-dependent) — its exchange count equals the constraint list
+    val multiScalarOk = Map("dq_check" -> 8)
     // q24_funnel's whole-corpus funnel counts are one global
     // aggregate row, freq_words's final rank runs on one
     // ≤ FreqCapacity sketch row, and sketch_cube's rollup unions
     // ≤ |langs| kilobyte sketches — the scalar class
     val singlePartOk = Set("q20_subquery", "sample_mixture",
       "q24_funnel", "freq_words", "sketch_cube", "word_pmi",
-      "bm25_search")
+      "bm25_search", "drift_check")
     for ((name, fn) <- SparkEntry.queries) {
       spark.catalog.clearCache()
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
@@ -89,7 +93,10 @@ class QueryPackSpec extends AnyFunSuite {
       if (!bnljOk(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join:\n$plan")
-      if (!singlePartOk(name))
+      if (multiScalarOk.contains(name))
+        assert(plan.split("Exchange SinglePartition").length - 1 <= multiScalarOk(name),
+          s"$name: more single-partition exchanges than declared constraints:\n$plan")
+      else if (!singlePartOk(name))
         assert(!plan.contains("Exchange SinglePartition"),
           s"$name plans a single-partition exchange:\n$plan")
       else
