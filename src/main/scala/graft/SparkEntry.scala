@@ -141,7 +141,8 @@ object SparkEntry {
     "dedup_containment" -> (Text.dedupContainment _),
     "k_core"            -> (Graph.kCore _),
     "dq_check"          -> (Quality.dqCheck _),
-    "drift_check"       -> (Quality.driftCheck _)
+    "drift_check"       -> (Quality.driftCheck _),
+    "emb_pca"           -> (Clustering.embPca _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money

@@ -191,4 +191,93 @@ object Clustering {
         (coalesce(col("dup"), lit(0L)) === 0).cast("long").as("keep"))
       .orderBy(col("vec_id"))
   }
+
+  /** emb_pca lattice scale, iteration budget, component count, and
+    * the embeddings-table dimensionality.
+    */
+  val PcaScale = 1000.0
+  val PcaIters = 100
+  val PcaComponents = 2
+  val PcaDim = 64
+
+  /** emb_pca — top principal components of the embedding corpus (the
+    * whitening / compression / drift-axis primitive an embedding
+    * pipeline runs before indexing): ONE distributed pass
+    * accumulates the integer-lattice scatter matrix
+    * ([[graft.functions.ScatterAgg]] — d²+d+1 longs, the
+    * kilobyte-summary class: the corpus never shuffles, mergeable
+    * buffers do), then the d×d covariance eigendecomposes on the
+    * DRIVER by deflated power iteration — the standard
+    * Gram-matrix-then-local-eigen design (computing eigenvectors
+    * distributed would shuffle n×d rows per iteration to improve a
+    * 32 KB matrix). Integer scatter sums are order-independent, and
+    * the driver arithmetic runs in one fixed sequence — the output
+    * is bit-deterministic at any parallelism (spec-asserted under
+    * repartition(7)).
+    *
+    * Output: one row per component — eigenvalue (x-units),
+    * explained-variance ppm against the covariance trace, and the
+    * unit eigenvector (round-6, comma-joined — the vec_quant string
+    * convention). Rows-only: a power-iteration eigensolve is not
+    * oracle SQL; ClusteringSpec checks the eigenpair residuals,
+    * orthogonality, ordering, and exact equality with an
+    * independent in-JVM reference.
+    */
+  def embPca(spark: SparkSession, dir: String): DataFrame =
+    embPcaOn(Tables(spark, dir).embeddings
+      .select(col("embedding").cast("array<double>").as("v")))
+
+  private[graft] def embPcaOn(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val dim = PcaDim
+    val rows = emb.filter(col("v").isNotNull)
+      .agg(graft.functions.ScatterAgg.scatter(col("v"), dim, PcaScale).as("s"))
+      .head().getSeq[Long](0).toArray
+    val comps = pcaFromScatter(rows, dim)
+    comps.zipWithIndex.map { case ((eig, expPpm, vec), i) =>
+      (i + 1L, eig, expPpm, vec.map(x => f"$x%.6f").mkString(","))
+    }.toSeq.toDF("component", "eigenvalue", "explained_ppm", "eigvec")
+      .orderBy(col("component"))
+  }
+
+  /** Driver-side deflated power iteration over the integer scatter
+    * buffer (shared math for the operator; the spec re-implements it
+    * independently). Returns (eigenvalue in x-units, explained ppm,
+    * unit eigenvector) per component.
+    */
+  private[graft] def pcaFromScatter(buf: Array[Long], dim: Int)
+      : Seq[(Double, Long, Array[Double])] = {
+    val n = buf(dim * dim + dim)
+    if (n == 0) return Seq.empty
+    // covariance in q-units: C = S/n − μμᵀ
+    val mu = Array.tabulate(dim)(i => buf(dim * dim + i).toDouble / n)
+    val c = Array.tabulate(dim, dim)((i, j) =>
+      buf(i * dim + j).toDouble / n - mu(i) * mu(j))
+    val trace = (0 until dim).map(i => c(i)(i)).sum
+    val out = Seq.newBuilder[(Double, Long, Array[Double])]
+    for (_ <- 1 to PcaComponents) {
+      // deterministic start: the largest-diagonal axis (ties → low index)
+      var start = 0
+      for (i <- 1 until dim) if (c(i)(i) > c(start)(start)) start = i
+      var v = Array.tabulate(dim)(i => if (i == start) 1.0 else 0.0)
+      for (_ <- 1 to PcaIters) {
+        val w = Array.tabulate(dim)(i =>
+          (0 until dim).foldLeft(0.0)((acc, j) => acc + c(i)(j) * v(j)))
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        v = if (norm > 0) w.map(_ / norm) else v
+      }
+      val lambda = (0 until dim).foldLeft(0.0) { (acc, i) =>
+        acc + v(i) * (0 until dim).foldLeft(0.0)((a, j) => a + c(i)(j) * v(j))
+      }
+      // canonical sign: first nonzero coordinate positive
+      val flip = v.find(math.abs(_) > 1e-12).exists(_ < 0)
+      val vc = if (flip) v.map(-_) else v
+      val expPpm = if (trace > 0) (lambda * 1e6 / trace).toLong else 0L
+      out += ((lambda / (PcaScale * PcaScale), expPpm, vc))
+      // deflate: C ← C − λ v vᵀ
+      for (i <- 0 until dim; j <- 0 until dim)
+        c(i)(j) -= lambda * vc(i) * vc(j)
+    }
+    out.result()
+  }
 }

@@ -84,4 +84,61 @@ class ClusteringSpec extends AnyFunSuite {
       assert(out(id)._2 == 0L, s"perfect duplicate $id was kept")
     }
   }
+
+  // ---- emb_pca ----
+
+  test("emb_pca equals an independent in-JVM reference and is partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sf).embeddings
+      .select(col("embedding").cast("array<double>").as("v"))
+    val got = operators.Clustering.embPcaOn(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+    assert(got.length == operators.Clustering.PcaComponents)
+    // independent reference: same algorithm definition, separate code
+    val dim = operators.Clustering.PcaDim
+    val vecs = emb.collect().map(_.getSeq[Double](0).toArray)
+    val q = vecs.map(_.map(x => math.round(x * operators.Clustering.PcaScale)))
+    val n = q.length
+    val s = Array.ofDim[Long](dim, dim)
+    val sums = new Array[Long](dim)
+    for (row <- q; i <- 0 until dim) {
+      sums(i) += row(i)
+      for (j <- 0 until dim) s(i)(j) += row(i) * row(j)
+    }
+    val buf = new Array[Long](dim * dim + dim + 1)
+    for (i <- 0 until dim; j <- 0 until dim) buf(i * dim + j) = s(i)(j)
+    for (i <- 0 until dim) buf(dim * dim + i) = sums(i)
+    buf(dim * dim + dim) = n
+    val want = operators.Clustering.pcaFromScatter(buf, dim)
+    got.zip(want).foreach { case ((_, eig, ppm, vs), (wEig, wPpm, wv)) =>
+      assert(eig == wEig && ppm == wPpm)
+      assert(vs == wv.map(x => f"$x%.6f").mkString(","))
+    }
+    // eigen ordering + unit vectors
+    assert(got(0)._2 >= got(1)._2 - 1e-9)
+    got.foreach { case (_, _, _, vs) =>
+      val norm = math.sqrt(vs.split(",").map(_.toDouble).map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-4, s"eigvec not unit: $norm")
+    }
+    // bit-identical under repartitioning (integer scatter sums)
+    val re = operators.Clustering.embPcaOn(emb.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+    assert(re.toSeq == got.toSeq, "PCA depends on partitioning")
+  }
+
+  test("emb_pca finds a planted dominant axis") {
+    import spark.implicits._
+    val dim = operators.Clustering.PcaDim
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 400).map { _ =>
+      val v = Array.fill(dim)(rnd.nextGaussian() * 0.01)
+      v(7) += rnd.nextGaussian() * 5.0 // variance concentrated on axis 7
+      v.toSeq
+    }.toDF("v")
+    val rows = operators.Clustering.embPcaOn(docs).collect()
+    val v1 = rows(0).getString(3).split(",").map(_.toDouble)
+    assert(math.abs(v1(7)) > 0.99, s"dominant axis missed: ${v1(7)}")
+    assert(rows(0).getLong(2) > 900000L,
+      s"explained variance too low: ${rows(0).getLong(2)}")
+  }
 }

@@ -100,6 +100,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
 
   private val vecOps: Seq[(String, DataFrame => DataFrame)] = Seq(
     "semdedup" -> (e => operators.Clustering.semdedupOn(e)),
+    "emb_pca" -> (e => operators.Clustering.embPcaOn(
+      e.select(org.apache.spark.sql.functions.col("v")))),
     "ann_pq" -> (e => operators.SimilaritySearch.annPqOn(e, 10, 3)),
     "knn_graph" -> (e => operators.SimilaritySearch.knnGraphOn(e, 5)),
     "dsir_select" -> (_ => operators.LangModel.dsirSelectOn(emptyDocs)),

@@ -250,4 +250,63 @@ class PropertySpec extends AnyFunSuite {
         s"trial $trial: est $est vs true $trueJ")
     }
   }
+
+  test("waterfill: random cards always fill the budget max-min fairly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 8) {
+      // skewed Zipf-ish token card, 3..12 sources
+      val n = 3 + rnd.nextInt(10)
+      val card = (0 until n).map(i =>
+        (f"s$i%02d", 1 + (math.pow(10, 1 + rnd.nextDouble() * 3)).toLong))
+      val docs = card.zipWithIndex.map { case ((s, t), i) =>
+        (i.toLong, Seq.fill(t.toInt)("w").mkString(" "), s)
+      }.toDF("doc_id", "text", "source")
+      val rows = operators.Curation.mixBudgetOn(docs).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      val total = card.map(_._2).sum
+      val budget = total / operators.Curation.MixBudgetDen
+      val alloc = rows.map(_._3).sum
+      assert(alloc <= budget && budget - alloc < n,
+        s"trial $trial: budget $budget filled to $alloc over $n sources")
+      // max-min fairness: every capped source's alloc >= every
+      // uncapped source's tokens... i.e. nobody capped below a
+      // source that kept everything
+      val capLevel = rows.filter(_._4 == 1L).map(_._3)
+      val keptWhole = rows.filter(_._4 == 0L).map(_._2)
+      assert(capLevel.distinct.length <= 1, s"trial $trial: $rows")
+      if (capLevel.nonEmpty && keptWhole.nonEmpty)
+        assert(keptWhole.max <= capLevel.head,
+          s"trial $trial: an uncapped source exceeds the water level: $rows")
+      rows.foreach { case (_, t, a, c) =>
+        assert(a <= t && ((c == 1L) == (a < t)))
+      }
+    }
+  }
+
+  test("containment dominates jaccard on every pair (C(A->B) >= J(A,B))") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val vocab = (0 until 25).map(i => s"v$i")
+    val docs = (0 until 20).map { i =>
+      val k = 5 + rnd.nextInt(15)
+      (i.toLong, (0 until k).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def shingleSet(t: String): Set[String] = {
+      val w = t.split(" "); if (w.length < 3) Set.empty[String]
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.collect().map(r => (r.getLong(0), shingleSet(r.getString(1))))
+      .filter(_._2.nonEmpty).toMap
+    val got = operators.Text.containmentOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for ((a, sa) <- sets; (b, sb) <- sets if a != b && sa.intersect(sb).nonEmpty) {
+      val inter = sa.intersect(sb).size
+      val cPpm = inter.toLong * 1000000L / sa.size
+      val jPpm = inter.toLong * 1000000L / (sa.size + sb.size - inter)
+      assert(cPpm >= jPpm, s"($a,$b): containment $cPpm < jaccard $jPpm")
+      // and the operator's best is at least this pair's containment
+      assert(got(a) >= cPpm, s"doc $a: best ${got(a)} below pair containment $cPpm")
+    }
+  }
 }
