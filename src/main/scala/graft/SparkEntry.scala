@@ -142,7 +142,8 @@ object SparkEntry {
     "k_core"            -> (Graph.kCore _),
     "dq_check"          -> (Quality.dqCheck _),
     "drift_check"       -> (Quality.driftCheck _),
-    "emb_pca"           -> (Clustering.embPca _)
+    "emb_pca"           -> (Clustering.embPca _),
+    "mm_scenes"         -> (graft.multimodal.Multimodal.mmScenes _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -964,6 +965,39 @@ object SparkEntry {
         |  (CAST(fi AS BIGINT) * 1000) // fps AS frame_ts_ms
         |FROM s, unnest(range(0, n_frames_total, stride)) AS t(fi)
         |ORDER BY doc_id, frame_idx""".stripMargin
+    },
+
+    // same schedule CTEs as mm_frames + the per-scene stub signature
+    // and the LAG/running-sum cut segmentation
+    "mm_scenes" -> {
+      val target = graft.multimodal.Multimodal.FrameTargetSamples
+      val sceneMs = graft.multimodal.Multimodal.SceneMs
+      val sigSql = hash60Sql(
+        "'scene:' || CAST(fp60 AS VARCHAR) || ':' || CAST(frame_ts_ms // " +
+          sceneMs + " AS VARCHAR)")
+      s"""WITH m AS (
+        |  SELECT doc_id, ${hash60Sql(normSql)} AS fp60 FROM documents),
+        |v AS (
+        |  SELECT doc_id, fp60, fp60 % 120000 + 1000 AS duration_ms,
+        |    (fp60 // 7) % 30 + 1 AS fps
+        |  FROM m),
+        |s AS (
+        |  SELECT doc_id, fp60, fps, (duration_ms * fps) // 1000 AS n_frames_total,
+        |    (((duration_ms * fps) // 1000) + ${target - 1}) // $target AS stride
+        |  FROM v),
+        |f AS (
+        |  SELECT doc_id, fp60, CAST(fi AS BIGINT) AS frame_idx,
+        |    (CAST(fi AS BIGINT) * 1000) // fps AS frame_ts_ms
+        |  FROM s, unnest(range(0, n_frames_total, stride)) AS t(fi)),
+        |g AS (SELECT doc_id, frame_idx, frame_ts_ms, $sigSql AS frame_sig FROM f),
+        |h AS (SELECT *, LAG(frame_sig) OVER (PARTITION BY doc_id
+        |    ORDER BY frame_idx) AS prev FROM g)
+        |SELECT doc_id, frame_idx, frame_ts_ms, frame_sig,
+        |  CAST(prev IS NOT NULL AND prev <> frame_sig AS BIGINT) AS is_cut,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> frame_sig
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+        |    ORDER BY frame_idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_no
+        |FROM h ORDER BY doc_id, frame_idx""".stripMargin
     },
 
     // full resize arithmetic replicated: same geometry, same stub

@@ -108,8 +108,18 @@ object Multimodal {
     * — computing it needs only metadata, never the media bytes.
     * Map-side sequence+explode; output rows ≤ 32 × docs.
     */
-  def mmFrames(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+  def mmFrames(spark: SparkSession, dir: String): DataFrame =
+    frameSchedule(Tables(spark, dir).documents)
+      .select(col("doc_id"), col("n_frames_total"), col("stride"), col("frame_idx"),
+        col("frame_ts_ms"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** The sampled-frame schedule rows (shared by [[mmFrames]] and
+    * [[mmScenes]]): fake duration/fps from the payload hash, stride
+    * targeting ≤ [[FrameTargetSamples]] samples, fp60 carried for
+    * downstream per-frame stub content.
+    */
+  private def frameSchedule(docs: DataFrame): DataFrame =
     docs
       .withColumn("fp60", hash60(normalize(col("text"))))
       .withColumn("duration_ms", col("fp60") % 120000 + 1000)
@@ -117,8 +127,41 @@ object Multimodal {
       .withColumn("n_frames_total", expr("(duration_ms * fps) div 1000"))
       .withColumn("stride", expr(s"(n_frames_total + ${FrameTargetSamples - 1}) div $FrameTargetSamples"))
       .withColumn("frame_idx", explode(expr("sequence(0L, n_frames_total - 1, stride)")))
-      .select(col("doc_id"), col("n_frames_total"), col("stride"), col("frame_idx"),
-        expr("(frame_idx * 1000) div fps").as("frame_ts_ms"))
+      .select(col("doc_id"), col("fp60"), col("n_frames_total"), col("stride"),
+        col("frame_idx"), expr("(frame_idx * 1000) div fps").as("frame_ts_ms"))
+
+  /** Scene length of the stub content model for [[mmScenes]]. */
+  val SceneMs = 20000L
+
+  /** mm_scenes — scene-cut segmentation over the sampled frame
+    * schedule (the video-curation step after [[mmFrames]]: shot
+    * boundaries for per-scene captioning/dedup): each sampled frame
+    * carries a per-scene content signature, a cut fires where the
+    * signature changes from the previous SAMPLED frame (event-order
+    * LAG within the video), and a running count numbers the scenes.
+    * The signature is the multimodal family's deterministic STUB
+    * (hash of the video's payload hash and its [[SceneMs]]-bucket —
+    * a real deployment swaps in a decoded-frame dHash and keeps a
+    * hamming threshold; every downstream column is unchanged).
+    *
+    * Scale shape: schedule explode is map-side; LAG and the running
+    * scene number are ONE doc-keyed window (the q13_sessionize
+    * class — partitioned, never global); ≤ [[FrameTargetSamples]]
+    * rows per video at any scale.
+    */
+  def mmScenes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frameSchedule(Tables(spark, dir).documents)
+      .withColumn("scene_bucket", expr(s"frame_ts_ms div $SceneMs"))
+      .withColumn("frame_sig",
+        hash60(concat(lit("scene:"), col("fp60"), lit(":"), col("scene_bucket"))))
+      .withColumn("is_cut",
+        (lag(col("frame_sig"), 1).over(w).isNotNull &&
+          lag(col("frame_sig"), 1).over(w) =!= col("frame_sig")).cast("long"))
+      .withColumn("scene_no", sum(col("is_cut")).over(w))
+      .select(col("doc_id"), col("frame_idx"), col("frame_ts_ms"),
+        col("frame_sig"), col("is_cut"), col("scene_no"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 

@@ -105,6 +105,40 @@ class IngestOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_scenes: cuts fire exactly at scene-bucket crossings, numbering is a running count") {
+    val rows = Multimodal.mmScenes(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    var sawCut = false
+    byDoc.foreach { case (id, g) =>
+      val ordered = g.sortBy(_.getAs[Long]("frame_idx"))
+      assert(ordered.head.getAs[Long]("is_cut") == 0L,
+        s"doc $id: first sampled frame cannot be a cut")
+      var scenes = 0L
+      var prevBucket = ordered.head.getAs[Long]("frame_ts_ms") / Multimodal.SceneMs
+      var prevSig = ordered.head.getAs[Long]("frame_sig")
+      for (r <- ordered.tail) {
+        val bucket = r.getAs[Long]("frame_ts_ms") / Multimodal.SceneMs
+        val cut = r.getAs[Long]("is_cut")
+        // the stub signature is a pure function of the scene bucket,
+        // so a cut fires iff the bucket changed
+        assert(cut == (if (bucket != prevBucket) 1L else 0L),
+          s"doc $id frame ${r.getAs[Long]("frame_idx")}: cut $cut at bucket " +
+            s"$prevBucket -> $bucket")
+        if (cut == 1L) { scenes += 1; sawCut = true }
+        assert(r.getAs[Long]("scene_no") == scenes,
+          s"doc $id: scene numbering is not the running cut count")
+        assert(cut == 0L || r.getAs[Long]("frame_sig") != prevSig)
+        prevBucket = bucket
+        prevSig = r.getAs[Long]("frame_sig")
+      }
+      // scene count bounded by the timeline
+      val maxTs = ordered.last.getAs[Long]("frame_ts_ms")
+      assert(scenes <= maxTs / Multimodal.SceneMs + 1)
+    }
+    assert(sawCut, "fixture sanity: some video must span multiple scenes")
+  }
+
   /** Plain-Scala mirror of the stub PCM + energy-delta fingerprint. */
   private def refAudioFp(fp60: Long): (Long, Long, Long, Long) = {
     val nSamples = fp60 % Multimodal.AudioSamplesMod + Multimodal.AudioMinSamples
