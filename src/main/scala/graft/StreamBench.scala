@@ -129,11 +129,24 @@ object StreamBench {
         df.select(col("doc_id"), col("text"), col("event_ts"))),
       nStream, s"$base/n_out", s"$base/n_ckpt")
 
+    // drift card: batch-trained baseline + per-window Misra-Gries
+    // histograms in state; training outside the timed region (the
+    // shipped-model convention of the gated path)
+    val driftBase = streaming.DriftStream.trainBaseline(
+      Tables(spark, sfDir).documents.select(col("doc_id"), col("text"), col("lang")))
+    val dStream = spark.readStream.schema(curation.schema)
+      .option("maxFilesPerTrigger", FilesPerTrigger).parquet(cIn)
+    val dSec = runStream(
+      df => streaming.DriftStream.driftCard(
+        df.select(col("text"), col("lang"), col("event_ts")), driftBase),
+      dStream, s"$base/d_out", s"$base/d_ckpt")
+
     Map("health_alerts" -> PathResult(hRows, hSec),
       "curation" -> PathResult(cRows, cSec),
       "curation_gated" -> PathResult(cRows, gSec),
       "curation_strict" -> PathResult(cRows, sSec),
-      "neardup" -> PathResult(cRows, nSec))
+      "neardup" -> PathResult(cRows, nSec),
+      "drift" -> PathResult(cRows, dSec))
   }
 
   def main(args: Array[String]): Unit = {

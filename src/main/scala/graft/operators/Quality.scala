@@ -102,22 +102,30 @@ object Quality {
   def driftCheck(spark: SparkSession, dir: String): DataFrame =
     driftCheckOn(Tables(spark, dir).documents)
 
-  private[graft] def driftCheckOn(docs: DataFrame): DataFrame = {
+  /** The (feature, bucket) pair generator shared by the batch card
+    * and the streaming gate ([[graft.streaming.DriftStream]]) — one
+    * definition, so stream and batch bucket identically. Input needs
+    * `lang` and `text`.
+    */
+  private[graft] def featurePairs: org.apache.spark.sql.Column = {
     import graft.functions.TextFunctions.words
-    val featured = docs.select(
-      (col("doc_id") % 2 === 1).cast("long").as("late"),
-      col("lang"),
-      least(lit(DriftLenMax),
-        (size(words(col("text"))) / DriftLenBucket).cast("long")).as("len_b"))
-    val buckets = featured
-      .select(col("late"), explode(array(
-        struct(lit("lang").as("feature"), col("lang").as("bucket")),
-        struct(lit("len").as("feature"),
-          concat(lit("b"), col("len_b")).as("bucket")))).as("f"))
+    explode(array(
+      struct(lit("lang").as("feature"), col("lang").as("bucket")),
+      struct(lit("len").as("feature"),
+        concat(lit("b"), least(lit(DriftLenMax),
+          (size(words(col("text"))) / DriftLenBucket).cast("long"))).as("bucket"))))
+  }
+
+  private[graft] def driftCheckOn(docs: DataFrame): DataFrame = {
+    val buckets = docs
+      .select((col("doc_id") % 2 === 1).cast("long").as("late"),
+        featurePairs.as("f"))
       .groupBy(col("f.feature").as("feature"), col("f.bucket").as("bucket"))
       .agg(sum(when(col("late") === 0L, 1L).otherwise(0L)).as("early_cnt"),
         sum(col("late")).as("late_cnt"))
-    val totals = featured.agg(
+    val totals = docs
+      .select((col("doc_id") % 2 === 1).cast("long").as("late"))
+      .agg(
       sum(when(col("late") === 0L, 1L).otherwise(0L)).as("n_early"),
       sum(col("late")).as("n_late"))
     buckets.crossJoin(broadcast(totals))
