@@ -143,7 +143,8 @@ object SparkEntry {
     "dq_check"          -> (Quality.dqCheck _),
     "drift_check"       -> (Quality.driftCheck _),
     "emb_pca"           -> (Clustering.embPca _),
-    "mm_scenes"         -> (graft.multimodal.Multimodal.mmScenes _)
+    "mm_scenes"         -> (graft.multimodal.Multimodal.mmScenes _),
+    "ann_eval"          -> ((s, d) => SimilaritySearch.annEval(s, d))
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money

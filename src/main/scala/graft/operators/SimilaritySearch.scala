@@ -475,4 +475,49 @@ object SimilaritySearch {
       .select(col("src"), col("dst"), col("rank"), round(col("sim"), 6).as("sim"))
       .orderBy(col("src"), col("rank"))
   }
+
+  /** ann_eval — the index-selection recall card: every approximate
+    * method's top-k graded against the brute-force ground truth, as
+    * a first-class operator (the evaluation a team runs BEFORE
+    * choosing an index, not an ad-hoc script). One row per method:
+    * query count, total hits, exact-integer mean recall@k (ppm) and
+    * the worst per-query recall. `ann_topk` grades itself as the
+    * built-in sanity anchor — its recall is exactly 10⁶ by
+    * definition, so a harness bug cannot read as a good index.
+    *
+    * Composition of the REGISTERED operators themselves (same code,
+    * same constants — the evaluation can't drift from what ships).
+    * Scale shape: each method keeps its own; the grading joins are
+    * (qid, nid)-keyed over ≤ q·k rows per side — metadata class —
+    * and the per-method scalar summaries are the documented
+    * multi-scalar plan class (bounded by the METHOD LIST).
+    */
+  def annEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import graft.Materialize.MatOps
+    val truth = annTopK(spark, dir, k)
+      .select(col("qid"), col("nid")).materialized // graded 5x
+    val qids = truth.select(col("qid")).distinct()
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "ann_topk" -> truth,
+      "ann_lsh" -> annLsh(spark, dir, k),
+      "ann_ivf" -> annIvf(spark, dir, k),
+      "ann_pq" -> annPq(spark, dir, k),
+      "ann_ivf_pq" -> annIvfPq(spark, dir, k))
+    methods.map { case (name, df) =>
+      val hits = df.select(col("qid"), col("nid"))
+        .join(truth, Seq("qid", "nid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      // a query the method found NOTHING for still counts
+      qids.join(hits, Seq("qid"), "left")
+        .select(coalesce(col("hits"), lit(0L)).as("hits"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("n_hits"),
+          min(col("hits")).as("worst_hits"))
+        .select(lit(name).as("method"), col("n_queries"),
+          col("n_hits").cast("long").as("n_hits"),
+          expr(s"n_hits * 1000000 div (n_queries * $k)").cast("long")
+            .as("mean_recall_ppm"),
+          expr(s"worst_hits * 1000000 div $k").cast("long")
+            .as("worst_recall_ppm"))
+    }.reduce(_ unionAll _).orderBy(col("method"))
+  }
 }

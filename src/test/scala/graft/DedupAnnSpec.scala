@@ -438,4 +438,38 @@ class DedupAnnSpec extends AnyFunSuite {
       assert(r.getDouble(2) == expect)
     }
   }
+
+  test("ann_eval: self-recall is exactly 10^6 and every grade equals the in-JVM recomputation") {
+    import org.apache.spark.sql.functions._
+    val k = 10
+    val card = operators.SimilaritySearch.annEval(spark, sf, k).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // the brute-force method grades itself perfectly by definition
+    assert(card("ann_topk")._3 == 1000000L && card("ann_topk")._4 == 1000000L,
+      s"self-recall broken: ${card("ann_topk")}")
+    // recompute every method's grade from the operators' own outputs
+    val truth = operators.SimilaritySearch.annTopK(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    def grade(rows: Array[(Long, Long)]): (Long, Long, Long, Long) = {
+      val byQ = rows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val hits = truth.keys.toSeq.sorted.map(q =>
+        byQ.getOrElse(q, Set.empty).intersect(truth(q)).size.toLong)
+      (truth.size.toLong, hits.sum,
+        (BigInt(hits.sum) * 1000000 / (truth.size.toLong * k)).toLong,
+        (BigInt(hits.min) * 1000000 / k).toLong)
+    }
+    val methods = Seq(
+      "ann_lsh" -> operators.SimilaritySearch.annLsh(spark, sf, k),
+      "ann_ivf" -> operators.SimilaritySearch.annIvf(spark, sf, k),
+      "ann_pq" -> operators.SimilaritySearch.annPq(spark, sf, k),
+      "ann_ivf_pq" -> operators.SimilaritySearch.annIvfPq(spark, sf, k))
+    for ((name, df) <- methods) {
+      val want = grade(df.select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+      assert(card(name) == want, s"$name: card ${card(name)} vs recomputed $want")
+      assert(card(name)._3 > 0L, s"$name found nothing at all")
+    }
+  }
 }

@@ -73,11 +73,13 @@ class QueryPackSpec extends AnyFunSuite {
     // ≤ MaxQueries query-chunk table (the ann scoring O(n·q) class)
     val bnljOk = Set("ann_pq", "ann_topk", "dedup_embedding",
       "q20_subquery", "sample_mixture", "word_pmi", "source_overlap",
-      "bm25_search", "ann_maxsim", "drift_check")
+      "bm25_search", "ann_maxsim", "drift_check", "ann_eval")
     // dq_check is the documented MULTI-scalar class: one scalar
     // aggregation per declared constraint (a code constant, never
     // data-dependent) — its exchange count equals the constraint list
-    val multiScalarOk = Map("dq_check" -> 8)
+    // ann_eval runs one scalar summary per graded METHOD (plus the
+    // methods' own allowlisted shapes inside its plan)
+    val multiScalarOk = Map("dq_check" -> 8, "ann_eval" -> 8)
     // q24_funnel's whole-corpus funnel counts are one global
     // aggregate row, freq_words's final rank runs on one
     // ≤ FreqCapacity sketch row, and sketch_cube's rollup unions
