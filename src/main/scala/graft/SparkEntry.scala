@@ -144,7 +144,9 @@ object SparkEntry {
     "drift_check"       -> (Quality.driftCheck _),
     "emb_pca"           -> (Clustering.embPca _),
     "mm_scenes"         -> (graft.multimodal.Multimodal.mmScenes _),
-    "ann_eval"          -> ((s, d) => SimilaritySearch.annEval(s, d))
+    "ann_eval"          -> ((s, d) => SimilaritySearch.annEval(s, d)),
+    "q41_rank_funcs"    -> (Relational.q41 _),
+    "q42_range_frame"   -> (Relational.q42 _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -1000,6 +1002,35 @@ object SparkEntry {
         |    ORDER BY frame_idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_no
         |FROM h ORDER BY doc_id, frame_idx""".stripMargin
     },
+
+    // tie-free ordering: every rank function deterministic, the
+    // ratios are pure IEEE divisions on identical row positions
+    "q41_rank_funcs" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS rnk,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w + 1e-9, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w + 1e-9, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
+
+    // integer epoch-day order key + DECIMAL money sum: the RANGE
+    // frame arithmetic is identical in both engines
+    "q42_range_frame" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |      AS day_num,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, day_num,
+        |  CAST(SUM(p) OVER w AS DOUBLE) AS spend_30d,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_30d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     // full resize arithmetic replicated: same geometry, same stub
     // pixel lattice, HUGEINT-safe with final BIGINT casts

@@ -878,6 +878,50 @@ object Relational {
         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
   }
 
+  /** q41_rank_funcs — the analytic rank-function family the window
+    * pack hadn't yet exercised: dense_rank, ntile(4), percent_rank,
+    * cume_dist per priority class over a TIE-FREE ordering
+    * ((price, orderkey) — key-unique, so every rank function is
+    * deterministic and percent_rank/cume_dist are pure IEEE
+    * divisions both engines compute identically; the 1e-9-shifted
+    * round-6 lattice guards the hash). One partitioned window —
+    * |priority classes|-way parallel, never a global sort.
+    */
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w) + lit(1e-9), 6))
+      .withColumn("cume", round(cume_dist().over(w) + lit(1e-9), 6))
+      .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+  }
+
+  /** q42_range_frame — a VALUE-based window frame (RANGE BETWEEN 30
+    * PRECEDING), the frame kind every other window here doesn't use
+    * (they are all ROWS frames or whole-partition): per customer,
+    * each order's trailing-30-day spend and order count. The order
+    * key is an integer epoch-day (identical arithmetic both
+    * engines), the money sum runs in DECIMAL(18,2) (order-free),
+    * and equal-day orders all join each other's frames — the RANGE
+    * semantics ROWS can't express. One customer-partitioned window.
+    */
+  def q42(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day_num")).rangeBetween(-30, 0)
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("datediff(o_orderdate, DATE'1970-01-01')").cast("long").as("day_num"),
+        expr("CAST(o_totalprice AS DECIMAL(18,2))").as("p"))
+      .withColumn("spend_30d", sum(col("p")).over(w).cast("double"))
+      .withColumn("n_orders_30d", count(lit(1)).over(w).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_num"),
+        col("spend_30d"), col("n_orders_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   private[graft] def q26On(events: DataFrame): DataFrame = {
     val ev = events
       .select(col("user_id"), col("event_id"),

@@ -136,6 +136,39 @@ class QueryPackSpec extends AnyFunSuite {
     }
   }
 
+  test("q41/q42: rank-function laws and an exact trailing-30-day recomputation") {
+    // q41: per priority class — quartiles balanced to within one,
+    // percent_rank spans [0, 1], cume_dist ends at 1, monotone
+    val r41 = operators.Relational.q41(spark, sf).collect()
+    for ((_, g) <- r41.groupBy(_.getString(0))) {
+      val quartiles = g.groupBy(_.getAs[Long]("quartile")).view.mapValues(_.length)
+      assert(quartiles.keySet.subsetOf(Set(1L, 2L, 3L, 4L)))
+      assert(quartiles.values.max - quartiles.values.min <= 1,
+        s"ntile unbalanced: $quartiles")
+      val ordered = g.sortBy(r => (r.getDouble(2), r.getLong(1)))
+      assert(ordered.head.getAs[Double]("pct_rank") == 0.0)
+      assert(math.abs(ordered.last.getAs[Double]("pct_rank") - 1.0) < 1e-6)
+      assert(math.abs(ordered.last.getAs[Double]("cume") - 1.0) < 1e-6)
+      val cumes = ordered.map(_.getAs[Double]("cume"))
+      assert(cumes.zip(cumes.tail).forall { case (a, b) => a <= b })
+    }
+    // q42: recompute one customer's trailing window exactly
+    val r42 = operators.Relational.q42(spark, sf).collect()
+    val byCust = r42.groupBy(_.getLong(0))
+    val (_, orders) = byCust.maxBy(_._2.length)
+    for (o <- orders) {
+      val want = orders.filter(x => x.getLong(2) >= o.getLong(2) - 30 &&
+        x.getLong(2) <= o.getLong(2))
+      assert(o.getAs[Long]("n_orders_30d") == want.length.toLong,
+        s"order ${o.getLong(1)}: count ${o.getAs[Long]("n_orders_30d")} vs ${want.length}")
+    }
+    // equal-day orders must see each other (RANGE, not ROWS)
+    val sameDay = orders.groupBy(_.getLong(2)).find(_._2.length > 1)
+    for ((_, g) <- sameDay; a <- g)
+      assert(a.getAs[Long]("n_orders_30d") >= g.length,
+        "RANGE frame must include same-day peers")
+  }
+
   test("q37: NOT IN is null-aware — a NULL in the probe empties it, and the plan is NAAJ") {
     val df = operators.Relational.q37(spark, sf)
     assert(df.count() > 0, "null-free probe must keep the never-purchasers")
