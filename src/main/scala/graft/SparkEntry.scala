@@ -2542,9 +2542,10 @@ object SparkEntry {
         |    CASE WHEN jj.j >= u.n THEN u.tokens
         |      ELSE LEAST(u.tokens, (u.budget - pp.pj) // (u.n - jj.j)) END AS alloc
         |  FROM u CROSS JOIN jj CROSS JOIN pp)
-        |SELECT source, tokens, alloc,
-        |  CASE WHEN tokens = 0 THEN 0
-        |    ELSE CAST(alloc AS HUGEINT) * 1000000 // tokens END AS rate_ppm,
+        |SELECT source, tokens, CAST(alloc AS BIGINT) AS alloc,
+        |  CAST(CASE WHEN tokens = 0 THEN 0
+        |    ELSE CAST(alloc AS HUGEINT) * 1000000 // tokens END AS BIGINT)
+        |    AS rate_ppm,
         |  CAST(alloc < tokens AS BIGINT) AS capped
         |FROM f ORDER BY source""".stripMargin,
 

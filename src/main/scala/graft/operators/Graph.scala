@@ -275,12 +275,15 @@ object Graph {
     out
   }
 
-  /** K for [[kCore]], and a safety cap on peel rounds (each round
-    * removes ≥ 1 node before the fixpoint, so the cap only guards a
-    * logic error, not convergence).
+  /** K for [[kCore]]. Peeling has no data-independent round cap:
+    * degeneracy chains legitimately need up to O(n) rounds (each
+    * round removes ≥ 1 node), so a fixed cap would silently return a
+    * non-core at scale. Termination is structural instead — every
+    * non-final round strictly shrinks the node set, and the loop
+    * throws if a round makes no progress (a logic error, never a
+    * convergence state).
     */
   val KCoreK = 3
-  val KCoreMaxRounds = 50
 
   /** k_core — the [[KCoreK]]-core of the trade graph (iterative
     * peeling to fixpoint): repeatedly delete nodes of degree < K
@@ -328,22 +331,28 @@ object Graph {
       .repartition(col("src"))
       .materialized
     var prev: DataFrame = null
-    var rounds = 0
+    var lastN = Long.MaxValue
     var done = false
-    while (!done && rounds < KCoreMaxRounds) {
+    while (!done) {
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       // ONE action per round: (node count, nodes below K); running it
       // also materializes the previous round's lazy checkpoint
       val stats = deg.agg(count(lit(1)).as("n"),
         sum(when(col("deg") < KCoreK, 1L).otherwise(0L)).as("below")).head()
       if (prev != null) { prev.unpersist(); prev = null }
+      val n = stats.getLong(0)
       val below = if (stats.isNullAt(1)) 0L else stats.getLong(1)
       if (below == 0L) done = true
       else {
+        // below > 0 ⇒ this round deletes ≥ 1 node, so n must have
+        // strictly dropped since the last round; a stall is a logic
+        // error — fail loudly rather than return a partial peel
+        if (n >= lastN) throw new IllegalStateException(
+          s"kCore made no progress: $n nodes after a round that started with $lastN")
+        lastN = n
         val alive = deg.filter(col("deg") >= KCoreK).select(col("src").as("id"))
         prev = edges
         edges = kCoreFilterRound(edges, alive).localCheckpoint(false)
-        rounds += 1
       }
     }
     val out = Materialize.eager(

@@ -139,17 +139,41 @@ object LangModel {
         expr("sum_ppm div n_bigrams").as("lm_ppm"))
   }
 
+  /** Hard driver-side size cap on EACH of the gate model's two maps
+    * ([[perplexityGateData]]) — 2²² ≈ 4.2M entries. Bigram TYPES grow
+    * far faster than unigram vocabulary (they are NOT Heaps-bounded
+    * the way the vocab is), so an uncapped collect of c2 is
+    * corpus-sized in the limit and OOMs the driver on a 100 TB train
+    * corpus. Real CCNet ships a PRUNED model file; this cap is that
+    * pruning.
+    */
+  val GateModelCap: Int = 1 << 22
+
   /** Batch-trained CCNet admission artifacts for the STREAMING gate
-    * ([[graft.streaming.CurationStream.curateGated]]): the RAW bigram
+    * ([[graft.streaming.CurationStream.curateGated]]): the raw bigram
     * model (c2, c1, V — what add-one smoothing needs to score unseen
     * bigrams, which the batch scorer never meets because it trains on
     * the corpus it scores) plus the per-language tail thresholds t2.
-    * The model collects to the driver — VOCABULARY-sized under Heaps'
-    * law, never corpus-sized — which is exactly CCNet's production
-    * shape: the LM trains once in batch and the model FILE ships to
-    * every ingest node; these maps are that file.
+    *
+    * The model that reaches the driver is BOUNDED, never
+    * corpus-sized: each count map is pruned distributedly to its
+    * `modelCap` highest-count entries (count desc, then key — fully
+    * deterministic) via orderBy+limit, which Spark plans as
+    * TakeOrderedAndProject — per-partition heaps, only the winners
+    * cross the wire. So the collect is ≤ 2·modelCap + |langs| rows at
+    * ANY corpus scale. A pruned (rare) bigram scores as UNSEEN under
+    * the same add-one formula (c2 = 0; a pruned context takes c1 = 0)
+    * — the natural smoothing extension [[graft.functions.LmPpmKernel]]
+    * already defines, so pruning degrades scores smoothly on exactly
+    * the low-count tail where the probabilities were near the
+    * smoothing floor anyway. This is CCNet's production shape: the LM
+    * trains once in batch and a pruned model FILE ships to every
+    * ingest node; these maps are that file. GateModelSpec pins both
+    * laws: decisions are unchanged when the cap doesn't bind, and the
+    * map sizes obey a binding cap.
     */
-  private[graft] def perplexityGateData(docs: DataFrame)
+  private[graft] def perplexityGateData(docs: DataFrame,
+      modelCap: Int = GateModelCap)
       : (Map[(String, String), Long], Map[String, Long], Long, Seq[(String, Long)]) = {
     val bi = bigramInstances(docs).materialized
     val scored = lmPpmFromBi(bi)
@@ -160,8 +184,10 @@ object LangModel {
       .select(col("lang"), col("t2"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     val c2m = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("w1"), col("w2")).limit(modelCap)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val c1m = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .orderBy(col("c1").desc, col("w1")).limit(modelCap)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val vRow = bi.agg(countDistinct(col("w2"))).collect()
     val vocab = if (vRow.isEmpty || vRow(0).isNullAt(0)) 0L else vRow(0).getLong(0)

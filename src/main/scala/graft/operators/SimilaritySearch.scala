@@ -492,17 +492,20 @@ object SimilaritySearch {
     * and the per-method scalar summaries are the documented
     * multi-scalar plan class (bounded by the METHOD LIST).
     */
-  def annEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def annEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    annEvalOn(embDouble(spark, dir), k)
+
+  private[graft] def annEvalOn(emb: DataFrame, k: Int): DataFrame = {
     import graft.Materialize.MatOps
-    val truth = annTopK(spark, dir, k)
+    val truth = annTopKOn(emb, k)
       .select(col("qid"), col("nid")).materialized // graded 5x
     val qids = truth.select(col("qid")).distinct()
     val methods: Seq[(String, DataFrame)] = Seq(
       "ann_topk" -> truth,
-      "ann_lsh" -> annLsh(spark, dir, k),
-      "ann_ivf" -> annIvf(spark, dir, k),
-      "ann_pq" -> annPq(spark, dir, k),
-      "ann_ivf_pq" -> annIvfPq(spark, dir, k))
+      "ann_lsh" -> annLshOn(emb, k),
+      "ann_ivf" -> annIvfOn(emb, k, 4, trained = true),
+      "ann_pq" -> annPqOn(emb.filter(col("v").isNotNull), k, 4),
+      "ann_ivf_pq" -> annIvfPqOn(emb, k, 4, 4))
     methods.map { case (name, df) =>
       val hits = df.select(col("qid"), col("nid"))
         .join(truth, Seq("qid", "nid"))
@@ -513,10 +516,14 @@ object SimilaritySearch {
         .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("n_hits"),
           min(col("hits")).as("worst_hits"))
         .select(lit(name).as("method"), col("n_queries"),
-          col("n_hits").cast("long").as("n_hits"),
-          expr(s"n_hits * 1000000 div (n_queries * $k)").cast("long")
+          coalesce(col("n_hits").cast("long"), lit(0L)).as("n_hits"),
+          // empty corpus → n_queries = 0: ANSI integral div by zero
+          // would error, and min() over no rows is NULL — pin both
+          // to 0 so the card degrades to an all-zero row
+          expr(s"CASE WHEN n_queries = 0 THEN 0L " +
+            s"ELSE n_hits * 1000000 div (n_queries * $k) END").cast("long")
             .as("mean_recall_ppm"),
-          expr(s"worst_hits * 1000000 div $k").cast("long")
+          expr(s"coalesce(worst_hits, 0L) * 1000000 div $k").cast("long")
             .as("worst_recall_ppm"))
     }.reduce(_ unionAll _).orderBy(col("method"))
   }

@@ -45,7 +45,7 @@ object Tokenizer {
     // train unconditionally (this query IS the training cost) and
     // refresh the artifact encode reuses
     val m = trainMerges(Tables(spark, dir).documents, NumMerges)
-    mergeCache.put((dir, NumMerges), m)
+    mergeCache.put((dir, corpusFingerprint(spark, dir), NumMerges), m)
     m.toDF("rank", "lsym", "rsym", "pair_count").orderBy(col("rank"))
   }
 
@@ -134,13 +134,14 @@ object Tokenizer {
     * The merge table is an ARTIFACT, not part of the encode: a
     * production pipeline trains once and tokenizes the corpus many
     * times (and the reference tokenizers ship vocab files). Encode
-    * therefore memoizes the trained table per (corpus dir, table
-    * size) for the JVM's lifetime — training is deterministic in the
-    * corpus, so the memo can never change an answer, it only stops
-    * every encode from re-paying the 30-round training job (measured
-    * 3.7 s → 0.7 s at sf0.1 when train already ran). A changed
-    * corpus under the SAME path needs a new session (documented
-    * limitation, the standard artifact-cache contract).
+    * therefore memoizes the trained table per (corpus dir, corpus
+    * fingerprint) for the JVM's lifetime — training is deterministic
+    * in the corpus, so the memo can never change an answer, it only
+    * stops every encode from re-paying the 30-round training job
+    * (measured 3.7 s → 0.7 s at sf0.1 when train already ran). The
+    * [[corpusFingerprint]] key component (file mtimes+sizes) makes a
+    * corpus regenerated under the SAME path train fresh;
+    * [[clearModelCaches]] is the explicit harness hook.
     */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
@@ -149,14 +150,43 @@ object Tokenizer {
   }
 
   private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), Seq[(Long, String, String, Long)]]()
+    (String, Long, Int), Seq[(Long, String, String, Long)]]()
+
+  /** Cheap corpus fingerprint for the model caches: fold every
+    * documents-table file's (modificationTime, length) into one
+    * long. Metadata-only (a FileSystem listing, no data read — works
+    * for any Hadoop FS), so a corpus regenerated under the SAME path
+    * gets a fresh key and can never be encoded with a stale model.
+    */
+  private[graft] def corpusFingerprint(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) 0L
+    else {
+      var h = 1125899906842597L
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val st = it.next()
+        h = h * 31 + st.getModificationTime
+        h = h * 31 + st.getLen
+      }
+      h
+    }
+  }
+
+  /** Test/bench hook: drop every memoized model (both tokenizer
+    * families) — e.g. between corpus rebuilds in one JVM.
+    */
+  def clearModelCaches(): Unit = { mergeCache.clear(); unigramCache.clear() }
 
   /** The artifact lookup for encode: train once per (corpus dir,
-    * table size) per JVM unless bpe_train already ran and stored it.
+    * corpus fingerprint) per JVM unless bpe_train already ran and
+    * stored it.
     */
   private def memoizedTrain(docs: DataFrame,
       dir: String): Seq[(Long, String, String, Long)] =
-    mergeCache.computeIfAbsent((dir, NumMerges),
+    mergeCache.computeIfAbsent(
+      (dir, corpusFingerprint(docs.sparkSession, dir), NumMerges),
       _ => trainMerges(docs, NumMerges))
 
   private[graft] def bpeEncodeOn(docs: DataFrame,
@@ -205,7 +235,7 @@ object Tokenizer {
     */
   def unigramTrain(spark: SparkSession, dir: String): DataFrame = {
     val model = trainUnigramModel(Tables(spark, dir).documents)
-    unigramCache.put(dir, model)
+    unigramCache.put((dir, corpusFingerprint(spark, dir)), model)
     unigramModelDf(spark, model)
   }
 
@@ -266,19 +296,22 @@ object Tokenizer {
     capped
   }
 
-  private val unigramCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+  private val unigramCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Seq[(String, Long)]]()
 
   /** unigram_encode — Viterbi-tokenize every document with the
     * trained model: one [[graft.functions.UnigramEncodeText]] eval
     * per doc, map-side inside the scan stage, corpus never joined or
     * shuffled (the output sort is the only exchange). Same artifact
-    * contract as bpe_encode: the model memoizes per corpus dir for
-    * the JVM's lifetime (training is deterministic in the corpus).
+    * contract as bpe_encode: the model memoizes per (corpus dir,
+    * corpus fingerprint) for the JVM's lifetime (training is
+    * deterministic in the corpus; the fingerprint invalidates on a
+    * regenerated corpus).
     */
   def unigramEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val model = unigramCache.computeIfAbsent(dir, _ => trainUnigramModel(docs))
+    val model = unigramCache.computeIfAbsent(
+      (dir, corpusFingerprint(spark, dir)), _ => trainUnigramModel(docs))
     unigramEncodeOn(docs, model)
   }
 

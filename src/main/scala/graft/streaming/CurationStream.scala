@@ -119,13 +119,17 @@ object CurationStream {
     * corpus: the same bigram LM and per-language tertile order
     * statistics the registered lm_score / ccnet_buckets queries
     * compute (shared code — the gate CANNOT drift from the batch
-    * split), collected to driver-side maps. Vocabulary-sized, never
-    * corpus-sized (the Heaps-law bound the batch scaladoc proves
-    * out); the periodic lambda re-train is the caller's schedule.
+    * split), collected to driver-side maps PRUNED to `modelCap`
+    * entries each (count-ordered, deterministic — see
+    * [[graft.operators.LangModel.perplexityGateData]] for the size
+    * law: the collect is ≤ 2·modelCap + |langs| rows at any corpus
+    * scale, the CCNet pruned-model-file shape). The periodic lambda
+    * re-train is the caller's schedule.
     */
-  def trainPerplexityGate(docs: DataFrame): PerplexityGate = {
+  def trainPerplexityGate(docs: DataFrame,
+      modelCap: Int = graft.operators.LangModel.GateModelCap): PerplexityGate = {
     val (c2, c1, vocab, th) =
-      graft.operators.LangModel.perplexityGateData(docs)
+      graft.operators.LangModel.perplexityGateData(docs, modelCap)
     PerplexityGate(c2, c1, vocab, th)
   }
 

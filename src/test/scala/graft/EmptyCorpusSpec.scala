@@ -125,6 +125,19 @@ class EmptyCorpusSpec extends AnyFunSuite {
       assert(op(emptyEmb).count() == 0L, s"$name emitted rows from nothing")
     }
 
+  test("ann_eval survives an empty vector corpus (all-zero card, no ANSI div-by-zero)") {
+    // the recall card is a global aggregate: zero queries degrade to
+    // one all-zero row PER METHOD, never an integral divide error
+    val card = operators.SimilaritySearch.annEvalOn(emptyEmb, 10).collect()
+    assert(card.length == 5, s"expected one card row per method, got ${card.length}")
+    card.foreach { r =>
+      assert(r.getAs[Long]("n_queries") == 0L)
+      assert(r.getAs[Long]("n_hits") == 0L)
+      assert(r.getAs[Long]("mean_recall_ppm") == 0L)
+      assert(r.getAs[Long]("worst_recall_ppm") == 0L)
+    }
+  }
+
   // the reference-derived family on a quiet day: an events table with
   // zero rows (a sensor fleet can legally deliver nothing in a window)
   private def emptyEvents: DataFrame = {

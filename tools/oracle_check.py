@@ -67,6 +67,17 @@ def main() -> None:
         mismatch = None
         for c in exp.columns:
             e_col, g_col = exp[c], got[c]
+            # The driver's hash compare is dtype-sensitive: a DuckDB
+            # HUGEINT/DECIMAL final projection arrives here as float64
+            # while Spark ships int64, and values that compare equal
+            # after float64 normalization still hash-differ driver-side
+            # (the round-7 mix_budget fail). Fail loudly on kind drift
+            # instead of normalizing it away.
+            if (e_col.dtype.kind in "iu") != (g_col.dtype.kind in "iu"):
+                mismatch = (f"col {c} dtype kind mismatch: spark={g_col.dtype} "
+                            f"duck={e_col.dtype} (driver hash compare WILL fail; "
+                            f"CAST the oracle's final projection)")
+                break
             if e_col.dtype.kind == "f" or g_col.dtype.kind == "f":
                 if approx:
                     ok = ((e_col - g_col).abs() < 1e-9) | (e_col.isna() & g_col.isna())
