@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adversarial-skew stress bench: measures the paths whose designs
+  * CLAIM skew-safety on corpora with planted pathologies, against a
+  * same-size uniform twin — so the ratio isolates the key-skew
+  * effect from data volume.
+  *
+  * Two derived corpora (under target/tmp/sfskew, built from
+  * SPARK_GRAFT_SF_DIR; unchanged tables are symlinked):
+  *
+  *  - `uniform`: documents re-sourced to 100 evenly-sized hosts
+  *    (the base corpus has only 5 — the host key must be spreadable
+  *    for the contrast to mean anything); every other table linked.
+  *  - `skew`: the same documents but ONE host carrying 30% of all
+  *    docs and ONE text duplicated onto 10% of the corpus mass
+  *    (boilerplate class); lineitem with a celebrity supplier
+  *    (l_suppkey = 7 on 10% of rows → one graph node of degree
+  *    ~n/10) and a hot join key (l_orderkey = 0 on another 10% —
+  *    the single-key-larger-than-any-AQE-split class q21 salts
+  *    for); events with one event_type on ~50% of rows (q15's
+  *    two-phase salted aggregation target).
+  *
+  * Measured queries: the hot-host cards (domain_stats/domain_topk),
+  * the collapse-guarded dedup family (exact/minhash/simhash/
+  * jaccard/clusters/containment/fuzzy_text/winnow), the graph set
+  * (pagerank/k_core/triangle_count), and the salted pair (q15/q21).
+  * A skew-safe design lands ratio ≈ 1 (same volume, same work); a
+  * candidate-pair or reducer blowup shows up as ratio ≫ 1.
+  *
+  * Prints one JSON line {"metric":"skew_bench",...} and writes
+  * target/skew_bench.json.
+  */
+object SkewBench {
+
+  /** Queries under test — exactly the registered SparkEntry entries
+    * whose scaladocs argue skew-safety.
+    */
+  val Targets: Seq[String] = Seq(
+    "domain_stats", "domain_topk", "freq_words",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "ngram_jaccard",
+    "dedup_clusters", "dedup_containment", "dedup_fuzzy_text",
+    "winnow_clusters",
+    "pagerank", "k_core", "triangle_count",
+    "q15_skew_salted", "q21_skew_join")
+
+  private val AllTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = "target/tmp/sfskew"
+    val uniformDir = s"$root/uniform"
+    val skewDir = s"$root/skew"
+    buildCorpora(spark, baseDir, uniformDir, skewDir)
+
+    def runOnce(name: String, dir: String): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[skew] $name failed on $dir: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def best(name: String, dir: String): Double = {
+      val a = runOnce(name, dir); val b = runOnce(name, dir)
+      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+    }
+
+    // warmup (JIT/codegen, not timed) on the smallest sibling
+    val warm = {
+      val s = new java.io.File(new java.io.File(baseDir).getParentFile, "sf0.001")
+      if (s.isDirectory) s.getPath else baseDir
+    }
+    Targets.foreach(runOnce(_, warm))
+
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val rows = Targets.map { n =>
+      val u = best(n, uniformDir)
+      val s = best(n, skewDir)
+      val r = if (u > 0 && s > 0) s / math.max(u, 0.2) else -1.0
+      System.err.println(f"[skew] $n%-22s uniform ${fmt(u)}%7s  skew ${fmt(s)}%7s  ratio ${fmt(r)}%6s")
+      (n, u, s, r)
+    }
+    val json = rows.map { case (n, u, s, r) =>
+      "\"" + n + "\":{\"uniform\":" + fmt(u) + ",\"skew\":" + fmt(s) +
+        ",\"ratio\":" + fmt(r) + "}"
+    }.mkString("{", ",", "}")
+    val worst = rows.filter(_._4 >= 0).sortBy(-_._4).take(3)
+      .map { case (n, _, _, r) => "\"" + n + "\":" + fmt(r) }.mkString("{", ",", "}")
+    val line = s"""{"metric":"skew_bench","sf":"$baseDir","queries":$json,"worst_ratios":$worst}"""
+    try {
+      val out = java.nio.file.Paths.get("target/skew_bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[skew] could not write artifact: ${e.getMessage}")
+    }
+    spark.stop()
+    println(line)
+  }
+
+  /** Build the paired corpora. Deterministic in the base dir; tables
+    * the pathologies don't touch are symlinked, not copied.
+    */
+  private[graft] def buildCorpora(spark: SparkSession, baseDir: String,
+      uniformDir: String, skewDir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (java.nio.file.Files.isSymbolicLink(f.toPath)) { f.delete(); return }
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    Seq(uniformDir, skewDir).foreach { d =>
+      rm(new java.io.File(d))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    }
+    def link(dir: String, tables: Seq[String]): Unit = tables.foreach { t =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$dir/$t.parquet"),
+        java.nio.file.Paths.get(s"$baseDir/$t.parquet").toAbsolutePath)
+    }
+    link(uniformDir, AllTables.filterNot(_ == "documents"))
+    link(skewDir, AllTables.filterNot(Seq("documents", "lineitem", "events").contains))
+
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    // 100 even hosts — the spreadable-key baseline
+    val spread = concat(lit("s"), (col("doc_id") % 100).cast("string"))
+    docs.select(col("doc_id"), col("text"), col("lang"),
+        spread.as("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$uniformDir/documents.parquet")
+    // hot host = 30% of docs; the min-id doc's text duplicated onto
+    // 10% of the corpus (ids keep their identity — the boilerplate
+    // shape: many urls, one body)
+    val hotText = docs.orderBy(col("doc_id")).select(col("text"))
+      .head().getString(0)
+    docs.select(col("doc_id"),
+        when(col("doc_id") % 10 === 3, lit(hotText)).otherwise(col("text")).as("text"),
+        col("lang"),
+        when(col("doc_id") % 10 < 3, lit("hotdomain")).otherwise(spread).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    li.withColumn("l_suppkey",
+        when(col("l_orderkey") % 10 === 0, lit(7L)).otherwise(col("l_suppkey")))
+      .withColumn("l_orderkey",
+        when(col("l_orderkey") % 10 === 1, lit(0L)).otherwise(col("l_orderkey")))
+      .write.mode("overwrite").parquet(s"$skewDir/lineitem.parquet")
+
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    ev.withColumn("event_type",
+        when(col("user_id") % 2 === 0, lit("hot_type")).otherwise(col("event_type")))
+      .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+  }
+}
