@@ -146,7 +146,11 @@ object SparkEntry {
     "mm_scenes"         -> (graft.multimodal.Multimodal.mmScenes _),
     "ann_eval"          -> ((s, d) => SimilaritySearch.annEval(s, d)),
     "q41_rank_funcs"    -> (Relational.q41 _),
-    "q42_range_frame"   -> (Relational.q42 _)
+    "q42_range_frame"   -> (Relational.q42 _),
+    "q43_hierarchy"     -> (Warehouse.q43Hierarchy _),
+    "view_refresh"      -> (Warehouse.viewRefresh _),
+    "mix_temperature"   -> (Curation.mixTemperature _),
+    "mm_audio_match"    -> (graft.multimodal.Multimodal.mmAudioMatch _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -2623,6 +2627,97 @@ object SparkEntry {
         |SELECT feature, bucket, early_cnt, late_cnt, expected,
         |  CAST(CAST(late_cnt - expected AS HUGEINT) * (late_cnt - expected) * 1000000
         |    // GREATEST(expected, 1) AS BIGINT) AS chi2_ppm
-        |FROM e ORDER BY feature, bucket""".stripMargin
+        |FROM e ORDER BY feature, bucket""".stripMargin,
+
+    // the recursion IS the oracle: DuckDB's native WITH RECURSIVE
+    // resolves the same arithmetic forest the pointer-jumping loop
+    // walks (roots = keys below the bound, parent = key div 10)
+    "q43_hierarchy" ->
+      s"""WITH RECURSIVE h(id, root, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM part
+        |  WHERE p_partkey < ${operators.Warehouse.HierarchyRootBound}
+        |  UNION ALL
+        |  SELECT p.p_partkey, h.root, h.depth + 1
+        |  FROM part p JOIN h ON p.p_partkey // 10 = h.id
+        |  WHERE p.p_partkey >= ${operators.Warehouse.HierarchyRootBound})
+        |SELECT CAST(id AS BIGINT) AS p_partkey, CAST(root AS BIGINT) AS root,
+        |  CAST(depth AS BIGINT) AS depth
+        |FROM h ORDER BY p_partkey""".stripMargin,
+
+    // IVM contract: the incremental merge must equal the FULL
+    // recompute — so the oracle is exactly that, over base ∪ delta
+    "view_refresh" ->
+      s"""SELECT o_orderpriority,
+        |  CAST(year(o_orderdate) AS BIGINT) AS oyear,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS total_cents,
+        |  CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS max_cents,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    // COUNT(*) AS BIGINT) AS avg_cents
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // isqrt on the ±1-corrected floor(sqrt) lattice — exact for
+    // token counts < 2^52, matching the driver's BigInt isqrt
+    "mix_temperature" ->
+      s"""WITH t AS (
+        |  SELECT source, CAST(SUM(len($wordsSql)) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT source, tokens,
+        |    CAST(floor(sqrt(CAST(GREATEST(tokens, 0) AS DOUBLE))) AS BIGINT) AS c0
+        |  FROM t),
+        |iw AS (SELECT source, tokens,
+        |    CASE WHEN tokens <= 0 THEN 0
+        |      WHEN (c0 + 1) * (c0 + 1) <= tokens THEN c0 + 1
+        |      WHEN c0 * c0 > tokens THEN c0 - 1 ELSE c0 END AS w
+        |  FROM c),
+        |s AS (SELECT *, SUM(tokens) OVER () AS tt, SUM(w) OVER () AS tw FROM iw)
+        |SELECT source, tokens, CAST(w AS BIGINT) AS w,
+        |  CAST(CASE WHEN tt = 0 THEN 0
+        |    ELSE CAST(tokens AS HUGEINT) * 1000000 // tt END AS BIGINT) AS nat_ppm,
+        |  CAST(CASE WHEN tw = 0 THEN 0
+        |    ELSE CAST(w AS HUGEINT) * 1000000 // tw END AS BIGINT) AS temp_ppm
+        |FROM s ORDER BY source""".stripMargin,
+
+    // same energy lattice as mm_audio_fp; landmark = exact encoded
+    // delta pair, clips cut at the fp60-derived offset, offset vote
+    // + deterministic argmax replicated with QUALIFY/ROW_NUMBER
+    "mm_audio_match" -> {
+      val m = graft.multimodal.Multimodal
+      import m.{AudioFrame, AudioMinSamples, AudioSamplesMod}
+      val lm = s"en * ${m.AudioAnchorBase} + lead(en, 1) OVER w"
+      s"""WITH d AS (SELECT doc_id, ${hash60Sql(normSql)} AS fp60 FROM documents),
+        |p AS (SELECT doc_id, fp60,
+        |    (fp60 % $AudioSamplesMod + $AudioMinSamples) // $AudioFrame AS n_frames
+        |  FROM d),
+        |e AS (SELECT doc_id, fp60, n_frames, t.f AS f,
+        |    list_sum(list_transform(
+        |      range(t.f * $AudioFrame, t.f * $AudioFrame + $AudioFrame),
+        |      x -> ABS((fp60 + 37 * x + (x * x) % 97) % 65536 - 32768))) AS en
+        |  FROM p, unnest(range(0, n_frames)) AS t(f)),
+        |tm AS (SELECT doc_id AS track_id, f AS t, $lm AS h
+        |  FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+        |  QUALIFY lead(en, 1) OVER w IS NOT NULL),
+        |cd AS (SELECT doc_id AS clip_id,
+        |    fp60 % (n_frames - ${m.AudioMatchClipLen}) AS k
+        |  FROM p WHERE doc_id % ${m.AudioMatchClipMod} = 0
+        |    AND n_frames >= ${m.AudioMatchClipLen} + 2),
+        |cf AS (SELECT clip_id, e.f - k AS tc, en FROM e
+        |  JOIN cd ON e.doc_id = cd.clip_id
+        |  WHERE e.f >= k AND e.f < k + ${m.AudioMatchClipLen}),
+        |cm AS (SELECT clip_id, tc AS t, $lm AS h
+        |  FROM (SELECT clip_id, tc, en FROM cf) cfx
+        |  WINDOW w AS (PARTITION BY clip_id ORDER BY tc)
+        |  QUALIFY lead(en, 1) OVER w IS NOT NULL),
+        |v AS (SELECT clip_id, track_id, tm.t - cm.t AS offset_frames,
+        |    CAST(COUNT(*) AS BIGINT) AS votes
+        |  FROM cm JOIN tm USING (h) GROUP BY 1, 2, 3),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY clip_id
+        |    ORDER BY votes DESC, track_id, offset_frames) AS rk FROM v)
+        |SELECT clip_id, track_id, CAST(offset_frames AS BIGINT) AS offset_frames, votes,
+        |  CAST(track_id = clip_id AS BIGINT) AS recovered
+        |FROM r WHERE rk = 1 ORDER BY clip_id""".stripMargin
+    }
   )
 }

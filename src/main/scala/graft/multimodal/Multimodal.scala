@@ -448,4 +448,98 @@ object Multimodal {
         col("afp"), col("energy_checksum"))
       .orderBy(col("doc_id"))
   }
+
+  /** Every [[AudioMatchClipMod]]-th track spawns a query clip. */
+  val AudioMatchClipMod = 5L
+
+  /** Clip length in frames (6 frames → 5 landmark pairs). */
+  val AudioMatchClipLen = 6L
+
+  /** Landmark encoding base: h = en(t)·2²² + en(t+1). A frame energy
+    * is ≤ 64·32768 = 2²¹, so the 2²² base keeps the two energies in
+    * disjoint bit ranges — the landmark is the EXACT consecutive
+    * energy pair, no hashing, no collisions beyond true equality.
+    * (Energy DELTAS would be the gain-robust choice on real audio,
+    * but on the stub lattice the fp60 term cancels in deltas and
+    * landmarks collide corpus-wide — measured 1487 distinct of 6845
+    * vs 7314 of 7345 for pairs; the landmark function is exactly the
+    * swap point a real deployment replaces with spectral peak pairs.)
+    */
+  val AudioAnchorBase = 4194304L
+
+  /** mm_audio_match — audio retrieval by LANDMARK ALIGNMENT (the
+    * Shazam shape over the stub PCM): each track emits one landmark
+    * per frame position — the encoded pair of consecutive frame
+    * energies ([[AudioAnchorBase]]) — and a derived query-clip corpus (6-frame
+    * excerpts cut from every [[AudioMatchClipMod]]-th track at a
+    * track-derived offset) matches by equi-joining landmarks and
+    * VOTING on the time offset Δ = t_track − t_clip: the true
+    * source lines every anchor up at one Δ, unrelated tracks
+    * scatter. Emits one row per clip: the winning (track, offset)
+    * with its vote count and whether the source was recovered.
+    *
+    * Scale shape: landmarks are one window pass per track
+    * (track-partitioned LEAD chain — frames per track are bounded
+    * metadata); matching is ONE equi-join on the landmark value
+    * (exact 46-bit key space — fan-out is true-collision-only, the
+    * dedup-family bucket-join discipline, never all-pairs), voting
+    * is a map-side-combinable count on (clip, track, Δ), and the
+    * winner is a per-clip argmax over the few surviving vote rows.
+    * A real deployment swaps [[pcmExpr]] for decoded PCM and widens
+    * the landmark to spectral peak pairs — join/vote/argmax ship
+    * unchanged.
+    */
+  def mmAudioMatch(spark: SparkSession, dir: String): DataFrame =
+    mmAudioMatchOn(Tables(spark, dir).documents)
+
+  private[graft] def mmAudioMatchOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // frame energies as (doc_id, f, en) rows — the mm_audio_fp lattice
+    val frames = docs
+      .withColumn("fp60", hash60(normalize(col("text"))))
+      .withColumn("n_samples", col("fp60") % AudioSamplesMod + AudioMinSamples)
+      .withColumn("n_frames", expr(s"n_samples div $AudioFrame"))
+      .select(col("doc_id"), col("fp60"), col("n_frames"),
+        explode(expr(s"sequence(0L, n_frames - 1)")).as("f"))
+      .withColumn("en", expr(
+        s"""aggregate(sequence(f * $AudioFrame, f * $AudioFrame + ${AudioFrame - 1}),
+           |  0L, (a, t) -> a + abs(${pcmExpr("t")}))""".stripMargin))
+    def landmarks(fr: DataFrame, idCol: String, tCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col(tCol))
+      fr.withColumn("en1", lead(col("en"), 1).over(w))
+        .filter(col("en1").isNotNull)
+        .select(col(idCol), col(tCol).as("t"),
+          (col("en") * AudioAnchorBase + col("en1")).as("h"))
+    }
+    val trackMarks = landmarks(
+      frames.select(col("doc_id").as("track_id"), col("f"), col("en")),
+      "track_id", "f")
+    // clip definitions: source track, cut offset k derived from fp60
+    val clipDef = frames
+      .filter(col("doc_id") % AudioMatchClipMod === 0 &&
+        col("n_frames") >= AudioMatchClipLen + 2)
+      .groupBy(col("doc_id"), col("fp60"), col("n_frames")).agg(count(lit(1)).as("nf"))
+      .select(col("doc_id").as("clip_id"),
+        (col("fp60") % (col("n_frames") - AudioMatchClipLen)).as("k"))
+    val clipFrames = frames
+      .join(clipDef, frames("doc_id") === clipDef("clip_id"))
+      .filter(col("f") >= col("k") && col("f") < col("k") + AudioMatchClipLen)
+      .select(col("clip_id"), (col("f") - col("k")).as("tc"), col("en"))
+    val clipMarks = landmarks(clipFrames, "clip_id", "tc")
+      .select(col("clip_id"), col("t").as("tc"), col("h"))
+    val votes = clipMarks
+      .join(trackMarks.hint("SHUFFLE_HASH"), "h")
+      .groupBy(col("clip_id"), col("track_id"),
+        (col("t") - col("tc")).as("offset_frames"))
+      .agg(count(lit(1)).as("votes"))
+    // winner per clip: votes desc, then (track, offset) asc tie-break
+    votes
+      .groupBy(col("clip_id"))
+      .agg(max(struct(col("votes"), (-col("track_id")).as("nt"),
+        (-col("offset_frames")).as("no"))).as("b"))
+      .select(col("clip_id"), (-col("b.nt")).as("track_id"),
+        (-col("b.no")).as("offset_frames"), col("b.votes").as("votes"),
+        (col("b.nt") === -col("clip_id")).cast("long").as("recovered"))
+      .orderBy(col("clip_id"))
+  }
 }

@@ -383,6 +383,54 @@ object Curation {
       .toDF("source", "tokens", "alloc", "rate_ppm", "capped")
   }
 
+  /** mix_temperature — temperature-scaled mixture weights (the
+    * multilingual-LM sampling convention: p(source) ∝ tokensᵅ with
+    * α < 1 upweighting small sources so head domains don't drown the
+    * tail). α is pinned to 1/2 so the weight is the INTEGER SQUARE
+    * ROOT of the token count — exact on both engines (a float pow
+    * would drift in the last ulp across engines; the oracle
+    * reproduces isqrt from floor(sqrt(·)) with a ±1 lattice
+    * correction, exact for token counts < 2⁵²). Emits the per-source
+    * card: tokens, weight, natural share (ppm) and temperature share
+    * (ppm) — the rate table a [[sampleMixture]]-style hash sampler
+    * applies map-side downstream.
+    *
+    * Scale shape: identical to [[mixBudget]] — ONE map-side-
+    * combinable token-sum aggregation to a per-source card that is
+    * metadata-sized by nature, then the exact-BigInt share
+    * arithmetic on the driver over that bounded card. At 100 TB only
+    * the groupBy scales.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    mixTemperatureOn(Tables(spark, dir).documents)
+
+  private[graft] def mixTemperatureOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def isqrt(n: Long): Long = {
+      if (n <= 0) 0L
+      else {
+        var x = math.sqrt(n.toDouble).toLong
+        while (x > 0 && x * x > n) x -= 1
+        while ((x + 1) * (x + 1) <= n) x += 1
+        x
+      }
+    }
+    val card = docs
+      .select(col("source"), size(words(col("text"))).cast("long").as("nw"))
+      .groupBy(col("source")).agg(sum(col("nw")).as("tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totalT = card.map(t => BigInt(t._2)).sum
+    val weights = card.map { case (s, t) => (s, t, isqrt(t)) }
+    val totalW = weights.map(w => BigInt(w._3)).sum
+    weights.map { case (s, t, w) =>
+      val nat = if (totalT == 0) 0L else (BigInt(t) * 1000000 / totalT).toLong
+      val temp = if (totalW == 0) 0L else (BigInt(w) * 1000000 / totalW).toLong
+      (s, t, w, nat, temp)
+    }.sortBy(_._1).toSeq
+      .toDF("source", "tokens", "w", "nat_ppm", "temp_ppm")
+  }
+
   def sampleMixture(spark: SparkSession, dir: String): DataFrame =
     sampleMixtureOn(Tables(spark, dir).documents)
 

@@ -433,4 +433,37 @@ class CurationCardsSpec extends AnyFunSuite {
         s"symmetric split broken: ${r.mkString(",")}")
     }
   }
+
+  test("mix_temperature: exact isqrt lattice, tail upweighted, shares sum to ~10⁶") {
+    val rows = operators.Curation.mixTemperatureOn(
+        Tables(spark, sf).documents)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // w is EXACTLY the integer square root: w² ≤ tokens < (w+1)²
+    rows.foreach { case (s, t, w, _, _) =>
+      assert(BigInt(w) * w <= t && BigInt(w + 1) * (w + 1) > t,
+        s"$s: $w is not isqrt($t)")
+    }
+    // floor-division shares each sum to 10⁶ − (rounding loss < n)
+    val natSum = rows.map(_._4).sum
+    val tmpSum = rows.map(_._5).sum
+    assert(natSum > 1000000 - rows.length && natSum <= 1000000)
+    assert(tmpSum > 1000000 - rows.length && tmpSum <= 1000000)
+    // α = 1/2 temperature flattens: every below-average source gains
+    // share (or holds), every above-average one loses — the sqrt
+    // concavity law the sampler relies on
+    rows.foreach { case (s, t, _, nat, temp) =>
+      if (nat < 1000000 / rows.length) assert(temp >= nat,
+        s"small source $s lost share under temperature ($nat → $temp)")
+    }
+    val (bigS, _, _, bigNat, bigTemp) = rows.maxBy(_._2)
+    assert(bigTemp <= bigNat, s"largest source $bigS gained share ($bigNat → $bigTemp)")
+    // pinned micro-card: tokens 9/4/1 → w 3/2/1, temp shares 3/2/1 of 6
+    val micro = operators.Curation.mixTemperatureOn(
+      docsWithTokens(Seq("a" -> 9, "b" -> 4, "c" -> 1))).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(4))).toSeq
+    assert(micro == Seq(("a", 3L, 500000L), ("b", 2L, 333333L), ("c", 1L, 166666L)),
+      s"micro card: $micro")
+  }
 }

@@ -66,6 +66,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "unigram_encode" -> (d => operators.Tokenizer.unigramEncodeOn(
       d, operators.Tokenizer.trainUnigramModel(d))),
     "mix_budget" -> (d => operators.Curation.mixBudgetOn(d)),
+    "mix_temperature" -> (d => operators.Curation.mixTemperatureOn(d)),
     "dedup_containment" -> (d => operators.Text.containmentOn(d))
   )
 

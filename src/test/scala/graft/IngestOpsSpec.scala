@@ -184,4 +184,31 @@ class IngestOpsSpec extends AnyFunSuite {
     val b = Multimodal.mmAudioFpSql(spark, sf).collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("mm_audio_match recovers every clip's source track at the cut offset with full votes") {
+    import org.apache.spark.sql.functions.col
+    val rows = Multimodal.mmAudioMatch(spark, sf).collect()
+    assert(rows.nonEmpty, "no clips matched")
+    // every eligible track spawned a clip
+    val nClips = Tables(spark, sf).documents
+      .filter(col("doc_id") % Multimodal.AudioMatchClipMod === 0).count()
+    assert(rows.length == nClips, s"${rows.length} matches for $nClips clips")
+    // duplicate documents share identical stub audio, so a clip may
+    // legitimately resolve to another COPY of its source (tie-break:
+    // min track id) — recovery is content-level, not id-level
+    import graft.functions.TextFunctions.{hash60, normalize}
+    val fp = Tables(spark, sf).documents
+      .select(col("doc_id"), hash60(normalize(col("text"))).as("fp60"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (clip, track, votes, rec) = (r.getLong(0), r.getLong(1),
+        r.getLong(3), r.getLong(4))
+      assert(fp(track) == fp(clip),
+        s"clip $clip matched content-different track $track")
+      assert((rec == 1L) == (track == clip), s"recovered flag wrong for clip $clip")
+      // 6 frames → 5 landmark pairs, all voting for the true offset
+      assert(votes == Multimodal.AudioMatchClipLen - 1,
+        s"clip $clip: $votes votes (expected all anchors aligned)")
+    }
+  }
 }
