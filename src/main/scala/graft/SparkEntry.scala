@@ -465,7 +465,7 @@ object SparkEntry {
         |  concat_ws('#', event_type, CAST(user_id AS VARCHAR)) AS type_user,
         |  CAST(FLOOR(value) AS BIGINT) AS value_floor,
         |  CAST(CEIL(value) AS BIGINT) AS value_ceil,
-        |  sqrt(value) AS value_sqrt
+        |  CASE WHEN value >= 0 THEN sqrt(value) END AS value_sqrt
         |FROM events
         |ORDER BY event_id""".stripMargin,
 

@@ -385,7 +385,10 @@ object Relational {
         concat_ws("#", col("event_type"), col("user_id")).as("type_user"),
         floor(col("value")).cast("long").as("value_floor"),
         ceil(col("value")).cast("long").as("value_ceil"),
-        sqrt(col("value")).as("value_sqrt"))
+        // NULL on negative (the hr_parse null-on-invalid convention):
+        // Spark's sqrt yields NaN where DuckDB ERRORS — found by the
+        // round-8 corpus fuzz when value jitter crossed zero
+        when(col("value") >= 0, sqrt(col("value"))).as("value_sqrt"))
       .orderBy(col("event_id"))
   }
 
