@@ -150,7 +150,10 @@ object SparkEntry {
     "q43_hierarchy"     -> (Warehouse.q43Hierarchy _),
     "view_refresh"      -> (Warehouse.viewRefresh _),
     "mix_temperature"   -> (Curation.mixTemperature _),
-    "mm_audio_match"    -> (graft.multimodal.Multimodal.mmAudioMatch _)
+    "mm_audio_match"    -> (graft.multimodal.Multimodal.mmAudioMatch _),
+    "ts_seasonal"       -> (Temporal.tsSeasonal _),
+    "q44_dynamic_pivot" -> (Relational.q44 _),
+    "shard_balance"     -> (Curation.shardBalance _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -2718,6 +2721,51 @@ object SparkEntry {
         |SELECT clip_id, track_id, CAST(offset_frames AS BIGINT) AS offset_frames, votes,
         |  CAST(track_id = clip_id AS BIGINT) AS recovered
         |FROM r WHERE rk = 1 ORDER BY clip_id""".stripMargin
+    },
+
+    // floor-division means on the cents lattice: DuckDB // IS floor;
+    // the Spark side reaches the same floor via (s − pmod(s,n)) div n
+    "ts_seasonal" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |    CAST(hour(ts) AS BIGINT) AS hod,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+        |  FROM events),
+        |p AS (SELECT event_type, hod,
+        |    CAST(SUM(value_cents) // COUNT(*) AS BIGINT) AS seasonal_cents
+        |  FROM c GROUP BY 1, 2),
+        |s AS (SELECT c.*, seasonal_cents,
+        |    value_cents - seasonal_cents AS resid_cents
+        |  FROM c JOIN p USING (event_type, hod)),
+        |m AS (SELECT event_type,
+        |    CAST(SUM(ABS(resid_cents)) // COUNT(*) AS BIGINT) AS mad_cents
+        |  FROM s GROUP BY 1)
+        |SELECT event_id, s.event_type, hod, value_cents, seasonal_cents,
+        |  CAST(resid_cents AS BIGINT) AS resid_cents,
+        |  CAST(ABS(resid_cents) > 2 * mad_cents AS BIGINT) AS flagged
+        |FROM s JOIN m ON s.event_type = m.event_type
+        |ORDER BY event_id""".stripMargin,
+
+    // dynamic on BOTH sides: DuckDB derives the column set from the
+    // data exactly like the two-phase Spark plan (count fills 0)
+    "q44_dynamic_pivot" ->
+      """PIVOT events ON event_type USING count(*)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "shard_balance" -> {
+      import operators.Curation.{BalanceBucketWidth, BalanceMaxBucket, BalanceShards}
+      s"""WITH w AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS nw
+        |  FROM documents),
+        |b AS (SELECT doc_id, nw,
+        |    LEAST(nw // $BalanceBucketWidth, $BalanceMaxBucket) AS bucket
+        |  FROM w),
+        |a AS (SELECT nw,
+        |    (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 + bucket)
+        |      % $BalanceShards AS shard
+        |  FROM b)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nw) AS BIGINT) AS tokens
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
     }
   )
 }

@@ -36,7 +36,8 @@ object UnigramFunctions {
   /** Viterbi best segmentation of one word under a piece→count model.
     * `scores` maps piece → ln(count); `lnB` is ln(total count).
     */
-  private[graft] def segmentWord(word: String, scores: java.util.HashMap[String, Double],
+  private[graft] def segmentWord(word: String,
+      scores: java.util.HashMap[String, java.lang.Double],
       maxLen: Int, lnB: Double, unkScore: Double): Array[String] = {
     val n = word.length
     if (n == 0) return Array.empty
@@ -96,8 +97,16 @@ case class UnigramEncodeText(child: Expression, model: Seq[(String, Long)])
   override def nullIntolerant: Boolean = true
 
   @transient private lazy val scores = {
-    val m = new java.util.HashMap[String, Double](model.size * 2)
-    model.foreach { case (p, c) => m.put(p, math.log(c.toDouble)) }
+    // values MUST be boxed java.lang.Double: with a primitive-typed
+    // map Scala unboxes a missing key's null to 0.0, the null check
+    // in segmentWord can never fire, and an unknown multi-char
+    // substring scores like a count-1 piece — the Viterbi then emits
+    // pieces OUTSIDE the vocabulary (caught by UnigramSpec's
+    // out-of-vocab probe)
+    val m = new java.util.HashMap[String, java.lang.Double](model.size * 2)
+    model.foreach { case (p, c) =>
+      m.put(p, java.lang.Double.valueOf(math.log(c.toDouble)))
+    }
     m
   }
   @transient private lazy val maxLen =

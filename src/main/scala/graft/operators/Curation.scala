@@ -383,6 +383,49 @@ object Curation {
       .toDF("source", "tokens", "alloc", "rate_ppm", "capped")
   }
 
+  /** Shard count for [[shardBalance]] and the linear size-bucket
+    * width/cap (bucket = min(tokens div 32, 63) — integer-exact on
+    * both engines, unlike a float log2 whose ulp could flip a
+    * boundary doc's bucket).
+    */
+  val BalanceShards = 16
+  val BalanceBucketWidth = 32L
+  val BalanceMaxBucket = 63L
+
+  /** shard_balance — SIZE-BALANCED shard assignment (the LPT-class
+    * complement of [[corpusShuffle]]'s hash sharding): docs are
+    * size-bucketed, each bucket round-robins its members across the
+    * [[BalanceShards]] shards (staggered by bucket id so remainders
+    * don't all favor shard 0), and the emitted card is per-shard
+    * (n_docs, tokens). Because every bucket spreads evenly and
+    * within-bucket sizes differ by < [[BalanceBucketWidth]] tokens,
+    * shard token totals differ by at most ~(buckets ×
+    * bucket width) regardless of the size distribution — the bound
+    * ShardBalanceSpec asserts. Hash sharding by contrast inherits
+    * the full variance of the size distribution.
+    *
+    * Scale shape: one map-side token count, a BUCKET-partitioned
+    * row_number (≤ 64-way bounded keys, never a global sort — the
+    * seq_pack sharded-window reasoning), and a shard-keyed
+    * aggregation to a [[BalanceShards]]-row card.
+    */
+  def shardBalance(spark: SparkSession, dir: String): DataFrame =
+    shardBalanceOn(Tables(spark, dir).documents)
+
+  private[graft] def shardBalanceOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = docs.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("nw"))
+      .withColumn("bucket",
+        least(expr(s"nw div $BalanceBucketWidth"), lit(BalanceMaxBucket)))
+    val byBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    w.withColumn("shard",
+        pmod(row_number().over(byBucket) - 1 + col("bucket"), lit(BalanceShards.toLong)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens"))
+      .orderBy(col("shard"))
+  }
+
   /** mix_temperature — temperature-scaled mixture weights (the
     * multilingual-LM sampling convention: p(source) ∝ tokensᵅ with
     * α < 1 upweighting small sources so head domains don't drown the

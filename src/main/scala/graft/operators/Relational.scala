@@ -948,4 +948,29 @@ object Relational {
         (col("dev") * 2 > col("mad") * 9).cast("long").as("anomaly"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** q44_dynamic_pivot — DYNAMIC pivot (column set derived from the
+    * data, the feature q19's fixed-list pivot deliberately avoids):
+    * per-user event counts with one column PER OBSERVED event type.
+    * The classic two-phase plan every engine's dynamic PIVOT
+    * desugars to: phase 1 collects the distinct pivot values to the
+    * driver (bounded by the type vocabulary — metadata, the
+    * BPE-argmax collect class), phase 2 plans one
+    * map-side-combinable conditional aggregate per value. Zero-fill
+    * by construction (sum of CASE), matching DuckDB's dynamic
+    * `PIVOT ... USING count(*)` — which is the oracle, so BOTH
+    * engines derive the column set from the data.
+    */
+  def q44(spark: SparkSession, dir: String): DataFrame =
+    q44On(Tables(spark, dir).events)
+
+  private[graft] def q44On(ev: DataFrame): DataFrame = {
+    val types = ev.select(col("event_type")).distinct()
+      .orderBy(col("event_type")).collect().map(_.getString(0))
+    if (types.isEmpty) return ev.select(col("user_id")).distinct()
+    val aggs = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(t))
+    ev.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("user_id"))
+  }
 }

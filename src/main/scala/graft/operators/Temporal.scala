@@ -174,4 +174,48 @@ object Temporal {
         (col("grid_ms") - col("right_ts_ms")).as("staleness_ms"))
       .orderBy(col("user_id"), col("grid_ms"))
   }
+
+  /** ts_seasonal — seasonal decomposition with residual flagging
+    * (the classical STL idea integerized to a profile/residual
+    * split): each event's value decomposes into a SEASONAL
+    * component — the per-(event_type, hour-of-day) profile mean —
+    * plus a residual; events whose |residual| exceeds 2× the type's
+    * mean absolute residual are flagged. This is the seasonality-
+    * aware complement of q26's MAD outliers: a metric that is
+    * NORMALLY high at 9am is only anomalous when it deviates from
+    * the 9am profile, not from the global median.
+    *
+    * Exactness: everything on the cents lattice; profile and MAD
+    * means are FLOOR divisions computed as (s − pmod(s, n)) div n —
+    * pmod makes the numerator exactly divisible, so Spark's
+    * truncating `div` lands on the floor that DuckDB's `//`
+    * computes, including on NEGATIVE sums (the fuzz corpus crosses
+    * zero; bare `div` would round toward zero and drift).
+    *
+    * Scale shape: two map-side-combinable aggregations to cards
+    * bounded by |types|·24 and |types|, each broadcast back — the
+    * corpus is scanned, never shuffled or windowed.
+    */
+  def tsSeasonal(spark: SparkSession, dir: String): DataFrame =
+    tsSeasonalOn(Tables(spark, dir).events)
+
+  private[graft] def tsSeasonalOn(events: DataFrame): DataFrame = {
+    val c = events.select(col("event_id"), col("event_type"),
+      hour(col("ts")).cast("long").as("hod"),
+      (dec2(col("value")) * 100).cast("long").as("value_cents"))
+    val prof = c.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sc"))
+      .select(col("event_type"), col("hod"),
+        expr("(sc - pmod(sc, n)) div n").as("seasonal_cents"))
+    val scored = c.join(broadcast(prof), Seq("event_type", "hod"))
+      .withColumn("resid_cents", col("value_cents") - col("seasonal_cents"))
+    val spread = scored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(abs(col("resid_cents"))).as("sa"))
+      .select(col("event_type"), expr("(sa - pmod(sa, n)) div n").as("mad_cents"))
+    scored.join(broadcast(spread), "event_type")
+      .select(col("event_id"), col("event_type"), col("hod"),
+        col("value_cents"), col("seasonal_cents"), col("resid_cents"),
+        (abs(col("resid_cents")) > col("mad_cents") * 2).cast("long").as("flagged"))
+      .orderBy(col("event_id"))
+  }
 }

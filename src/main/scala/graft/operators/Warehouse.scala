@@ -160,7 +160,10 @@ object Warehouse {
     * convergence scalar; resolved rows are set aside and never
     * rejoin. The pagerank/k_core driver-loop discipline applies:
     * AQE off around the loop, lazy localCheckpoint per round to
-    * truncate lineage.
+    * truncate lineage. A node whose parent id is ABSENT from the
+    * node set is a root (dangling pointers are normal in real
+    * hierarchy data; dropping such rows silently in the lookup join
+    * would be the quiet-corruption failure mode).
     */
   def q43Hierarchy(spark: SparkSession, dir: String): DataFrame =
     hierarchyOn(Tables(spark, dir).part)
@@ -174,13 +177,27 @@ object Warehouse {
   }
 
   private def hierarchyRounds(part: DataFrame): DataFrame = {
-    val isRoot = col("id") < HierarchyRootBound
-    var state = part.select(col("p_partkey").as("id"))
+    val ids = part.select(col("p_partkey").as("id"))
+    // a node is a ROOT when its key is below the bound OR its parent
+    // id is absent from the node set — real hierarchy data has
+    // dangling pointers, and terminating the walk there (root = the
+    // orphan node itself) beats silently dropping the row in the
+    // pointer-lookup join
+    val flagged = ids.withColumn("p", expr("id div 10"))
+      .join(ids.select(col("id").as("p")).withColumn("p_exists", lit(true)),
+        Seq("p"), "left")
+      .select(col("id"), col("p"),
+        (col("id") < HierarchyRootBound || col("p_exists").isNull).as("is_root"))
+    val rootFlags = flagged
+      .select(col("id").as("anc"), col("is_root").as("anc_root"))
+    var state = flagged
       .select(col("id"),
-        when(isRoot, col("id")).otherwise(expr(s"id div 10")).as("anc"),
-        when(isRoot, lit(0L)).otherwise(lit(1L)).as("d"))
-      .withColumn("done", col("anc") < HierarchyRootBound && col("d") > 0 ||
-        col("id") < HierarchyRootBound)
+        when(col("is_root"), col("id")).otherwise(col("p")).as("anc"),
+        when(col("is_root"), lit(0L)).otherwise(lit(1L)).as("d"),
+        col("is_root"))
+      .join(rootFlags.hint("SHUFFLE_HASH"), "anc")
+      .select(col("id"), col("anc"), col("d"),
+        (col("is_root") || col("anc_root")).as("done"))
       .localCheckpoint(false)
     var prev: DataFrame = null
     var lastPending = Long.MaxValue

@@ -466,4 +466,32 @@ class CurationCardsSpec extends AnyFunSuite {
     assert(micro == Seq(("a", 3L, 500000L), ("b", 2L, 333333L), ("c", 1L, 166666L)),
       s"micro card: $micro")
   }
+
+  test("shard_balance: exhaustive, partitioning-invariant, bounded imbalance") {
+    import operators.Curation.{BalanceBucketWidth, BalanceMaxBucket, BalanceShards}
+    val docs = Tables(spark, sf).documents
+    val card = operators.Curation.shardBalanceOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc lands in exactly one shard
+    assert(card.map(_._2).sum == docs.count())
+    // deterministic under repartitioning (bucket windows order by doc_id)
+    val again = operators.Curation.shardBalanceOn(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(card.toSeq == again.toSeq)
+    // the balance LAW: each bucket round-robins, so shard token totals
+    // differ by at most (#buckets × (bucket width − 1)) plus the tail
+    // bucket's internal spread — compute the tail spread exactly
+    import org.apache.spark.sql.functions.{col, size => ssize}
+    val nw = docs.select(
+      ssize(graft.functions.TextFunctions.words(col("text"))).cast("long").as("nw"))
+      .collect().map(_.getLong(0))
+    val tail = nw.filter(_ >= BalanceBucketWidth * BalanceMaxBucket)
+    val tailSpread = if (tail.isEmpty) 0L else tail.max - tail.min
+    val bound = (BalanceMaxBucket + 1) * (BalanceBucketWidth - 1) + tailSpread
+    val toks = card.map(_._3)
+    assert(toks.max - toks.min <= bound,
+      s"imbalance ${toks.max - toks.min} exceeds bound $bound")
+    // and it actually used multiple shards
+    assert(card.length == BalanceShards)
+  }
 }

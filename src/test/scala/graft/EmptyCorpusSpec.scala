@@ -67,6 +67,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
       d, operators.Tokenizer.trainUnigramModel(d))),
     "mix_budget" -> (d => operators.Curation.mixBudgetOn(d)),
     "mix_temperature" -> (d => operators.Curation.mixTemperatureOn(d)),
+    "shard_balance" -> (d => operators.Curation.shardBalanceOn(d)),
     "dedup_containment" -> (d => operators.Text.containmentOn(d))
   )
 
@@ -160,4 +161,12 @@ class EmptyCorpusSpec extends AnyFunSuite {
     test(s"$name survives an empty events table") {
       assert(op(emptyEvents).count() == 0L, s"$name emitted rows from nothing")
     }
+
+  test("ts_seasonal and q44_dynamic_pivot survive an empty typed-events table") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(operators.Temporal.tsSeasonalOn(empty).count() == 0L)
+    assert(operators.Relational.q44On(empty).count() == 0L)
+  }
 }

@@ -143,4 +143,29 @@ class UnigramSpec extends AnyFunSuite {
       .head().getSeq[String](0)
     assert(out == Seq("ab", "z", "ab"), s"got $out")
   }
+
+  test("out-of-vocab probe: an unknown multi-char substring never becomes a piece") {
+    // regression for the boxed-map bug: with primitive map values a
+    // missing key's null unboxed to 0.0, so the unknown substring
+    // "ab" scored −lnB, beating the legit a+b path (−2·lnB) and
+    // emitting a piece OUTSIDE the vocabulary
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    m.put("a", java.lang.Double.valueOf(math.log(1.0)))
+    m.put("b", java.lang.Double.valueOf(math.log(1.0)))
+    val segs = graft.functions.UnigramFunctions
+      .segmentWord("ab", m, 2, math.log(2.0), math.log(0.5) - math.log(2.0))
+    assert(segs.toList == List("a", "b"), s"got ${segs.toList}")
+    // and end-to-end: every emitted piece of every encoded doc is in
+    // the trained vocabulary or a single character (the unk path)
+    val docs = Tables(spark, sf).documents
+    val model = operators.Tokenizer.trainUnigramModel(docs)
+    val vocab = model.map(_._1).toSet
+    import org.apache.spark.sql.functions.{col, explode}
+    val pieces = docs
+      .select(explode(graft.functions.UnigramFunctions.encodeText(
+        graft.functions.TextFunctions.words(col("text")), model)).as("p"))
+      .distinct().collect().map(_.getString(0))
+    val bad = pieces.filterNot(p => vocab.contains(p) || p.length == 1)
+    assert(bad.isEmpty, s"out-of-vocab pieces emitted: ${bad.take(5).toList}")
+  }
 }

@@ -125,6 +125,17 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got == expect, "deep chain roots/depths wrong")
   }
 
+  test("hierarchy: a dangling parent pointer terminates the walk as a root, drops nothing") {
+    import spark.implicits._
+    // 73's parent (7) is absent → 73 is an orphan root; 737 chains to
+    // it; 5 is a plain root. No row may vanish.
+    val got = operators.Warehouse.hierarchyOn(
+        Seq(5L, 73L, 737L).toDF("p_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((5L, 5L, 0L), (73L, 73L, 0L), (737L, 73L, 1L)),
+      s"orphan semantics wrong: $got")
+  }
+
   test("view_refresh: incremental merge equals the full recompute (IVM contract)") {
     val orders = Tables(spark, sf).orders
     val inc = operators.Warehouse.viewRefreshOn(orders)
