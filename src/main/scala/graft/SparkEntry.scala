@@ -153,7 +153,9 @@ object SparkEntry {
     "mm_audio_match"    -> (graft.multimodal.Multimodal.mmAudioMatch _),
     "ts_seasonal"       -> (Temporal.tsSeasonal _),
     "q44_dynamic_pivot" -> (Relational.q44 _),
-    "shard_balance"     -> (Curation.shardBalance _)
+    "shard_balance"     -> (Curation.shardBalance _),
+    "ann_radius"        -> (SimilaritySearch.annRadius _),
+    "dedup_eval"        -> (Dedup.dedupEval _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -891,6 +893,21 @@ object SparkEntry {
         |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, ROUND(rawsim, 6) AS sim
         |FROM r WHERE rk <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // the ann_topk scan without the heap: threshold on the rounded
+    // cosine (ulp-stable cut on both engines)
+    "ann_radius" -> {
+      val t = operators.SimilaritySearch.RadiusSimThreshold
+      s"""WITH q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+        |  WHERE vec_id % 50 = 0 AND vec_id < 1600),
+        |s AS (
+        |  SELECT qid, vec_id AS nid,
+        |    ROUND(list_cosine_similarity(qv, embedding::DOUBLE[]), 6) AS sim
+        |  FROM q, embeddings WHERE vec_id <> qid)
+        |SELECT qid, nid, sim FROM s WHERE sim >= $t
+        |ORDER BY qid, sim DESC, nid""".stripMargin
+    },
 
     // same stub-PCM lattice: frame energies via list folds, delta
     // bits via LEAD, both engines on pure integer arithmetic

@@ -604,6 +604,66 @@ object Dedup {
     }.toDF("id1", "id2", "cos")
       .orderBy(col("id1"), col("id2"))
   }
+
+  /** dedup_eval — the near-duplicate METHOD EVALUATION card (the
+    * dedup twin of ann_eval's recall card): every pair-producing
+    * near-dup method graded against the exact shingle-Jaccard
+    * ground truth (`ngram_jaccard`, τ = 0.5 — itself exact by
+    * construction, so its row is the self-grading 10⁶ anchor a
+    * harness bug cannot fake). One row per method: pair count,
+    * truth hits, recall and precision in ppm. dedup_minhash
+    * approximates the SAME τ so its row reads as fidelity;
+    * winnow_pairs / dedup_fuzzy_text measure DIFFERENT similarity
+    * notions (shared fingerprints / edit distance) so their rows
+    * read as overlap between notions — the comparison a team makes
+    * when choosing which family to run at 100 TB.
+    *
+    * Composition of the REGISTERED operators (same code, same
+    * constants). Scale shape: each method keeps its own; grading
+    * joins are pair-keyed over candidate-pair-sized frames (already
+    * sub-corpus by the collapse/banding guarantees) and the final
+    * card is one bounded row per method.
+    */
+  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = graft.operators.Text.ngramJaccard(spark, dir)
+      .select(col("d1"), col("d2")).materialized // graded 4x
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "ngram_jaccard" -> truth,
+      "dedup_minhash" -> minhash(spark, dir).select(col("d1"), col("d2")),
+      "winnow_pairs" -> graft.operators.Text.winnowPairs(spark, dir)
+        .select(col("id1").as("d1"), col("id2").as("d2")),
+      "dedup_fuzzy_text" -> graft.operators.Text.dedupFuzzyText(spark, dir)
+        .select(col("id1").as("d1"), col("id2").as("d2")))
+    // ONE method-keyed aggregation over the tagged union (not one
+    // scalar-agg chain per method — 18 single-partition exchanges in
+    // the first cut); the truth flag rides a left join, the 1-row
+    // truth total is the single scalar, and a zero-pair method keeps
+    // its row via the literal method frame
+    val tagged = methods.map { case (n, df) =>
+      df.select(lit(n).as("method"), col("d1"), col("d2"))
+    }.reduce(_ unionAll _)
+    val graded = tagged
+      // pair-keyed shuffle join (the truth pair set is data-sized —
+      // never broadcast it)
+      .join(truth.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    methods.map(_._1).toDF("method")
+      .join(graded, Seq("method"), "left")
+      .crossJoin(broadcast(nTruth))
+      .select(col("method"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .select(col("method"), col("n_pairs"), col("n_truth"), col("n_hits"),
+        expr("CASE WHEN n_truth = 0 THEN 0L " +
+          "ELSE n_hits * 1000000 div n_truth END").as("recall_ppm"),
+        expr("CASE WHEN n_pairs = 0 THEN 0L " +
+          "ELSE n_hits * 1000000 div n_pairs END").as("precision_ppm"))
+      .orderBy(col("method"))
+  }
 }
 
 /** One packed (vec_id, vector) entry of an embedding block. */

@@ -52,6 +52,33 @@ object SimilaritySearch {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Similarity floor for [[annRadius]], applied to the 6-decimal
+    * ROUNDED cosine so the cut is ulp-stable across engines.
+    */
+  val RadiusSimThreshold = 0.3
+
+  /** ann_radius — threshold (range) similarity search: ALL corpus
+    * vectors with cosine ≥ [[RadiusSimThreshold]] of each query, the
+    * radius-query complement of [[annTopK]] (dedup wants "everything
+    * closer than τ", not a fixed k — a hub query legitimately has
+    * thousands of neighbors, an outlier none). Same scale shape as
+    * ann_topk MINUS the heap: queries broadcast, ONE map-only pass
+    * with the codegen cosine kernel and the threshold filter INSIDE
+    * the scan stage — the corpus never shuffles, output is bounded
+    * by the true neighbor count (no per-query window at all).
+    */
+  def annRadius(spark: SparkSession, dir: String): DataFrame =
+    annRadiusOn(embDouble(spark, dir))
+
+  private[graft] def annRadiusOn(emb: DataFrame): DataFrame = {
+    val q = queriesOf(emb)
+    emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(cosineSim(col("qv"), col("v")), 6))
+      .filter(col("sim") >= RadiusSimThreshold)
+      .select(col("qid"), col("vec_id").as("nid"), col("sim"))
+      .orderBy(col("qid"), col("sim").desc, col("nid"))
+  }
+
   /** Fixed quantizer budget: the centroid set must NOT grow with the
     * corpus — an unbounded quantizer makes the driver collect linear
     * in n and cell assignment O(n·centroids) = O(n²/50). Capped like

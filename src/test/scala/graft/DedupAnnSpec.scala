@@ -472,4 +472,49 @@ class DedupAnnSpec extends AnyFunSuite {
       assert(card(name)._3 > 0L, s"$name found nothing at all")
     }
   }
+
+  test("ann_radius equals the thresholded brute-force scan, no per-query cap") {
+    import operators.SimilaritySearch.RadiusSimThreshold
+    val got = operators.SimilaritySearch.annRadius(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: every (query, neighbor) of the brute top-k frame is
+    // a subset check; recompute the full threshold set from raw vecs
+    val vecs = Tables(spark, sf).embeddings
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) Double.NaN else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qids = vecs.keys.filter(id => id % 50 == 0 && id < 1600)
+    val want = (for {
+      q <- qids; (n, nv) <- vecs if n != q
+      s = BigDecimal(cos(vecs(q), nv)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if !s.isNaN && s >= RadiusSimThreshold
+    } yield (q, n, s)).toSet
+    assert(got == want, s"radius set diverges: ±${(got diff want).size}/${(want diff got).size}")
+    // a radius query has NO fixed k: at least one query must exceed
+    // any would-be top-k of 1, or the fixture is vacuous
+    assert(got.nonEmpty)
+  }
+
+  test("dedup_eval: anchor row exact, counts consistent, minhash fidelity graded") {
+    val card = operators.Dedup.dedupEval(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // the ground-truth method grades itself perfectly — a harness bug
+    // cannot read as a good method
+    val (np, nt, nh, rec, prec) = card("ngram_jaccard")
+    assert(np == nt && nh == nt && rec == 1000000L && prec == 1000000L)
+    // structural laws on every row
+    card.values.foreach { case (p, t, h, r, pr) =>
+      assert(h <= math.min(p, t))
+      assert(if (t == 0) r == 0 else r == h * 1000000L / t)
+      assert(if (p == 0) pr == 0 else pr == h * 1000000L / p)
+    }
+    // minhash approximates the SAME tau-0.5 jaccard: high fidelity
+    assert(card("dedup_minhash")._4 >= 900000L,
+      s"minhash recall ${card("dedup_minhash")._4} ppm vs exact jaccard")
+  }
 }

@@ -116,6 +116,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "ann_ivf" -> (e => operators.SimilaritySearch.annIvfOn(e, 10, 4, trained = true)),
     "ann_ivf_stride" -> (e => operators.SimilaritySearch.annIvfOn(e, 10, 4, trained = false)),
     "ann_lsh" -> (e => operators.SimilaritySearch.annLshOn(e, 10)),
+    "ann_radius" -> (e => operators.SimilaritySearch.annRadiusOn(e)),
     "ann_ivf_pq" -> (e => operators.SimilaritySearch.annIvfPqOn(e, 10, 4, 4)),
     "vec_quant" -> (e => operators.SimilaritySearch.vecQuantOn(e)),
     "pq_codes" -> (e => operators.SimilaritySearch.pqCodesOn(e)),

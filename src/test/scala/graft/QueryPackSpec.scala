@@ -71,15 +71,24 @@ class QueryPackSpec extends AnyFunSuite {
     // bm25_search's 1-row (N, A) corpus scalar is the word_pmi
     // scalar-subquery shape; ann_maxsim's broadcast side is the
     // ≤ MaxQueries query-chunk table (the ann scoring O(n·q) class)
+    // ann_radius is ann_topk's scan without the heap — the same
+    // broadcast ≤ MaxQueries table drives the designed O(n·q) pass;
+    // dedup_eval's per-method (n_pairs, n_hits, n_truth) scalars
+    // cross-join as 1-row broadcasts (the scalar-subquery shape,
+    // one per graded method — a code-constant list)
     val bnljOk = Set("ann_pq", "ann_topk", "dedup_embedding",
       "q20_subquery", "sample_mixture", "word_pmi", "source_overlap",
-      "bm25_search", "ann_maxsim", "drift_check", "ann_eval")
+      "bm25_search", "ann_maxsim", "drift_check", "ann_eval",
+      "ann_radius", "dedup_eval")
     // dq_check is the documented MULTI-scalar class: one scalar
     // aggregation per declared constraint (a code constant, never
     // data-dependent) — its exchange count equals the constraint list
     // ann_eval runs one scalar summary per graded METHOD (plus the
-    // methods' own allowlisted shapes inside its plan)
-    val multiScalarOk = Map("dq_check" -> 8, "ann_eval" -> 8)
+    // methods' own allowlisted shapes inside its plan); dedup_eval
+    // grades through ONE method-keyed aggregation — its only scalars
+    // are the 1-row truth total and the interior methods' own shapes
+    val multiScalarOk = Map("dq_check" -> 8, "ann_eval" -> 8,
+      "dedup_eval" -> 4)
     // q24_funnel's whole-corpus funnel counts are one global
     // aggregate row, freq_words's final rank runs on one
     // ≤ FreqCapacity sketch row, and sketch_cube's rollup unions
