@@ -155,7 +155,8 @@ object SparkEntry {
     "q44_dynamic_pivot" -> (Relational.q44 _),
     "shard_balance"     -> (Curation.shardBalance _),
     "ann_radius"        -> (SimilaritySearch.annRadius _),
-    "dedup_eval"        -> (Dedup.dedupEval _)
+    "dedup_eval"        -> (Dedup.dedupEval _),
+    "corpus_diff"       -> (Curation.corpusDiff _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -907,6 +908,31 @@ object SparkEntry {
         |  FROM q, embeddings WHERE vec_id <> qid)
         |SELECT qid, nid, sim FROM s WHERE sim >= $t
         |ORDER BY qid, sim DESC, nid""".stripMargin
+    },
+
+    // both snapshots derive from the same fixture moduli, status by
+    // full-outer presence + fingerprint compare
+    "corpus_diff" -> {
+      import operators.Curation.{DiffAddMod, DiffAddOffset, DiffEditMod, DiffRemoveMod}
+      val norm2 = normSql.replace("lower(text)", "lower(text2)")
+      s"""WITH v2d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % $DiffEditMod = 3 THEN text || ' v2 edit'
+        |      ELSE text END AS text2
+        |  FROM documents WHERE doc_id % $DiffRemoveMod <> 5
+        |  UNION ALL
+        |  SELECT doc_id + $DiffAddOffset, text || ' brand new'
+        |  FROM documents WHERE doc_id % $DiffAddMod = 2),
+        |v1 AS (SELECT doc_id, md5($normSql) AS fp1 FROM documents),
+        |v2 AS (SELECT doc_id, md5($norm2) AS fp2 FROM v2d)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN fp2 IS NULL THEN 'removed'
+        |    WHEN fp1 IS NULL THEN 'added'
+        |    WHEN fp1 <> fp2 THEN 'changed'
+        |    ELSE 'unchanged' END AS status,
+        |  COALESCE(fp2, fp1) AS fingerprint
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin
     },
 
     // same stub-PCM lattice: frame energies via list folds, delta

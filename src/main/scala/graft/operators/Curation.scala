@@ -383,6 +383,58 @@ object Curation {
       .toDF("source", "tokens", "alloc", "rate_ppm", "capped")
   }
 
+  /** Fixture moduli for [[corpusDiff]]'s deterministic v2 snapshot
+    * (the scd2Updates in-query-fixture convention): removals, edits,
+    * additions.
+    */
+  val DiffRemoveMod = 13L
+  val DiffEditMod = 7L
+  val DiffAddMod = 11L
+  val DiffAddOffset = 1000000L
+
+  /** corpus_diff — dataset-version delta (the snapshot-diff
+    * primitive a versioned training corpus needs before every
+    * re-curation: what changed since the run I already validated?):
+    * two corpus snapshots compared by doc id + CONTENT FINGERPRINT,
+    * each doc classified added / removed / changed / unchanged. The
+    * v2 snapshot derives deterministically in-query — every
+    * [[DiffRemoveMod]]-th doc dropped, every [[DiffEditMod]]-th
+    * edited (new fingerprint), every [[DiffAddMod]]-th spawning a
+    * brand-new doc — so both engines construct the identical pair of
+    * snapshots (Verify is stateless; a deployment passes two real
+    * frames to [[corpusDiffOn]]).
+    *
+    * Scale shape: map-side fingerprints on both snapshots, then ONE
+    * doc_id-keyed full-outer shuffle join — the MERGE-class plan
+    * (scd2's shape without the version explode). With both
+    * snapshots bucketed on doc_id (the storage-layout pattern) the
+    * diff shuffles nothing.
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val v2 = docs.filter(col("doc_id") % DiffRemoveMod =!= 5)
+      .select(col("doc_id"),
+        when(col("doc_id") % DiffEditMod === 3,
+          concat(col("text"), lit(" v2 edit"))).otherwise(col("text")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % DiffAddMod === 2)
+        .select((col("doc_id") + DiffAddOffset).as("doc_id"),
+          concat(col("text"), lit(" brand new")).as("text")))
+    corpusDiffOn(docs, v2)
+  }
+
+  private[graft] def corpusDiffOn(v1docs: DataFrame, v2docs: DataFrame): DataFrame = {
+    val v1 = v1docs.select(col("doc_id"), md5(normalize(col("text"))).as("fp1"))
+    val v2 = v2docs.select(col("doc_id"), md5(normalize(col("text"))).as("fp2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp2").isNull, lit("removed"))
+          .when(col("fp1").isNull, lit("added"))
+          .when(col("fp1") =!= col("fp2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("fp2"), col("fp1")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shard count for [[shardBalance]] and the linear size-bucket
     * width/cap (bucket = min(tokens div 32, 63) — integer-exact on
     * both engines, unlike a float log2 whose ulp could flip a

@@ -467,6 +467,41 @@ class CurationCardsSpec extends AnyFunSuite {
       s"micro card: $micro")
   }
 
+  test("corpus_diff: statuses partition the id universe; every fixture class observed") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf).documents
+    val rows = operators.Curation.corpusDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byStatus = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    // all four classes fire on the fixture
+    Seq("added", "removed", "changed", "unchanged").foreach(s =>
+      assert(byStatus.getOrElse(s, 0) > 0, s"no $s docs"))
+    // id universe = v1 ∪ v2, each exactly once
+    val n1 = docs.count()
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    val nAdded = ids.count(_ % operators.Curation.DiffAddMod == 2)
+    assert(rows.length == n1 + nAdded)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // moduli semantics: removed/added counts exact; changed docs are
+    // exactly the edited-and-kept ones whose text actually changed
+    assert(byStatus("removed") == ids.count(_ % operators.Curation.DiffRemoveMod == 5))
+    assert(byStatus("added") == nAdded)
+    val expectedChanged = ids.count(i =>
+      i % operators.Curation.DiffRemoveMod != 5 &&
+        i % operators.Curation.DiffEditMod == 3)
+    assert(byStatus("changed") == expectedChanged)
+    // empty snapshots diff to an empty frame
+    import spark.implicits._
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(operators.Curation.corpusDiffOn(none, none).count() == 0)
+    // a one-sided diff reads as all-added / all-removed
+    val one = Seq((1L, "x")).toDF("doc_id", "text")
+    assert(operators.Curation.corpusDiffOn(none, one).collect()
+      .map(_.getString(1)).toSeq == Seq("added"))
+    assert(operators.Curation.corpusDiffOn(one, none).collect()
+      .map(_.getString(1)).toSeq == Seq("removed"))
+  }
+
   test("shard_balance: exhaustive, partitioning-invariant, bounded imbalance") {
     import operators.Curation.{BalanceBucketWidth, BalanceMaxBucket, BalanceShards}
     val docs = Tables(spark, sf).documents
