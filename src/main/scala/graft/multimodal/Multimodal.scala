@@ -494,9 +494,19 @@ object Multimodal {
 
   private[graft] def mmAudioMatchOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // frame energies as (doc_id, f, en) rows — the mm_audio_fp lattice
-    val frames = docs
+    // TRACK side collapses to one representative per distinct audio
+    // content (min doc_id per fp60 — the dedup-family collapse guard
+    // applied to media): m copies of one boilerplate payload would
+    // otherwise put m identical rows behind every landmark and the
+    // match join goes quadratic in duplication mass. The output is
+    // UNCHANGED — the per-clip argmax tie-break (votes desc, track
+    // asc) already elected the min-id copy — only the plan improves;
+    // SkewBench measures the difference on the 10%-duplicate corpus.
+    val withFp = docs
       .withColumn("fp60", hash60(normalize(col("text"))))
+    val reps = withFp.groupBy(col("fp60"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    def energyFrames(d: DataFrame): DataFrame = d
       .withColumn("n_samples", col("fp60") % AudioSamplesMod + AudioMinSamples)
       .withColumn("n_frames", expr(s"n_samples div $AudioFrame"))
       .select(col("doc_id"), col("fp60"), col("n_frames"),
@@ -504,6 +514,9 @@ object Multimodal {
       .withColumn("en", expr(
         s"""aggregate(sequence(f * $AudioFrame, f * $AudioFrame + ${AudioFrame - 1}),
            |  0L, (a, t) -> a + abs(${pcmExpr("t")}))""".stripMargin))
+    val trackFrames = energyFrames(reps)
+    // CLIP side stays per-doc: every eligible doc is a query
+    val frames = energyFrames(withFp.select(col("doc_id"), col("fp60")))
     def landmarks(fr: DataFrame, idCol: String, tCol: String): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col(tCol))
       fr.withColumn("en1", lead(col("en"), 1).over(w))
@@ -512,7 +525,7 @@ object Multimodal {
           (col("en") * AudioAnchorBase + col("en1")).as("h"))
     }
     val trackMarks = landmarks(
-      frames.select(col("doc_id").as("track_id"), col("f"), col("en")),
+      trackFrames.select(col("doc_id").as("track_id"), col("f"), col("en")),
       "track_id", "f")
     // clip definitions: source track, cut offset k derived from fp60
     val clipDef = frames
