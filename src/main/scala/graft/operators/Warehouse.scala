@@ -259,14 +259,19 @@ object Warehouse {
     viewRefreshOn(Tables(spark, dir).orders)
 
   private[graft] def viewRefreshOn(orders: DataFrame): DataFrame = {
-    def partials(df: DataFrame): DataFrame = df
-      .groupBy(col("o_orderpriority"), year(col("o_orderdate")).cast("long").as("oyear"))
+    // both partial tables from ONE scan: the snapshot membership is a
+    // grouping key, so base and delta partials fall out of a single
+    // map-side-combinable aggregation (a deployment reads the base
+    // partials from the stored view instead — the MERGE below is the
+    // shipped operator either way)
+    val partials = orders
+      .groupBy(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("oyear"),
+        (col("o_orderkey") % ViewDeltaMod === 0).as("is_delta"))
       .agg(count(lit(1)).as("n_orders"),
         sum((dec(col("o_totalprice")) * 100).cast("long")).as("total_cents"),
         max((dec(col("o_totalprice")) * 100).cast("long")).as("max_cents"))
-    val base = partials(orders.filter(col("o_orderkey") % ViewDeltaMod =!= 0))
-    val delta = partials(orders.filter(col("o_orderkey") % ViewDeltaMod === 0))
-    base.unionAll(delta)
+    partials
       .groupBy(col("o_orderpriority"), col("oyear"))
       .agg(sum(col("n_orders")).as("n_orders"),
         sum(col("total_cents")).as("total_cents"),
