@@ -2677,11 +2677,18 @@ object SparkEntry {
 
     // the recursion IS the oracle: DuckDB's native WITH RECURSIVE
     // resolves the same arithmetic forest the pointer-jumping loop
-    // walks (roots = keys below the bound, parent = key div 10)
+    // walks. Base case = the operator's FULL root rule: keys below
+    // the bound OR keys whose parent (key div 10) is absent from
+    // part (the documented orphan-as-root semantics — without the
+    // NOT EXISTS arm an orphan and its entire subtree would be
+    // silently absent from the oracle; benign on the contiguous sf
+    // corpora, live under make_scale.py's offset key universe)
     "q43_hierarchy" ->
       s"""WITH RECURSIVE h(id, root, depth) AS (
-        |  SELECT p_partkey, p_partkey, 0 FROM part
-        |  WHERE p_partkey < ${operators.Warehouse.HierarchyRootBound}
+        |  SELECT p_partkey, p_partkey, 0 FROM part s
+        |  WHERE s.p_partkey < ${operators.Warehouse.HierarchyRootBound}
+        |    OR NOT EXISTS (SELECT 1 FROM part q
+        |      WHERE q.p_partkey = s.p_partkey // 10)
         |  UNION ALL
         |  SELECT p.p_partkey, h.root, h.depth + 1
         |  FROM part p JOIN h ON p.p_partkey // 10 = h.id
@@ -2766,15 +2773,23 @@ object SparkEntry {
         |FROM r WHERE rk = 1 ORDER BY clip_id""".stripMargin
     },
 
-    // floor-division means on the cents lattice: DuckDB // IS floor;
-    // the Spark side reaches the same floor via (s − pmod(s,n)) div n
+    // floor-division means on the cents lattice. DuckDB's integer //
+    // TRUNCATES toward zero (-7 // 2 = -3; only float // floors), so
+    // the oracle floors explicitly via (s - ((s % n) + n) % n) // n —
+    // the pmod-corrected numerator is exactly divisible, landing on
+    // the same floor the Spark side's (s − pmod(s,n)) div n computes,
+    // including on NEGATIVE per-group cent sums (reachable via the
+    // fuzz corpus's ±2.00 value jitter). mad_cents needs no guard:
+    // its numerator is SUM(ABS(...)), non-negative by construction.
     "ts_seasonal" ->
       """WITH c AS (SELECT event_id, event_type,
         |    CAST(hour(ts) AS BIGINT) AS hod,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
         |  FROM events),
         |p AS (SELECT event_type, hod,
-        |    CAST(SUM(value_cents) // COUNT(*) AS BIGINT) AS seasonal_cents
+        |    CAST((SUM(value_cents)
+        |        - ((SUM(value_cents) % COUNT(*)) + COUNT(*)) % COUNT(*))
+        |      // COUNT(*) AS BIGINT) AS seasonal_cents
         |  FROM c GROUP BY 1, 2),
         |s AS (SELECT c.*, seasonal_cents,
         |    value_cents - seasonal_cents AS resid_cents

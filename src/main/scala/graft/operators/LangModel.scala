@@ -153,16 +153,22 @@ object LangModel {
     * ([[graft.streaming.CurationStream.curateGated]]): the raw bigram
     * model (c2, c1, V — what add-one smoothing needs to score unseen
     * bigrams, which the batch scorer never meets because it trains on
-    * the corpus it scores) plus the per-language tail thresholds t2.
+    * the corpus it scores) plus the per-language tail thresholds t2 —
+    * calibrated on the SHIPPED (pruned) model's own scores so the
+    * model file and its cutoffs are one consistent artifact.
     *
     * The model that reaches the driver is BOUNDED, never
     * corpus-sized: each count map is pruned distributedly to its
     * `modelCap` highest-count entries (count desc, then key — fully
     * deterministic) via orderBy+limit, which Spark plans as
     * TakeOrderedAndProject — per-partition heaps, only the winners
-    * cross the wire. So the collect is ≤ 2·modelCap + |langs| rows at
-    * ANY corpus scale. A pruned (rare) bigram scores as UNSEEN under
-    * the same add-one formula (c2 = 0; a pruned context takes c1 = 0)
+    * cross the wire; the c1 side additionally retains the contexts of
+    * every retained bigram (so c2 ≤ c1 holds for every SEEN scored
+    * bigram — independent pruning could orphan a surviving hot bigram
+    * from its context and emit an impossible > 1 probability). The
+    * collect is ≤ 3·modelCap + |langs| rows at ANY corpus scale. A
+    * pruned (rare) bigram scores as UNSEEN under the same add-one
+    * formula (c2 = 0; a FULLY pruned context takes c1 = 0)
     * — the natural smoothing extension [[graft.functions.LmPpmKernel]]
     * already defines, so pruning degrades scores smoothly on exactly
     * the low-count tail where the probabilities were near the
@@ -176,22 +182,52 @@ object LangModel {
       modelCap: Int = GateModelCap)
       : (Map[(String, String), Long], Map[String, Long], Long, Seq[(String, Long)]) = {
     val bi = bigramInstances(docs).materialized
-    val scored = lmPpmFromBi(bi)
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      .select(col("doc_id"), col("lang"), col("lm_ppm"))
+    val c2m = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("w1"), col("w2")).limit(modelCap)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val c1agg = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c1top = c1agg.orderBy(col("c1").desc, col("w1")).limit(modelCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CONSISTENCY law: every retained bigram's context must keep its
+    // c1 — pruning the two maps independently can drop a surviving
+    // bigram's context (c1 counts rank differently from c2 counts),
+    // making the add-one score (c2+1)/(0+V), potentially > 1 — a
+    // positive log-probability no distribution admits, inflating
+    // admission scores for exactly the hottest bigrams. So the
+    // retained c1 set = top-count entries ∪ contexts of retained
+    // bigrams; the union only fires when the cap binds, adds ≤
+    // modelCap rows (the collect stays ≤ 3·cap + |langs| total), and
+    // the missing contexts travel as a broadcast-joined frame, never
+    // an isin literal list.
+    val missing = c2m.keysIterator.map(_._1).toSet -- c1top.keySet
+    val c1m = if (missing.isEmpty) c1top else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val extra = c1agg
+        .join(broadcast(missing.toSeq.toDF("w1")), Seq("w1"), "left_semi")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      c1top ++ extra
+    }
+    val vRow = bi.agg(countDistinct(col("w2"))).collect()
+    val vocab = if (vRow.isEmpty || vRow(0).isNullAt(0)) 0L else vRow(0).getLong(0)
+    bi.unpersist() // all count consumers collected — release the blocks
+    // tail thresholds calibrated on the SHIPPED model's own scores
+    // (one map-side kernel pass — the exact expression the ingest
+    // gate evaluates): model file and cutoffs are ONE artifact, so a
+    // binding cap shifts scores and thresholds together and the
+    // tertile admission split is preserved. Calibrating on full-model
+    // scores instead would silently reject everything once pruning
+    // lowers the whole distribution below full-trained cutoffs. When
+    // the cap does not bind, kernel ≡ batch scorer bit-for-bit
+    // (LangModelSpec), so thresholds equal the unpruned calibration.
+    val scored = docs.select(col("doc_id"), col("lang"),
+        graft.functions.LmPpmKernel.lmPpm(words(col("text")), c2m, c1m, vocab)
+          .as("lm_ppm"))
+      .filter(col("lm_ppm").isNotNull)
     val th = tertileThresholds(scored)
       .filter(col("lang").isNotNull && col("t2").isNotNull)
       .select(col("lang"), col("t2"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    val c2m = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      .orderBy(col("c2").desc, col("w1"), col("w2")).limit(modelCap)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val c1m = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      .orderBy(col("c1").desc, col("w1")).limit(modelCap)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val vRow = bi.agg(countDistinct(col("w2"))).collect()
-    val vocab = if (vRow.isEmpty || vRow(0).isNullAt(0)) 0L else vRow(0).getLong(0)
-    bi.unpersist() // all consumers collected — release the blocks now
     (c2m, c1m, vocab, th)
   }
 

@@ -188,9 +188,12 @@ object Temporal {
     * Exactness: everything on the cents lattice; profile and MAD
     * means are FLOOR divisions computed as (s − pmod(s, n)) div n —
     * pmod makes the numerator exactly divisible, so Spark's
-    * truncating `div` lands on the floor that DuckDB's `//`
-    * computes, including on NEGATIVE sums (the fuzz corpus crosses
-    * zero; bare `div` would round toward zero and drift).
+    * truncating `div` lands on the true floor even on NEGATIVE sums
+    * (the fuzz corpus's value jitter can cross zero; bare `div`
+    * would round toward zero and drift). NOTE DuckDB's integer `//`
+    * ALSO truncates toward zero (-7 // 2 = -3; only float `//`
+    * floors — verified on DuckDB 1.0.0), so the oracle applies the
+    * same pmod correction explicitly rather than relying on `//`.
     *
     * Scale shape: two map-side-combinable aggregations to cards
     * bounded by |types|·24 and |types|, each broadcast back — the

@@ -153,10 +153,17 @@ object Tokenizer {
     (String, Long, Int), Seq[(Long, String, String, Long)]]()
 
   /** Cheap corpus fingerprint for the model caches: fold every
-    * documents-table file's (modificationTime, length) into one
-    * long. Metadata-only (a FileSystem listing, no data read — works
-    * for any Hadoop FS), so a corpus regenerated under the SAME path
-    * gets a fresh key and can never be encoded with a stale model.
+    * documents-table file's (name, modificationTime, length) plus
+    * the file COUNT into one long. Metadata-only (a FileSystem
+    * listing, no data read — works for any Hadoop FS), so a corpus
+    * regenerated under the SAME path gets a fresh key and can never
+    * be encoded with a stale model. Per-file hashes combine by SUM
+    * (order-insensitive: Hadoop local listings have no order
+    * guarantee, and a reordered listing of identical files is the
+    * same corpus). Caveat: a rewrite within filesystem mtime
+    * granularity that reproduces every file name AND size is still
+    * invisible — harnesses that regenerate corpora in-place should
+    * call [[clearModelCaches]] (the fuzz/scale tools do).
     */
   private[graft] def corpusFingerprint(spark: SparkSession, dir: String): Long = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
@@ -164,13 +171,17 @@ object Tokenizer {
     if (!fs.exists(path)) 0L
     else {
       var h = 1125899906842597L
+      var n = 0L
       val it = fs.listFiles(path, true)
       while (it.hasNext) {
         val st = it.next()
-        h = h * 31 + st.getModificationTime
-        h = h * 31 + st.getLen
+        var f = st.getPath.getName.hashCode.toLong
+        f = f * 1000003L + st.getModificationTime
+        f = f * 1000003L + st.getLen
+        h += f * 2654435761L
+        n += 1
       }
-      h
+      h * 31 + n
     }
   }
 

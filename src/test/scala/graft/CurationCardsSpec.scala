@@ -529,4 +529,40 @@ class CurationCardsSpec extends AnyFunSuite {
     // and it actually used multiple shards
     assert(card.length == BalanceShards)
   }
+
+  test("shard_balance: two-level prefix sum ≡ serial bucket window (splice law)") {
+    import spark.implicits._
+    import operators.Curation.{BalanceBucketWidth, BalanceMaxBucket, BalanceShards}
+    // sparse non-contiguous ids force empty segments and uneven
+    // (bucket, segment) occupancy — the splice arithmetic's corners
+    val docs = (0 until 500).map { i =>
+      val id = i.toLong * 7 + 3
+      (id, Seq.fill((i * 37) % 120 + 1)("w").mkString(" "))
+    }.toDF("doc_id", "text").repartition(5)
+    val twoLevel = operators.Curation.shardBalanceOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // serial twin: the round-8 bucket-partitioned window (correct but
+    // not scale-safe — kept here as the reference semantics)
+    val w = docs.select(col("doc_id"),
+        size(graft.functions.TextFunctions.words(col("text"))).cast("long").as("nw"))
+      .withColumn("bucket",
+        least(expr(s"nw div $BalanceBucketWidth"), lit(BalanceMaxBucket)))
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val serial = w.withColumn("shard",
+        pmod(row_number().over(byBucket) - 1 + col("bucket"),
+          lit(BalanceShards.toLong)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens"))
+      .orderBy(col("shard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(twoLevel == serial, "two-level splice diverged from the serial window")
+    // plan tripwire: the rank window must partition by (bucket, seg),
+    // never by the bounded bucket key alone
+    val plan = operators.Curation.shardBalanceOn(docs)
+      .queryExecution.executedPlan.toString
+    val winLines = plan.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("seg#")),
+      s"rank window lost its segment key:\n${winLines.mkString("\n")}")
+  }
 }

@@ -51,6 +51,26 @@ class CurationTemporalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("early", None), ("late", Some(20.0))))
   }
 
+  test("ts_seasonal: profile mean FLOORS on negative cent sums (cross-engine div law)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, "a", Timestamp.valueOf("2024-01-01 09:00:00"), -0.03),
+      (2L, "a", Timestamp.valueOf("2024-01-01 09:30:00"), -0.04),
+      (3L, "b", Timestamp.valueOf("2024-01-01 10:00:00"), 5.00))
+      .toDF("event_id", "event_type", "ts", "value")
+    val out = Temporal.tsSeasonalOn(ev).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("seasonal_cents")).toMap
+    // (a, 9h) cent sum = -7 over n = 2: the mean must be the FLOOR -4,
+    // not the truncate-toward-zero -3 that both engines' bare integer
+    // division computes (DuckDB integer `//` truncates: -7 // 2 = -3,
+    // probed on the installed 1.0.0) — the pmod correction on BOTH
+    // sides is what keeps the engines aligned once fuzz value jitter
+    // drives a group's sum negative
+    assert(out(1L) == -4L && out(2L) == -4L)
+    assert(out(3L) == 500L)
+  }
+
   test("q23 range join bin-and-refine plans no broadcast-nested-loop") {
     val plan = Temporal.q23(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), "range join fell back to BNLJ")

@@ -29,33 +29,57 @@ class GateModelSpec extends AnyFunSuite {
     assert(c2a.size < operators.LangModel.GateModelCap)
   }
 
-  test("a binding cap bounds both maps and keeps exactly the top-count entries") {
+  test("a binding cap bounds both maps; c1 keeps every retained bigram's context") {
     val cap = 10
     val (c2p, c1p, vp, _) = operators.LangModel.perplexityGateData(docs, cap)
     val (c2f, c1f, vf, _) =
       operators.LangModel.perplexityGateData(docs, Int.MaxValue)
-    assert(c2p.size == cap && c1p.size == cap,
-      s"cap=$cap but sizes ${c2p.size}/${c1p.size}")
+    assert(c2p.size == cap, s"cap=$cap but c2 size ${c2p.size}")
     // V is a property of the corpus, not the pruned file — unchanged
     assert(vp == vf)
-    // the survivors are the deterministic count-ordered winners
+    // the bigram survivors are the deterministic count-ordered winners
     val topC2 = c2f.toSeq
       .sortBy { case ((w1, w2), c) => (-c, w1, w2) }.take(cap).toMap
-    val topC1 = c1f.toSeq.sortBy { case (w, c) => (-c, w) }.take(cap).toMap
     assert(c2p == topC2, "pruned bigrams are not the top-count set")
-    assert(c1p == topC1, "pruned contexts are not the top-count set")
+    // the retained c1 set is EXACTLY top-count ∪ retained-bigram
+    // contexts (bounded by 2·cap), with true corpus counts — so
+    // independent pruning can never orphan a surviving hot bigram
+    // from its context and emit a > 1 add-one probability
+    val topC1 = c1f.toSeq.sortBy { case (w, c) => (-c, w) }.take(cap).toMap
+    val needed = topC2.keySet.map(_._1)
+    assert(c1p.keySet == topC1.keySet ++ needed,
+      "retained c1 set ≠ top-count ∪ retained-bigram contexts")
+    assert(c1p.size <= 2 * cap)
+    assert(c1p.forall { case (w, c) => c1f(w) == c },
+      "a retained context lost its true corpus count")
+    // the consistency law itself: c2 ≤ c1 for every scored seen bigram
+    assert(c2p.forall { case ((w1, _), c2) => c1p.get(w1).exists(_ >= c2) },
+      "a retained bigram's count exceeds its retained context count")
   }
 
-  test("the gate still scores and admits under a heavily pruned model") {
-    val gate = CurationStream.trainPerplexityGate(docs, modelCap = 10)
+  test("the gate still scores and admits under a binding pruned model") {
     val ingest = docs.withColumn("event_ts",
       expr("timestamp_micros(CAST(1700000000000000 + doc_id * 1000 AS BIGINT))"))
-    val out = CurationStream.curateGated(ingest, gate)
-    val rows = out.collect()
+    // a cap that BINDS but keeps the top half of the bigram mass —
+    // the realistic pruned-model-file regime: scores degrade on the
+    // rare tail yet enough mass survives that the gate still admits
+    val full = CurationStream.trainPerplexityGate(docs, Int.MaxValue)
+    val cap = math.max(10, full.c2.size / 2)
+    val gate = CurationStream.trainPerplexityGate(docs, cap)
+    assert(gate.c2.size == cap, "test premise: the cap must bind")
+    val rows = CurationStream.curateGated(ingest, gate).collect()
     assert(rows.nonEmpty, "pruned gate admitted nothing")
     // pruned-away bigrams score as UNSEEN (the add-one floor), so
     // every multi-word doc still gets a non-null score
     assert(rows.forall(r => !r.isNullAt(r.fieldIndex("lm_ppm"))),
       "a scored doc lost its lm_ppm under pruning")
+    // the DEGENERATE cap still scores without error; with consistent
+    // c1 pruning its scores are honest (≤ 10⁶ ppm — no > 1 add-one
+    // probabilities), so rejecting everything against thresholds
+    // trained on the full model is legal smooth degradation
+    val tiny = CurationStream.trainPerplexityGate(docs, 10)
+    val out10 = CurationStream.curateGated(ingest, tiny).collect()
+    assert(out10.forall(r => r.isNullAt(r.fieldIndex("lm_ppm")) ||
+      r.getLong(r.fieldIndex("lm_ppm")) <= 1000000L))
   }
 }
