@@ -210,21 +210,24 @@ object Dedup {
     * with (pairs alone can't dedup transitively: a~b, b~c must drop
     * both b and c).
     *
-    * Algorithm (default): iterative min-label propagation — each
-    * round every node takes the min of its own and its neighbors'
-    * labels; data stays distributed (joins on the edge list), the
-    * driver only checks the converged-row count per round, and rounds
-    * needed = component diameter (near-dup clusters are shallow;
-    * guarded by `maxIters`). `star = true` switches to alternating
-    * large-star/small-star (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond"), which contracts path length
-    * geometrically — O(log d) rounds — for DEEP graphs where
-    * propagation's one-hop-per-round would exhaust `maxIters`
-    * (asserted on a diameter-40 chain in DedupAnnSpec). Oracle:
-    * transitive closure via DuckDB recursive CTE.
+    * Algorithm (default): alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"), which halves path length every alternation —
+    * O(log d) rounds for ANY graph shape, so a drift-chain corpus
+    * (doc i ≈ doc i+1, component diameter = n — the one adversarial
+    * shape one-hop methods cannot survive) converges in ~log₂ n
+    * rounds (asserted on a 1000-link chain in DedupAnnSpec, with the
+    * round plan itself guarded). `star = false` falls back to
+    * iterative min-label propagation — one cheaper join per round but
+    * rounds = component diameter — kept as the comparison twin the
+    * equivalence spec runs both ways. Either way data stays
+    * distributed (joins on the edge list); the driver only sees a
+    * per-round convergence scalar, and `maxIters` is a loud stall
+    * guard, never a silent truncation. Oracle: transitive closure via
+    * DuckDB recursive CTE.
     */
   def clusters(spark: SparkSession, dir: String, maxIters: Int = 20,
-      star: Boolean = false): DataFrame =
+      star: Boolean = true): DataFrame =
     clustersDocs(Tables(spark, dir).documents, maxIters, star)
 
   /** Cluster construction over any (doc_id, text) frame, duplicate-
@@ -343,24 +346,42 @@ object Dedup {
     * is one tiny aggregate per round, like propagation's changed
     * count.
     */
+  private def sym(e: DataFrame): DataFrame =
+    e.union(e.select(col("v"), col("u"))).toDF("u", "v")
+
+  private def largeStar(e: DataFrame): DataFrame = {
+    val s = sym(e)
+    val mins = s.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    // SHUFFLE_HASH (the pagerank-round discipline): the min table is
+    // NODE-count-sized — a stats misestimate mid-loop must never
+    // broadcast it at cluster scale, and both sides arrive hash-
+    // partitioned on u from their own aggregations anyway
+    s.join(mins.hint("SHUFFLE_HASH"), "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v")).distinct()
+  }
+
+  private def smallStar(e: DataFrame): DataFrame = {
+    // invariant gives v < u for every edge, so this sees them all
+    val mins = e.groupBy("u").agg(min("v").as("m"))
+    val hangNbrs = e.join(mins.hint("SHUFFLE_HASH"), "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val hangSelf = mins.select(col("u"), col("m").as("v"))
+    hangNbrs.union(hangSelf).distinct()
+  }
+
+  /** One large-star + small-star alternation over a (u, v) edge list
+    * (invariant: u > v) — factored out so its PLAN is directly
+    * assertable, like propagationRound and pagerankRound: key-
+    * partitioned hash aggregations and equi-joins over the edge list
+    * only; nothing may degenerate to a nested loop or broadcast the
+    * node-sized min table.
+    */
+  private[graft] def starRound(e: DataFrame): DataFrame =
+    smallStar(largeStar(e))
+
   private def starLabels(docs: DataFrame, pairs: DataFrame, maxIters: Int): DataFrame = {
-    def sym(e: DataFrame): DataFrame =
-      e.union(e.select(col("v"), col("u"))).toDF("u", "v")
-    def largeStar(e: DataFrame): DataFrame = {
-      val s = sym(e)
-      val mins = s.groupBy("u").agg(min("v").as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      s.join(mins, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")).distinct()
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      // invariant gives v < u for every edge, so this sees them all
-      val mins = e.groupBy("u").agg(min("v").as("m"))
-      val hangNbrs = e.join(mins, "u").filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-      val hangSelf = mins.select(col("u"), col("m").as("v"))
-      hangNbrs.union(hangSelf).distinct()
-    }
     def fingerprint(e: DataFrame): (Long, Long) = {
       // bit_xor: order-independent and overflow-free under ANSI
       // (edges are distinct, so xor can't self-cancel a duplicate)
@@ -389,7 +410,7 @@ object Dedup {
       var converged = false
       var it = 0
       while (!converged && it < maxIters) {
-        val next = smallStar(largeStar(edges)).localCheckpoint(true)
+        val next = starRound(edges).localCheckpoint(true)
         val nfp = fingerprint(next)
         edges.unpersist()
         edges = next
@@ -622,19 +643,50 @@ object Dedup {
     * constants). Scale shape: each method keeps its own; grading
     * joins are pair-keyed over candidate-pair-sized frames (already
     * sub-corpus by the collapse/banding guarantees) and the final
-    * card is one bounded row per method.
+    * card is one bounded row per method. The four pair sets are
+    * [[pairArtifact]] entries (train-once-per-corpus-per-JVM, the
+    * lm_score contract): a warm re-grade pays only the grading
+    * joins, not the candidate pipelines.
     */
+  /** Per-(method, corpus dir) PAIR artifacts for [[dedupEval]] — the
+    * lm_score scored-artifact contract applied to the near-dup pair
+    * outputs: each method's (d1, d2) pair set is deterministic in the
+    * corpus, so memoizing the materialized projection can never
+    * change the card; it only stops a WARM dedup_eval from re-paying
+    * all four candidate-generation pipelines (the card's cost is the
+    * sum of its parts by construction — with the artifacts it drops
+    * to just the grading joins). The cold path (first run per corpus
+    * dir per JVM) computes and stores; a frame from a stopped session
+    * is detected by identity and rebuilt; entries are localCheckpoint
+    * blocks (never CacheManager) reclaimed when replaced.
+    */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private def pairArtifact(method: String, dir: String, spark: SparkSession)(
+      compute: => DataFrame): DataFrame =
+    pairCache.compute((method, dir), (_, cached) =>
+      if (cached != null && (cached.sparkSession eq spark)) cached
+      else compute.materialized)
+
+  /** Test/bench hook: drop the memoized pair artifacts. */
+  private[graft] def clearPairCache(): Unit = pairCache.clear()
+
   def dedupEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val truth = graft.operators.Text.ngramJaccard(spark, dir)
-      .select(col("d1"), col("d2")).materialized // graded 4x
+    val truth = pairArtifact("ngram_jaccard", dir, spark)(
+      graft.operators.Text.ngramJaccard(spark, dir)
+        .select(col("d1"), col("d2"))) // graded 4x — artifact is materialized
     val methods: Seq[(String, DataFrame)] = Seq(
       "ngram_jaccard" -> truth,
-      "dedup_minhash" -> minhash(spark, dir).select(col("d1"), col("d2")),
-      "winnow_pairs" -> graft.operators.Text.winnowPairs(spark, dir)
-        .select(col("id1").as("d1"), col("id2").as("d2")),
-      "dedup_fuzzy_text" -> graft.operators.Text.dedupFuzzyText(spark, dir)
-        .select(col("id1").as("d1"), col("id2").as("d2")))
+      "dedup_minhash" -> pairArtifact("dedup_minhash", dir, spark)(
+        minhash(spark, dir).select(col("d1"), col("d2"))),
+      "winnow_pairs" -> pairArtifact("winnow_pairs", dir, spark)(
+        graft.operators.Text.winnowPairs(spark, dir)
+          .select(col("id1").as("d1"), col("id2").as("d2"))),
+      "dedup_fuzzy_text" -> pairArtifact("dedup_fuzzy_text", dir, spark)(
+        graft.operators.Text.dedupFuzzyText(spark, dir)
+          .select(col("id1").as("d1"), col("id2").as("d2"))))
     // ONE method-keyed aggregation over the tagged union (not one
     // scalar-agg chain per method — 18 single-partition exchanges in
     // the first cut); the truth flag rides a left join, the 1-row

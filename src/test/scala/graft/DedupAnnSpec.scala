@@ -269,12 +269,56 @@ class DedupAnnSpec extends AnyFunSuite {
   }
 
   test("star and propagation clusters agree on the real pair graph") {
+    // star contraction is the DEFAULT since round 9 (O(log n) rounds
+    // for any graph shape); propagation is the comparison twin
     val a = graft.operators.Dedup.clusters(spark, sf)
       .collect().map(_.toSeq).toSeq
-    val b = graft.operators.Dedup.clusters(spark, sf, star = true)
+    val b = graft.operators.Dedup.clusters(spark, sf, star = false)
       .collect().map(_.toSeq).toSeq
     assert(a.nonEmpty)
-    assert(a == b, "star variant diverges from propagation on the corpus graph")
+    assert(a == b, "default (star) variant diverges from propagation on the corpus graph")
+  }
+
+  test("default clusters kill the drift-chain pathology: 1000-link chain in ≤ 12 rounds") {
+    import spark.implicits._
+    // drift chain: doc i ≈ doc i+1, every pair above τ — ONE component
+    // of diameter 1000. One-hop label propagation needs 1000 rounds;
+    // star contraction halves path length per alternation, so the
+    // 12-round budget (≈ log₂ 1000 + slack) suffices — and since star
+    // is now the DEFAULT, the registered query inherits this bound.
+    val n = 1000L
+    val docs = (0L to n).toDF("doc_id")
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("d1", "d2")
+    val out = graft.operators.Dedup.clustersOf(docs, pairs, maxIters = 12, star = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == n + 1)
+    assert(out.forall(_._2 == 0L), "chain did not collapse to one component")
+    assert(out.count(_._3 == 1L) == 1 && out.find(_._3 == 1L).get._1 == 0L)
+    // the pathology is real: propagation exhausts the same budget
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.clustersOf(docs, pairs, maxIters = 12, star = false).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("a star-contraction round plans equi-joins only — no BNLJ, no broadcast") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // mirror starLabels' EXACT round environment: canonicalized
+    // (u > v) edges, localCheckpoint input, AQE off
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (9L, 4L))
+        .toDF("u", "v").localCheckpoint(true)
+      val plan = graft.operators.Dedup.starRound(edges)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"star round degenerated to a nested loop:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+      assert(!plan.contains("BroadcastExchange"),
+        s"a round must not broadcast the node-sized min table:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   test("vec_quant storage form: one byte per dimension, values identical to the oracle projection") {
@@ -516,5 +560,12 @@ class DedupAnnSpec extends AnyFunSuite {
     // minhash approximates the SAME tau-0.5 jaccard: high fidelity
     assert(card("dedup_minhash")._4 >= 900000L,
       s"minhash recall ${card("dedup_minhash")._4} ppm vs exact jaccard")
+    // artifact-cache contract: a warm re-grade (pair artifacts
+    // memoized per corpus dir) yields the identical card, and a cold
+    // rebuild after clearing the cache does too
+    val warm = operators.Dedup.dedupEval(spark, sf).collect().map(_.toSeq).toSeq
+    operators.Dedup.clearPairCache()
+    val cold = operators.Dedup.dedupEval(spark, sf).collect().map(_.toSeq).toSeq
+    assert(warm == cold, "warm artifact card diverged from cold rebuild")
   }
 }
