@@ -72,6 +72,7 @@ object SparkEntry {
     "seq_pack"          -> (Curation.seqPack _),
     "decontaminate"     -> (Text.decontaminate _),
     "rep_stats"         -> (Text.repStats _),
+    "rep_scrub"         -> (Text.repScrub _),
     "corpus_shuffle"    -> (Curation.corpusShuffle _),
     "dedup_lines"       -> (Text.dedupLines _),
     "dedup_incremental" -> (Text.dedupIncremental _),
@@ -1428,6 +1429,44 @@ object SparkEntry {
         |), r AS (
         |  SELECT doc_id, line_id, line_text,
         |    row_number() OVER (PARTITION BY line_text ORDER BY doc_id, line_id) AS rk
+        |  FROM lt
+        |), tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lt GROUP BY 1),
+        |reb AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(line_text, ' ' ORDER BY line_id) AS new_text
+        |  FROM r WHERE rk = 1 GROUP BY 1)
+        |SELECT doc.doc_id,
+        |  CAST(COALESCE(tot.n_lines, 0) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(reb.new_text, '') AS new_text
+        |FROM documents doc
+        |LEFT JOIN tot ON doc.doc_id = tot.doc_id
+        |LEFT JOIN reb ON doc.doc_id = reb.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
+
+    // INTRA-doc first-occurrence keep: row_number partitioned by
+    // (doc_id, line_text) replicates the map-side prefix filter; the
+    // fixture (BoilerLine twice on every 4th doc) matches in-query
+    "rep_scrub" ->
+      s"""WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % ${operators.Text.RepScrubMod} = 0
+        |      THEN '${operators.Text.BoilerLine} ${operators.Text.BoilerLine} ' || text
+        |      ELSE text END AS text
+        |  FROM documents
+        |), d AS (SELECT doc_id, $wordsSql AS w FROM aug),
+        |l AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(0, (len(w) + 19) // 20 - 1)) AS line_id
+        |  FROM d WHERE len(w) > 0
+        |), lt AS (
+        |  SELECT doc_id, line_id,
+        |    array_to_string(w[CAST(line_id*20+1 AS INT) : CAST(line_id*20+20 AS INT)], ' ')
+        |      AS line_text
+        |  FROM l
+        |), r AS (
+        |  SELECT doc_id, line_id, line_text,
+        |    row_number() OVER (PARTITION BY doc_id, line_text ORDER BY line_id) AS rk
         |  FROM lt
         |), tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lt GROUP BY 1),
         |reb AS (

@@ -24,6 +24,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
   private val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
     "quality_score" -> (d => operators.Text.qualityScoreOn(d)),
     "rep_stats" -> (d => operators.Text.repStatsOn(d)),
+    "rep_scrub" -> (d => operators.Text.repScrubOn(d)),
     "dedup_lines" -> (d => operators.Text.dedupLinesOn(d)),
     "dedup_fuzzy_text" -> (d => operators.Text.dedupFuzzyTextOn(d)),
     "dedup_spans" -> (d => operators.Text.dedupSpansOn(d)),

@@ -284,6 +284,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rep_scrub closure: rescanning scrubbed output finds nothing to scrub") {
+    import spark.implicits._
+    // random texts plus planted intra-doc repetition: doc text is
+    // (prefix repeated r times) + tail — the scrub must remove every
+    // repeated 20-word line and a SECOND scrub must be the identity
+    val line = (1 to operators.Text.LineWords).map(i => s"w$i").mkString(" ")
+    val docs = (0L until 40L).map { i =>
+      val reps = (i % 5 + 1).toInt // 1..5 copies of the same line
+      val tail = (1 to ((i % 7).toInt * 3)).map(j => s"t${i}x$j").mkString(" ")
+      (i, (Seq.fill(reps)(line) :+ tail).mkString(" ").trim)
+    }.toDF("doc_id", "text")
+    val out = operators.Text.repScrubOn(docs)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("new_text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.length == 40)
+    out.foreach { case (_, nl, nk, _) => assert(nk <= nl) }
+    // closure: scrub(scrub(x)) == scrub(x) — rescan the rebuilt text
+    // (doc ids chosen NOT ≡ 0 mod RepScrubMod so the fixture
+    // injection stays off and we test the pure operator)
+    val rescan = operators.Text.repScrubOn(
+        out.map { case (id, _, _, t) => (id * 4 + 1, t) }.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    rescan.foreach { case (nl, nk) =>
+      assert(nl == nk, s"second scrub still found repeats: $nl lines, $nk kept") }
+    // the planted run really was scrubbed: a doc made of r copies of
+    // one line keeps exactly one copy of it
+    val planted = out.find(_._1 == 9L).get // 9 % 5 + 1 = 5 copies, no fixture
+    assert(planted._2 - planted._3 >= 4L,
+      s"5-copy planted line not collapsed: ${planted._2} -> ${planted._3}")
+  }
+
   test("containment dominates jaccard on every pair (C(A->B) >= J(A,B))") {
     import spark.implicits._
     val rnd = new scala.util.Random(7L)
