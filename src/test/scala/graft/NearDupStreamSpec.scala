@@ -11,10 +11,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * bucket transition unit-tested directly.
   */
 class NearDupStreamSpec extends AnyFunSuite {
+  val specSf = sys.env.get("SPARK_GRAFT_SPEC_SF").filter(_.nonEmpty)
+    .getOrElse("/root/testdata/sf0.001")
   lazy val spark = GraftSession.builder("local[4]", 4).getOrCreate()
 
   test("SimHashKernel equals the batch SimHashAgg signature on the corpus") {
-    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val docs = Tables(spark, specSf).documents
       .select(col("doc_id"), col("text"))
     val agg = operators.Dedup.simhashSignatures(docs)
       .withColumnRenamed("simhash", "sig_agg")
@@ -33,7 +35,7 @@ class NearDupStreamSpec extends AnyFunSuite {
     // corpus with planted structure: distinct bases, exact copies,
     // near copies (one word appended — usually within hamming 3 of
     // the base), split across three micro-batches
-    val base = Tables(spark, "/root/testdata/sf0.001").documents
+    val base = Tables(spark, specSf).documents
       .select(col("doc_id"), col("text")).limit(40)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val planted: Seq[(Long, String, Long)] =

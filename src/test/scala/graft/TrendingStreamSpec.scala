@@ -11,7 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class TrendingStreamSpec extends AnyFunSuite {
   lazy val spark = GraftSession.builder("local[4]", 4).getOrCreate()
-  val sf = "/root/testdata/sf0.001"
+  val sf = sys.env.get("SPARK_GRAFT_SPEC_SF").filter(_.nonEmpty)
+    .getOrElse("/root/testdata/sf0.001")
 
   test("file-streamed trending card equals the batch form; ranks and counts exact") {
     import org.apache.spark.sql.streaming.Trigger
