@@ -152,11 +152,14 @@ object SparkEntry {
     "view_refresh"      -> (Warehouse.viewRefresh _),
     "mix_temperature"   -> (Curation.mixTemperature _),
     "mm_audio_match"    -> (graft.multimodal.Multimodal.mmAudioMatch _),
+    "mm_video_dedup"    -> (graft.multimodal.Multimodal.mmVideoDedup _),
     "ts_seasonal"       -> (Temporal.tsSeasonal _),
     "q44_dynamic_pivot" -> (Relational.q44 _),
     "shard_balance"     -> (Curation.shardBalance _),
     "ann_radius"        -> (SimilaritySearch.annRadius _),
     "dedup_eval"        -> (Dedup.dedupEval _),
+    "lsh_tune"          -> (Dedup.lshTune _),
+    "bitext_mine"       -> ((s, d) => SimilaritySearch.bitextMine(s, d)),
     "corpus_diff"       -> (Curation.corpusDiff _)
   )
 
@@ -2847,6 +2850,129 @@ object SparkEntry {
     "q44_dynamic_pivot" ->
       """PIVOT events ON event_type USING count(*)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // margin-based bitext mining: cosines land on the 10^-6 lattice
+    // (the ann rounding convention), then k-NN means / margins are
+    // pure integer arithmetic — both engines truncate integer
+    // division toward zero, so the card is exact by construction
+    "bitext_mine" -> {
+      val k = operators.SimilaritySearch.BitextK
+      s"""WITH q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+        |  WHERE vec_id % 50 = 0 AND vec_id < 1600),
+        |yv AS (SELECT vec_id AS yid, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |s AS (SELECT qid, yid,
+        |    CAST(ROUND(list_cosine_similarity(qv, v) * 1000000) AS BIGINT) AS c
+        |  FROM q, yv),
+        |f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY c DESC, yid) AS rk FROM s),
+        |fwd AS (SELECT qid, yid, c FROM f WHERE rk <= $k),
+        |af AS (SELECT qid, SUM(c) // $k AS avg_f FROM fwd GROUP BY 1),
+        |bk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY yid
+        |    ORDER BY c DESC, qid) AS rk FROM s),
+        |ab AS (SELECT yid, SUM(c) // $k AS avg_b FROM bk
+        |  WHERE rk <= $k GROUP BY 1),
+        |cand AS (SELECT fwd.qid, fwd.yid, c,
+        |    (c * 2000000) // (avg_f + avg_b) AS margin_ppm
+        |  FROM fwd JOIN af USING (qid) JOIN ab USING (yid)
+        |  WHERE avg_f + avg_b > 0),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY margin_ppm DESC, yid) AS rq FROM cand),
+        |bb AS (SELECT yid, qid AS bq FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY yid
+        |      ORDER BY margin_ppm DESC, qid) AS ry FROM cand)
+        |  WHERE ry = 1)
+        |SELECT b.qid, b.yid, CAST(c AS BIGINT) AS c_ppm,
+        |  CAST(margin_ppm AS BIGINT) AS margin_ppm,
+        |  CAST(bq = b.qid AS BIGINT) AS mutual
+        |FROM best b JOIN bb ON b.yid = bb.yid
+        |WHERE rq = 1 ORDER BY b.qid""".stripMargin
+    },
+
+    // video copy detection on the stub lattice: per-second frame
+    // signatures from each video's OWN sampling schedule, content
+    // hash inherited from doc_id − 1 for the re-edit fixture docs,
+    // signature equi-join + per-pair match count
+    "mm_video_dedup" -> {
+      val m = graft.multimodal.Multimodal
+      val target = m.FrameTargetSamples
+      val sigSql = hash60Sql(
+        "'vf:' || CAST(content_fp AS VARCHAR) || ':' || CAST(sec AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id, ${hash60Sql(normSql)} AS fp60 FROM documents),
+        |wb AS (SELECT d.doc_id, d.fp60,
+        |    CASE WHEN d.doc_id % ${m.VideoEditMod} = ${m.VideoEditRes}
+        |      AND s.fp60 IS NOT NULL THEN s.fp60 ELSE d.fp60 END AS content_fp
+        |  FROM d LEFT JOIN d s ON s.doc_id = d.doc_id - 1),
+        |v AS (SELECT doc_id, fp60, content_fp,
+        |    fp60 % 120000 + 1000 AS duration_ms, (fp60 // 7) % 30 + 1 AS fps
+        |  FROM wb),
+        |sch AS (SELECT *, (duration_ms * fps) // 1000 AS nft FROM v),
+        |sch2 AS (SELECT *, (nft + ${target - 1}) // $target AS stride FROM sch),
+        |fr AS (SELECT doc_id, content_fp,
+        |    ((CAST(t.f AS BIGINT) * 1000) // fps) // 1000 AS sec
+        |  FROM sch2, unnest(range(0, nft, stride)) AS t(f)),
+        |sg AS (SELECT DISTINCT doc_id, $sigSql AS sig FROM fr),
+        |pr AS (SELECT a.doc_id AS v1, b.doc_id AS v2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_match
+        |  FROM sg a JOIN sg b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT v1, v2, n_match, CAST(v2 = v1 + 1 AS BIGINT) AS recovered
+        |FROM pr ORDER BY v1, v2""".stripMargin
+    },
+
+    // banding parameter card: md5/hash60-lattice minhash signatures
+    // recomputed bit-for-bit (perm constants interpolated from the
+    // SAME Scala source of truth), band keys = the joined r-tuples,
+    // S-curve p50 via the identical integer floor recurrence at
+    // scale 10^12 (float pow differs across libms; the recurrence is
+    // deterministic by construction) — see Dedup.p50Ppm
+    "lsh_tune" -> {
+      import operators.Dedup.{NumPerm, P, permA, permB}
+      val aList = permA.mkString("[", ", ", "]")
+      val bList = permB.mkString("[", ", ", "]")
+      val s = "1000000000000"
+      s"""WITH RECURSIVE reps AS (
+        |  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+        |), d AS (SELECT doc_id, $wordsSql AS w FROM reps),
+        |shg AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM d WHERE len(w) >= 3),
+        |hh AS (SELECT DISTINCT doc_id,
+        |    ${hash60Sql("shingle")} % $P AS h FROM shg),
+        |perm AS (SELECT unnest(range(0, $NumPerm)) AS i,
+        |    unnest($aList) AS a, unnest($bList) AS b),
+        |sig AS (SELECT doc_id, i, MIN((a * h + b) % $P) AS m
+        |  FROM hh CROSS JOIN perm GROUP BY 1, 2),
+        |cfg AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS b),
+        |bandkey AS (SELECT c.b, $NumPerm // c.b AS r, s.doc_id,
+        |    s.i // ($NumPerm // c.b) AS band,
+        |    string_agg(CAST(s.m AS VARCHAR), ',' ORDER BY s.i) AS key
+        |  FROM sig s CROSS JOIN cfg c GROUP BY 1, 2, 3, 4),
+        |bucket AS (SELECT b, r, band, key, COUNT(*) AS m
+        |  FROM bandkey GROUP BY 1, 2, 3, 4),
+        |card AS (SELECT b, r,
+        |    CAST(COUNT(*) AS BIGINT) AS n_collide_buckets,
+        |    CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_collisions
+        |  FROM bucket WHERE m >= 2 GROUP BY 1, 2),
+        |it(b, r, i, x) AS (
+        |  SELECT b, $NumPerm // b, 0, CAST($s AS HUGEINT) FROM cfg
+        |  UNION ALL
+        |  SELECT b, r, i + 1,
+        |    x * ($s - CASE WHEN r >= 40 THEN 0
+        |      ELSE $s // (CAST(1 AS BIGINT) << r) END) // $s
+        |  FROM it WHERE i < b),
+        |curve AS (SELECT b, r,
+        |    CAST(($s - x) // 1000000 AS BIGINT) AS p50_ppm
+        |  FROM it WHERE i = b)
+        |SELECT CAST(curve.b AS BIGINT) AS b, CAST(curve.r AS BIGINT) AS r,
+        |  p50_ppm,
+        |  COALESCE(n_collide_buckets, 0) AS n_collide_buckets,
+        |  COALESCE(n_collisions, 0) AS n_collisions
+        |FROM curve LEFT JOIN card ON curve.b = card.b AND curve.r = card.r
+        |ORDER BY b""".stripMargin
+    },
 
     "shard_balance" -> {
       import operators.Curation.{BalanceBucketWidth, BalanceMaxBucket, BalanceShards}

@@ -555,4 +555,66 @@ object Multimodal {
         (col("b.nt") === -col("clip_id")).cast("long").as("recovered"))
       .orderBy(col("clip_id"))
   }
+
+  /** Re-edit fixture knobs for [[mmVideoDedup]]: every doc with
+    * doc_id ≡ [[VideoEditRes]] (mod [[VideoEditMod]]) is a RE-ENCODE
+    * of doc_id − 1's video content (same content timeline, its OWN
+    * duration/fps/stride — the different-encoding sampling a
+    * re-upload gets).
+    */
+  val VideoEditMod = 5L
+  val VideoEditRes = 2L
+
+  /** mm_video_dedup — VIDEO near-duplicate detection by sampled-frame
+    * fingerprint matching (the video copy-detection shape: per-frame
+    * signatures, inverted-index equi-join, per-pair match count —
+    * what a real pipeline runs with per-frame pHashes and a hamming
+    * band; here the frame signature is the multimodal family's
+    * deterministic stub, hash60 of (content hash, second), so the
+    * decode stage swaps in without touching any downstream column).
+    * Each video contributes its [[mmFrames]] sampling schedule's
+    * per-SECOND signatures; two videos sharing ≥ 1 signature are a
+    * candidate pair with their match count reported — false positives
+    * are impossible on the stub lattice (signatures embed the content
+    * hash), so the count column measures sampling-schedule overlap
+    * between the original and its differently-sampled re-encode.
+    *
+    * Scale shape: schedule explode is map-side and ≤ 32 rows/video at
+    * any corpus size; the candidate join is an equi-join on a
+    * HIGH-ENTROPY signature key (content × second — never all-pairs);
+    * the pair aggregation is map-side combinable; output is
+    * pair-sized. Exact-duplicate mass makes identical videos share
+    * every signature, so a group of m copies emits its C(m, 2)
+    * legitimate pairs — output-sized, and a duplicate-heavy corpus
+    * applies the [[mmAudioMatchOn]] distinct-content collapse before
+    * the join (swap point documented there).
+    */
+  def mmVideoDedup(spark: SparkSession, dir: String): DataFrame =
+    mmVideoDedupOn(Tables(spark, dir).documents)
+
+  private[graft] def mmVideoDedupOn(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), hash60(normalize(col("text"))).as("fp60"))
+    val srcOf = base.select((col("doc_id") + 1).as("doc_id"), col("fp60").as("src_fp"))
+    val withBase = base.join(srcOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp60"),
+        when(col("doc_id") % VideoEditMod === VideoEditRes && col("src_fp").isNotNull,
+          col("src_fp")).otherwise(col("fp60")).as("content_fp"))
+    val sigs = withBase
+      .withColumn("duration_ms", col("fp60") % 120000 + 1000)
+      .withColumn("fps", expr("fp60 div 7") % 30 + 1)
+      .withColumn("nft", expr("(duration_ms * fps) div 1000"))
+      .withColumn("stride",
+        expr(s"(nft + ${FrameTargetSamples - 1}) div $FrameTargetSamples"))
+      .withColumn("frame_idx", explode(expr("sequence(0L, nft - 1, stride)")))
+      .withColumn("sec", expr("((frame_idx * 1000) div fps) div 1000"))
+      .select(col("doc_id"),
+        hash60(concat(lit("vf:"), col("content_fp"), lit(":"), col("sec"))).as("sig"))
+      .distinct()
+    sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("v1"), col("b.doc_id").as("v2"))
+      .agg(count(lit(1)).as("n_match"))
+      .withColumn("recovered", (col("v2") === col("v1") + 1).cast("long"))
+      .orderBy(col("v1"), col("v2"))
+  }
 }

@@ -101,15 +101,15 @@ object Dedup {
     cross.unionByName(within)
   }
 
-  private val P = 2147483647L // 2^31 - 1, Mersenne prime
-  private val NumPerm = 128
+  private[graft] val P = 2147483647L // 2^31 - 1, Mersenne prime
+  private[graft] val NumPerm = 128
   private val Bands = 16
   private val RowsPerBand = NumPerm / Bands
 
   /** Seeded universal-hash parameters (a*h + b mod P); immutable
     * Seqs so the MinHashAgg expression fields compare structurally.
     */
-  private val (permA, permB): (Seq[Long], Seq[Long]) = {
+  private[graft] val (permA, permB): (Seq[Long], Seq[Long]) = {
     val rnd = new scala.util.Random(42)
     val ab = Vector.fill(NumPerm)((rnd.nextLong(P - 1) + 1, rnd.nextLong(P)))
     (ab.map(_._1), ab.map(_._2))
@@ -715,6 +715,92 @@ object Dedup {
         expr("CASE WHEN n_pairs = 0 THEN 0L " +
           "ELSE n_hits * 1000000 div n_pairs END").as("precision_ppm"))
       .orderBy(col("method"))
+  }
+
+  /** Fixed-point scale for [[lshTune]]'s S-curve recurrence — large
+    * enough that 128 floor multiplications keep ppm precision, small
+    * enough that x·S products fit DuckDB's HUGEINT (10²⁴ ≪ 2¹²⁷).
+    */
+  private[graft] val TuneScale: BigInt = BigInt(10).pow(12)
+
+  /** Detection probability at Jaccard ½ for a (b, r) banding of the
+    * [[NumPerm]]-hash signature, in ppm: 1 − (1 − 2⁻ʳ)ᵇ, evaluated by
+    * an EXACT integer floor recurrence at scale 10¹² — both engines
+    * run the IDENTICAL recurrence, so the value is deterministic by
+    * construction (a float pow differs in the last ulp across libms
+    * and the driver compare is bit-exact). For r ≥ 40 the scaled 2⁻ʳ
+    * term floors to zero, which is also the true ppm answer.
+    */
+  private[graft] def p50Ppm(b: Int, r: Int): Long = {
+    val s = TuneScale
+    val y = if (r >= 40) BigInt(0) else s / (BigInt(1) << r)
+    var x = s
+    var i = 0
+    while (i < b) { x = x * (s - y) / s; i += 1 }
+    ((s - x) / BigInt(10).pow(6)).toLong
+  }
+
+  /** lsh_tune — the MinHash-LSH banding parameter card: for every
+    * (bands b, rows r) factorization of the engine's [[NumPerm]] = 128
+    * signature (b ∈ {1, 2, …, 128} powers of two), emit the S-curve
+    * detection probability at the engine's τ = 0.5 Jaccard cut
+    * ([[p50Ppm]] — exact integer recurrence) together with the
+    * MEASURED banding cost on THIS corpus: the number of colliding
+    * buckets and the candidate-pair volume Σ C(m, 2) that banding the
+    * real signatures at (b, r) would hand the verifier. This is the
+    * decision table a team reads before fixing (b, r) at 100 TB —
+    * recall from the curve, cost from the data; dedup_minhash's
+    * registered (16, 8) point sits in the middle of it.
+    *
+    * Signatures here ride the REPLICABLE md5/hash60 lattice (the
+    * oracle recomputes them bit-for-bit in DuckDB); dedup_minhash's
+    * production path keeps the faster xxhash64. Exact-duplicate skew
+    * guard applies ([[collapseByText]] — signature work is per
+    * distinct text).
+    *
+    * Scale shape: ONE signature aggregation (map-side partial mins),
+    * then per config a metadata-bounded explode of b band keys per
+    * doc — Σb = 255 rows per doc, constant in corpus size; bucket
+    * counts are map-side-combinable and the card is 8 rows. The
+    * heavy part (signatures) is computed once and reused by every
+    * config via the materialize contract.
+    */
+  def lshTune(spark: SparkSession, dir: String): DataFrame =
+    lshTuneOn(Tables(spark, dir).documents)
+
+  private[graft] def lshTuneOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (reps, _) = collapseByText(docs)
+    val sh = graft.operators.Text.shingleSetOf(reps)
+      .select(col("doc_id"), pmod(hash60(col("shingle")), lit(P)).as("h"))
+      .distinct()
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhashAgg(col("h"), permA, permB, P).as("mh"))
+      .materialized // 8 banding consumers — one signature pass
+    val configs = (0 to 7).map(1 << _)
+    val banded = configs.map { b =>
+      val r = NumPerm / b
+      sigs.select(lit(b.toLong).as("b"), lit(r.toLong).as("r"),
+          explode(expr(
+            s"""transform(sequence(0, ${b - 1}), i -> struct(i AS band,
+               |  array_join(transform(slice(mh, i * $r + 1, $r),
+               |    v -> cast(v AS string)), ',') AS key))""".stripMargin)).as("bk"))
+        .select(col("b"), col("r"), col("bk.band").as("band"), col("bk.key").as("key"))
+    }.reduce(_ unionAll _)
+    val card = banded.groupBy(col("b"), col("r"), col("band"), col("key"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") >= 2)
+      .groupBy(col("b"), col("r"))
+      .agg(count(lit(1)).as("n_collide_buckets"),
+        sum(expr("m * (m - 1) div 2")).as("n_collisions"))
+    val curve = configs.map(b => (b.toLong, (NumPerm / b).toLong, p50Ppm(b, NumPerm / b)))
+      .toDF("b", "r", "p50_ppm")
+    curve.join(card, Seq("b", "r"), "left")
+      .select(col("b"), col("r"), col("p50_ppm"),
+        coalesce(col("n_collide_buckets"), lit(0L)).as("n_collide_buckets"),
+        coalesce(col("n_collisions"), lit(0L)).as("n_collisions"))
+      .orderBy(col("b"))
   }
 }
 

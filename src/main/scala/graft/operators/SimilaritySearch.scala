@@ -79,6 +79,76 @@ object SimilaritySearch {
       .orderBy(col("qid"), col("sim").desc, col("nid"))
   }
 
+  /** Neighborhood size for [[bitextMine]]'s margin denominator. */
+  val BitextK = 4
+
+  /** bitext_mine — margin-based cross-lingual sentence alignment
+    * (the Artetxe & Schwenk ratio-margin retrieval that LASER /
+    * CCMatrix mine parallel corpora with): the corpus splits into two
+    * "language" sides (side X = the bounded even-id query batch, side
+    * Y = the odd-id pool), each X vector retrieves its best Y match
+    * scored not by raw cosine but by the MARGIN — cosine divided by
+    * the mean of both directions' k-NN cosines — which cancels
+    * hubness (a Y vector close to everything gets a high denominator
+    * and stops winning every query). Emits per query the argmax-
+    * margin candidate with its cosine (ppm), margin (ppm) and the
+    * MUTUAL flag (the pair is also the Y side's argmax — the
+    * highest-precision mining mode).
+    *
+    * Exactness: cosines land on the 10⁻⁶ lattice first
+    * (`round(cos·10⁶)` — the ann-family rounding convention), then
+    * every downstream step (k-NN means via integer `div`, margin =
+    * c·2·10⁶ div (avg_f + avg_b)) is pure integer arithmetic — both
+    * engines truncate integer division toward zero, so the card is
+    * bit-exact by construction. Pairs with a non-positive margin
+    * denominator are out of scope on both engines.
+    *
+    * Scale shape: the query side is the bounded [[MaxQueries]] batch
+    * (the ann-baseline convention — mining a NEW batch against the
+    * pool; the full-corpus variant swaps the scan for the IVF/PQ
+    * candidate generation already in this file). ONE map-only scoring
+    * pass over the pool (queries broadcast, corpus never shuffles);
+    * both top-k windows run over the q·n scored frame partitioned by
+    * a key with ≤ q or ≤ k·q rows per group; the card is ≤ q rows.
+    */
+  def bitextMine(spark: SparkSession, dir: String): DataFrame =
+    bitextMineOn(embDouble(spark, dir))
+
+  private[graft] def bitextMineOn(emb: DataFrame): DataFrame = {
+    import graft.Materialize.MatOps
+    val q = queriesOf(emb)
+    val y = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("yid"), col("v").as("yv"))
+    val scored = y.join(broadcast(q), lit(true))
+      .withColumn("c",
+        round(cosineSim(col("qv"), col("yv")) * 1000000, 0).cast("long"))
+      .select(col("qid"), col("yid"), col("c"))
+      .materialized // forward top-k + backward top-k consumers
+    val wf = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("yid"))
+    val fwd = scored.withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= BitextK)
+      .select(col("qid"), col("yid"), col("c"))
+      .materialized // candidate set + forward-average consumers
+    val avgF = fwd.groupBy(col("qid")).agg(expr(s"sum(c) div $BitextK").as("avg_f"))
+    val wb = Window.partitionBy(col("yid")).orderBy(col("c").desc, col("qid"))
+    val avgB = scored.withColumn("rk", row_number().over(wb))
+      .filter(col("rk") <= BitextK)
+      .groupBy(col("yid")).agg(expr(s"sum(c) div $BitextK").as("avg_b"))
+    val cand = fwd
+      .join(avgF, "qid").join(avgB, "yid")
+      .filter(col("avg_f") + col("avg_b") > 0)
+      .withColumn("margin_ppm", expr("(c * 2000000) div (avg_f + avg_b)"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("margin_ppm").desc, col("yid"))
+    val best = cand.withColumn("rq", row_number().over(wq)).filter(col("rq") === 1)
+    val wy = Window.partitionBy(col("yid")).orderBy(col("margin_ppm").desc, col("qid"))
+    val bestBack = cand.withColumn("ry", row_number().over(wy)).filter(col("ry") === 1)
+      .select(col("yid"), col("qid").as("bq"))
+    best.join(bestBack, Seq("yid"), "left")
+      .select(col("qid"), col("yid"), col("c").as("c_ppm"), col("margin_ppm"),
+        (col("bq") === col("qid")).cast("long").as("mutual"))
+      .orderBy(col("qid"))
+  }
+
   /** Fixed quantizer budget: the centroid set must NOT grow with the
     * corpus — an unbounded quantizer makes the driver collect linear
     * in n and cell assignment O(n·centroids) = O(n²/50). Capped like

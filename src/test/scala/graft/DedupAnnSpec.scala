@@ -543,6 +543,31 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("lsh_tune: S-curve recurrence ≡ exact rational, anchors and monotonicity hold") {
+    import graft.operators.Dedup
+    // the scaled floor recurrence must agree with the exact rational
+    // 1 − ((2^r − 1)^b)/2^(r·b) to ≤ 1 ppm (accumulated floor error
+    // is ≤ b ulps at scale 10¹² — far below the ppm lattice)
+    for (k <- 0 to 7) {
+      val b = 1 << k; val r = Dedup.NumPerm / b
+      val num = (BigInt(2).pow(r) - 1).pow(b)
+      val den = BigInt(2).pow(r * b)
+      val exact = ((den - num) * BigInt(1000000) / den).toLong
+      val rec = Dedup.p50Ppm(b, r)
+      assert((rec - exact).abs <= 1L, s"(b=$b, r=$r): recurrence $rec vs exact $exact")
+    }
+    val card = Dedup.lshTune(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(card.length == 8)
+    // recall anchors: one band of 128 rows ≈ never detects at s = ½;
+    // 128 bands of 1 row always detect
+    assert(card.head._2 == 0L && card.last._2 == 1000000L)
+    assert(card.map(_._2).sliding(2).forall(p => p(0) <= p(1)),
+      "p50 must be monotone in band count")
+    assert(card.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+      "collision volume must grow with band count on this corpus")
+  }
+
   test("dedup_eval: anchor row exact, counts consistent, minhash fidelity graded") {
     val card = operators.Dedup.dedupEval(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

@@ -211,4 +211,48 @@ class IngestOpsSpec extends AnyFunSuite {
         s"clip $clip: $votes votes (expected all anchors aligned)")
     }
   }
+
+  test("mm_video_dedup: every re-edit pairs with its source; no cross-content pairs") {
+    import graft.multimodal.Multimodal
+    val rows = Multimodal.mmVideoDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // fixture truth: doc d ≡ VideoEditRes (mod VideoEditMod) with an
+    // existing predecessor is a re-encode of d − 1 — the pair MUST be
+    // found (second 0 is in every sampling schedule, so ≥ 1 match)
+    val ids = Tables(spark, sf).documents.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = ids.filter(d =>
+      d % Multimodal.VideoEditMod == Multimodal.VideoEditRes && ids(d - 1))
+      .map(d => (d - 1, d))
+    val got = rows.map(r => (r._1, r._2)).toSet
+    expected.foreach(p => assert(got(p), s"re-edit pair $p not detected"))
+    // on the all-distinct-text corpus there are NO other pairs (the
+    // signature embeds the content hash — false positives impossible)
+    assert(got == expected, s"unexpected pairs: ${(got -- expected).take(3)}")
+    rows.foreach { case (v1, v2, m, rec) =>
+      assert(m >= 1 && m <= Multimodal.FrameTargetSamples,
+        s"match count $m outside [1, 32] for ($v1, $v2)")
+      assert(rec == (if (v2 == v1 + 1) 1L else 0L))
+    }
+  }
+
+  test("bitext_mine: bounded query card, sides disjoint, margin lattice laws") {
+    import graft.operators.SimilaritySearch
+    val rows = SimilaritySearch.bitextMine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty, "mining produced no pairs")
+    // one best match per query, queries are the bounded even-id batch,
+    // matches come from the odd-id pool
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (q, y, c, m, mu) =>
+      assert(q % 50 == 0 && q < 1600, s"qid $q outside the query batch")
+      assert(y % 2 == 1, s"match $y not from the odd-id pool")
+      assert(c >= -1000000L && c <= 1000000L, s"cosine ppm $c off lattice")
+      // the winning margin of a top-1 candidate is at least its own
+      // contribution to the forward mean: margin > 0 on this corpus
+      assert(m > 0, s"non-positive margin $m for query $q")
+      assert(mu == 0L || mu == 1L)
+    }
+  }
 }
