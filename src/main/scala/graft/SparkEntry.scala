@@ -160,6 +160,8 @@ object SparkEntry {
     "dedup_eval"        -> (Dedup.dedupEval _),
     "lsh_tune"          -> (Dedup.lshTune _),
     "bitext_mine"       -> ((s, d) => SimilaritySearch.bitextMine(s, d)),
+    "split_leak"        -> (Curation.splitLeak _),
+    "pack_eval"         -> (Curation.packEval _),
     "corpus_diff"       -> (Curation.corpusDiff _)
   )
 
@@ -2850,6 +2852,65 @@ object SparkEntry {
     "q44_dynamic_pivot" ->
       """PIVOT events ON event_type USING count(*)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // cross-split leakage: the shared ngram pair CTE + the data_split
+    // hash rule re-derived per pair side, zero-filled six-cell matrix
+    "split_leak" -> {
+      import operators.Curation.{SplitTestPpm, SplitValPpm}
+      s"""WITH $ngramCtes,
+        |pp AS (SELECT d1, d2 FROM j WHERE jaccard >= 0.5),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN h < $SplitValPpm THEN 'val'
+        |         WHEN h < $SplitTestPpm THEN 'test'
+        |         ELSE 'train' END AS split
+        |  FROM (SELECT doc_id,
+        |      ${hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+        |    FROM documents)),
+        |tx AS (SELECT doc_id, md5(text) AS tkey FROM documents),
+        |cell AS (SELECT
+        |    LEAST(s1.split, s2.split) AS split_a,
+        |    GREATEST(s1.split, s2.split) AS split_b,
+        |    CAST(t1.tkey = t2.tkey AS BIGINT) AS exact
+        |  FROM pp JOIN sp s1 ON pp.d1 = s1.doc_id
+        |  JOIN sp s2 ON pp.d2 = s2.doc_id
+        |  JOIN tx t1 ON pp.d1 = t1.doc_id
+        |  JOIN tx t2 ON pp.d2 = t2.doc_id),
+        |agg AS (SELECT split_a, split_b, COUNT(*) AS n_pairs,
+        |    SUM(exact) AS n_exact FROM cell GROUP BY 1, 2),
+        |cells(split_a, split_b) AS (VALUES
+        |  ('test', 'test'), ('test', 'train'), ('test', 'val'),
+        |  ('train', 'train'), ('train', 'val'), ('val', 'val'))
+        |SELECT c.split_a, c.split_b,
+        |  CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact,
+        |  CAST(c.split_a <> c.split_b AS BIGINT) AS is_leak
+        |FROM cells c LEFT JOIN agg
+        |  ON c.split_a = agg.split_a AND c.split_b = agg.split_b
+        |ORDER BY 1, 2""".stripMargin
+    },
+
+    // packing-budget card: pure integer arithmetic on the word-count
+    // lattice, budgets as a VALUES list
+    "pack_eval" -> {
+      val budgets = operators.Curation.PackEvalBudgets
+        .map(b => s"($b)").mkString(", ")
+      s"""WITH w AS (SELECT CAST(len($wordsSql) AS BIGINT) AS nw FROM documents),
+        |b(budget) AS (VALUES $budgets),
+        |x AS (SELECT CAST(budget AS BIGINT) AS budget, nw FROM w CROSS JOIN b),
+        |a AS (SELECT budget,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(nw) AS BIGINT) AS total_words,
+        |    CAST(SUM(CASE WHEN nw > budget THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_oversize,
+        |    CAST(SUM((nw + budget - 1) // budget) AS BIGINT) AS n_seqs_padded
+        |  FROM x GROUP BY 1)
+        |SELECT budget, n_docs, total_words, n_oversize, n_seqs_padded,
+        |  CAST((total_words + budget - 1) // budget AS BIGINT) AS n_seqs_packed,
+        |  CAST(CASE WHEN n_seqs_padded = 0 THEN 0
+        |    ELSE (n_seqs_padded * budget - total_words) * 1000000
+        |      // (n_seqs_padded * budget) END AS BIGINT) AS waste_ppm
+        |FROM a ORDER BY budget""".stripMargin
+    },
 
     // margin-based bitext mining: cosines land on the 10^-6 lattice
     // (the ann rounding convention), then k-NN means / margins are

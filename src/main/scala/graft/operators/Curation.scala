@@ -841,17 +841,107 @@ object Curation {
     * depends only on doc_id). Scan-level filterless map — no
     * shuffle before the output sort.
     */
+  /** The split of the doc id held in column `side` — the single
+    * hash-range rule shared by [[dataSplit]] and [[splitLeak]].
+    */
+  private def splitOf(side: String): org.apache.spark.sql.Column = {
+    val bucket = pmod(hash60(concat(lit("split:"), col(side).cast("string"))),
+      lit(1000000L))
+    when(bucket < SplitValPpm, "val")
+      .when(bucket < SplitTestPpm, "test")
+      .otherwise("train")
+  }
+
   def dataSplit(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val bucket = pmod(hash60(concat(lit("split:"), col("doc_id").cast("string"))),
       lit(1000000L))
     docs.withColumn("bucket", bucket)
-      .withColumn("split",
-        when(col("bucket") < SplitValPpm, "val")
-          .when(col("bucket") < SplitTestPpm, "test")
-          .otherwise("train"))
+      .withColumn("split", splitOf("doc_id"))
       .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
       .orderBy(col("doc_id"))
+  }
+
+  /** split_leak — CROSS-SPLIT contamination audit (decontaminate's
+    * sibling INSIDE the corpus: decontaminate checks train against an
+    * external benchmark; this checks the corpus's own train/val/test
+    * cut against its near-duplicate structure — a val doc whose
+    * near-copy sits in train inflates eval exactly like benchmark
+    * leakage): every ngram_jaccard near-dup pair (τ = 0.5, the
+    * registered operator — same code, same constants, artifact-cached
+    * like dedup_eval's) lands in a (split_a ≤ split_b) cell with its
+    * exact-duplicate sub-count (md5 text equality), zero-filled over
+    * all six cells. The off-diagonal cells ARE the leakage; the fix
+    * is content-keyed splitting, which this card motivates and
+    * measures.
+    *
+    * Scale shape: the pair set is the dedup family's (bucketed
+    * candidate generation, never all-pairs); split assignment is a
+    * map-side hash re-derived on each pair side (cheaper than
+    * shuffling an assignment join — it is a pure doc_id function);
+    * one six-cell aggregation.
+    */
+  def splitLeak(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val md5s = docs.select(col("doc_id"), md5(col("text")).as("tkey"))
+    val pairs = Text.ngramJaccard(spark, dir).select(col("d1"), col("d2"))
+    val celled = pairs
+      .join(md5s.select(col("doc_id").as("d1"), col("tkey").as("k1")), "d1")
+      .join(md5s.select(col("doc_id").as("d2"), col("tkey").as("k2")), "d2")
+      .select(
+        least(splitOf("d1"), splitOf("d2")).as("split_a"),
+        greatest(splitOf("d1"), splitOf("d2")).as("split_b"),
+        (col("k1") === col("k2")).cast("long").as("exact"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("exact")).as("n_exact"))
+    val cells = Seq(("test", "test"), ("test", "train"), ("test", "val"),
+      ("train", "train"), ("train", "val"), ("val", "val"))
+      .toDF("split_a", "split_b")
+    cells.join(celled, Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        (col("split_a") =!= col("split_b")).cast("long").as("is_leak"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  /** Candidate sequence budgets for [[packEval]]. */
+  val PackEvalBudgets: Seq[Long] = Seq(64L, 128L, 256L, 512L)
+
+  /** pack_eval — sequence-packing BUDGET evaluation card (the
+    * decision table before fixing a training sequence length): for
+    * each candidate budget B, the number of documents that overflow
+    * B, the sequence count under pad-per-doc (Σ ⌈w/B⌉) vs contiguous
+    * packing (⌈Σw / B⌉ — seq_pack's lower bound), and the padding
+    * waste in ppm of the padded token grid. All integer arithmetic
+    * on the word-count lattice.
+    *
+    * Scale shape: ONE corpus scan producing 4 budget-tagged rows per
+    * doc (a constant-factor map explode), one map-side-combinable
+    * aggregation to a 4-row card. At 100 TB only the scan scales.
+    */
+  def packEval(spark: SparkSession, dir: String): DataFrame =
+    packEvalOn(Tables(spark, dir).documents)
+
+  private[graft] def packEvalOn(docs: DataFrame): DataFrame = {
+    // budgets ride a map-side literal-array explode (a 4-row literal
+    // cross join would plan a BroadcastNestedLoopJoin — legal but
+    // needlessly a join; the explode keeps the scan stage joinless)
+    docs.select(size(words(col("text"))).cast("long").as("nw"))
+      .withColumn("budget", explode(array(PackEvalBudgets.map(lit): _*)))
+      .groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("total_words"),
+        sum((col("nw") > col("budget")).cast("long")).as("n_oversize"),
+        sum(expr("(nw + budget - 1) div budget")).as("n_seqs_padded"))
+      .withColumn("n_seqs_packed",
+        expr("(total_words + budget - 1) div budget"))
+      .withColumn("waste_ppm", expr(
+        """CASE WHEN n_seqs_padded = 0 THEN 0L
+          |ELSE (n_seqs_padded * budget - total_words) * 1000000
+          |  div (n_seqs_padded * budget) END""".stripMargin))
+      .orderBy(col("budget"))
   }
 
   /** user_history — per-user ordered event sequence assembly (the

@@ -530,6 +530,43 @@ class CurationCardsSpec extends AnyFunSuite {
     assert(card.length == BalanceShards)
   }
 
+  test("split_leak: cells partition the ngram pair set; flags mark off-diagonals") {
+    val cells = operators.Curation.splitLeak(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(cells.length == 6, "the six-cell matrix must be zero-filled")
+    // the cells PARTITION the registered near-dup pair set exactly
+    val nPairs = Text.ngramJaccard(spark, sf).count()
+    assert(cells.map(_._3).sum == nPairs,
+      s"cell total ${cells.map(_._3).sum} != ngram_jaccard pairs $nPairs")
+    cells.foreach { case (a, b, np, ne, leak) =>
+      assert(a <= b, "cells must be canonically ordered")
+      assert(ne <= np, "exact sub-count exceeds pair count")
+      assert(leak == (if (a != b) 1L else 0L))
+    }
+  }
+
+  test("pack_eval: packing laws hold and match an in-JVM recompute") {
+    import operators.Curation.PackEvalBudgets
+    val card = operators.Curation.packEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(card.map(_._1).toSeq == PackEvalBudgets)
+    // independent reference from the raw word counts
+    val nws = Tables(spark, sf).documents
+      .select(size(graft.functions.TextFunctions.words(col("text"))).cast("long"))
+      .collect().map(_.getLong(0))
+    card.foreach { case (b, nd, tw, os, pad, packed, waste) =>
+      assert(nd == nws.length && tw == nws.sum)
+      assert(os == nws.count(_ > b))
+      assert(pad == nws.map(w => (w + b - 1) / b).sum)
+      assert(packed == (tw + b - 1) / b)
+      assert(packed <= pad, "contiguous packing cannot need more sequences")
+      assert(waste == (if (pad == 0) 0L else (pad * b - tw) * 1000000L / (pad * b)))
+    }
+    // a larger budget can only reduce overflow docs
+    assert(card.map(_._4).sliding(2).forall(p => p(1) <= p(0)))
+  }
+
   test("shard_balance: two-level prefix sum ≡ serial bucket window (splice law)") {
     import spark.implicits._
     import operators.Curation.{BalanceBucketWidth, BalanceMaxBucket, BalanceShards}
