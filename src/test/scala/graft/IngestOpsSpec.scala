@@ -1,6 +1,7 @@
 package graft
 
 import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Semantics of the wave-5 ingest operators: URL canonicalization
@@ -235,6 +236,30 @@ class IngestOpsSpec extends AnyFunSuite {
         s"match count $m outside [1, 32] for ($v1, $v2)")
       assert(rec == (if (v2 == v1 + 1) 1L else 0L))
     }
+  }
+
+  test("mm_video_dedup: rep collapse ≡ direct all-docs matching on a dup-planted corpus") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val d = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
+    // plant 6 copies of one text at fresh ids spanning every fixture
+    // role (10002 ≡ 2 mod 5 → a re-edit whose predecessor 10001 is
+    // ALSO a copy — the collapse must keep all of this exact)
+    val src = d.filter(col("doc_id") === 3).select(col("text")).head().getString(0)
+    val planted = (10000L to 10005L).map(i => (i, src)).toDF("doc_id", "text")
+    val docs = d.unionByName(planted)
+    val collapse = Multimodal.mmVideoDedupOn(docs).collect().map(_.toSeq).toSeq
+    // direct twin: per-DOC signatures, plain self-join (the shape the
+    // collapse replaces — quadratic in duplicate mass)
+    val sigs = Multimodal.videoSigsOf(Multimodal.videoContentOf(docs))
+    val direct = sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("v1"), col("b.doc_id").as("v2"))
+      .agg(count(lit(1)).as("n_match"))
+      .withColumn("recovered", (col("v2") === col("v1") + 1).cast("long"))
+      .orderBy(col("v1"), col("v2")).collect().map(_.toSeq).toSeq
+    assert(collapse.nonEmpty)
+    assert(collapse == direct, "collapse path diverged from the direct twin")
   }
 
   test("bitext_mine: bounded query card, sides disjoint, margin lattice laws") {
