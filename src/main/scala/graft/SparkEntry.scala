@@ -162,6 +162,7 @@ object SparkEntry {
     "bitext_mine"       -> ((s, d) => SimilaritySearch.bitextMine(s, d)),
     "split_leak"        -> (Curation.splitLeak _),
     "pack_eval"         -> (Curation.packEval _),
+    "cluster_stats"     -> (Dedup.clusterStats _),
     "corpus_diff"       -> (Curation.corpusDiff _)
   )
 
@@ -2852,6 +2853,38 @@ object SparkEntry {
     "q44_dynamic_pivot" ->
       """PIVOT events ON event_type USING count(*)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // dedup ROI rollup over the same recursive closure the
+    // dedup_clusters oracle walks; size classes exact, 9 = "9+"
+    "cluster_stats" -> {
+      val cap = operators.Dedup.ClusterSizeCap
+      s"""WITH RECURSIVE $ngramCtes,
+        |p2 AS (SELECT d1, d2 FROM j WHERE jaccard >= 0.5),
+        |e AS (SELECT d1 AS a, d2 AS b FROM p2
+        |  UNION SELECT d2 AS a, d1 AS b FROM p2),
+        |reach AS (SELECT a, b FROM e
+        |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |m AS (SELECT a AS doc_id, MIN(b) AS minb FROM reach GROUP BY a),
+        |lab AS (SELECT dd.doc_id,
+        |    LEAST(dd.doc_id, COALESCE(m.minb, dd.doc_id)) AS cluster_id,
+        |    CAST(len($wordsSql) AS BIGINT) AS nw
+        |  FROM documents dd LEFT JOIN m ON dd.doc_id = m.doc_id),
+        |pc AS (SELECT cluster_id, COUNT(*) AS csize,
+        |    SUM(CASE WHEN doc_id = cluster_id THEN 0 ELSE nw END) AS rm_words
+        |  FROM lab GROUP BY 1),
+        |tot AS (SELECT COALESCE(SUM(nw), 0) AS total_words FROM lab)
+        |SELECT CAST(LEAST(csize, $cap) AS BIGINT) AS size_class,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(csize) AS BIGINT) AS n_docs,
+        |  CAST(SUM(csize - 1) AS BIGINT) AS n_removable,
+        |  CAST(SUM(rm_words) AS BIGINT) AS removable_words,
+        |  CAST(CASE WHEN total_words = 0 THEN 0
+        |    ELSE SUM(rm_words) * 1000000 // total_words END AS BIGINT)
+        |    AS removable_ppm
+        |FROM pc CROSS JOIN tot
+        |GROUP BY 1, total_words
+        |ORDER BY 1""".stripMargin
+    },
 
     // cross-split leakage: the shared ngram pair CTE + the data_split
     // hash rule re-derived per pair side, zero-filled six-cell matrix

@@ -717,6 +717,53 @@ object Dedup {
       .orderBy(col("method"))
   }
 
+  /** Size-class cap for [[clusterStats]] (classes 1..8 exact, 9 =
+    * "9 or more").
+    */
+  private[graft] val ClusterSizeCap = 9L
+
+  /** cluster_stats — the dedup ROI card (what running the keep-list
+    * actually BUYS): the [[clusters]] connected components roll up
+    * into size classes — clusters of that size, docs they hold, docs
+    * a keep-one-per-cluster dedup would REMOVE (size − 1 each), the
+    * removed WORD mass, and that mass as ppm of the corpus. This is
+    * the number a team quotes when deciding whether near-dup dedup
+    * is worth a 100 TB pass — rep_stats flags documents, dedup_eval
+    * grades methods, this card prices the cleanup.
+    *
+    * Scale shape: the component labels are the [[clusters]] machinery
+    * (star contraction, O(log n) rounds); the rollup is two map-side-
+    * combinable aggregations (per-cluster, then per-size-class — the
+    * card is ≤ [[ClusterSizeCap]] rows) plus ONE 1-row corpus word
+    * total broadcast in (the dedup_eval scalar pattern).
+    */
+  def clusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val labels = clusters(spark, dir)
+    val nw = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("nw"))
+    val perCluster = labels.join(nw, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("csize"),
+        sum(when(col("is_keeper") === 0, col("nw")).otherwise(lit(0L)))
+          .as("rm_words"))
+    val total = nw.agg(coalesce(sum(col("nw")), lit(0L)).as("total_words"))
+    perCluster
+      .withColumn("size_class", least(col("csize"), lit(ClusterSizeCap)))
+      .groupBy(col("size_class"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("csize")).as("n_docs"),
+        sum(col("csize") - 1).as("n_removable"),
+        sum(col("rm_words")).as("removable_words"))
+      .crossJoin(broadcast(total))
+      .select(col("size_class"), col("n_clusters"), col("n_docs"),
+        col("n_removable"), col("removable_words"),
+        expr("CASE WHEN total_words = 0 THEN 0L " +
+          "ELSE removable_words * 1000000 div total_words END")
+          .as("removable_ppm"))
+      .orderBy(col("size_class"))
+  }
+
   /** Fixed-point scale for [[lshTune]]'s S-curve recurrence — large
     * enough that 128 floor multiplications keep ppm precision, small
     * enough that x·S products fit DuckDB's HUGEINT (10²⁴ ≪ 2¹²⁷).

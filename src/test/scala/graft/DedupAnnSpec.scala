@@ -543,6 +543,22 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("cluster_stats: rollup is consistent with the clusters output") {
+    val labels = graft.operators.Dedup.clusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = labels.groupBy(_._2).map(_._2.length).toSeq
+    val expect = sizes.groupBy(s => math.min(s, 9).toLong)
+      .map { case (k, v) =>
+        k -> (v.size.toLong, v.map(_.toLong).sum, v.map(_ - 1L).sum) }
+    val card = graft.operators.Dedup.clusterStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(card.map(_._1).toSet == expect.keySet)
+    card.foreach { case (sc, nc, nd, nr) =>
+      assert((nc, nd, nr) == expect(sc), s"size class $sc rollup mismatch") }
+    // every doc is in exactly one cluster → doc totals reconcile
+    assert(card.map(_._3).sum == labels.length)
+  }
+
   test("lsh_tune: S-curve recurrence ≡ exact rational, anchors and monotonicity hold") {
     import graft.operators.Dedup
     // the scaled floor recurrence must agree with the exact rational

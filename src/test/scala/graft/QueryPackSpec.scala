@@ -75,11 +75,12 @@ class QueryPackSpec extends AnyFunSuite {
     // broadcast ≤ MaxQueries table drives the designed O(n·q) pass;
     // dedup_eval's per-method (n_pairs, n_hits, n_truth) scalars
     // cross-join as 1-row broadcasts (the scalar-subquery shape,
-    // one per graded method — a code-constant list)
+    // one per graded method — a code-constant list); cluster_stats
+    // crosses in its 1-row corpus word total the same way
     val bnljOk = Set("ann_pq", "ann_topk", "dedup_embedding",
       "q20_subquery", "sample_mixture", "word_pmi", "source_overlap",
       "bm25_search", "ann_maxsim", "drift_check", "ann_eval",
-      "ann_radius", "dedup_eval")
+      "ann_radius", "dedup_eval", "cluster_stats")
     // dq_check is the documented MULTI-scalar class: one scalar
     // aggregation per declared constraint (a code constant, never
     // data-dependent) — its exchange count equals the constraint list
@@ -93,9 +94,11 @@ class QueryPackSpec extends AnyFunSuite {
     // aggregate row, freq_words's final rank runs on one
     // ≤ FreqCapacity sketch row, and sketch_cube's rollup unions
     // ≤ |langs| kilobyte sketches — the scalar class
+    // cluster_stats' one scalar is the 1-row corpus word total the
+    // ppm column divides by (the word_pmi/bm25 corpus-scalar shape)
     val singlePartOk = Set("q20_subquery", "sample_mixture",
       "q24_funnel", "freq_words", "sketch_cube", "word_pmi",
-      "bm25_search", "drift_check")
+      "bm25_search", "drift_check", "cluster_stats")
     for ((name, fn) <- SparkEntry.queries) {
       spark.catalog.clearCache()
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
