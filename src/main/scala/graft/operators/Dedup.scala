@@ -669,8 +669,27 @@ object Dedup {
       if (cached != null && (cached.sparkSession eq spark)) cached
       else compute.materialized)
 
-  /** Test/bench hook: drop the memoized pair artifacts. */
-  private[graft] def clearPairCache(): Unit = pairCache.clear()
+  /** Cluster-LABEL artifact (the pairArtifact contract applied to the
+    * connected-component labels): the default-parameter clustering is
+    * deterministic in the corpus, so [[clusterStats]] (and any future
+    * label consumer) reuses one materialized run per corpus dir per
+    * JVM instead of re-paying candidate generation + the contraction
+    * loop. The registered dedup_clusters query stays direct (the
+    * base-operator-benches-cold convention).
+    */
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def labelArtifact(spark: SparkSession, dir: String): DataFrame =
+    labelCache.compute(dir, (_, cached) =>
+      if (cached != null && (cached.sparkSession eq spark)) cached
+      else clustersDocs(Tables(spark, dir).documents, maxIters = 20,
+        star = true).materialized)
+
+  /** Test/bench hook: drop the memoized pair and label artifacts. */
+  private[graft] def clearPairCache(): Unit = {
+    pairCache.clear(); labelCache.clear()
+  }
 
   def dedupEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -739,7 +758,7 @@ object Dedup {
     */
   def clusterStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val labels = clusters(spark, dir)
+    val labels = labelArtifact(spark, dir)
     val nw = docs.select(col("doc_id"),
       size(words(col("text"))).cast("long").as("nw"))
     val perCluster = labels.join(nw, "doc_id")
