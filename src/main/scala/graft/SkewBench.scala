@@ -44,7 +44,11 @@ object SkewBench {
     "dedup_clusters", "dedup_containment", "dedup_fuzzy_text",
     "winnow_clusters", "mm_audio_match",
     "pagerank", "k_core", "triangle_count",
-    "q15_skew_salted", "q21_skew_join")
+    "q15_skew_salted", "q21_skew_join",
+    // round 9: the collapse-guarded video matcher, the pair-graph
+    // consumers, and the signature-banding tuner all claim the
+    // duplicate-mass guard in their scaladocs — measure it
+    "mm_video_dedup", "split_leak", "cluster_stats", "lsh_tune")
 
   private val AllTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
