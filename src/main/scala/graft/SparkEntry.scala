@@ -150,12 +150,14 @@ object SparkEntry {
     "q42_range_frame"   -> (Relational.q42 _),
     "q43_hierarchy"     -> (Warehouse.q43Hierarchy _),
     "view_refresh"      -> (Warehouse.viewRefresh _),
+    "view_retract"      -> (Warehouse.viewRetract _),
     "mix_temperature"   -> (Curation.mixTemperature _),
     "mm_audio_match"    -> (graft.multimodal.Multimodal.mmAudioMatch _),
     "mm_video_dedup"    -> (graft.multimodal.Multimodal.mmVideoDedup _),
     "ts_seasonal"       -> (Temporal.tsSeasonal _),
     "q44_dynamic_pivot" -> (Relational.q44 _),
     "shard_balance"     -> (Curation.shardBalance _),
+    "token_budget"      -> (Curation.tokenBudget _),
     "ann_radius"        -> (SimilaritySearch.annRadius _),
     "dedup_eval"        -> (Dedup.dedupEval _),
     "lsh_tune"          -> (Dedup.lshTune _),
@@ -767,6 +769,29 @@ object SparkEntry {
         |  CASE WHEN score >= 0.6 THEN 'high' WHEN score >= 0.3 THEN 'medium' ELSE 'low' END AS bucket
         |FROM g
         |ORDER BY doc_id""".stripMargin,
+
+    // greedy budget prefix: the oracle IS the serial global-window
+    // formulation the two-level decomposition must reproduce exactly
+    "token_budget" ->
+      s"""WITH e AS (
+        |  SELECT doc_id, $wordsSql AS w,
+        |    CAST(len($wordsSql) AS BIGINT) AS n_words
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_words,
+        |    ROUND(CAST(${hitsSql(profiles.head._2)} AS DOUBLE) / n_words + 1e-9, 4) AS stopword_ratio
+        |  FROM e),
+        |g AS (SELECT doc_id, n_words,
+        |    ROUND(least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 +
+        |          least(1.0, stopword_ratio * 5.0) * 0.5 + 1e-9, 4) AS score
+        |  FROM f),
+        |b AS (SELECT CAST(SUM(n_words) AS BIGINT)
+        |             // ${operators.Curation.BudgetDivisor} AS budget FROM g),
+        |c AS (SELECT doc_id, score, n_words,
+        |    SUM(n_words) OVER (ORDER BY score DESC, doc_id
+        |                       ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM g)
+        |SELECT doc_id, score, CAST(n_words AS BIGINT) AS n_words
+        |FROM c, b WHERE cum <= budget ORDER BY doc_id""".stripMargin,
 
     // the dataset card: same score CTE as quality_score, CUBE'd
     "corpus_stats" ->
@@ -2755,6 +2780,23 @@ object SparkEntry {
         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
         |    // COUNT(*) AS BIGINT) AS avg_cents
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // retraction contract: signed merge + targeted MAX rescan must
+    // equal the full recompute over SURVIVING rows
+    "view_retract" ->
+      s"""SELECT o_orderpriority,
+        |  CAST(year(o_orderdate) AS BIGINT) AS oyear,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS total_cents,
+        |  CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS max_cents,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    // COUNT(*) AS BIGINT) AS avg_cents
+        |FROM orders
+        |WHERE o_orderkey % ${operators.Warehouse.ViewDeltaMod}
+        |  != ${operators.Warehouse.RetractClass}
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // isqrt on the ±1-corrected floor(sqrt) lattice — exact for
     // token counts < 2^52, matching the driver's BigInt isqrt

@@ -1048,4 +1048,91 @@ object Curation {
         col("group_n"), (!ok).cast("long").as("suppressed"))
       .orderBy(col("doc_id"))
   }
+
+  /** Budget for [[tokenBudget]] as a fraction of the corpus: select
+    * the best docs until total tokens reach corpus_tokens div 3.
+    */
+  val BudgetDivisor = 3L
+
+  val BudgetShards = 32 // parallelism of the boundary-class prefix sum
+
+  /** token_budget — data selection under a token budget: keep the
+    * highest-quality documents (greedy by (score DESC, doc_id)) whose
+    * cumulative word count stays within budget — the "best N tokens"
+    * selection a team runs when compute, not data, is the binding
+    * constraint (complement of [[sampleMixture]]'s per-source shares
+    * and dsir_select's importance weights: THIS one is a hard global
+    * budget with a total order).
+    *
+    * The textbook formulation is a GLOBAL running sum over the
+    * quality order — a single-partition window at any scale. Instead,
+    * the greedy prefix is decomposed exactly:
+    *
+    *  1. per-score-CLASS token totals: the score is a ROUND(·,4)
+    *     lattice value in [0,1] — ≤ 10001 classes, metadata class —
+    *     one map-side-combinable aggregation; the driver walks the
+    *     classes in descending order to find the BOUNDARY class s*
+    *     (first to cross the budget) and the budget remainder R.
+    *  2. classes above s* are selected WHOLESALE (a map-side filter —
+    *     no ordering work at all for ~all of the output);
+    *  3. only the boundary class runs a prefix sum, and that one is
+    *     seq_pack's TWO-LEVEL decomposition (contiguous doc_id-range
+    *     shards → per-shard window + driver-folded broadcast
+    *     offsets) — bit-identical to the serial running sum, no
+    *     single-partition exchange, worst case (every doc in one
+    *     class) still BudgetShards-way parallel.
+    *
+    * Oracle: DuckDB's global `SUM() OVER (ORDER BY score DESC,
+    * doc_id)` prefix filter — the serial formulation the
+    * decomposition must reproduce exactly.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetOn(Tables(spark, dir).documents)
+
+  private[graft] def tokenBudgetOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = Text.withQualityScore(docs)
+      .select(col("doc_id"), col("score"), col("n_words"))
+    // level A: score-class totals (≤ |round-4 lattice| rows)
+    val classes = scored.groupBy(col("score"))
+      .agg(sum(col("n_words")).as("tok"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1))
+      .sortBy(-_._1)
+    if (classes.isEmpty)
+      return Seq.empty[(Long, Double, Long)].toDF("doc_id", "score", "n_words")
+    val budget = classes.map(_._2).sum / BudgetDivisor
+    // walk down the lattice to the boundary class
+    var acc = 0L; var i = 0
+    while (i < classes.length && acc + classes(i)._2 <= budget) {
+      acc += classes(i)._2; i += 1
+    }
+    val wholesale =
+      if (i == 0) scored.filter(lit(false))
+      else scored.filter(col("score") >= classes(i - 1)._1)
+    if (i == classes.length) return wholesale.orderBy(col("doc_id"))
+    val (sStar, remain) = (classes(i)._1, budget - acc)
+    // boundary class only: two-level prefix sum in doc_id order
+    val cls = scored.filter(col("score") === sStar)
+    val bounds = cls.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, (hi - lo) / BudgetShards + 1)
+    val sharded = cls.withColumn("shard", expr(s"(doc_id - $lo) div $span"))
+    val totals = sharded.groupBy(col("shard"))
+      .agg(sum(col("n_words")).as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = {
+      var off = 0L
+      totals.map { case (s, t) => val o = off; off += t; (s, o) }.toSeq
+        .toDF("shard", "offset")
+    }
+    val perShard = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = sharded
+      .withColumn("scum", sum(col("n_words")).over(perShard))
+      .join(broadcast(offsets), "shard")
+      .filter(col("scum") + col("offset") <= remain)
+      .select(col("doc_id"), col("score"), col("n_words"))
+    wholesale.unionByName(boundary).orderBy(col("doc_id"))
+  }
 }

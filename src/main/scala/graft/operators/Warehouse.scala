@@ -281,4 +281,85 @@ object Warehouse {
         expr("total_cents div n_orders").as("avg_cents"))
       .orderBy(col("o_orderpriority"), col("oyear"))
   }
+
+  /** Modulus class for [[viewRetract]]'s fixture: orders with
+    * o_orderkey ≡ 3 (mod [[ViewDeltaMod]]) form the DELETE batch.
+    */
+  val RetractClass = 3L
+
+  /** view_retract — DELETE-capable incremental view maintenance, the
+    * retraction half [[viewRefresh]]'s insert-only merge cannot do.
+    * The view `revenue per (priority, order year)` holds partials
+    * (count, exact cent sum, max); a delete batch retracts rows:
+    *
+    *  - COUNT/SUM are INVERTIBLE — signed merge: n' = n − Δn,
+    *    s' = s − Δs, a card-sized join (|view| rows, metadata class).
+    *    Groups whose count reaches 0 drop out of the view.
+    *  - MAX is NOT invertible — a deleted non-max row leaves it
+    *    untouched (Δmax < max ⇒ keep), but when the delete batch
+    *    carried a group's max the true new max may be ANY surviving
+    *    row: those AFFECTED groups (and only those) are rescanned.
+    *    This is the standard non-invertible-aggregate treatment; the
+    *    alternative (keep a per-group top-k sketch) trades rescan
+    *    for bounded staleness and is noted, not shipped.
+    *
+    * Scale shape: the delete-batch aggregation touches only deleted
+    * rows (a nightly delete ≪ the base), the signed merge joins two
+    * card-sized tables, and the rescan is restricted by a BROADCAST
+    * semi join on the affected group keys — with the base stored
+    * partitioned by group (the natural layout for a grouped view)
+    * that restriction is partition PRUNING, so rescan cost is
+    * proportional to the affected groups' mass, not the corpus. The
+    * base partials here are computed in-query from the fixture split
+    * (Verify is stateless); a deployment reads them from the stored
+    * view — the merge + targeted rescan is the shipped operator
+    * either way. Oracle: full recompute over surviving rows (the IVM
+    * correctness contract).
+    */
+  def viewRetract(spark: SparkSession, dir: String): DataFrame =
+    viewRetractOn(Tables(spark, dir).orders)
+
+  private[graft] def viewRetractOn(orders: DataFrame): DataFrame = {
+    val cents = (dec(col("o_totalprice")) * 100).cast("long")
+    val facts = orders.select(
+      col("o_orderpriority"),
+      year(col("o_orderdate")).cast("long").as("oyear"),
+      cents.as("cents"),
+      (col("o_orderkey") % ViewDeltaMod === RetractClass).as("is_del"))
+    val keys = Seq("o_orderpriority", "oyear")
+    // one scan → per-(group, membership) partials; folding both out
+    // of one pass is the stateless-fixture stand-in for "read the
+    // stored view + aggregate the delete batch"
+    val partials = facts
+      .groupBy(col("o_orderpriority"), col("oyear"), col("is_del"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        max(col("cents")).as("mx"))
+    val baseView = partials // the stored view: partials over ALL rows
+      .groupBy(col("o_orderpriority"), col("oyear"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"), max(col("mx")).as("mx"))
+    val delBatch = partials.filter(col("is_del"))
+      .select(col("o_orderpriority"), col("oyear"),
+        col("n").as("dn"), col("s").as("ds"), col("mx").as("dmx"))
+    val merged = baseView.join(delBatch, keys, "left")
+      .select(col("o_orderpriority"), col("oyear"),
+        (col("n") - coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (col("s") - coalesce(col("ds"), lit(0L))).as("total_cents"),
+        col("mx"), col("dmx"))
+      .filter(col("n_orders") > 0) // fully-retracted groups drop out
+    // MAX repair: only groups whose deleted max reached the stored max
+    val affected = merged
+      .filter(col("dmx").isNotNull && col("dmx") === col("mx"))
+      .select(col("o_orderpriority"), col("oyear"))
+    val rescan = facts.filter(!col("is_del"))
+      .join(broadcast(affected), keys, "left_semi")
+      .groupBy(col("o_orderpriority"), col("oyear"))
+      .agg(max(col("cents")).as("rmx"))
+    merged.join(rescan, keys, "left")
+      .select(col("o_orderpriority"), col("oyear"),
+        col("n_orders"), col("total_cents"),
+        when(col("dmx").isNotNull && col("dmx") === col("mx"), col("rmx"))
+          .otherwise(col("mx")).as("max_cents"),
+        expr("total_cents div n_orders").as("avg_cents"))
+      .orderBy(col("o_orderpriority"), col("oyear"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Temporal}
+import graft.operators.{Curation, Temporal, Text}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -187,5 +187,52 @@ class CurationTemporalSpec extends AnyFunSuite {
     rates.filterKeys(_ != "en").foreach { case (l, r) =>
       assert(r > 0.2 && r < 0.8, s"$l rate $r")
     }
+  }
+
+  test("token_budget: class decomposition equals the serial greedy prefix") {
+    val out = Curation.tokenBudget(spark, sf)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    // serial reference: global running sum over (score DESC, doc_id)
+    val scored = Text.qualityScore(spark, sf)
+      .select(col("doc_id"), col("score"), col("n_words"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(t => (-t._2, t._1))
+    val budget = scored.map(_._3).sum / Curation.BudgetDivisor
+    var cum = 0L
+    val expected = scored.takeWhile { t => cum += t._3; cum <= budget }
+      .map(t => (t._1, t._2, t._3)).sortBy(_._1).toSeq
+    assert(got == expected, "decomposed prefix diverges from serial greedy")
+    // non-degenerate + greedy-maximal: something selected, something
+    // rejected, and the FIRST rejected doc in greedy order would
+    // overflow the budget (the prefix stops exactly at the boundary)
+    assert(got.nonEmpty && got.size < scored.length)
+    val selTok = expected.map(_._3).sum
+    val firstRejected = scored.drop(expected.length)
+    assert(firstRejected.nonEmpty &&
+      selTok + firstRejected.head._3 > budget,
+      "selection is not greedy-maximal")
+  }
+
+  test("token_budget: single-class corpus (worst case) splits via the two-level arm") {
+    import spark.implicits._
+    // every doc identical text ⇒ ONE score class: the whole budget
+    // decision happens inside the boundary-class prefix sum — the
+    // pathological shape the two-level decomposition exists for
+    val docs = (1L to 90L).map(d => (d, "the quick brown fox and the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = Curation.tokenBudgetOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // 8 words per doc, 90 docs ⇒ budget = 720/3 = 240 ⇒ 30 docs
+    assert(out.map(_._1) == (1L to 30L), s"wrong selection: ${out.map(_._1)}")
+    assert(out.map(_._2).sum == 240L)
+  }
+
+  test("token_budget: empty corpus yields empty selection") {
+    import spark.implicits._
+    val out = Curation.tokenBudgetOn(Seq.empty[(Long, String)]
+      .toDF("doc_id", "text"))
+    assert(out.columns.toSeq == Seq("doc_id", "score", "n_words"))
+    assert(out.count() == 0L)
   }
 }

@@ -156,6 +156,59 @@ class WarehouseSpec extends AnyFunSuite {
     assert(nDelta > 0 && nDelta < orders.count(), "degenerate base/delta split")
   }
 
+  test("view_retract: signed merge + targeted rescan equals recompute over survivors") {
+    val orders = Tables(spark, sf).orders
+    val inc = operators.Warehouse.viewRetractOn(orders)
+    val dec = (c: String) => col(c).cast("decimal(18,2)")
+    val full = orders
+      .filter(col("o_orderkey") % operators.Warehouse.ViewDeltaMod
+        =!= operators.Warehouse.RetractClass)
+      .groupBy(col("o_orderpriority"), year(col("o_orderdate")).cast("long").as("oyear"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((dec("o_totalprice") * 100).cast("long")).as("total_cents"),
+        max((dec("o_totalprice") * 100).cast("long")).as("max_cents"))
+      .select(col("o_orderpriority"), col("oyear"), col("n_orders"),
+        col("total_cents"), col("max_cents"),
+        expr("total_cents div n_orders").as("avg_cents"))
+      .orderBy(col("o_orderpriority"), col("oyear"))
+    assert(inc.collect().toSeq == full.collect().toSeq,
+      "retract merge diverges from full recompute over survivors")
+  }
+
+  test("view_retract: max-carrier deletion repairs via rescan; emptied group drops") {
+    import spark.implicits._
+    // mod 10, class 3 ⇒ keys 3, 13 are deleted. Group A: the deleted
+    // row 3 CARRIES the max (500) — the survivor max 200 must come
+    // back via the rescan path, not the stale stored max. Group B is
+    // retracted entirely and must vanish. Group C has no deletions.
+    val ts = (d: String) => java.sql.Timestamp.valueOf(d + " 00:00:00")
+    val orders = Seq(
+      (3L, "A", 5.00, ts("2024-01-01")),
+      (1L, "A", 2.00, ts("2024-01-02")),
+      (2L, "A", 1.00, ts("2024-01-03")),
+      (13L, "B", 9.00, ts("2024-03-01")),
+      (4L, "C", 7.00, ts("2024-06-01")))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+    val got = operators.Warehouse.viewRetractOn(orders)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("A", 2024L, 2L, 300L, 200L, 150L),
+      ("C", 2024L, 1L, 700L, 700L, 700L)),
+      s"retract semantics wrong: $got")
+    // the fixture corpus actually exercises the rescan arm: at least
+    // one group's delete batch carries the stored max
+    val corpus = Tables(spark, sf).orders
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    val byDel = corpus.groupBy(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("oyear"))
+      .agg(max(cents).as("mx"),
+        max(when(col("o_orderkey") % operators.Warehouse.ViewDeltaMod
+          === operators.Warehouse.RetractClass, cents)).as("dmx"))
+    assert(byDel.filter(col("dmx") === col("mx")).count() > 0,
+      "degenerate fixture: no group's max is ever deleted")
+  }
+
   test("hierarchy and view_refresh survive empty inputs") {
     import spark.implicits._
     val noParts = Seq.empty[Long].toDF("p_partkey")
