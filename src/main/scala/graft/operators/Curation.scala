@@ -1092,8 +1092,12 @@ object Curation {
   private[graft] def tokenBudgetOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val scored = Text.withQualityScore(docs)
-      .select(col("doc_id"), col("score"), col("n_words"))
+    // materialize the NARROW scored projection once: four consumers
+    // follow (class totals, boundary bounds, shard totals, the final
+    // selection) and without this each would re-run the text scan —
+    // the corpus-sized work — instead of reading 24 bytes/doc
+    val scored = graft.Materialize.eager(Text.withQualityScore(docs)
+      .select(col("doc_id"), col("score"), col("n_words")))
     // level A: score-class totals (≤ |round-4 lattice| rows)
     val classes = scored.groupBy(col("score"))
       .agg(sum(col("n_words")).as("tok"))
