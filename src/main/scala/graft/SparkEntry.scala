@@ -158,6 +158,7 @@ object SparkEntry {
     "q44_dynamic_pivot" -> (Relational.q44 _),
     "shard_balance"     -> (Curation.shardBalance _),
     "token_budget"      -> (Curation.tokenBudget _),
+    "anneal_mix"        -> (Curation.annealMix _),
     "ann_radius"        -> (SimilaritySearch.annRadius _),
     "dedup_eval"        -> (Dedup.dedupEval _),
     "lsh_tune"          -> (Dedup.lshTune _),
@@ -769,6 +770,38 @@ object SparkEntry {
         |  CASE WHEN score >= 0.6 THEN 'high' WHEN score >= 0.3 THEN 'medium' ELSE 'low' END AS bucket
         |FROM g
         |ORDER BY doc_id""".stripMargin,
+
+    // anneal endpoints: signed (target - natural) under toward-zero
+    // integer division on BOTH engines (BigInt / and DuckDB //)
+    "anneal_mix" ->
+      s"""WITH e AS (
+        |  SELECT source, $wordsSql AS w,
+        |    CAST(len($wordsSql) AS BIGINT) AS n_words
+        |  FROM documents),
+        |f AS (SELECT source, n_words,
+        |    ROUND(CAST(${hitsSql(profiles.head._2)} AS DOUBLE) / n_words + 1e-9, 4) AS stopword_ratio
+        |  FROM e),
+        |g AS (SELECT source, n_words,
+        |    ROUND(least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 +
+        |          least(1.0, stopword_ratio * 5.0) * 0.5 + 1e-9, 4) AS score
+        |  FROM f),
+        |c AS (SELECT source, CAST(SUM(n_words) AS BIGINT) AS tokens,
+        |    CAST(SUM(CASE WHEN score >= 0.6 THEN n_words ELSE 0 END) AS BIGINT) AS hq_tokens
+        |  FROM g GROUP BY source),
+        |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot,
+        |    CAST(SUM(hq_tokens) AS BIGINT) AS hqtot FROM c),
+        |p AS (SELECT source, tokens, hq_tokens,
+        |    tokens * 1000000 // tot AS natural_ppm,
+        |    CASE WHEN hqtot = 0 THEN tokens * 1000000 // tot
+        |         ELSE hq_tokens * 1000000 // hqtot END AS target_ppm
+        |  FROM c, t)
+        |SELECT CAST(ep AS BIGINT) AS epoch, source, tokens, hq_tokens,
+        |  CAST(natural_ppm AS BIGINT) AS natural_ppm,
+        |  CAST(target_ppm AS BIGINT) AS target_ppm,
+        |  CAST(natural_ppm + (ep * (target_ppm - natural_ppm))
+        |    // ${operators.Curation.AnnealEpochs - 1} AS BIGINT) AS share_ppm
+        |FROM p, (SELECT UNNEST([0,1,2,3]) AS ep) AS eps
+        |ORDER BY epoch, source""".stripMargin,
 
     // greedy budget prefix: the oracle IS the serial global-window
     // formulation the two-level decomposition must reproduce exactly

@@ -593,6 +593,67 @@ object Curation {
       .toDF("source", "tokens", "w", "nat_ppm", "temp_ppm")
   }
 
+  /** Epoch count of [[annealMix]]'s schedule (epoch 0 = natural
+    * corpus mix, epoch AnnealEpochs−1 = fully annealed target mix).
+    */
+  val AnnealEpochs = 4
+
+  /** anneal_mix — the DATA-CURRICULUM schedule card (the decay-phase
+    * mixture shift: train most of the run on the natural corpus mix,
+    * then anneal the sampling distribution toward high-quality data
+    * for the final epochs — the published Llama-3/MiniCPM-style
+    * two-phase recipe). For each epoch e, each source's sampling
+    * share interpolates linearly on the integer ppm lattice between
+    * its NATURAL token share and its HIGH-QUALITY token share (share
+    * of tokens in docs whose quality score clears the
+    * [[Text.qualityScore]] 'high' bucket, ≥ 0.6):
+    *
+    *   share_e = nat + (e·(tgt − nat)) div (E−1)
+    *
+    * tgt − nat is SIGNED; both BigInt `/` here and DuckDB integer
+    * `//` truncate toward zero (the ts_seasonal round-8 lesson — do
+    * not claim floor), so the lattice is engine-exact, and at
+    * e = E−1 the division cancels exactly: the last epoch's share IS
+    * the target share (spec-pinned endpoint law). A corpus with no
+    * high-quality tokens anneals to itself (tgt := nat).
+    *
+    * Scale shape: the mixBudget/mixTemperature contract — ONE
+    * map-side-combinable aggregation (per-source token + hq-token
+    * sums, reusing the single quality-score definition) to a
+    * metadata-sized card, exact BigInt share arithmetic on the
+    * driver over that bounded card, E×|sources| output rows. At
+    * 100 TB only the groupBy scales; the ppm products run in BigInt
+    * so the ~9·10¹² - token int64 overflow point does not exist here
+    * (the oracle's BIGINT lattice is the binding bound, as with
+    * sample_mixture).
+    */
+  def annealMix(spark: SparkSession, dir: String): DataFrame =
+    annealMixOn(Tables(spark, dir).documents)
+
+  private[graft] def annealMixOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val card = Text.withQualityScore(docs)
+      .select(col("source"), col("n_words"),
+        when(col("score") >= 0.6, col("n_words")).otherwise(lit(0L)).as("hqw"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_words")).as("tokens"), sum(col("hqw")).as("hq_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val tot = card.map(t => BigInt(t._2)).sum
+    val hqTot = card.map(t => BigInt(t._3)).sum
+    val rows = for {
+      e <- 0 until AnnealEpochs
+      (s, tok, hq) <- card
+    } yield {
+      val nat = if (tot == 0) BigInt(0) else BigInt(tok) * 1000000 / tot
+      val tgt = if (hqTot == 0) nat else BigInt(hq) * 1000000 / hqTot
+      val share = nat + BigInt(e) * (tgt - nat) / (AnnealEpochs - 1)
+      (e.toLong, s, tok, hq, nat.toLong, tgt.toLong, share.toLong)
+    }
+    rows.sortBy(t => (t._1, t._2)).toDF("epoch", "source", "tokens",
+      "hq_tokens", "natural_ppm", "target_ppm", "share_ppm")
+  }
+
   def sampleMixture(spark: SparkSession, dir: String): DataFrame =
     sampleMixtureOn(Tables(spark, dir).documents)
 

@@ -602,4 +602,43 @@ class CurationCardsSpec extends AnyFunSuite {
     assert(winLines.nonEmpty && winLines.forall(_.contains("seg#")),
       s"rank window lost its segment key:\n${winLines.mkString("\n")}")
   }
+
+  test("anneal_mix: endpoint laws, per-epoch mass, and interpolation bounds") {
+    val card = operators.Curation.annealMix(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val epochs = operators.Curation.AnnealEpochs
+    val nSources = card.map(_._2).distinct.length
+    assert(card.length == epochs * nSources)
+    // epoch 0 IS the natural mix; the last epoch IS the target mix
+    // (the (E-1)·Δ div (E-1) cancellation — exact, not approximate)
+    card.filter(_._1 == 0).foreach(t => assert(t._7 == t._5, s"epoch-0 drift: $t"))
+    card.filter(_._1 == epochs - 1)
+      .foreach(t => assert(t._7 == t._6, s"final-epoch drift: $t"))
+    // every intermediate share sits between its endpoints
+    card.foreach { t =>
+      assert(t._7 >= math.min(t._5, t._6) && t._7 <= math.max(t._5, t._6),
+        s"share outside its interpolation interval: $t")
+    }
+    // per-epoch sampling mass stays ~1 (truncation loses < 1 ppm per
+    // source per endpoint)
+    card.groupBy(_._1).values.foreach { rows =>
+      val mass = rows.map(_._7).sum
+      assert(math.abs(mass - 1000000L) <= 2L * nSources, s"mass $mass")
+    }
+    // the fixture actually anneals: some source moves between epochs
+    assert(card.exists(t => t._5 != t._6), "degenerate: natural == target everywhere")
+  }
+
+  test("anneal_mix: a corpus with no high-quality tokens anneals to itself") {
+    import spark.implicits._
+    // every doc far below the 0.6 score bar (3 words, no stopwords)
+    val docs = (1L to 40L).map(d => (d, s"xq$d yq$d zq$d", s"s${d % 4}"))
+      .toDF("doc_id", "text", "source")
+    val card = operators.Curation.annealMixOn(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(card.forall(t => t._4 == t._3 && t._5 == t._3),
+      "hq-empty corpus must hold the natural mix at every epoch")
+  }
 }
