@@ -156,6 +156,7 @@ object SparkEntry {
     "mm_video_dedup"    -> (graft.multimodal.Multimodal.mmVideoDedup _),
     "ts_seasonal"       -> (Temporal.tsSeasonal _),
     "q44_dynamic_pivot" -> (Relational.q44 _),
+    "exact_pctl"        -> (Relational.exactPctl _),
     "shard_balance"     -> (Curation.shardBalance _),
     "token_budget"      -> (Curation.tokenBudget _),
     "anneal_mix"        -> (Curation.annealMix _),
@@ -2928,6 +2929,27 @@ object SparkEntry {
     "q44_dynamic_pivot" ->
       """PIVOT events ON event_type USING count(*)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // percentile_disc by explicit rank rule (NOT quantile_disc — the
+    // oracle states the smallest-value-reaching-ceil(q*n) definition
+    // both engines must honor, engine conventions left out of it)
+    "exact_pctl" ->
+      s"""WITH v AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM v GROUP BY 1),
+        |c AS (SELECT event_type, cents, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+        |w AS (SELECT event_type, cents,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |                   ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c),
+        |q AS (SELECT UNNEST([${operators.Relational.PctlPpms.mkString(", ")}]) AS q_ppm)
+        |SELECT w.event_type, CAST(q_ppm AS BIGINT) AS q_ppm, n.n,
+        |  CAST(MIN(cents) AS BIGINT) AS pctl_cents
+        |FROM w JOIN n USING (event_type), q
+        |WHERE cum >= (n.n * q_ppm + 999999) // 1000000
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
 
     // dedup ROI rollup over the same recursive closure the
     // dedup_clusters oracle walks; size classes exact, 9 = "9+"

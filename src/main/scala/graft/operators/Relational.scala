@@ -973,4 +973,85 @@ object Relational {
     ev.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
       .orderBy(col("user_id"))
   }
+
+  /** Percentile ranks (ppm) reported by [[exactPctl]]. */
+  val PctlPpms: Seq[Long] = Seq(500000L, 900000L, 990000L)
+
+  /** Value-range segments per group for [[exactPctl]]'s prefix
+    * decomposition — a parallelism knob, not a semantic constant.
+    */
+  val PctlSegments = 64L
+
+  /** exact_pctl — EXACT per-group percentiles (p50/p90/p99 of event
+    * value, percentile_disc semantics: the smallest value whose
+    * cumulative count reaches ⌈q·n⌉) without sorting the corpus.
+    * quantile_sketch answers the same question approximately in one
+    * pass; THIS is the exact complement for when the number goes in
+    * an SLA, and the textbook formulations both fail at 100 TB: a
+    * global per-group sort is a corpus-sized shuffle, and a
+    * `Window.partitionBy(group)` running count puts corpus/|groups|
+    * rows on single tasks (the bounded-key hazard — event_type
+    * cardinality is semantic, not scalable).
+    *
+    * Decomposition (one corpus-sized shuffle, everything after is
+    * distinct-value-sized):
+    *
+    *  1. distinct-value rollup: (group, cents) → count — THE one
+    *     corpus-sized aggregation, map-side combinable;
+    *  2. per-group value range → [[PctlSegments]] order-contiguous
+    *     value segments; per-(group, segment) totals roll to
+    *     exclusive offsets via a window over ≤ PctlSegments rows per
+    *     group (bounded by the CONSTANT, not the corpus);
+    *  3. within-(group, segment) running count + offset = exact
+    *     global cumulative count per distinct value;
+    *  4. thresholds ⌈q·n⌉ on the integer lattice ((n·q + 10⁶−1) div
+    *     10⁶), literal-array explode (the pack_eval shape — never a
+    *     BNLJ), min(cents) over qualifying values per (group, q).
+    *
+    * Segmenting is by VALUE RANGE, so a group whose distinct values
+    * all cluster in one 1/64th of its range degenerates to one
+    * segment — but then the segment holds only that group's DISTINCT
+    * values (already ≪ rows after step 1), and a deployment that
+    * fears adversarial value clustering swaps step 2's boundaries
+    * for sampled quantiles without touching steps 3-4. NULL values
+    * and NULL group keys are excluded (documented, matches the
+    * oracle's WHERE).
+    */
+  def exactPctl(spark: SparkSession, dir: String): DataFrame =
+    exactPctlOn(Tables(spark, dir).events)
+
+  private[graft] def exactPctlOn(ev: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val v = ev.filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), cents.as("cents"))
+    val c = v.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = c.groupBy(col("event_type"))
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+        sum(col("cnt")).as("n"))
+    val seg = c.join(broadcast(stats), "event_type")
+      // `div`, not `/`: Spark's `/` is double division (the seq_pack
+      // boundary lesson) — the lattice must stay integer-exact
+      .withColumn("span",
+        greatest(lit(1L), expr(s"(hi - lo) div $PctlSegments") + 1))
+      .withColumn("seg", expr("(cents - lo) div span"))
+    val bySeg = Window.partitionBy(col("event_type")).orderBy(col("seg"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val segOff = seg.groupBy(col("event_type"), col("seg"))
+      .agg(sum(col("cnt")).as("stot"))
+      .withColumn("soff", sum(col("stot")).over(bySeg) - col("stot"))
+      .select(col("event_type"), col("seg"), col("soff"))
+    val byVal = Window.partitionBy(col("event_type"), col("seg"))
+      .orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = seg.join(broadcast(segOff), Seq("event_type", "seg"))
+      .withColumn("cum", sum(col("cnt")).over(byVal) + col("soff"))
+    cum
+      .withColumn("q_ppm", explode(array(PctlPpms.map(lit): _*)))
+      .filter(col("cum") >= expr("(n * q_ppm + 999999) div 1000000"))
+      .groupBy(col("event_type"), col("q_ppm"))
+      .agg(max(col("n")).as("n"), min(col("cents")).as("pctl_cents"))
+      .select(col("event_type"), col("q_ppm"), col("n"), col("pctl_cents"))
+      .orderBy(col("event_type"), col("q_ppm"))
+  }
 }

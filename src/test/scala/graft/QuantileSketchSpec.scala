@@ -177,4 +177,42 @@ class QuantileSketchSpec extends AnyFunSuite {
       (r.getString(0), (2 to 6).map(r.getLong).toSeq)).sortBy(_._1)
     assert(viaText.sameElements(direct.map { case (l, q) => (l, q.toIndexedSeq) }))
   }
+
+  test("exact_pctl: segment decomposition equals the serial rank rule") {
+    val sf = "/root/testdata/sf0.001"
+    val got = operators.Relational.exactPctl(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // serial reference: sort each group's cents, apply ceil(q*n)
+    val vals = Tables(spark, sf).events
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, rows) => g -> rows.map(_._2).sorted }
+    val expected = (for {
+      (g, sorted) <- vals.toSeq
+      q <- operators.Relational.PctlPpms
+    } yield {
+      val n = sorted.length.toLong
+      val k = ((n * q + 999999L) / 1000000L).toInt
+      (g, q, n, sorted(k - 1))
+    }).sortBy(t => (t._1, t._2))
+    assert(got == expected, "decomposed percentiles diverge from the sort rule")
+    assert(got.nonEmpty)
+  }
+
+  test("exact_pctl: tie-heavy and single-value corners") {
+    import spark.implicits._
+    // group a: values 0.01..1.00 (cents 1..100) => p50=50, p90=90,
+    // p99=99; group b: one value repeated => every pctl is it
+    val ev = ((1 to 100).map(i => ("a", i / 100.0)) ++
+      (1 to 7).map(_ => ("b", 3.25)))
+      .toDF("event_type", "value")
+    val got = operators.Relational.exactPctlOn(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(got == Seq(("a", 500000L, 50L), ("a", 900000L, 90L),
+      ("a", 990000L, 99L), ("b", 500000L, 325L), ("b", 900000L, 325L),
+      ("b", 990000L, 325L)), s"corner percentiles wrong: $got")
+  }
 }
