@@ -144,6 +144,7 @@ object SparkEntry {
     "dq_check"          -> (Quality.dqCheck _),
     "drift_check"       -> (Quality.driftCheck _),
     "emb_pca"           -> (Clustering.embPca _),
+    "coreset_select"    -> (Clustering.coresetSelect _),
     "mm_scenes"         -> (graft.multimodal.Multimodal.mmScenes _),
     "ann_eval"          -> ((s, d) => SimilaritySearch.annEval(s, d)),
     "q41_rank_funcs"    -> (Relational.q41 _),

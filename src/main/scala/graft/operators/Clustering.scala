@@ -280,4 +280,69 @@ object Clustering {
     }
     out.result()
   }
+
+  /** Centers selected by [[coresetSelect]]. */
+  val CoresetK = 8
+
+  /** coreset_select — greedy k-center (farthest-point) DIVERSITY
+    * selection over the embedding corpus: pick the vector farthest
+    * (cosine distance 1 − cos) from everything chosen so far, K
+    * times — the classic 2-approximation to the k-center objective
+    * and the standard "maximally diverse subset" seed for data
+    * selection / active learning (the complement of semdedup, which
+    * REMOVES the similar; this KEEPS the spread). Emits each center
+    * with the corpus coverage radius after its addition — the
+    * decreasing curve a team reads to pick K.
+    *
+    * Scale shape: K driver rounds (K is a small constant), each ONE
+    * map-side distance update against the newest center (a broadcast
+    * literal — model-sized) + ONE 1-row argmax scalar
+    * (max-of-struct, the convergence-scalar allowlist class). The
+    * iterating frame re-materializes per round (the pagerank lazy
+    * localCheckpoint convention) so lineage stays flat and the K²/2
+    * recompute tax never appears. No pairwise term exists anywhere —
+    * this is THE k-center formulation that works when n² doesn't.
+    *
+    * Determinism: distances are pure per-row float expressions of
+    * (v, chosen literals) — partitioning-independent; argmax ties
+    * break to the LOWER vec_id via max(struct(dist, −vec_id)).
+    * Rows-only class (float distances have no stable cross-engine
+    * lattice); ClusteringSpec pins the exact in-JVM twin.
+    */
+  def coresetSelect(spark: SparkSession, dir: String): DataFrame =
+    coresetSelectOn(Tables(spark, dir).embeddings
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+
+  private[graft] def coresetSelectOn(embIn: DataFrame): DataFrame = {
+    val spark = embIn.sparkSession
+    import spark.implicits._
+    val seedRows = embIn.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).collect()
+    if (seedRows.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("k", "vec_id", "radius")
+    val picks = Seq.newBuilder[(Long, Long, Double)]
+    var (id, vec) = (seedRows(0).getLong(0), seedRows(0).getSeq[Double](1))
+    var state = embIn
+      .withColumn("mind", lit(1.0) - cosineSim(col("v"), typedLit(vec)))
+      .localCheckpoint(false)
+    for (k <- 0 until CoresetK) {
+      // lazy per-round checkpoint (the pagerank convention): the
+      // round's own argmax action materializes it, lineage stays flat
+      if (k > 0) state = state
+        .withColumn("mind", least(col("mind"),
+          lit(1.0) - cosineSim(col("v"), typedLit(vec))))
+        .localCheckpoint(false)
+      val far = state
+        .agg(max(struct(col("mind"), (-col("vec_id")).as("nid"))).as("m"))
+        .select(col("m.mind"), col("m.nid")).head()
+      picks += ((k.toLong, id, far.getDouble(0)))
+      if (k < CoresetK - 1) {
+        id = -far.getLong(1)
+        vec = embIn.filter(col("vec_id") === id)
+          .select(col("v")).head().getSeq[Double](0)
+      }
+    }
+    picks.result().toDF("k", "vec_id", "radius")
+  }
 }

@@ -141,4 +141,40 @@ class ClusteringSpec extends AnyFunSuite {
     assert(rows(0).getLong(2) > 900000L,
       s"explained variance too low: ${rows(0).getLong(2)}")
   }
+
+  test("coreset_select equals the serial greedy k-center, radius curve nonincreasing") {
+    val got = operators.Clustering.coresetSelect(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // serial twin over the collected corpus, same float op order as
+    // the CosineSimilarity kernel (dot/(sqrt*sqrt) over min length)
+    val vecs = Tables(spark, sf).embeddings
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val mind = scala.collection.mutable.Map[Long, Double]()
+    var center = vecs.head
+    val expected = (0 until operators.Clustering.CoresetK).map { k =>
+      vecs.foreach { case (i, v) =>
+        val d = 1.0 - cos(v, center._2)
+        if (!mind.contains(i) || d < mind(i)) mind(i) = d
+      }
+      // argmax, ties to the lower id
+      val (fid, fd) = mind.toSeq.map { case (i, d) => (i, d) }
+        .maxBy { case (i, d) => (d, -i) }
+      val row = (k.toLong, center._1, fd)
+      center = vecs.find(_._1 == fid).get
+      row
+    }
+    assert(got == expected, s"coreset diverges:\n got $got\n exp $expected")
+    // coverage radius never increases as centers are added
+    assert(got.map(_._3).sliding(2).forall(w => w(1) <= w(0)))
+    assert(got.map(_._2).distinct.size == got.size, "a center repeated")
+  }
 }
