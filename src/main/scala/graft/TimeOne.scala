@@ -7,7 +7,11 @@ package graft
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val names = args(0).split(",").toSeq
+    // "ALL" = every registered query, name order (stable across dirs
+    // so same-JVM artifact warmness is comparable between sweeps)
+    val names =
+      if (args(0) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      else args(0).split(",").toSeq
     val dir = args(1)
     val n = if (args.length > 2) args(2).toInt else 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
