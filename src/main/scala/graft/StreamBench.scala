@@ -141,12 +141,45 @@ object StreamBench {
         df.select(col("text"), col("lang"), col("event_ts")), driftBase),
       dStream, s"$base/d_out", s"$base/d_ckpt")
 
+    // changelog retract view: CDC inserts + deletes maintaining the
+    // grouped revenue view; complete-mode MEMORY sink (legal here
+    // because the view is card-sized — |groups| rows at any ingest
+    // volume, which is the operator's whole scale argument)
+    val rIn = s"$base/r_in"
+    val orders = Tables(spark, sfDir).orders
+      .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+    val inserts = orders.withColumn("op", lit("I"))
+    val deletes = orders
+      .filter(col("o_orderkey") % operators.Warehouse.ViewDeltaMod
+        === operators.Warehouse.RetractClass)
+      .withColumn("op", lit("D"))
+    inserts.repartition(InFiles).write.mode("overwrite").parquet(rIn)
+    deletes.repartition(4).write.mode("append").parquet(rIn)
+    val rRows = spark.read.parquet(rIn).count()
+    val rStream = spark.readStream.schema(inserts.schema)
+      .option("maxFilesPerTrigger", FilesPerTrigger).parquet(rIn)
+    val rSec = {
+      val ckpt = s"$base/r_ckpt"
+      rm(new java.io.File(ckpt))
+      val qn = "sb_retract_" + java.lang.Integer.toHexString(base.hashCode)
+      val t0 = System.nanoTime()
+      val q = streaming.RetractStream.retractView(rStream).writeStream
+        .format("memory").queryName(qn)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(600000)) sys.error("retract stream did not finish in 600s")
+      (System.nanoTime() - t0) / 1e9
+    }
+
     Map("health_alerts" -> PathResult(hRows, hSec),
       "curation" -> PathResult(cRows, cSec),
       "curation_gated" -> PathResult(cRows, gSec),
       "curation_strict" -> PathResult(cRows, sSec),
       "neardup" -> PathResult(cRows, nSec),
-      "drift" -> PathResult(cRows, dSec))
+      "drift" -> PathResult(cRows, dSec),
+      "retract_view" -> PathResult(rRows, rSec))
   }
 
   def main(args: Array[String]): Unit = {

@@ -640,5 +640,8 @@ class CurationCardsSpec extends AnyFunSuite {
         r.getLong(5), r.getLong(6)))
     assert(card.forall(t => t._4 == t._3 && t._5 == t._3),
       "hq-empty corpus must hold the natural mix at every epoch")
+    assert(operators.Curation.annealMixOn(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"))
+      .count() == 0, "empty corpus must yield an empty schedule")
   }
 }

@@ -214,5 +214,8 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(got == Seq(("a", 500000L, 50L), ("a", 900000L, 90L),
       ("a", 990000L, 99L), ("b", 500000L, 325L), ("b", 900000L, 325L),
       ("b", 990000L, 325L)), s"corner percentiles wrong: $got")
+    assert(operators.Relational.exactPctlOn(
+      Seq.empty[(String, Double)].toDF("event_type", "value"))
+      .count() == 0, "empty input must yield no percentiles")
   }
 }

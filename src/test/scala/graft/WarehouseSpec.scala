@@ -216,5 +216,6 @@ class WarehouseSpec extends AnyFunSuite {
     val noOrders = Seq.empty[(Long, String, Double, java.sql.Timestamp)]
       .toDF("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
     assert(operators.Warehouse.viewRefreshOn(noOrders).count() == 0)
+    assert(operators.Warehouse.viewRetractOn(noOrders).count() == 0)
   }
 }
