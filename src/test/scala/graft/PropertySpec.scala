@@ -340,4 +340,41 @@ class PropertySpec extends AnyFunSuite {
       assert(got(a) >= cPpm, s"doc $a: best ${got(a)} below pair containment $cPpm")
     }
   }
+
+  test("retract-max sketch: random changelogs honor the exact/stale contract at any partitioning") {
+    import spark.implicits._
+    val opGen = for {
+      v <- Gen.chooseNum(0L, 60L)
+      s <- Gen.oneOf(1L, 1L, 1L, -1L) // insert-biased, deletes real
+    } yield (v, s)
+    val caseGen = for {
+      ops <- Gen.listOfN(120, opGen)
+      parts <- Gen.chooseNum(1, 8)
+      cap <- Gen.oneOf(8, 16, 64) // 64 > the 61-value domain: exact regime
+    } yield (ops, parts, cap)
+    val cases = Gen.listOfN(12, caseGen).sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    cases.foreach { case (ops, parts, cap) =>
+      // naive reference: net counts; live max or none
+      val net = ops.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
+      val trueMax = net.filter(_._2 > 0).keys.reduceOption(_ max _)
+      val r = ops.toDF("v", "s").repartition(parts)
+        .agg(graft.functions.RetractMaxAgg
+          .retractMax(col("v"), col("s"), cap).as("m"))
+        .select(col("m.mx"), col("m.exact")).head()
+      val mx = if (r.isNullAt(0)) None else Some(r.getLong(0))
+      val exact = r.getBoolean(1)
+      if (cap > 60) {
+        // capacity above the value domain: always exact, any merge order
+        assert(exact && mx == trueMax,
+          s"exact regime wrong: cap=$cap parts=$parts got ($mx, $exact) want $trueMax")
+      } else if (exact) {
+        assert(mx == trueMax, s"claimed exact but wrong: $mx vs $trueMax")
+      } else {
+        // stale bound: reported watermark must dominate the true max
+        assert(mx.isDefined && trueMax.forall(_ <= mx.get),
+          s"stale bound $mx below true max $trueMax")
+      }
+    }
+  }
 }
