@@ -218,4 +218,19 @@ class QuantileSketchSpec extends AnyFunSuite {
       Seq.empty[(String, Double)].toDF("event_type", "value"))
       .count() == 0, "empty input must yield no percentiles")
   }
+
+  test("exact_pctl: adversarial value clustering stays correct (degenerate segmentation)") {
+    import spark.implicits._
+    // 1000 values packed into 1/1000th of the range plus one far
+    // outlier: range segmentation collapses almost everything into
+    // one segment — the documented degenerate case; correctness must
+    // not depend on the segments being balanced
+    val ev = ((1 to 1000).map(i => ("c", i / 100.0)) :+ ("c", 100000.0))
+      .toDF("event_type", "value")
+    val got = operators.Relational.exactPctlOn(ev)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    // n=1001: p50 -> ceil(500.5)=501 -> cents 501; p90 -> 901; p99 -> 991
+    assert(got == Seq((500000L, 501L), (900000L, 901L), (990000L, 991L)),
+      s"clustered-domain percentiles wrong: $got")
+  }
 }

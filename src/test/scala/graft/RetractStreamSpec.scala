@@ -100,6 +100,56 @@ class RetractStreamSpec extends AnyFunSuite {
     assert(run(1L) == (Some(136L), false))
   }
 
+  test("restart from checkpoint: signed state and max sketch resume, not restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val base = "target/tmp/retract-recovery"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(base))
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"
+    val ts = (d: String) => java.sql.Timestamp.valueOf(d + " 00:00:00")
+    // phase 1: all inserts (A holds its max 500 in the sketch)
+    val phase1 = Seq(
+      (3L, "A", 5.00, ts("2024-01-01"), "I"),
+      (1L, "A", 2.00, ts("2024-01-02"), "I"),
+      (2L, "A", 1.00, ts("2024-01-03"), "I"),
+      (13L, "B", 9.00, ts("2024-03-01"), "I"),
+      (4L, "C", 7.00, ts("2024-06-01"), "I"))
+    // phase 2: delete A's MAX CARRIER and all of B — only correct if
+    // run 2 resumed run 1's counts + sketch rather than starting cold
+    val phase2 = Seq(
+      (3L, "A", 5.00, ts("2024-01-01"), "D"),
+      (13L, "B", 9.00, ts("2024-03-01"), "D"))
+    val cols = Seq("o_orderkey", "o_orderpriority", "o_totalprice",
+      "o_orderdate", "op")
+    def run(tag: String): org.apache.spark.sql.DataFrame = {
+      val schema = phase1.toDF(cols: _*).schema
+      val streamIn = spark.readStream.schema(schema).parquet(inDir)
+      val q = RetractStream.retractView(streamIn).writeStream
+        .format("memory").queryName(s"retract_rec_$tag")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), s"run $tag did not finish")
+      q.stop()
+      spark.table(s"retract_rec_$tag")
+    }
+    phase1.toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(inDir)
+    val after1 = run("one").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(4))).toSet
+    assert(after1 == Set(("A", 3L, 500L), ("B", 1L, 900L), ("C", 1L, 700L)),
+      s"run 1 state wrong: $after1")
+    phase2.toDF(cols: _*).coalesce(1).write.mode("append").parquet(inDir)
+    val after2 = run("two").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toSet
+    assert(after2 == Set(("A", 2L, 300L, 200L, true), ("C", 1L, 700L, 700L, true)),
+      s"recovered view wrong (lost state or re-read phase 1?): $after2")
+  }
+
   test("below capacity: out-of-order deletes cancel and empty groups are null-exact") {
     import spark.implicits._
     // delete arrives BEFORE its insert; net state must cancel to
