@@ -71,6 +71,7 @@ object SparkEntry {
     "doc_embed"         -> (Curation.docEmbed _),
     "seq_pack"          -> (Curation.seqPack _),
     "decontaminate"     -> (Text.decontaminate _),
+    "ngram_coverage"    -> (Text.ngramCoverage _),
     "rep_stats"         -> (Text.repStats _),
     "rep_scrub"         -> (Text.repScrub _),
     "corpus_shuffle"    -> (Curation.corpusShuffle _),
@@ -1358,6 +1359,25 @@ object SparkEntry {
         |  CAST(COALESCE(dov.n_overlap, 0) * 4 >= dsz.n_shingles AS BIGINT) AS contaminated
         |FROM dsz LEFT JOIN dov ON dsz.doc_id = dov.doc_id
         |ORDER BY dsz.doc_id""".stripMargin,
+
+    // the benchmark-side mirror: per EVAL doc's exposure to train
+    "ngram_coverage" ->
+      s"""WITH $ngramCtes,
+        |tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 <> 3),
+        |ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 = 3),
+        |esz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        |  FROM ev GROUP BY 1),
+        |ef AS (SELECT ev.doc_id, CAST(COUNT(*) AS BIGINT) AS n_found
+        |  FROM ev JOIN tr ON ev.shingle = tr.shingle GROUP BY 1)
+        |SELECT esz.doc_id, esz.n_shingles,
+        |  CAST(COALESCE(ef.n_found, 0) AS BIGINT) AS n_found,
+        |  CAST(COALESCE(ef.n_found, 0) * 1000000 // esz.n_shingles
+        |    AS BIGINT) AS coverage_ppm,
+        |  CASE WHEN COALESCE(ef.n_found, 0) = esz.n_shingles THEN 'full'
+        |       WHEN COALESCE(ef.n_found, 0) > 0 THEN 'partial'
+        |       ELSE 'clean' END AS exposure
+        |FROM esz LEFT JOIN ef ON esz.doc_id = ef.doc_id
+        |ORDER BY esz.doc_id""".stripMargin,
 
     // Bloom filter rebuilt relationally: same md5-lattice probe
     // positions, distinct position set, all-k-bits membership

@@ -603,6 +603,34 @@ class CurationCardsSpec extends AnyFunSuite {
       s"rank window lost its segment key:\n${winLines.mkString("\n")}")
   }
 
+  test("ngram_coverage: planted copy is full, unique eval doc is clean, laws hold") {
+    import spark.implicits._
+    // doc 3 (3 % 17 = 3 → eval) copies train doc 1 verbatim → full;
+    // doc 20 (20 % 17 = 3 → eval) is unique → clean; doc 37 shares
+    // its first 4 of 6 words with train doc 2 → partial
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (5L, "filler words that overlap nothing here"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (20L, "totally unique eval content nothing shared"),
+      (37L, "one two three four nine ten"))
+      .toDF("doc_id", "text")
+    val got = operators.Text.ngramCoverageOn(operators.Text.shingleSetOf(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toList
+    assert(got.map(t => t._1 -> t._5).toMap ==
+      Map(3L -> "full", 20L -> "clean", 37L -> "partial"), s"exposure wrong: $got")
+    // laws: found <= shingles; ppm consistent; full <=> ppm 10^6
+    got.foreach { t =>
+      assert(t._3 <= t._2 && t._4 == t._3 * 1000000L / t._2)
+      assert((t._5 == "full") == (t._3 == t._2))
+    }
+    // doc 37: 4 shingles, the first two ("one two three", "two three
+    // four") covered by train doc 2
+    assert(got.find(_._1 == 37L).get._3 == 2L)
+  }
+
   test("anneal_mix: endpoint laws, per-epoch mass, and interpolation bounds") {
     val card = operators.Curation.annealMix(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
