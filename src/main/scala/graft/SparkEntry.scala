@@ -803,7 +803,8 @@ object SparkEntry {
         |  CAST(target_ppm AS BIGINT) AS target_ppm,
         |  CAST(natural_ppm + (ep * (target_ppm - natural_ppm))
         |    // ${operators.Curation.AnnealEpochs - 1} AS BIGINT) AS share_ppm
-        |FROM p, (SELECT UNNEST([0,1,2,3]) AS ep) AS eps
+        |FROM p, (SELECT UNNEST([${(0 until operators.Curation.AnnealEpochs)
+             .mkString(", ")}]) AS ep) AS eps
         |ORDER BY epoch, source""".stripMargin,
 
     // greedy budget prefix: the oracle IS the serial global-window
