@@ -137,6 +137,7 @@ object SparkEntry {
     "mm_audio_fp"       -> (graft.multimodal.Multimodal.mmAudioFp _),
     "bm25_search"       -> (Retrieval.bm25Search _),
     "ann_maxsim"        -> (Retrieval.annMaxsim _),
+    "hybrid_search"     -> (Retrieval.hybridSearch _),
     "unigram_train"     -> (Tokenizer.unigramTrain _),
     "unigram_encode"    -> (Tokenizer.unigramEncode _),
     "mix_budget"        -> (Curation.mixBudget _),
@@ -2642,6 +2643,106 @@ object SparkEntry {
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id,
         |  CAST(score_ppm AS BIGINT) AS score_ppm, n_terms
         |FROM r WHERE rk <= ${operators.Retrieval.Bm25TopK}
+        |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // the bm25_search chain verbatim for the lexical shortlist, the
+    // doc_embed hashing-trick vectors for the dense one (same stride
+    // fixture, self-match included on both sides), then RRF: each
+    // contribution is 10^6 // (60 + rank) on positive integers —
+    // same truncation both engines, no float anywhere
+    "hybrid_search" -> {
+      val stride = operators.Retrieval.QueryStride
+      val cap = stride.toLong * operators.Retrieval.MaxQueries
+      val nq = operators.Retrieval.QueryTermCount
+      val k = operators.Retrieval.HybridTopK
+      val rrfK = operators.Retrieval.RrfK
+      val dim = operators.Curation.EmbedDim
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+        |tf AS (
+        |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |  WHERE length(term) > 0 GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS a_words FROM dlen),
+        |qe AS (
+        |  SELECT doc_id AS query_id, unnest(($wordsSql)[1:$nq]) AS term
+        |  FROM documents WHERE doc_id % $stride = 0 AND doc_id < $cap),
+        |q AS (SELECT DISTINCT query_id, term FROM qe WHERE length(term) > 0),
+        |m AS (
+        |  SELECT q.query_id, tf.doc_id, tf.tf, stats.df, dlen.dl
+        |  FROM q JOIN tf USING (term) JOIN stats USING (term)
+        |  JOIN dlen ON tf.doc_id = dlen.doc_id),
+        |s AS (
+        |  SELECT query_id, m.doc_id,
+        |    SUM((CAST(2 * n_docs - 2 * df + 1 AS HUGEINT) * 22 * a_words * tf * 1000000)
+        |      // (CAST(2 * df + 1 AS HUGEINT) *
+        |          (CAST(10 AS HUGEINT) * a_words * tf + 3 * a_words + 9 * dl * n_docs))) AS score_ppm
+        |  FROM m CROSS JOIN sc GROUP BY 1, 2),
+        |lr AS (SELECT query_id, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_ppm DESC, doc_id) AS lex_rank
+        |  FROM s),
+        |lex AS (SELECT query_id, doc_id, lex_rank FROM lr WHERE lex_rank <= $k),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split($normSql, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |b2 AS (
+        |  SELECT doc_id,
+        |    list_transform(ws, x -> struct_pack(
+        |      b := ${hash60Sql("'emb:' || x")} % $dim,
+        |      s := CASE WHEN ${hash60Sql("'sgn:' || x")} % 2 = 0 THEN 1 ELSE -1 END)) AS bs
+        |  FROM w2),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, $dim), i ->
+        |      coalesce(list_sum(list_transform(list_filter(bs, e -> e.b = i), e -> e.s)), 0)) AS vec
+        |  FROM b2),
+        |e2 AS (SELECT doc_id, vec,
+        |    CAST(coalesce(list_sum(list_transform(vec, x -> x * x)), 0) AS BIGINT) AS n2
+        |  FROM v2),
+        |qd AS (SELECT doc_id AS qid, vec AS qv, n2 AS qn2 FROM e2
+        |  WHERE doc_id % $stride = 0 AND doc_id < $cap),
+        |p2 AS (SELECT qd.qid, e2.doc_id, e2.n2, qd.qn2,
+        |    CAST(coalesce(list_sum(list_transform(range(0, $dim), i ->
+        |      CAST(qd.qv[i+1] AS BIGINT) * e2.vec[i+1])), 0) AS HUGEINT) AS dot
+        |  FROM qd CROSS JOIN e2),
+        |sc2 AS (SELECT qid, doc_id,
+        |    CASE WHEN dot > 0 AND qn2 > 0 AND n2 > 0
+        |      THEN CAST((dot * dot * 1000000) // (CAST(qn2 AS HUGEINT) * n2) AS BIGINT)
+        |      ELSE 0 END AS s2_ppm
+        |  FROM p2),
+        |dr AS (SELECT qid, doc_id, s2_ppm,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY s2_ppm DESC, doc_id) AS dense_rank
+        |  FROM sc2),
+        |dense AS (SELECT qid AS query_id, doc_id, dense_rank FROM dr
+        |  WHERE dense_rank <= $k),
+        |f AS (
+        |  SELECT COALESCE(lex.query_id, dense.query_id) AS query_id,
+        |    COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+        |    COALESCE(lex.lex_rank, 0) AS lex_rank,
+        |    COALESCE(dense.dense_rank, 0) AS dense_rank
+        |  FROM lex FULL OUTER JOIN dense
+        |    ON lex.query_id = dense.query_id AND lex.doc_id = dense.doc_id),
+        |g AS (
+        |  SELECT query_id, doc_id, lex_rank, dense_rank,
+        |    (CASE WHEN lex_rank > 0 THEN 1000000 // ($rrfK + lex_rank) ELSE 0 END) +
+        |    (CASE WHEN dense_rank > 0 THEN 1000000 // ($rrfK + dense_rank) ELSE 0 END)
+        |      AS rrf_ppm
+        |  FROM f),
+        |h AS (SELECT query_id, doc_id, lex_rank, dense_rank, rrf_ppm,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_ppm DESC, doc_id) AS rk
+        |  FROM g)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id,
+        |  CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+        |  CAST(lex_rank AS BIGINT) AS lex_rank,
+        |  CAST(dense_rank AS BIGINT) AS dense_rank
+        |FROM h WHERE rk <= $k
         |ORDER BY query_id, rank""".stripMargin
     },
 

@@ -127,6 +127,99 @@ object Retrieval {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Reciprocal-rank-fusion constant (Cormack & Clarke 2009's k=60 —
+    * the TREC-standard damping that keeps one list's tail from
+    * swamping the other's head) and the fused shortlist size.
+    */
+  val RrfK = 60
+  val HybridTopK = 10
+
+  /** hybrid_search — lexical + dense retrieval fused by reciprocal
+    * rank fusion: the two ranking modalities the engine already
+    * ships ([[bm25Search]]'s Robertson term weighting and the
+    * [[Curation.docEmbed]] hashing-trick cosine) answer the SAME
+    * query set, and each document's fused score is
+    * Σ_lists 1/(k + rank) — rank-only fusion, so the incomparable
+    * score scales (BM25 ppm vs cos² ppm) never mix. The standard
+    * first-stage sharpener: a doc ranked well by BOTH signals beats
+    * a doc topping only one list. Reference behavior
+    * (hw-kafka-flink-health has no retrieval layer): engine-native
+    * addition for the training-data pipeline — hybrid shortlists
+    * drive dedup triage and eval-neighbor audits where either
+    * modality alone misses (lexical: paraphrase; dense: rare exact
+    * terms).
+    *
+    * Cross-engine exactness: each contribution is the pure integral
+    * division 10⁶ div (k + rank) on positive integers (Spark `div` ≡
+    * DuckDB `//` on non-negatives), summed as longs; the dense
+    * cosine is the maxsim signed-cos² ppm lattice (clamped at 0,
+    * integral division, DECIMAL(38) intermediates so doc-level dot²
+    * can never overflow at unbounded document length — the bm25
+    * overflow convention). No float anywhere.
+    *
+    * Scale shape: both constituent rankings keep their own
+    * contracts — BM25's pruned token stream (only query-term rows
+    * shuffle) and the dense side's map-only broadcast-query scan
+    * with [[graft.plans.TopKPerKey]] bounded heaps — and the fusion
+    * itself runs on two ≤ q·k-row shortlists (a metadata-sized
+    * full-outer join), so at 100 TB the fusion stage costs nothing
+    * beyond its inputs. One documents scan feeds BOTH sides' query
+    * fixtures; the corpus never shuffles for the dense half.
+    */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame =
+    hybridSearchOn(Tables(spark, dir).documents)
+
+  private[graft] def hybridSearchOn(docs: DataFrame): DataFrame = {
+    val lex = bm25SearchOn(docs)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    // dense side: doc-level hashing-trick vectors (integer counts +
+    // exact squared norm), queries = the SAME stride fixture as BM25
+    // so both modalities answer one query set. Self-match included on
+    // both sides (the query doc is a legitimate corpus member and
+    // BM25 retrieves it; excluding it on one side only would skew
+    // the fusion).
+    val vecs = docs
+      .withColumn("ev", graft.functions.EmbedKernel.embedKernel(words(col("text"))))
+      .select(col("doc_id"), col("ev.vec").as("vec"), col("ev.n2").as("n2"))
+    val qv = vecs
+      .filter(col("doc_id") % QueryStride === 0 &&
+        col("doc_id") < lit(QueryStride.toLong * MaxQueries))
+      .select(col("doc_id").as("qid"), col("vec").as("qv"), col("n2").as("qn2"))
+    val scored = vecs.crossJoin(broadcast(qv))
+      .withColumn("dot", dotProductLong(col("qv"), col("vec")))
+      .withColumn("s2_ppm",
+        when(col("dot") > 0 && col("qn2") > 0 && col("n2") > 0,
+          expr("(CAST(dot AS DECIMAL(38,0)) * dot * 1000000) div " +
+            "(CAST(qn2 AS DECIMAL(38,0)) * n2)").cast("long"))
+          .otherwise(lit(0L)))
+      .select(col("qid"), col("doc_id"), col("s2_ppm"))
+    val dtop = graft.plans.TopK.topKPerKey(scored,
+      keys = Seq(col("qid")),
+      order = Seq(col("s2_ppm").desc, col("doc_id").asc), k = HybridTopK)
+    val dw = Window.partitionBy(col("qid")).orderBy(col("s2_ppm").desc, col("doc_id"))
+    val dense = dtop
+      .withColumn("dense_rank", row_number().over(dw).cast("long"))
+      .select(col("qid").as("query_id"), col("doc_id"), col("dense_rank"))
+    // fusion over the two shortlists: rank 0 = absent from that list
+    // (contributes nothing); ties on the fused score break by doc_id
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .na.fill(0L, Seq("lex_rank", "dense_rank"))
+      .withColumn("rrf_ppm",
+        when(col("lex_rank") > 0,
+            expr(s"CAST(1000000 AS BIGINT) div (${RrfK}L + lex_rank)")).otherwise(lit(0L)) +
+          when(col("dense_rank") > 0,
+            expr(s"CAST(1000000 AS BIGINT) div (${RrfK}L + dense_rank)")).otherwise(lit(0L)))
+    val ftop = graft.plans.TopK.topKPerKey(fused,
+      keys = Seq(col("query_id")),
+      order = Seq(col("rrf_ppm").desc, col("doc_id").asc), k = HybridTopK)
+    val fw = Window.partitionBy(col("query_id")).orderBy(col("rrf_ppm").desc, col("doc_id"))
+    ftop
+      .withColumn("rank", row_number().over(fw).cast("long"))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_ppm"),
+        col("lex_rank"), col("dense_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Query fixture for [[annMaxsim]]: stride co-prime to the BM25
     * one so the two query sets differ; same [[MaxQueries]] cap.
     */

@@ -77,10 +77,14 @@ class QueryPackSpec extends AnyFunSuite {
     // cross-join as 1-row broadcasts (the scalar-subquery shape,
     // one per graded method — a code-constant list); cluster_stats
     // crosses in its 1-row corpus word total the same way
+    // hybrid_search composes bm25_search verbatim as its lexical arm,
+    // inheriting exactly that query's allowlisted shapes (the 1-row
+    // (N, A) scalar cross join + its single-partition aggregate); the
+    // dense arm and the fusion add none
     val bnljOk = Set("ann_pq", "ann_topk", "dedup_embedding",
       "q20_subquery", "sample_mixture", "word_pmi", "source_overlap",
       "bm25_search", "ann_maxsim", "drift_check", "ann_eval",
-      "ann_radius", "dedup_eval", "cluster_stats")
+      "ann_radius", "dedup_eval", "cluster_stats", "hybrid_search")
     // dq_check is the documented MULTI-scalar class: one scalar
     // aggregation per declared constraint (a code constant, never
     // data-dependent) — its exchange count equals the constraint list
@@ -98,7 +102,7 @@ class QueryPackSpec extends AnyFunSuite {
     // ppm column divides by (the word_pmi/bm25 corpus-scalar shape)
     val singlePartOk = Set("q20_subquery", "sample_mixture",
       "q24_funnel", "freq_words", "sketch_cube", "word_pmi",
-      "bm25_search", "drift_check", "cluster_stats")
+      "bm25_search", "drift_check", "cluster_stats", "hybrid_search")
     for ((name, fn) <- SparkEntry.queries) {
       spark.catalog.clearCache()
       val plan = fn(spark, sf).queryExecution.executedPlan.toString

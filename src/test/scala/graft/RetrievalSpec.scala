@@ -202,6 +202,94 @@ class RetrievalSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKey"), s"bounded-heap top-k missing:\n$plan")
   }
 
+  // ---- hybrid_search ----
+
+  /** RRF fusion reference: bm25Expected's shortlist + a dense
+    * shortlist from the md5-lattice [[embed]] (self included on both
+    * sides, the operator's contract), contributions 10⁶/(60+rank).
+    */
+  private def hybridExpected(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val k = operators.Retrieval.HybridTopK
+    val rrfK = operators.Retrieval.RrfK.toLong
+    val lex = bm25Expected(docs)
+      .filter(_._2 <= k).map { case (q, r, d, _, _) => (q, d) -> r }.toMap
+    val vecs = docs.map { case (id, t) =>
+      id -> embed(t.split(" ").filter(_.nonEmpty).toSeq) }
+    val qs = vecs.filter { case (id, _) => id % operators.Retrieval.QueryStride == 0 &&
+      id < operators.Retrieval.QueryStride.toLong * operators.Retrieval.MaxQueries }
+    val dense = (for {
+      (qid, (qv, qn2)) <- qs
+      scored = vecs.map { case (did, (dv, dn2)) =>
+        val dot = qv.zip(dv).map { case (x, y) => BigInt(x) * y }.sum
+        val s = if (dot > 0 && qn2 > 0 && dn2 > 0)
+          (dot * dot * 1000000 / (BigInt(qn2) * dn2)).toLong else 0L
+        (did, s)
+      }
+      ranked = scored.sortBy { case (did, s) => (-s, did) }.take(k).zipWithIndex
+      ((did, _), i) <- ranked
+    } yield (qid, did) -> (i + 1L)).toMap
+    val out = for {
+      qid <- (lex.keys.map(_._1) ++ dense.keys.map(_._1)).toSeq.distinct
+      fusedAll = (lex.keys ++ dense.keys).filter(_._1 == qid).toSeq.distinct.map {
+        case (_, did) =>
+          val lr = lex.getOrElse((qid, did), 0L)
+          val dr = dense.getOrElse((qid, did), 0L)
+          val rrf = (if (lr > 0) 1000000L / (rrfK + lr) else 0L) +
+            (if (dr > 0) 1000000L / (rrfK + dr) else 0L)
+          (did, rrf, lr, dr)
+      }
+      ranked = fusedAll.sortBy { case (did, rrf, _, _) => (-rrf, did) }.take(k).zipWithIndex
+      ((did, rrf, lr, dr), i) <- ranked
+    } yield (qid, i + 1L, did, rrf, lr, dr)
+    out.sortBy(r => (r._1, r._2))
+  }
+
+  test("hybrid: engine result equals the RRF reference on a toy corpus") {
+    val got = operators.Retrieval.hybridSearchOn(docsOf(bm25Toy)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == hybridExpected(bm25Toy), s"got: $got\nexpected: ${hybridExpected(bm25Toy)}")
+  }
+
+  test("hybrid: self doc tops both lists and the fusion; both-list docs beat one-list docs") {
+    val got = operators.Retrieval.hybridSearchOn(docsOf(bm25Toy)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val top = got.find(_._2 == 1L).get
+    assert(top._3 == 0L && top._4 == 2 * 1000000L / (operators.Retrieval.RrfK + 1),
+      s"self doc must hold lex rank 1 AND dense rank 1: $top")
+    // every fused row carries at least one source rank, and absent
+    // ranks are encoded as 0, never null
+    assert(got.forall(r => r._5 > 0 || r._6 > 0))
+    // fused score is exactly the sum of its two contributions
+    for (r <- got) {
+      val want = (if (r._5 > 0) 1000000L / (operators.Retrieval.RrfK + r._5) else 0L) +
+        (if (r._6 > 0) 1000000L / (operators.Retrieval.RrfK + r._6) else 0L)
+      assert(r._4 == want, s"rrf decomposition violated: $r")
+    }
+  }
+
+  test("hybrid: lexical-only and dense-only docs both surface (the fusion's point)") {
+    // doc 5 shares a query term but embeds orthogonally is impossible
+    // to plant on the md5 lattice; instead assert on the sf corpus
+    // that BOTH one-list kinds occur among fused rows
+    val rows = operators.Retrieval.hybridSearch(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(4), r.getLong(5)))
+    assert(rows.exists { case (lr, dr) => lr > 0 && dr == 0 },
+      "no lexical-only doc in any fused shortlist")
+    assert(rows.exists { case (lr, dr) => lr == 0 && dr > 0 },
+      "no dense-only doc in any fused shortlist")
+    assert(rows.exists { case (lr, dr) => lr > 0 && dr > 0 },
+      "no both-list doc in any fused shortlist")
+  }
+
+  test("hybrid: bounded-heap shortlists in the plan, corpus side never cartesian-paired") {
+    val df = operators.Retrieval.hybridSearch(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TopKPerKey"), s"bounded-heap top-k missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "dense scan must broadcast the query side")
+  }
+
   test("dot product long kernel: exact vs BigInt on adversarial values") {
     import spark.implicits._
     val a = Seq.tabulate(64)(i => (i.toLong * 7919) % 101 - 50)
