@@ -170,7 +170,11 @@ object SparkEntry {
     "split_leak"        -> (Curation.splitLeak _),
     "pack_eval"         -> (Curation.packEval _),
     "cluster_stats"     -> (Dedup.clusterStats _),
-    "corpus_diff"       -> (Curation.corpusDiff _)
+    "corpus_diff"       -> (Curation.corpusDiff _),
+    "q45_gap_fill"      -> (Relational.q45 _),
+    "proto_prune"       -> (Clustering.protoPrune _),
+    "url_filter"        -> (Text.urlFilter _),
+    "tok_fertility"     -> (Text.tokFertility _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -3303,6 +3307,121 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(nw) AS BIGINT) AS tokens
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+
+    // IGNORE NULLS forward fill: the frame's total order (ts,
+    // event_id) makes the carried value exact; the filled double is
+    // copied, never computed, so bit-exactness is structural
+    "q45_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN event_type IN ('purchase', 'signup') THEN value END AS reading
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(COALESCE(LAST_VALUE(reading IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0) AS DOUBLE) AS filled,
+        |  CAST(COUNT(reading) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS readings_seen
+        |FROM e
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // ×10⁴ lattice quantization, truncating integer centroid mean
+    // (// here ≡ Spark div — both truncate toward zero), exact
+    // integer dist², rank ties to the lower vec_id
+    "proto_prune" -> {
+      val lat = operators.Clustering.ProtoLattice
+      val pct = operators.Clustering.ProtoKeepPct
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * $lat + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |x AS (SELECT vec_id, label, unnest(q) AS qd,
+        |    unnest(range(1, len(q) + 1)) AS d FROM e),
+        |c AS (SELECT label, d,
+        |    CAST(CAST(SUM(qd) AS HUGEINT) // COUNT(*) AS BIGINT) AS cd,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM x GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT x.vec_id, x.label,
+        |    CAST(SUM((x.qd - c.cd) * (x.qd - c.cd)) AS BIGINT) AS dist2,
+        |    MAX(c.n) AS n
+        |  FROM x JOIN c ON x.label = c.label AND x.d = c.d
+        |  GROUP BY 1, 2),
+        |r AS (SELECT vec_id, label, dist2, n,
+        |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS rnk
+        |  FROM dist)
+        |SELECT vec_id, label, dist2, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(rnk <= ($pct * n + 99) // 100 AS BIGINT) AS kept
+        |FROM r
+        |ORDER BY vec_id""".stripMargin
+    },
+
+    // same URL fixture + normalization chain as url_normalize; the
+    // blocklist is the hash60 bucket test, penalties are regexps on
+    // the RAW url — identical RE2∩Java patterns
+    "url_filter" ->
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTP://Www.' || source || '.EXAMPLE.com:80'
+        |          ELSE 'HTTPS://WWW.' || source || '.Example.COM:443' END)
+        |    || '/News/Item-' || CAST(doc_id % 13 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        |    || '?id=' || CAST(doc_id % 13 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 <> 0 THEN '&utm_source=rss&fbclid=x1Y2' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END) AS url
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(regexp_replace(url, '#.*$$', '', 'g'), '^[A-Za-z]+://[^/?#]*') AS pre
+        |  FROM u),
+        |n AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(
+        |      regexp_replace(
+        |        CASE WHEN lower(pre) LIKE 'http://%' THEN regexp_replace(lower(pre), ':80$$', '', 'g')
+        |             ELSE regexp_replace(lower(pre), ':443$$', '', 'g') END,
+        |        '://www\\.', '://', 'g'),
+        |      '^[a-z]+://([^/:?#]+)', 1) AS host
+        |  FROM q),
+        |v AS (
+        |  SELECT doc_id, host,
+        |    (CASE WHEN regexp_matches(url, 'utm_|fbclid') THEN 2 ELSE 0 END
+        |     + CASE WHEN contains(url, '#') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(url, '/\\?') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(url, '\\?id=1[0-2]') THEN 1 ELSE 0 END) AS penalty,
+        |    ${hash60Sql("'blk:' || host")} % 5 = 0 AS blocked
+        |  FROM n)
+        |SELECT doc_id, host, CAST(penalty AS BIGINT) AS penalty,
+        |  CASE WHEN blocked THEN 'blocked'
+        |    WHEN penalty >= 3 THEN 'flagged'
+        |    ELSE 'pass' END AS verdict
+        |FROM v
+        |ORDER BY doc_id""".stripMargin,
+
+    // token_count's per-doc counters re-aggregated per source; ppm
+    // ratios on positive integers — identical truncation both engines
+    "tok_fertility" ->
+      s"""WITH p AS (
+        |  SELECT source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re,
+        |    CAST(length(text) AS BIGINT) AS chars
+        |  FROM documents),
+        |t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(ws) AS BIGINT) AS words, CAST(SUM(re) AS BIGINT) AS toks,
+        |    CAST(SUM(chars) AS BIGINT) AS chars
+        |  FROM p GROUP BY 1),
+        |d AS (SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS types
+        |  FROM (SELECT source, unnest($wordsSql) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY 1)
+        |SELECT t.source, n_docs, words, toks, chars,
+        |  CAST(toks * 1000000 // words AS BIGINT) AS fertility_ppm,
+        |  CAST(chars * 1000000 // toks AS BIGINT) AS chars_per_tok_ppm,
+        |  CAST(COALESCE(types, 0) * 1000000 // words AS BIGINT) AS ttr_ppm
+        |FROM t LEFT JOIN d ON t.source = d.source
+        |ORDER BY t.source""".stripMargin
   )
 }

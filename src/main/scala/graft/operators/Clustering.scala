@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding-space clustering for corpus curation (the SemDeDup
@@ -344,5 +345,117 @@ object Clustering {
       }
     }
     picks.result().toDF("k", "vec_id", "radius")
+  }
+
+  /** Integer lattice for [[protoPrune]]'s quantized geometry — the
+    * pq_codes lattice (×10⁴ floor-rounded), fine enough that the
+    * prototypicality ORDER matches the float order everywhere the
+    * float order is stable, coarse enough that every distance is an
+    * exact BIGINT both engines compute identically.
+    */
+  val ProtoLattice = 10000
+
+  /** Keep fraction for [[protoPrune]], in percent: the hardest 70%
+    * of each cluster survives (the published SSL-prototypes sweet
+    * spot is 70-80% at LAION scale; a deployment tunes this).
+    */
+  val ProtoKeepPct = 70
+
+  /** Distance segments per label for [[protoPrune]]'s two-level
+    * rank (the exact_pctl segmentation constant class).
+    */
+  val ProtoSegments = 64L
+
+  /** proto_prune — prototypicality pruning (the "SSL prototypes"
+    * selection rule from the Beyond-Neural-Scaling-Laws line of
+    * work): rank every vector by its distance to its cluster
+    * centroid and DROP the most prototypical (closest) tail — easy,
+    * redundant examples teach a model least, so pruning them beats
+    * random subsampling at equal token budget. The complement of
+    * [[coresetSelect]] (which picks a tiny diverse seed set): this
+    * grades the WHOLE corpus and keeps the hard majority.
+    *
+    * Uses the embeddings table's label column as the cluster
+    * assignment (the curated-cluster artifact a production run
+    * materializes once — cluster_stats consumes the same contract,
+    * and that contract makes the label vocabulary METADATA: the
+    * centroid/offset tables below are labels-sized and broadcast).
+    * Exactness: vectors quantize to the ×10⁴ integer lattice; the
+    * per-label centroid is the elementwise TRUNCATING integer mean
+    * (`div` here ≡ DuckDB `//` — both truncate toward zero, the
+    * ts_seasonal alignment rule); dist² is an exact integer
+    * zip-fold. No float crosses the engine boundary.
+    *
+    * Scale shape: ONE explode → (label, dim)-keyed partial-aggregated
+    * sum (map-side combine collapses n×d rows to |labels|×d before
+    * the shuffle), centroids re-assembled per label and BROADCAST
+    * back, then a map-side zip-fold distance. The per-label rank is
+    * a TWO-LEVEL split, never `Window.partitionBy(label)` alone —
+    * label cardinality is a property of the upstream clustering, and
+    * a coarse labeling would put corpus/|labels| rows on single
+    * tasks (the shard_balance bounded-key hazard): each label's
+    * dist² range splits into [[ProtoSegments]] order-contiguous
+    * value segments; per-(label, segment) totals roll to exclusive
+    * offsets via a window over ≤ ProtoSegments rows per label
+    * (bounded by the CONSTANT); within-(label, segment) row_number +
+    * offset = the exact global rank. Same degenerate-clustering
+    * caveat and sampled-boundary swap as exact_pctl. The distance
+    * card (3 longs/row) materializes once for its two consumers
+    * (bounds pass, rank pass).
+    */
+  def protoPrune(spark: SparkSession, dir: String): DataFrame =
+    protoPruneOn(Tables(spark, dir).embeddings)
+
+  private[graft] def protoPruneOn(emb: DataFrame): DataFrame = {
+    import graft.Materialize.MatOps
+    val spark = emb.sparkSession
+    val q = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $ProtoLattice + 0.5d) AS BIGINT))")
+          .as("q"))
+    val x = q.select(col("vec_id"), col("label"),
+      posexplode(col("q")).as(Seq("d", "qd")))
+    val cent = x.groupBy(col("label"), col("d"))
+      .agg(sum(col("qd")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cd", expr("s div n"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, cd))), p -> p.cd)")
+        .as("c"), max(col("n")).as("n"))
+    if (cent.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("vec_id", "label", "dist2", "rnk", "kept")
+    }
+    val dist = q.join(broadcast(cent), "label")
+      .withColumn("dist2",
+        expr("aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .select(col("vec_id"), col("label"), col("n"), col("dist2"))
+      .materialized
+    // level 2: per-label dist² ranges → order-contiguous value
+    // segments (descending: seg 0 holds the FARTHEST vectors);
+    // (label, seg) totals fold to exclusive offsets over ≤
+    // ProtoSegments rows per label
+    val ranges = dist.groupBy(col("label"))
+      .agg(min(col("dist2")).as("lo"), max(col("dist2")).as("hi"))
+      .withColumn("span",
+        greatest(lit(1L), expr(s"(hi - lo) div $ProtoSegments") + 1))
+      .select(col("label"), col("hi"), col("span"))
+    val seg = dist.join(broadcast(ranges), "label")
+      .withColumn("seg", expr("(hi - dist2) div span"))
+    val offs = seg.groupBy(col("label"), col("seg"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("label")).orderBy(col("seg"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("label"), col("seg"), col("off"))
+    // level 1: local rank within (label, segment), spliced by offset
+    val bySeg = Window.partitionBy(col("label"), col("seg"))
+      .orderBy(col("dist2").desc, col("vec_id"))
+    seg.join(broadcast(offs), Seq("label", "seg"))
+      .withColumn("rnk", (col("off") + row_number().over(bySeg)).cast("long"))
+      .withColumn("kept",
+        (col("rnk") <= expr(s"($ProtoKeepPct * n + 99) div 100")).cast("long"))
+      .select(col("vec_id"), col("label"), col("dist2"), col("rnk"), col("kept"))
+      .orderBy(col("vec_id"))
   }
 }

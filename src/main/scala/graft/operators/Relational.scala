@@ -974,6 +974,47 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q45_gap_fill — IGNORE-NULLS window navigation (the analytic
+    * feature the window pack hadn't exercised: every other window
+    * here aggregates or ranks; none carries a SPARSE observation
+    * forward). Per user, a "reading" exists only on purchase/signup
+    * events; every event row is annotated with the most recent
+    * reading so far (`last(reading, ignoreNulls = true)` over a
+    * running ROWS frame — forward fill / LOCF, the gap-repair step
+    * every telemetry pipeline runs before resampling) plus the
+    * running count of readings seen. Reference analog: the
+    * windowed-state carry of /root/reference/src/flink_job.py:104-122
+    * expressed as a batch analytic.
+    *
+    * Determinism: the frame orders by (ts, event_id) — event_id is
+    * unique, so the ordering is a total order and the filled value is
+    * exact on both engines. The filled double is COPIED, never
+    * computed, so float bit-exactness is free; the -1.0 sentinel
+    * replaces leading nulls so the hash compare never sees
+    * engine-specific null ordering. Scale: ONE user-partitioned
+    * window — user_id is the high-cardinality key (the same shape as
+    * q17_running), so parallelism grows with users and no partition
+    * outgrows a user's own history.
+    */
+  def q45(spark: SparkSession, dir: String): DataFrame =
+    q45On(Tables(spark, dir).events)
+
+  private[graft] def q45On(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type").isin("purchase", "signup"), col("value"))
+          .as("reading"))
+      .withColumn("filled",
+        coalesce(last(col("reading"), ignoreNulls = true).over(w), lit(-1.0))
+          .cast("double"))
+      .withColumn("readings_seen", count(col("reading")).over(w).cast("long"))
+      .select(col("user_id"), col("event_id"), col("filled"),
+        col("readings_seen"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Percentile ranks (ppm) reported by [[exactPctl]]. */
   val PctlPpms: Seq[Long] = Seq(500000L, 900000L, 990000L)
 

@@ -177,4 +177,44 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.map(_._3).sliding(2).forall(w => w(1) <= w(0)))
     assert(got.map(_._2).distinct.size == got.size, "a center repeated")
   }
+
+  test("proto_prune equals the serial integer twin; keep law holds per cluster") {
+    import operators.Clustering.{ProtoKeepPct, ProtoLattice}
+    val got = operators.Clustering.protoPrune(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // serial twin: same lattice, same truncating centroid mean
+    val raw = Tables(spark, sf).embeddings
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toArray.map(x => math.floor(x * ProtoLattice + 0.5).toLong)))
+    val expected = raw.groupBy(_._2).toSeq.flatMap { case (label, members) =>
+      val n = members.length.toLong
+      val dims = members.head._3.length
+      val cent = Array.tabulate(dims) { d =>
+        members.map(_._3(d)).sum / n // Scala / on Long truncates, same as div
+      }
+      val keepN = (ProtoKeepPct * n + 99) / 100
+      members.map { case (id, _, q) =>
+        val dist2 = q.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
+        (id, dist2)
+      }.sortBy { case (id, d2) => (-d2, id) }.zipWithIndex.map {
+        case ((id, d2), i) =>
+          (id, label, d2, i + 1L, if (i + 1L <= keepN) 1L else 0L)
+      }
+    }.sortBy(_._1)
+    assert(got == expected, "proto_prune diverges from the serial twin")
+    // keep law: each cluster retains exactly ceil(pct·n/100) members
+    got.groupBy(_._2).foreach { case (label, g) =>
+      val kept = g.count(_._5 == 1L)
+      assert(kept == (ProtoKeepPct * g.size + 99) / 100, s"label $label kept $kept")
+      // and the kept members are exactly the FARTHEST ones
+      assert(g.filter(_._5 == 1L).map(_._4).max <= g.filter(_._5 == 0L)
+        .map(_._4).minOption.getOrElse(Long.MaxValue))
+    }
+  }
 }

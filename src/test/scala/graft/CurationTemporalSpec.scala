@@ -235,4 +235,38 @@ class CurationTemporalSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("doc_id", "score", "n_words"))
     assert(out.count() == 0L)
   }
+
+  test("q45_gap_fill: LOCF carries the last reading, -1 before the first, counts run") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1: view (no reading), purchase 5.0, click, signup 7.0, view
+    // user 2: clicks only — never a reading, all filled = -1
+    val ev = Seq(
+      (1L, ts(10), 1L, "view", 9.9), (2L, ts(20), 1L, "purchase", 5.0),
+      (3L, ts(30), 1L, "click", 8.8), (4L, ts(40), 1L, "signup", 7.0),
+      (5L, ts(50), 1L, "view", 6.6),
+      (6L, ts(10), 2L, "click", 1.1), (7L, ts(20), 2L, "error", 2.2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = operators.Relational.q45On(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 1L, -1.0, 0L), (1L, 2L, 5.0, 1L), (1L, 3L, 5.0, 1L),
+      (1L, 4L, 7.0, 2L), (1L, 5L, 7.0, 2L),
+      (2L, 6L, -1.0, 0L), (2L, 7L, -1.0, 0L)))
+  }
+
+  test("q45_gap_fill: equal timestamps break ties by event_id (total order)") {
+    import spark.implicits._
+    val t = new java.sql.Timestamp(1000L)
+    val ev = Seq(
+      (2L, t, 1L, "purchase", 2.0), (1L, t, 1L, "purchase", 1.0),
+      (3L, t, 1L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = operators.Relational.q45On(ev)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // frame order is (ts, event_id): id 1 sees its own 1.0, id 2 the
+    // later 2.0, id 3 carries 2.0 — regardless of input row order
+    assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 2.0)))
+  }
 }

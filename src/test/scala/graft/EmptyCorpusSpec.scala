@@ -69,7 +69,9 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "mix_budget" -> (d => operators.Curation.mixBudgetOn(d)),
     "mix_temperature" -> (d => operators.Curation.mixTemperatureOn(d)),
     "shard_balance" -> (d => operators.Curation.shardBalanceOn(d)),
-    "dedup_containment" -> (d => operators.Text.containmentOn(d))
+    "dedup_containment" -> (d => operators.Text.containmentOn(d)),
+    "url_filter" -> (d => operators.Text.urlFilterOn(d)),
+    "tok_fertility" -> (d => operators.Text.tokFertilityOn(d))
   )
 
   for ((name, op) <- ops)
@@ -170,5 +172,13 @@ class EmptyCorpusSpec extends AnyFunSuite {
       .toDF("event_id", "ts", "user_id", "event_type", "value")
     assert(operators.Temporal.tsSeasonalOn(empty).count() == 0L)
     assert(operators.Relational.q44On(empty).count() == 0L)
+    assert(operators.Relational.q45On(empty).count() == 0L)
+  }
+
+  test("proto_prune survives an empty labeled-embedding table") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(operators.Clustering.protoPruneOn(empty).count() == 0L)
   }
 }

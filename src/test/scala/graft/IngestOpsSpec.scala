@@ -280,4 +280,69 @@ class IngestOpsSpec extends AnyFunSuite {
       assert(mu == 0L || mu == 1L)
     }
   }
+
+  test("url_filter: verdict and penalty equal the serial URL-shape twin") {
+    import java.security.MessageDigest
+    def hash60(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val srcOf = Tables(spark, sf).documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = operators.Text.urlFilter(spark, sf).collect()
+    assert(rows.length == srcOf.size)
+    var seen = Set.empty[String]
+    rows.foreach { r =>
+      val (id, host) = (r.getAs[Long]("doc_id"), r.getAs[String]("host"))
+      val url = {
+        val head = if (id % 4 == 0) s"HTTP://Www.${srcOf(id)}.EXAMPLE.com:80"
+        else s"HTTPS://WWW.${srcOf(id)}.Example.COM:443"
+        head + s"/News/Item-${id % 13}" + (if (id % 3 == 0) "/" else "") +
+          s"?id=${id % 13}" + (if (id % 5 != 0) "&utm_source=rss&fbclid=x1Y2" else "") +
+          (if (id % 2 == 0) "#top" else "")
+      }
+      assert(host == s"${srcOf(id)}.example.com".toLowerCase(java.util.Locale.ROOT))
+      val penalty = (if (url.contains("utm_") || url.contains("fbclid")) 2 else 0) +
+        (if (url.contains("#")) 1 else 0) +
+        (if (url.contains("/?")) 1 else 0) +
+        (if ((id % 13) >= 10) 1 else 0)
+      assert(r.getAs[Long]("penalty") == penalty, s"doc $id penalty")
+      val expected = if (hash60("blk:" + host) % 5 == 0) "blocked"
+      else if (penalty >= 3) "flagged" else "pass"
+      assert(r.getAs[String]("verdict") == expected, s"doc $id verdict")
+      seen += r.getAs[String]("verdict")
+    }
+    // the fixture reaches all three outcomes at this sf
+    assert(seen == Set("blocked", "flagged", "pass"), s"outcomes seen: $seen")
+  }
+
+  test("tok_fertility: per-source totals and ppm ratios equal the per-doc recompute") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf).documents
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rows = operators.Text.tokFertility(spark, sf).collect()
+    val bySource = docs.groupBy(_._1)
+    assert(rows.length == bySource.size)
+    rows.foreach { r =>
+      val g = bySource(r.getAs[String]("source"))
+      val words = g.map(_._2.trim.split("\\s+").length.toLong).sum
+      val toks = g.map(d =>
+        "[a-z]+|[0-9]+|[^a-z0-9 ]".r.findAllIn(d._2).length.toLong).sum
+      val chars = g.map(_._2.length.toLong).sum
+      val types = g.flatMap(_._2.toLowerCase(java.util.Locale.ROOT)
+        .trim.replaceAll("\\s+", " ").split(" ")).filter(_.nonEmpty).distinct.length.toLong
+      assert(r.getAs[Long]("n_docs") == g.length.toLong)
+      assert(r.getAs[Long]("words") == words)
+      assert(r.getAs[Long]("toks") == toks)
+      assert(r.getAs[Long]("chars") == chars)
+      assert(r.getAs[Long]("fertility_ppm") == toks * 1000000L / words)
+      assert(r.getAs[Long]("chars_per_tok_ppm") == chars * 1000000L / toks)
+      assert(r.getAs[Long]("ttr_ppm") == types * 1000000L / words)
+    }
+  }
 }
