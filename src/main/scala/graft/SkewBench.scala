@@ -48,7 +48,13 @@ object SkewBench {
     // round 9: the collapse-guarded video matcher, the pair-graph
     // consumers, and the signature-banding tuner all claim the
     // duplicate-mass guard in their scaladocs — measure it
-    "mm_video_dedup", "split_leak", "cluster_stats", "lsh_tune")
+    "mm_video_dedup", "split_leak", "cluster_stats", "lsh_tune",
+    // round 9 session 4: the bounded-key-window escapees — the skew
+    // corpus collapses their partition keys to ONE value (every
+    // vector one label, every order one priority, every doc one
+    // lang), the exact shape Window.partitionBy(key) dies on; the
+    // two-level rank / bounded-heap designs must land ratio ≈ 1
+    "proto_prune", "q41_rank_funcs", "dsir_select")
 
   private val AllTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -136,7 +142,19 @@ object SkewBench {
         java.nio.file.Paths.get(s"$baseDir/$t.parquet").toAbsolutePath)
     }
     link(uniformDir, AllTables.filterNot(_ == "documents"))
-    link(skewDir, AllTables.filterNot(Seq("documents", "lineitem", "events").contains))
+    link(skewDir, AllTables.filterNot(
+      Seq("documents", "lineitem", "events", "embeddings", "orders").contains))
+
+    // bounded-key collapse pathologies: every vector one label
+    // (proto_prune's rank key), every order one priority (q41's),
+    // documents' lang collapses below (dsir_select's) — each the
+    // worst case for a Window.partitionBy(key) plan
+    spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .withColumn("label", lit(0).cast("int"))
+      .write.mode("overwrite").parquet(s"$skewDir/embeddings.parquet")
+    spark.read.parquet(s"$baseDir/orders.parquet")
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$skewDir/orders.parquet")
 
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     // 100 even hosts — the spreadable-key baseline
@@ -151,7 +169,7 @@ object SkewBench {
       .head().getString(0)
     docs.select(col("doc_id"),
         when(col("doc_id") % 10 === 3, lit(hotText)).otherwise(col("text")).as("text"),
-        col("lang"),
+        lit("xx").as("lang"), // ONE lang: dsir_select's collapsed key
         when(col("doc_id") % 10 < 3, lit("hotdomain")).otherwise(spread).as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")

@@ -361,11 +361,6 @@ object Clustering {
     */
   val ProtoKeepPct = 70
 
-  /** Distance segments per label for [[protoPrune]]'s two-level
-    * rank (the exact_pctl segmentation constant class).
-    */
-  val ProtoSegments = 64L
-
   /** proto_prune — prototypicality pruning (the "SSL prototypes"
     * selection rule from the Beyond-Neural-Scaling-Laws line of
     * work): rank every vector by its distance to its cluster
@@ -390,18 +385,12 @@ object Clustering {
     * sum (map-side combine collapses n×d rows to |labels|×d before
     * the shuffle), centroids re-assembled per label and BROADCAST
     * back, then a map-side zip-fold distance. The per-label rank is
-    * a TWO-LEVEL split, never `Window.partitionBy(label)` alone —
-    * label cardinality is a property of the upstream clustering, and
-    * a coarse labeling would put corpus/|labels| rows on single
-    * tasks (the shard_balance bounded-key hazard): each label's
-    * dist² range splits into [[ProtoSegments]] order-contiguous
-    * value segments; per-(label, segment) totals roll to exclusive
-    * offsets via a window over ≤ ProtoSegments rows per label
-    * (bounded by the CONSTANT); within-(label, segment) row_number +
-    * offset = the exact global rank. Same degenerate-clustering
-    * caveat and sampled-boundary swap as exact_pctl. The distance
-    * card (3 longs/row) materializes once for its two consumers
-    * (bounds pass, rank pass).
+    * [[graft.plans.TwoLevelRank]], never `Window.partitionBy(label)`
+    * alone — label cardinality is a property of the upstream
+    * clustering, and a coarse labeling would put corpus/|labels|
+    * rows on single tasks (the shard_balance bounded-key hazard).
+    * The distance card (3 longs/row) materializes once inside the
+    * helper for its two consumers (range pass, rank pass).
     */
   def protoPrune(spark: SparkSession, dir: String): DataFrame =
     protoPruneOn(Tables(spark, dir).embeddings)
@@ -430,29 +419,9 @@ object Clustering {
       .withColumn("dist2",
         expr("aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
       .select(col("vec_id"), col("label"), col("n"), col("dist2"))
-      .materialized
-    // level 2: per-label dist² ranges → order-contiguous value
-    // segments (descending: seg 0 holds the FARTHEST vectors);
-    // (label, seg) totals fold to exclusive offsets over ≤
-    // ProtoSegments rows per label
-    val ranges = dist.groupBy(col("label"))
-      .agg(min(col("dist2")).as("lo"), max(col("dist2")).as("hi"))
-      .withColumn("span",
-        greatest(lit(1L), expr(s"(hi - lo) div $ProtoSegments") + 1))
-      .select(col("label"), col("hi"), col("span"))
-    val seg = dist.join(broadcast(ranges), "label")
-      .withColumn("seg", expr("(hi - dist2) div span"))
-    val offs = seg.groupBy(col("label"), col("seg"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("off", coalesce(sum(col("cnt")).over(
-        Window.partitionBy(col("label")).orderBy(col("seg"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("label"), col("seg"), col("off"))
-    // level 1: local rank within (label, segment), spliced by offset
-    val bySeg = Window.partitionBy(col("label"), col("seg"))
-      .orderBy(col("dist2").desc, col("vec_id"))
-    seg.join(broadcast(offs), Seq("label", "seg"))
-      .withColumn("rnk", (col("off") + row_number().over(bySeg)).cast("long"))
+    graft.plans.TwoLevelRank.rowNumberPerKey(dist,
+        keys = Seq("label"), value = "dist2",
+        descending = true, ties = Seq("vec_id"), out = "rnk")
       .withColumn("kept",
         (col("rnk") <= expr(s"($ProtoKeepPct * n + 99) div 100")).cast("long"))
       .select(col("vec_id"), col("label"), col("dist2"), col("rnk"), col("kept"))

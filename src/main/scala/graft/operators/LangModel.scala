@@ -330,8 +330,11 @@ object LangModel {
     *
     * Scale shape: both count tables aggregate down to ≤
     * [[DsirBuckets]] rows (constant metadata); scoring is one
-    * equi-join on the bucket id with fan-out 1; selection is a
-    * row_number over a lang-PARTITIONED window — never a global sort.
+    * equi-join on the bucket id with fan-out 1; selection is the
+    * [[graft.plans.TopK]] bounded-heap operator (map-side collapse
+    * to ≤ [[DsirQuota]] rows per lang) + a doc_id membership join —
+    * never a corpus-sized lang-partitioned window, lang cardinality
+    * being semantic.
     * The ×10⁶ numerator is DECIMAL(38,0)-promoted like [[lmScore]].
     * Docs with fewer than 2 words have no features and are out of
     * scope on both engines.
@@ -362,11 +365,23 @@ object LangModel {
       .agg(count(lit(1)).as("n_grams"), sum(col("r_ppm")).as("sum_ppm"))
       .select(col("doc_id"), col("lang"), col("n_grams"),
         expr("sum_ppm div n_grams").as("dsir_ppm"))
-    val byLang = Window.partitionBy(col("lang"))
-      .orderBy(col("dsir_ppm").desc, col("doc_id"))
-    weighted
-      .withColumn("selected",
-        (row_number().over(byLang) <= DsirQuota).cast("long"))
+    // selection flag via the engine's own TopKPerKey (bounded
+    // per-key heaps), NOT row_number over Window.partitionBy(lang):
+    // lang cardinality is semantic (a handful of languages), so the
+    // window form would put corpus/|langs| rows on single tasks —
+    // the shard_balance bounded-key hazard. The heap pass collapses
+    // map-side to ≤ DsirQuota rows per lang; membership joins back
+    // on the unique doc_id.
+    val top = graft.plans.TopK.topKPerKey(
+        weighted.select(col("doc_id"), col("lang"), col("dsir_ppm")),
+        keys = Seq(col("lang")),
+        order = Seq(col("dsir_ppm").desc, col("doc_id").asc),
+        k = DsirQuota)
+      .select(col("doc_id"), lit(1L).as("sel"))
+    weighted.join(top, Seq("doc_id"), "left")
+      .withColumn("selected", coalesce(col("sel"), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        col("dsir_ppm"), col("selected"))
       .orderBy(col("doc_id"))
   }
 }

@@ -887,18 +887,48 @@ object Relational {
     * ((price, orderkey) — key-unique, so every rank function is
     * deterministic and percent_rank/cume_dist are pure IEEE
     * divisions both engines compute identically; the 1e-9-shifted
-    * round-6 lattice guards the hash). One partitioned window —
-    * |priority classes|-way parallel, never a global sort.
+    * round-6 lattice guards the hash).
+    *
+    * NOT `Window.partitionBy(o_orderpriority)`: priority cardinality
+    * is fixed at 5 by the schema's semantics, so the native window
+    * form puts corpus/5 rows on single tasks — the shard_balance
+    * bounded-key hazard, here since round 7. The rank instead comes
+    * from [[graft.plans.TwoLevelRank]] over the exact decimal-cents
+    * lattice (a monotone image of the 2-decimal price, so the order
+    * is the oracle's ORDER BY o_totalprice), and each native
+    * function re-derives from (rnk, n) in closed form — legal
+    * BECAUSE the order is tie-free: dense_rank = row_number;
+    * percent_rank = (rnk−1)/(n−1) and cume_dist = rnk/n are the
+    * definitions both engines evaluate as the same IEEE division of
+    * the same integers; ntile's first (n mod 4) buckets take the
+    * extra row (both engines' documented fill rule). The DuckDB
+    * oracle still runs the NATIVE window functions — the closed
+    * forms are verified against the real thing, not against
+    * themselves.
     */
   def q41(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables(spark, dir).orders
+    val base = Tables(spark, dir).orders
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rnk", dense_rank().over(w).cast("long"))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .withColumn("pct_rank", round(percent_rank().over(w) + lit(1e-9), 6))
-      .withColumn("cume", round(cume_dist().over(w) + lit(1e-9), 6))
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val ranked = graft.plans.TwoLevelRank.rowNumberPerKey(base,
+      keys = Seq("o_orderpriority"), value = "cents",
+      descending = false, ties = Seq("o_orderkey"), out = "rnk")
+    val n = ranked.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(n), "o_orderpriority")
+      .withColumn("quartile",
+        expr("""CASE WHEN rnk <= (n div 4 + 1) * (n % 4)
+               |  THEN (rnk - 1) div (n div 4 + 1) + 1
+               |  ELSE n % 4 + (rnk - (n div 4 + 1) * (n % 4) - 1) div (n div 4) + 1
+               |END""".stripMargin).cast("long"))
+      .withColumn("pct_rank",
+        round(when(col("n") === 1L, lit(0.0)).otherwise(
+          (col("rnk") - 1L).cast("double") / (col("n") - 1L).cast("double"))
+          + lit(1e-9), 6))
+      .withColumn("cume",
+        round(col("rnk").cast("double") / col("n").cast("double") + lit(1e-9), 6))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("rnk"), col("quartile"), col("pct_rank"), col("cume"))
       .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
   }
 
