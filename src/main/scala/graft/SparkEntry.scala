@@ -174,7 +174,10 @@ object SparkEntry {
     "q45_gap_fill"      -> (Relational.q45 _),
     "proto_prune"       -> (Clustering.protoPrune _),
     "url_filter"        -> (Text.urlFilter _),
-    "tok_fertility"     -> (Text.tokFertility _)
+    "tok_fertility"     -> (Text.tokFertility _),
+    "quality_calib"     -> (Text.qualityCalib _),
+    "ann_incremental"   -> ((s, d) => SimilaritySearch.annIncremental(s, d)),
+    "ts_gaps"           -> (Temporal.tsGaps _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money
@@ -3400,6 +3403,65 @@ object SparkEntry {
         |    ELSE 'pass' END AS verdict
         |FROM v
         |ORDER BY doc_id""".stripMargin,
+
+    // the quality_score chain and the gopher keep chain verbatim
+    // (both oracle-green on their own), joined on doc_id; decile =
+    // floor(score*10) on the SAME rounded double both engines hash
+    "quality_calib" -> {
+      import operators.Text._
+      val en = profiles.head._2
+      val stopArr = en.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        |f AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_words FROM e),
+        |sc AS (SELECT doc_id,
+        |    ROUND(least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 +
+        |      least(1.0, ROUND(CAST(${hitsSql(en)} AS DOUBLE) / n_words + 1e-9, 4)
+        |        * 5.0) * 0.5 + 1e-9, 4) AS score
+        |  FROM f),
+        |g AS (SELECT doc_id, n_words, list_distinct(w) AS wd, w FROM f),
+        |h AS (SELECT doc_id, n_words,
+        |    ROUND(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+        |      / n_words + 1e-9, 4) AS mean_word_len,
+        |    ROUND(CAST(list_max(list_transform(wd,
+        |        x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
+        |      / n_words + 1e-9, 4) AS top_word_frac,
+        |    CAST(len(list_filter(wd, x -> list_contains($stopArr, x))) AS BIGINT)
+        |      AS n_stop_distinct,
+        |    ROUND(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |        AS DOUBLE) / n_words + 1e-9, 4) AS alpha_frac
+        |  FROM g),
+        |r AS (SELECT doc_id,
+        |    CAST(n_words >= $GopherMinWords AND n_words <= $GopherMaxWords AS BIGINT)
+        |    * CAST(mean_word_len >= $GopherMinWordLen AND mean_word_len <= $GopherMaxWordLen AS BIGINT)
+        |    * CAST(top_word_frac <= $GopherMaxTopFrac AS BIGINT)
+        |    * CAST(n_stop_distinct >= $GopherMinStopHits AS BIGINT)
+        |    * CAST(alpha_frac >= $GopherMinAlphaFrac AS BIGINT) AS keep
+        |  FROM h),
+        |d AS (SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS decile, keep
+        |  FROM sc JOIN r USING (doc_id))
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(keep) AS BIGINT) AS n_keep,
+        |  CAST(SUM(keep) * 1000000 // COUNT(*) AS BIGINT) AS keep_ppm
+        |FROM d GROUP BY 1
+        |ORDER BY decile""".stripMargin
+    },
+
+    // epoch-ms integers, strict > at the threshold; both engines
+    // truncate the sub-ms residue identically
+    "ts_gaps" -> {
+      val t = operators.Temporal.GapThresholdMs
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS t_ms FROM events),
+        |l AS (
+        |  SELECT user_id, t_ms,
+        |    LEAD(t_ms) OVER (PARTITION BY user_id ORDER BY t_ms, event_id) AS next_ms
+        |  FROM e)
+        |SELECT user_id, t_ms AS gap_start_ms, next_ms AS gap_end_ms,
+        |  next_ms - t_ms AS gap_ms
+        |FROM l
+        |WHERE next_ms IS NOT NULL AND next_ms - t_ms > $t
+        |ORDER BY user_id, gap_start_ms, gap_end_ms""".stripMargin
+    },
 
     // token_count's per-doc counters re-aggregated per source; ppm
     // ratios on positive integers — identical truncation both engines

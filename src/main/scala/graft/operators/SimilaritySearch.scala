@@ -624,4 +624,69 @@ object SimilaritySearch {
             .as("worst_recall_ppm"))
     }.reduce(_ unionAll _).orderBy(col("method"))
   }
+
+  /** ann_incremental — incremental IVF index maintenance (the vector
+    * analog of dedup_incremental: yesterday's index absorbs today's
+    * batch WITHOUT retraining): the centroids train on the OLD
+    * snapshot only (vec_id % 5 ≠ 4 — the same stride sample + Lloyd
+    * as ann_ivf's trained quantizer), the NEW batch (vec_id % 5 = 4)
+    * assigns map-side against those frozen centroids, and the card
+    * reports per cell the old size, the new arrivals, the growth
+    * ppm, and a rebalance flag where a cell grows at more than twice
+    * the corpus-wide arrival rate — the signal that a re-train or
+    * cell split is due. This is the maintenance loop a production
+    * ANN index runs daily; retraining on every batch is the O(n)
+    * mistake this operator exists to avoid.
+    *
+    * Scale: centroid training is the ann_ivf driver-capped path
+    * (≤ [[MaxCentroids]] stride rows collected, Lloyd over
+    * broadcast-sized state); both assignments are map-side
+    * [[graft.functions.VectorFunctions.nearestCentroids]] scans; the
+    * card is two cell-keyed counts full-outer-joined (≤ MaxCentroids
+    * rows each). The corpus-wide rate is two scalars computed at
+    * construction (the shardBalance bounds class) — never a 1-row
+    * cross join in the final plan. Rows-only (float assignment has
+    * no cross-engine lattice); DedupAnnSpec pins the laws.
+    */
+  def annIncremental(spark: SparkSession, dir: String): DataFrame =
+    annIncrementalOn(embDouble(spark, dir))
+
+  private[graft] def annIncrementalOn(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val old = emb.filter(col("vec_id") % 5 =!= 4 && col("v").isNotNull)
+    val neu = emb.filter(col("vec_id") % 5 === 4 && col("v").isNotNull)
+    val cents = old
+      .filter(col("vec_id") % 50 === 7 &&
+        col("vec_id") < lit(7L + 50L * MaxCentroids))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    if (cents.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("cid", "old_n", "new_n", "growth_ppm", "rebalance")
+    }
+    val cids: Seq[Long] = cents.map(_._1).toSeq
+    val cvecs = Clustering.kmeansRefine(old, cents.map(_._2).toSeq,
+      Clustering.KmeansIters)
+    def cellOf(df: DataFrame): DataFrame =
+      df.withColumn("cid",
+        element_at(nearestCentroids(col("v"), cids, cvecs, 1), 1))
+    val oldN = cellOf(old).groupBy(col("cid")).agg(count(lit(1)).as("old_n"))
+    val newN = cellOf(neu).groupBy(col("cid")).agg(count(lit(1)).as("new_n"))
+    val tot = emb.agg(
+      sum(when(col("vec_id") % 5 =!= 4 && col("v").isNotNull, 1L).otherwise(0L)),
+      sum(when(col("vec_id") % 5 === 4 && col("v").isNotNull, 1L).otherwise(0L)))
+      .head()
+    val overallPpm =
+      if (tot.getLong(0) > 0) tot.getLong(1) * 1000000L / tot.getLong(0) else 0L
+    oldN.join(newN, Seq("cid"), "full")
+      .select(col("cid"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"))
+      .withColumn("growth_ppm", expr("new_n * 1000000 div greatest(old_n, 1L)"))
+      .withColumn("rebalance",
+        (col("growth_ppm") > lit(2L * overallPpm)).cast("long"))
+      .orderBy(col("cid"))
+  }
 }

@@ -221,4 +221,38 @@ object Temporal {
         (abs(col("resid_cents")) > col("mad_cents") * 2).cast("long").as("flagged"))
       .orderBy(col("event_id"))
   }
+
+  /** Silence threshold for [[tsGaps]] (~28 h on the event lattice —
+    * above the fixture's p99 inter-event delta, so a gap is a
+    * finding, not noise; a deployment tunes this to its SLA).
+    */
+  val GapThresholdMs = 100000000L
+
+  /** ts_gaps — missing-data interval DETECTION (the complement of
+    * q45_gap_fill, which repairs: a telemetry pipeline first lists
+    * where the silences are, then decides fill/resample/alert): per
+    * user, every inter-event silence longer than [[GapThresholdMs]],
+    * as (gap_start_ms, gap_end_ms, gap_ms). Epoch-millisecond
+    * integers end to end (both engines truncate the sub-ms residue
+    * the same way), strict `>` at the threshold so the boundary is
+    * lattice-exact. One user-partitioned LEAD window over a
+    * (ts, event_id) total order — the q17_running high-cardinality
+    * shape; output is bounded by the true gap count.
+    */
+  def tsGaps(spark: SparkSession, dir: String): DataFrame =
+    tsGapsOn(Tables(spark, dir).events)
+
+  private[graft] def tsGapsOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), col("ts"),
+        expr("unix_micros(ts) div 1000").as("t_ms"))
+      .withColumn("next_ms", lead(col("t_ms"), 1).over(w))
+      .filter(col("next_ms").isNotNull &&
+        col("next_ms") - col("t_ms") > GapThresholdMs)
+      .select(col("user_id"), col("t_ms").as("gap_start_ms"),
+        col("next_ms").as("gap_end_ms"),
+        (col("next_ms") - col("t_ms")).as("gap_ms"))
+      .orderBy(col("user_id"), col("gap_start_ms"), col("gap_end_ms"))
+  }
 }

@@ -269,4 +269,21 @@ class CurationTemporalSpec extends AnyFunSuite {
     // later 2.0, id 3 carries 2.0 — regardless of input row order
     assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 2.0)))
   }
+
+  test("ts_gaps: strict-threshold silences per user, boundary excluded") {
+    import spark.implicits._
+    import operators.Temporal.GapThresholdMs
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // user 1: gap exactly AT threshold (excluded), one past it
+    // (included); user 2: dense, no gaps
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 0.0),
+      (2L, ts(GapThresholdMs), 1L, "view", 0.0),           // Δ = T: out
+      (3L, ts(2 * GapThresholdMs + 1), 1L, "view", 0.0),   // Δ = T+1: in
+      (4L, ts(1000), 2L, "view", 0.0), (5L, ts(2000), 2L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = operators.Temporal.tsGapsOn(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, GapThresholdMs, 2 * GapThresholdMs + 1, GapThresholdMs + 1)))
+  }
 }

@@ -609,4 +609,32 @@ class DedupAnnSpec extends AnyFunSuite {
     val cold = operators.Dedup.dedupEval(spark, sf).collect().map(_.toSeq).toSeq
     assert(warm == cold, "warm artifact card diverged from cold rebuild")
   }
+
+  test("ann_incremental: partition laws, frozen-centroid cells, growth arithmetic") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val nOld = emb.filter(col("vec_id") % 5 =!= 4 && col("v").isNotNull).count()
+    val nNew = emb.filter(col("vec_id") % 5 === 4 && col("v").isNotNull).count()
+    val card = operators.SimilaritySearch.annIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every vector (old and new) lands in exactly one cell
+    assert(card.map(_._2).sum == nOld, "old batch not partitioned")
+    assert(card.map(_._3).sum == nNew, "new batch not partitioned")
+    // cells are the FROZEN old-snapshot stride centroids — never a
+    // centroid trained on (or named after) a new-batch vector
+    card.foreach { case (cid, o, n, g, rb) =>
+      assert(cid % 50 == 7 && cid % 5 != 4, s"cell $cid not an old-stride centroid")
+      assert(g == n * 1000000L / math.max(o, 1L), s"growth law broken at $cid")
+      assert(rb == 0L || rb == 1L)
+    }
+    val overall = nNew * 1000000L / nOld
+    card.foreach { case (cid, _, _, g, rb) =>
+      assert((rb == 1L) == (g > 2L * overall), s"rebalance flag law at $cid")
+    }
+    // deterministic: a second run is bit-identical
+    val again = operators.SimilaritySearch.annIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(card.toSeq == again.toSeq)
+  }
 }

@@ -71,7 +71,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "shard_balance" -> (d => operators.Curation.shardBalanceOn(d)),
     "dedup_containment" -> (d => operators.Text.containmentOn(d)),
     "url_filter" -> (d => operators.Text.urlFilterOn(d)),
-    "tok_fertility" -> (d => operators.Text.tokFertilityOn(d))
+    "tok_fertility" -> (d => operators.Text.tokFertilityOn(d)),
+    "quality_calib" -> (d => operators.Text.qualityCalibOn(d))
   )
 
   for ((name, op) <- ops)
@@ -123,7 +124,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "ann_ivf_pq" -> (e => operators.SimilaritySearch.annIvfPqOn(e, 10, 4, 4)),
     "vec_quant" -> (e => operators.SimilaritySearch.vecQuantOn(e)),
     "pq_codes" -> (e => operators.SimilaritySearch.pqCodesOn(e)),
-    "dedup_embedding" -> (e => operators.Dedup.embeddingOn(e))
+    "dedup_embedding" -> (e => operators.Dedup.embeddingOn(e)),
+    "ann_incremental" -> (e => operators.SimilaritySearch.annIncrementalOn(e))
   )
 
   for ((name, op) <- vecOps)
@@ -173,6 +175,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
     assert(operators.Temporal.tsSeasonalOn(empty).count() == 0L)
     assert(operators.Relational.q44On(empty).count() == 0L)
     assert(operators.Relational.q45On(empty).count() == 0L)
+    assert(operators.Temporal.tsGapsOn(empty).count() == 0L)
   }
 
   test("proto_prune survives an empty labeled-embedding table") {

@@ -66,4 +66,27 @@ class QualitySpec extends AnyFunSuite {
     val len = rows(("len", "b1"))
     assert(len._2 == len._3 && len._4 == 0L, s"stable bucket not quiet: $len")
   }
+
+  test("quality_calib: card is consistent with the two registered quality operators") {
+    val sf = "/root/testdata/sf0.001"
+    val card = operators.Text.qualityCalib(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val scores = operators.Text.qualityScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val keeps = operators.Text.gopherQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep")).toMap
+    // partition law: every doc lands in exactly one decile row
+    assert(card.map(_._2).sum == scores.size)
+    assert(card.map(_._3).sum == keeps.values.sum)
+    // per-decile recompute from the registered operators' own outputs
+    val expected = scores.toSeq.map { case (id, s) =>
+      (math.min(math.floor(s * 10).toLong, 9L), keeps(id))
+    }.groupBy(_._1).map { case (d, g) =>
+      (d, g.size.toLong, g.map(_._2).sum, g.map(_._2).sum * 1000000L / g.size)
+    }.toSeq.sortBy(_._1)
+    assert(card.toSeq == expected, "card diverges from the per-doc recompute")
+    card.foreach { case (d, n, k, ppm) =>
+      assert(d >= 0 && d <= 9 && k <= n && ppm <= 1000000L)
+    }
+  }
 }
