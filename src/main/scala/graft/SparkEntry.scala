@@ -177,7 +177,8 @@ object SparkEntry {
     "tok_fertility"     -> (Text.tokFertility _),
     "quality_calib"     -> (Text.qualityCalib _),
     "ann_incremental"   -> ((s, d) => SimilaritySearch.annIncremental(s, d)),
-    "ts_gaps"           -> (Temporal.tsGaps _)
+    "ts_gaps"           -> (Temporal.tsGaps _),
+    "comp_ratio"        -> (Text.compRatio _)
   )
 
   // Shared SQL fragments for the DuckDB oracle (exact-decimal money

@@ -72,7 +72,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "dedup_containment" -> (d => operators.Text.containmentOn(d)),
     "url_filter" -> (d => operators.Text.urlFilterOn(d)),
     "tok_fertility" -> (d => operators.Text.tokFertilityOn(d)),
-    "quality_calib" -> (d => operators.Text.qualityCalibOn(d))
+    "quality_calib" -> (d => operators.Text.qualityCalibOn(d)),
+    "comp_ratio" -> (d => operators.Text.compRatioOn(d))
   )
 
   for ((name, op) <- ops)

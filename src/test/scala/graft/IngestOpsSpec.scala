@@ -345,4 +345,46 @@ class IngestOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("ttr_ppm") == types * 1000000L / words)
     }
   }
+
+  /** Independent raw-deflate length at the kernel's settings. */
+  private def refDeflate(text: String): Long = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(text.getBytes("UTF-8")); d.finish()
+    val b = new Array[Byte](1 << 16)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(b)
+    d.end(); n
+  }
+
+  test("comp_ratio: every row equals the independent zip recompute; laws hold") {
+    import org.apache.spark.sql.functions.col
+    val texts = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = operators.Text.compRatio(spark, sf).collect()
+    assert(rows.length == texts.count(_._2.getBytes("UTF-8").nonEmpty))
+    rows.foreach { r =>
+      val (id, raw, comp, ppm, rep) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(raw == texts(id).getBytes("UTF-8").length.toLong)
+      assert(comp == refDeflate(texts(id)), s"doc $id deflate length")
+      assert(ppm == comp * 1000000L / raw)
+      assert(rep == (if (ppm < operators.Text.CompRepetitiveppm) 1L else 0L))
+    }
+  }
+
+  test("comp_ratio: planted repetition collapses, high-entropy text does not") {
+    import spark.implicits._
+    val repeat = Array.fill(200)("the same line again").mkString("\n")
+    val entropy = (1 to 400).map(i =>
+      java.util.UUID.nameUUIDFromBytes(Array(i.toByte, (i >> 8).toByte))
+        .toString).mkString(" ")
+    val docs = Seq((1L, repeat), (2L, entropy)).toDF("doc_id", "text")
+    val got = operators.Text.compRatioOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L)._2 == 1L, s"repetitive doc not flagged: ${got(1L)}")
+    assert(got(2L)._2 == 0L, s"high-entropy doc misflagged: ${got(2L)}")
+    assert(got(1L)._1 < got(2L)._1)
+  }
 }
