@@ -24,8 +24,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String, dir: String): Double = {
-      spark.catalog.clearCache() // isolate: cached shingle/sig RDDs
-      val t0 = System.nanoTime() //  from earlier queries distort GC
+      // isolate every pass: drop memoized artifacts (pair sets, LM
+      // scores, tokenizer models), CacheManager entries AND any
+      // leaked persisted blocks from the previous query. Two reasons:
+      // (1) every reported number is COLD operator cost — r9's
+      // dedup_eval 0.15 s was a warm-artifact time masquerading as
+      // operator scaling (flagged by the round-9 advisor); (2) one
+      // query's retained storage can no longer bleed into the next
+      // measurement (the r9 pagerank ×1.7 driver regression with runs
+      // growing 10.0 → 14.9 s inside one JVM). Warm-path evidence
+      // lives where warmth is the contract: the artifact-cache specs.
+      CacheLedger.drain(spark)
+      val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -127,7 +137,10 @@ object Bench {
     val runsJson = allRuns
       .map { case (k, rs) => "\"" + k + "\":" + rs.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$slopeJson}"""
+    // cold_artifacts: every pass runs behind a CacheLedger drain, so
+    // per-query times are cold operator cost (no warm memoized pair
+    // sets / models / scores — the r9 advisory)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_artifacts":true,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"$slopeJson}"""
     // persist to a file first: log capture truncates long lines (r02's
     // tail lost the front half of the per-query map), the file never
     // two copies: target/bench.json (historic location) and a

@@ -3482,7 +3482,8 @@ object SparkEntry {
         |  WHERE length(w) > 0 GROUP BY 1)
         |SELECT t.source, n_docs, words, toks, chars,
         |  CAST(toks * 1000000 // words AS BIGINT) AS fertility_ppm,
-        |  CAST(chars * 1000000 // toks AS BIGINT) AS chars_per_tok_ppm,
+        |  CAST(CASE WHEN toks = 0 THEN 0
+        |    ELSE chars * 1000000 // toks END AS BIGINT) AS chars_per_tok_ppm,
         |  CAST(COALESCE(types, 0) * 1000000 // words AS BIGINT) AS ttr_ppm
         |FROM t LEFT JOIN d ON t.source = d.source
         |ORDER BY t.source""".stripMargin

@@ -946,7 +946,9 @@ object Curation {
     import spark.implicits._
     val docs = Tables(spark, dir).documents
     val md5s = docs.select(col("doc_id"), md5(col("text")).as("tkey"))
-    val pairs = Text.ngramJaccard(spark, dir).select(col("d1"), col("d2"))
+    // the shared fingerprint-keyed pair artifact (one candidate
+    // pipeline per corpus per session, however many cards consume it)
+    val pairs = Dedup.ngramJaccardPairs(spark, dir)
     val celled = pairs
       .join(md5s.select(col("doc_id").as("d1"), col("tkey").as("k1")), "d1")
       .join(md5s.select(col("doc_id").as("d2"), col("tkey").as("k2")), "d2")

@@ -660,14 +660,24 @@ object Dedup {
     * is detected by identity and rebuilt; entries are localCheckpoint
     * blocks (never CacheManager) reclaimed when replaced.
     */
-  private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private val pairCache = new graft.ArtifactCache("dedup_pairs",
+    "materialized (d1, d2) near-dup pair frames, keyed per (method, corpus)")
 
   private def pairArtifact(method: String, dir: String, spark: SparkSession)(
       compute: => DataFrame): DataFrame =
-    pairCache.compute((method, dir), (_, cached) =>
-      if (cached != null && (cached.sparkSession eq spark)) cached
-      else compute.materialized)
+    pairCache.getOrCompute(spark, dir, method)(compute.materialized)
+
+  /** The ngram_jaccard PAIR-SET artifact — the exact-Jaccard ground
+    * truth [[dedupEval]] grades against and
+    * [[Curation.splitLeak]] cells by split, shared so a session pays
+    * the candidate pipeline once per corpus (fingerprint-keyed via
+    * [[graft.ArtifactCache]]).
+    */
+  private[operators] def ngramJaccardPairs(spark: SparkSession,
+      dir: String): DataFrame =
+    pairArtifact("ngram_jaccard", dir, spark)(
+      graft.operators.Text.ngramJaccard(spark, dir)
+        .select(col("d1"), col("d2")))
 
   /** Cluster-LABEL artifact (the pairArtifact contract applied to the
     * connected-component labels): the default-parameter clustering is
@@ -677,25 +687,24 @@ object Dedup {
     * loop. The registered dedup_clusters query stays direct (the
     * base-operator-benches-cold convention).
     */
-  private val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val labelCache = new graft.ArtifactCache("dedup_labels",
+    "materialized connected-component label frames, keyed per corpus")
 
   private def labelArtifact(spark: SparkSession, dir: String): DataFrame =
-    labelCache.compute(dir, (_, cached) =>
-      if (cached != null && (cached.sparkSession eq spark)) cached
-      else clustersDocs(Tables(spark, dir).documents, maxIters = 20,
+    labelCache.getOrCompute(spark, dir)(
+      clustersDocs(Tables(spark, dir).documents, maxIters = 20,
         star = true).materialized)
 
-  /** Test/bench hook: drop the memoized pair and label artifacts. */
+  /** Test/bench hook: drop the memoized pair and label artifacts
+    * (also reachable via [[graft.CacheLedger.clearAll]]).
+    */
   private[graft] def clearPairCache(): Unit = {
     pairCache.clear(); labelCache.clear()
   }
 
   def dedupEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val truth = pairArtifact("ngram_jaccard", dir, spark)(
-      graft.operators.Text.ngramJaccard(spark, dir)
-        .select(col("d1"), col("d2"))) // graded 4x — artifact is materialized
+    val truth = ngramJaccardPairs(spark, dir) // graded 4x — materialized artifact
     val methods: Seq[(String, DataFrame)] = Seq(
       "ngram_jaccard" -> truth,
       "dedup_minhash" -> pairArtifact("dedup_minhash", dir, spark)(

@@ -132,14 +132,28 @@ object Graph {
     // remaining cost is ~0.45 s/round of join+agg stage work, not
     // launches. (The r5 "2-round cadence 2× slower" measurement was
     // about skipping checkpoints — plan doubling — not laziness.)
+    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame](pr)
     for (r <- 1 to PrIters)
       pr =
         if (r == PrIters) Materialize.eager(pagerankRound(edges, pr))
-        else pagerankRound(edges, pr).localCheckpoint(false)
-    // release edges promptly under the `cache` strategy (no-op under
-    // the default: checkpoint blocks free with the RDD); safe only
-    // AFTER the eager final round has run the chain
+        else {
+          val c = pagerankRound(edges, pr).localCheckpoint(false)
+          rounds += c
+          c
+        }
+    // release edges AND every intermediate round's checkpoint blocks
+    // promptly — safe only AFTER the eager final round has run the
+    // chain (the lazy blocks materialize inside that job and are dead
+    // the moment it returns). Without this sweep each invocation
+    // retains ~10 node-table copies until the async ContextCleaner
+    // catches up — measured in the r9 driver bench as runs GROWING
+    // 10.0 → 11.6 → 14.9 s inside one JVM under storage pressure
+    // (and at 10⁹ nodes, 10 retained rank-table copies is an
+    // executor OOM, not a slowdown). Only the final round's blocks
+    // stay (the returned frame); PagerankStorageSpec pins the
+    // retained-block budget.
     edges.unpersist()
+    rounds.foreach(_.unpersist())
     pr.select(col("id").as("node_id"),
         when(col("id") >= SupplierNodeOffset, lit("s")).otherwise(lit("c")).as("node_type"),
         col("outdeg").as("degree"), col("pr").as("pr_ppb"))

@@ -54,8 +54,7 @@ object LangModel {
     // train + score unconditionally (this query IS the training cost,
     // the bpe_train convention) and refresh the artifact
     // [[ccnetBuckets]] reuses
-    val fresh = trainAndScore(spark, dir)
-    scoreCache.put(dir, fresh)
+    val fresh = scoreCache.refresh(spark, dir)(trainAndScore(spark, dir))
     fresh.orderBy(col("doc_id"))
   }
 
@@ -74,17 +73,18 @@ object LangModel {
     * the LM is trained once and shipped as a file; per-shard scores
     * are materialized once and reused by every bucket split.
     *
-    * Contract notes (same as the BPE merge table): a changed corpus
-    * under the SAME path needs a new session; entries are
+    * Contract notes (the [[graft.ArtifactCache]] contract, same as
+    * the BPE merge table): lookups key on the corpus FINGERPRINT, so
+    * a corpus regenerated under the same path recomputes and the
+    * stale frame is unpersisted on eviction; entries are
     * [[graft.Materialize.eager]] products (under the default strategy,
     * localCheckpoint blocks — never CacheManager, so
-    * CacheHygieneSpec's invariant holds) reclaimed by the
-    * ContextCleaner when a refreshed entry drops the old frame's last
-    * reference. Stale frames from a stopped session are detected by
-    * identity and rebuilt.
+    * CacheHygieneSpec's invariant holds); stale frames from a stopped
+    * session are detected by identity and rebuilt. Registered in
+    * [[graft.CacheLedger]].
     */
-  private val scoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val scoreCache = new graft.ArtifactCache("lm_scores",
+    "materialized per-doc (doc_id, n_bigrams, lm_ppm) frames, keyed per corpus")
 
   private def trainAndScore(spark: SparkSession, dir: String): DataFrame = {
     val bi = bigramInstances(Tables(spark, dir).documents).materialized
@@ -100,9 +100,7 @@ object LangModel {
   }
 
   private def scoredArtifact(spark: SparkSession, dir: String): DataFrame =
-    scoreCache.compute(dir, (_, cached) =>
-      if (cached != null && (cached.sparkSession eq spark)) cached
-      else trainAndScore(spark, dir))
+    scoreCache.getOrCompute(spark, dir)(trainAndScore(spark, dir))
 
   /** Bigram INSTANCES (not distinct — counts are the model); the
     * `when` guard keeps sequence(0, -1) from fabricating grams on

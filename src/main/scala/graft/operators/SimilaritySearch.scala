@@ -107,9 +107,16 @@ object SimilaritySearch {
     * (the ann-baseline convention — mining a NEW batch against the
     * pool; the full-corpus variant swaps the scan for the IVF/PQ
     * candidate generation already in this file). ONE map-only scoring
-    * pass over the pool (queries broadcast, corpus never shuffles);
-    * both top-k windows run over the q·n scored frame partitioned by
-    * a key with ≤ q or ≤ k·q rows per group; the card is ≤ q rows.
+    * pass over the pool (queries broadcast, corpus never shuffles).
+    * The FORWARD top-k over the q·n scored frame is qid-partitioned —
+    * each of the ≤ q groups holds the ENTIRE pool, so a window there
+    * would put n rows on one task (the shard_balance/q41 bounded-key
+    * hazard); it runs on the engine's bounded-heap operator
+    * ([[graft.plans.TopK]]) instead, which tracks k rows per key per
+    * partition map-side. The BACKWARD k-NN window partitions by yid —
+    * n groups of ≤ q rows each, cardinality-safe as a window — and
+    * the two margin-argmax windows run over the ≤ k·q candidate
+    * frame. The card is ≤ q rows.
     */
   def bitextMine(spark: SparkSession, dir: String): DataFrame =
     bitextMineOn(embDouble(spark, dir))
@@ -124,9 +131,11 @@ object SimilaritySearch {
         round(cosineSim(col("qv"), col("yv")) * 1000000, 0).cast("long"))
       .select(col("qid"), col("yid"), col("c"))
       .materialized // forward top-k + backward top-k consumers
-    val wf = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("yid"))
-    val fwd = scored.withColumn("rk", row_number().over(wf))
-      .filter(col("rk") <= BitextK)
+    // forward top-k on the bounded heap, NOT a qid window: a qid
+    // partition of `scored` is pool-sized (n/2 rows on one task)
+    val fwd = graft.plans.TopK.topKPerKey(scored,
+        keys = Seq(col("qid")),
+        order = Seq(col("c").desc, col("yid").asc), k = BitextK)
       .select(col("qid"), col("yid"), col("c"))
       .materialized // candidate set + forward-average consumers
     val avgF = fwd.groupBy(col("qid")).agg(expr(s"sum(c) div $BitextK").as("avg_f"))
@@ -208,12 +217,20 @@ object SimilaritySearch {
     val q = queriesOf(emb)
     val qCells = q.select(col("qid"), col("qv"),
       explode(nearestCentroids(col("qv"), cids, cvecs, nprobe)).as("cid"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    cells.join(broadcast(qCells), Seq("cid"))
+    // per-query candidates grow ∝ n/K with K capped at MaxCentroids, so
+    // ranking them with a plain qid window would put that whole set on
+    // one task — bounded heap first (map-side k per key), then the rank
+    // window runs over ≤ k·q rows (the annTopKOn convention)
+    val scored = cells.join(broadcast(qCells), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", cosineSim(col("qv"), col("v")))
+      .select(col("qid"), col("vec_id"), col("sim"))
+    val topk = graft.plans.TopK.topKPerKey(scored,
+      keys = Seq(col("qid")),
+      order = Seq(col("sim").desc, col("vec_id").asc), k = k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    topk
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id").as("nid"), col("rank"), round(col("sim"), 6).as("sim"))
       .orderBy(col("qid"), col("rank"))
   }
@@ -433,17 +450,25 @@ object SimilaritySearch {
   }
 
   private val Tables_ = 8  // LSH hash tables
-  private val PlanesPerTable = 8
   private val Dim = 64
 
-  /** Seeded random hyperplanes, flat [table*planesPerTable][dim]
-    * (immutable Seqs: the expression fields need structural equality
-    * for canonicalization/plan reuse).
+  /** Seeded random hyperplanes for [[annLsh]] at a given signature
+    * width, flat [table*planesPerTable][dim] (immutable Seqs: the
+    * expression fields need structural equality for canonicalization/
+    * plan reuse). Memoized per width — the matrix is a pure function
+    * of (seed, width), so repeated invocations at one corpus size
+    * share one plan-equal expression; entries are width-keyed driver
+    * Seqs of ≤ tables·width·dim doubles (kilobytes — no ledger entry
+    * needed).
     */
-  private val hyperplanes: Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Vector.fill(Tables_ * PlanesPerTable)(Vector.fill(Dim)(rnd.nextGaussian()))
-  }
+  private val lshPlaneCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[Seq[Double]]]()
+
+  private def hyperplanesFor(p: Int): Seq[Seq[Double]] =
+    lshPlaneCache.computeIfAbsent(p, { p =>
+      val rnd = new scala.util.Random(7)
+      Vector.fill(Tables_ * p)(Vector.fill(Dim)(rnd.nextGaussian()))
+    })
 
   /** (table, signature) rows for a vector column — one expression
     * carrying the plane matrix as data (inlining 64 literal arrays
@@ -452,35 +477,61 @@ object SimilaritySearch {
     * exploded rows) — intentional: a null embedding can't score and
     * would only pollute the signature-0 bucket.
     */
-  private def tableSigs(df: DataFrame, vCol: String): DataFrame =
+  private def tableSigs(df: DataFrame, vCol: String,
+      planes: Seq[Seq[Double]], planesPerTable: Int): DataFrame =
     df.select(df.columns.toIndexedSeq.map(col) :+
-        posexplode(hyperplaneSignatures(col(vCol), hyperplanes, PlanesPerTable))
+        posexplode(hyperplaneSignatures(col(vCol), planes, planesPerTable))
           .as(Seq("t", "sig")): _*)
 
-  /** Probe masks: all 8-bit patterns with ≤ maxFlips bits set
-    * (multi-probe LSH — query-side only, so the corpus keeps ONE
-    * signature per table and never expands).
+  /** Probe masks: all p-bit patterns with ≤ 2 bits set (multi-probe
+    * LSH — query-side only, so the corpus keeps ONE signature per
+    * table and never expands). Generated combinatorially — 1 + p +
+    * C(p,2) masks — NOT by filtering the 2^p range, which stops being
+    * enumerable once the width scales past ~30 bits.
     */
-  private def probeMasks(maxFlips: Int): Seq[Long] =
-    (0L until (1L << PlanesPerTable)).filter(m => java.lang.Long.bitCount(m) <= maxFlips)
+  private def probeMasks(p: Int): Seq[Long] = {
+    val one = (0 until p).map(i => 1L << i)
+    val two = for { i <- 0 until p; j <- i + 1 until p } yield (1L << i) | (1L << j)
+    0L +: (one ++ two)
+  }
 
-  /** ann_lsh — random-hyperplane multi-probe LSH: 8 tables × 8-bit
-    * signatures; the corpus shuffles once on (table, signature) —
-    * 2^8 buckets × 8 tables — and each query probes every signature
-    * within hamming ≤ 2 of its own (37 probes/table, broadcast).
-    * Exact cosine re-ranks candidates only. This is the 100 TB path:
-    * corpus-side work is one signature pass + bucket join, never an
-    * n×q scoring sweep; recall/cost tunes via probe radius without
-    * touching the corpus layout.
+  /** ann_lsh — random-hyperplane multi-probe LSH: [[Tables_]] tables
+    * whose signature width AUTO-SCALES with the corpus (planes/table
+    * = max(2, ⌈log₂(n / [[KnnBucketTarget]])⌉) — the knn_graph law):
+    * expected bucket occupancy stays ≈ KnnBucketTarget at any corpus
+    * size, so per-query candidate volume is ≈ probes·target — CONSTANT
+    * in n — where a fixed width degenerates to O(n/2^p) candidates
+    * per query once buckets fill. The sizing count() is one metadata
+    * action (the knn_graph/dedup_embedding auto-scale precedent).
+    *
+    * The corpus shuffles once on (table, signature); each query
+    * probes every signature within hamming ≤ 2 of its own (1 + p +
+    * C(p,2) masks/table, generated combinatorially and broadcast —
+    * grows O(log² n), never with the corpus). Exact cosine re-ranks
+    * candidates only, with per-query top-k on the engine's bounded
+    * heap ([[graft.plans.TopK]]) rather than a qid window. This is
+    * the 100 TB path: corpus-side work is one signature pass + bucket
+    * join, never an n×q scoring sweep; recall/cost tunes via probe
+    * radius without touching the corpus layout.
     */
   def annLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     annLshOn(embDouble(spark, dir), k)
 
+  /** The [[annLsh]] width law, factored for the spec: signature bits
+    * per table for a corpus of n usable vectors.
+    */
+  private[graft] def lshPlanesPerTable(n: Long): Int =
+    math.max(2,
+      math.ceil(math.log(math.max(1L, n).toDouble / KnnBucketTarget) / math.log(2)).toInt)
+
   private[graft] def annLshOn(emb: DataFrame, k: Int): DataFrame = {
-    val corpus = tableSigs(emb, "v")
+    val n = emb.filter(col("v").isNotNull).count()
+    val p = lshPlanesPerTable(n)
+    val planes = hyperplanesFor(p)
+    val corpus = tableSigs(emb, "v", planes, p)
     val q = queriesOf(emb)
-    val masks = probeMasks(2)
-    val qSig = tableSigs(q, "qv")
+    val masks = probeMasks(p)
+    val qSig = tableSigs(q, "qv", planes, p)
       .select(col("qid"), col("qv"), col("t"),
         explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
     val candidates = corpus.join(broadcast(qSig),
@@ -488,11 +539,15 @@ object SimilaritySearch {
           col("vec_id") =!= col("qid"))
       .select(col("qid"), col("qv"), col("vec_id"), col("v"))
       .distinct()
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    candidates
+    val scored = candidates
       .withColumn("sim", cosineSim(col("qv"), col("v")))
+      .select(col("qid"), col("vec_id"), col("sim"))
+    val topk = graft.plans.TopK.topKPerKey(scored,
+      keys = Seq(col("qid")),
+      order = Seq(col("sim").desc, col("vec_id").asc), k = k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    topk
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id").as("nid"), col("rank"), round(col("sim"), 6).as("sim"))
       .orderBy(col("qid"), col("rank"))
   }

@@ -185,10 +185,29 @@ object Tokenizer {
     }
   }
 
-  /** Test/bench hook: drop every memoized model (both tokenizer
-    * families) — e.g. between corpus rebuilds in one JVM.
+  /** Test/bench hook for corpus rebuilds in one JVM. Historically
+    * "drop every memoized model (both tokenizer families)"; since
+    * this is the hook harness docs point at, it now delegates to
+    * [[graft.CacheLedger.clearAll]] and drops EVERY registered
+    * artifact family (tokenizer models, LM scores, dedup pair/label
+    * frames) — clearing more than the models is always safe (the
+    * artifacts are deterministic per corpus; only warm-start cost
+    * moves) and leaves no family a rebuilt-in-place corpus could
+    * serve stale.
     */
-  def clearModelCaches(): Unit = { mergeCache.clear(); unigramCache.clear() }
+  def clearModelCaches(): Unit = {
+    graft.CacheLedger.touchAll()
+    graft.CacheLedger.clearAll()
+  }
+
+  // the ledger rows for the two driver-side model memos (bounded
+  // Seqs — no executor storage; fingerprint-keyed by construction)
+  graft.CacheLedger.register("bpe_merges",
+    "driver-side BPE merge tables, keyed per (corpus, fingerprint, merges)")(
+    () => mergeCache.clear())(() => mergeCache.size)
+  graft.CacheLedger.register("unigram_models",
+    "driver-side Unigram vocab models, keyed per (corpus, fingerprint)")(
+    () => unigramCache.clear())(() => unigramCache.size)
 
   /** The artifact lookup for encode: train once per (corpus dir,
     * corpus fingerprint) per JVM unless bpe_train already ran and
