@@ -85,6 +85,28 @@ object Materialize {
     if (settled) df else eager(df)
   }
 
+  /** Release a DEAD materialized frame's storage NOW, under every
+    * strategy. `Dataset.unpersist()` only removes CacheManager
+    * entries (the `cache` strategy); a checkpoint-strategy frame's
+    * blocks live on its underlying LogicalRDD, which
+    * Dataset.unpersist never touches — they linger until the async
+    * ContextCleaner collects the RDD, which is exactly the retention
+    * the r9 driver bench measured as pagerank runs growing 10.0 →
+    * 14.9 s inside one JVM. Callers must guarantee the frame is dead:
+    * a local-checkpoint RDD cannot be recomputed after unpersisting
+    * (truncated lineage), so releasing a frame something still reads
+    * is a downstream job failure, not a slowdown.
+    */
+  def release(df: DataFrame): Unit = {
+    try df.unpersist()
+    catch { case scala.util.control.NonFatal(_) => () }
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
   /** `df.materialized` sugar so operator chains read like the
     * `localCheckpoint(true)` calls they replace.
     */

@@ -297,6 +297,7 @@ object Dedup {
     try {
       var converged = false
       var it = 0
+      var prevUpd: DataFrame = labels // the seed frame dies with round 1
       while (!converged && it < maxIters) {
         // localCheckpoint, not cache: the round's plan references
         // `labels` twice (here and in the changed-count below), so
@@ -306,6 +307,11 @@ object Dedup {
         // its own `chg` flag, so the convergence check is a filter-count
         // over the materialized checkpoint — no extra join job.
         val updated = propagationRound(edges, labels).localCheckpoint(true)
+        // the round before last is dead once this round's EAGER
+        // checkpoint exists (labels is a projection over `updated`,
+        // so `updated` itself must outlive the loop)
+        if (prevUpd != null) graft.Materialize.release(prevUpd)
+        prevUpd = updated
         val changed = updated.filter(col("chg")).count()
         labels = updated.select(col("doc_id"), col("label"))
         converged = changed == 0
@@ -313,7 +319,7 @@ object Dedup {
       }
       require(converged, s"label propagation did not converge in $maxIters rounds")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-    edges.unpersist()
+    graft.Materialize.release(edges)
     labels
   }
 
@@ -412,7 +418,7 @@ object Dedup {
       while (!converged && it < maxIters) {
         val next = starRound(edges).localCheckpoint(true)
         val nfp = fingerprint(next)
-        edges.unpersist()
+        graft.Materialize.release(edges)
         edges = next
         converged = nfp == fp
         fp = nfp
@@ -673,7 +679,7 @@ object Dedup {
     * the candidate pipeline once per corpus (fingerprint-keyed via
     * [[graft.ArtifactCache]]).
     */
-  private[operators] def ngramJaccardPairs(spark: SparkSession,
+  private[graft] def ngramJaccardPairs(spark: SparkSession,
       dir: String): DataFrame =
     pairArtifact("ngram_jaccard", dir, spark)(
       graft.operators.Text.ngramJaccard(spark, dir)

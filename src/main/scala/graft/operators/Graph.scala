@@ -142,18 +142,20 @@ object Graph {
           c
         }
     // release edges AND every intermediate round's checkpoint blocks
-    // promptly — safe only AFTER the eager final round has run the
-    // chain (the lazy blocks materialize inside that job and are dead
-    // the moment it returns). Without this sweep each invocation
-    // retains ~10 node-table copies until the async ContextCleaner
-    // catches up — measured in the r9 driver bench as runs GROWING
-    // 10.0 → 11.6 → 14.9 s inside one JVM under storage pressure
-    // (and at 10⁹ nodes, 10 retained rank-table copies is an
-    // executor OOM, not a slowdown). Only the final round's blocks
-    // stay (the returned frame); PagerankStorageSpec pins the
-    // retained-block budget.
-    edges.unpersist()
-    rounds.foreach(_.unpersist())
+    // promptly — via Materialize.release, because Dataset.unpersist
+    // is a no-op for checkpoint-strategy blocks (it only clears
+    // CacheManager entries; the blocks hang off the LogicalRDD). Safe
+    // only AFTER the eager final round has run the chain (the lazy
+    // blocks materialize inside that job and are dead the moment it
+    // returns). Without this sweep each invocation retains ~10
+    // node-table copies until the async ContextCleaner catches up —
+    // measured in the r9 driver bench as runs GROWING 10.0 → 11.6 →
+    // 14.9 s inside one JVM under storage pressure (and at 10⁹
+    // nodes, 10 retained rank-table copies is an executor OOM, not a
+    // slowdown). Only the final round's blocks stay (the returned
+    // frame); PagerankStorageSpec pins the retained-block budget.
+    Materialize.release(edges)
+    rounds.foreach(Materialize.release)
     pr.select(col("id").as("node_id"),
         when(col("id") >= SupplierNodeOffset, lit("s")).otherwise(lit("c")).as("node_type"),
         col("outdeg").as("degree"), col("pr").as("pr_ppb"))
@@ -353,7 +355,7 @@ object Graph {
       // also materializes the previous round's lazy checkpoint
       val stats = deg.agg(count(lit(1)).as("n"),
         sum(when(col("deg") < KCoreK, 1L).otherwise(0L)).as("below")).head()
-      if (prev != null) { prev.unpersist(); prev = null }
+      if (prev != null) { Materialize.release(prev); prev = null }
       val n = stats.getLong(0)
       val below = if (stats.isNullAt(1)) 0L else stats.getLong(1)
       if (below == 0L) done = true
@@ -375,8 +377,8 @@ object Graph {
           when(col("src") >= SupplierNodeOffset, lit("s")).otherwise(lit("c"))
             .as("node_type"),
           col("core_degree")))
-    if (prev != null) prev.unpersist()
-    edges.unpersist()
+    if (prev != null) Materialize.release(prev)
+    Materialize.release(edges)
     out.orderBy(col("node_id"))
   }
 

@@ -95,7 +95,7 @@ object LangModel {
     // ContextCleaner's leisure — measured at the R=20 scale point,
     // leaving them to GC made back-to-back trains degrade 11 → 26 s
     // as dead blocks accumulated faster than collection
-    bi.unpersist()
+    graft.Materialize.release(bi)
     scored
   }
 
@@ -208,7 +208,7 @@ object LangModel {
     }
     val vRow = bi.agg(countDistinct(col("w2"))).collect()
     val vocab = if (vRow.isEmpty || vRow(0).isNullAt(0)) 0L else vRow(0).getLong(0)
-    bi.unpersist() // all count consumers collected — release the blocks
+    graft.Materialize.release(bi) // all count consumers collected — release the blocks
     // tail thresholds calibrated on the SHIPPED model's own scores
     // (one map-side kernel pass — the exact expression the ingest
     // gate evaluates): model file and cutoffs are ONE artifact, so a

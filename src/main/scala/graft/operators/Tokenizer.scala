@@ -82,7 +82,7 @@ object Tokenizer {
         .limit(1).collect()
       // this round's vocab is now materialized; the one it was
       // derived from is dead
-      if (prev != null) { prev.unpersist(); prev = null }
+      if (prev != null) { graft.Materialize.release(prev); prev = null }
       // stop when no pair repeats: merging a hapax pair is noise
       // (min_frequency=2, the reference trainers' default)
       if (top.isEmpty || top(0).getLong(2) < 2) done = true
@@ -101,8 +101,8 @@ object Tokenizer {
         r += 1
       }
     }
-    if (prev != null) prev.unpersist()
-    vocab.unpersist()
+    if (prev != null) graft.Materialize.release(prev)
+    graft.Materialize.release(vocab)
     merges.toSeq
   }
 
@@ -321,8 +321,8 @@ object Tokenizer {
     }
     val capped = (model.take(UniVocabTarget) ++ model.filter(_._1.length == 1))
       .distinctBy(_._1).sortBy { case (p, c) => (-c, p) }.toSeq
-    subs.unpersist()
-    wordFreq.unpersist()
+    graft.Materialize.release(subs)
+    graft.Materialize.release(wordFreq)
     capped
   }
 

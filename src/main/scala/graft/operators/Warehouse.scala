@@ -220,12 +220,12 @@ object Warehouse {
       state = settled.select(col("id"), col("anc"), col("d"), col("done"))
         .unionAll(advanced).localCheckpoint(false)
       pending = state.filter(!col("done")).count() // materializes the round
-      prev.unpersist()
+      graft.Materialize.release(prev)
     }
     val out = graft.Materialize.eager(
       state.select(col("id").as("p_partkey"), col("anc").as("root"),
         col("d").as("depth")))
-    state.unpersist()
+    graft.Materialize.release(state)
     out.orderBy(col("p_partkey"))
   }
 

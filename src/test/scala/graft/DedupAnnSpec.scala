@@ -24,6 +24,24 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall < 0.9 (${exact.size} exact, ${lsh.size} lsh)")
   }
 
+  test("ann_lsh signature width scales with the corpus; ranking is heap-based") {
+    // the knn_graph auto-width law ported to ann_lsh (r9 verdict #2:
+    // a FIXED width keeps 8 tables × 2^8 buckets constant in corpus
+    // size, so bucket fill — and per-query candidate volume — grows
+    // ∝ n, the O(n²/2^p) degeneracy its own sibling documents)
+    import graft.operators.SimilaritySearch.lshPlanesPerTable
+    assert(lshPlanesPerTable(500) == 4)
+    assert(lshPlanesPerTable(5000) == 8)        // sf0.1 ≡ the old fixed width
+    assert(lshPlanesPerTable(500000) == 14)     // 1000× corpus: +10 bits
+    assert(lshPlanesPerTable(500000000L) == 24) // buckets keep pace with n
+    assert(lshPlanesPerTable(0) == 2)           // width floor on tiny corpora
+    val plan = graft.operators.SimilaritySearch.annLsh(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"bounded-heap top-k missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"ann_lsh degenerated to an unbucketed join:\n$plan")
+  }
+
   test("ann_lsh recall vs brute-force ann_topk") {
     val exact = SparkEntry.queries("ann_topk")(spark, sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
