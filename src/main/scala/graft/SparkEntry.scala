@@ -734,6 +734,63 @@ object SparkEntry {
         |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY d1, d2""".stripMargin,
 
+    // MinHash(128) + 16×8 LSH banding + exact-Jaccard verify,
+    // replicated bit-for-bit: the lsh_tune signature machinery
+    // (hash60-mod-P shingle lattice, perm constants interpolated from
+    // the SAME Scala source of truth, min-hash per permutation), band
+    // keys as joined 8-tuples (injective for longs — the exact tuple
+    // equality the Spark side's array-slice band key joins on), then
+    // the collapse/expansion algebra: signatures over exact-text
+    // REPRESENTATIVES, verified rep pairs expand through membership,
+    // within-group pairs at J = 1 gated on the rep having shingles
+    "dedup_minhash" -> {
+      import operators.Dedup.{NumPerm, P, permA, permB}
+      val aList = permA.mkString("[", ", ", "]")
+      val bList = permB.mkString("[", ", ", "]")
+      s"""WITH mem AS (SELECT doc_id,
+        |    MIN(doc_id) OVER (PARTITION BY text) AS rep,
+        |    COUNT(*) OVER (PARTITION BY text) AS gsize
+        |  FROM documents),
+        |reps AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |d AS (SELECT doc_id, $wordsSql AS w FROM reps),
+        |shg AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM d WHERE len(w) >= 3),
+        |hh AS (SELECT DISTINCT doc_id,
+        |    ${hash60Sql("shingle")} % $P AS h FROM shg),
+        |perm AS (SELECT unnest(range(0, $NumPerm)) AS i,
+        |    unnest($aList) AS a, unnest($bList) AS b),
+        |sig AS (SELECT doc_id, i, MIN((a * h + b) % $P) AS m
+        |  FROM hh CROSS JOIN perm GROUP BY 1, 2),
+        |bandkey AS (SELECT doc_id, i // ${NumPerm / 16} AS band,
+        |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bandkey a JOIN bandkey b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY 1),
+        |ins AS (SELECT c.d1, c.d2, COUNT(*) AS inter FROM cand c
+        |  JOIN hh h1 ON c.d1 = h1.doc_id
+        |  JOIN hh h2 ON c.d2 = h2.doc_id AND h1.h = h2.h
+        |  GROUP BY 1, 2),
+        |rp AS (SELECT i.d1, i.d2,
+        |    ROUND(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+        |  FROM ins i JOIN sz s1 ON i.d1 = s1.doc_id
+        |  JOIN sz s2 ON i.d2 = s2.doc_id),
+        |rp5 AS (SELECT * FROM rp WHERE jaccard >= 0.5),
+        |crossp AS (SELECT LEAST(m1.doc_id, m2.doc_id) AS d1,
+        |    GREATEST(m1.doc_id, m2.doc_id) AS d2, r.jaccard
+        |  FROM rp5 r JOIN mem m1 ON r.d1 = m1.rep JOIN mem m2 ON r.d2 = m2.rep),
+        |withinp AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(1.0 AS DOUBLE) AS jaccard
+        |  FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id
+        |  WHERE a.gsize > 1 AND a.rep IN (SELECT doc_id FROM hh))
+        |SELECT d1, d2, CAST(jaccard AS DOUBLE) AS jaccard
+        |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM withinp)
+        |ORDER BY d1, d2""".stripMargin
+    },
+
     // transitive closure of the near-dup pair graph (recursive CTE);
     // the engine runs distributed min-label propagation instead
     "dedup_clusters" ->
@@ -2382,6 +2439,44 @@ object SparkEntry {
         |  CASE WHEN id >= $off THEN 's' ELSE 'c' END AS node_type,
         |  outdeg AS degree, pr AS pr_ppb
         |FROM p${operators.Graph.PrIters}
+        |ORDER BY node_id""".stripMargin
+    },
+
+    // k-core peel UNROLLED (the pagerank convention — the engine runs
+    // the data-dependent fixpoint loop; SQL unrolls a fixed round
+    // budget): each round keeps edges whose both endpoints have
+    // degree >= K, and once the peel converges further rounds are
+    // identities, so any budget >= the true round count yields the
+    // exact fixpoint. The sf trade graphs converge in 0 rounds (min
+    // degree >= K already — measured via an iterative DuckDB peel);
+    // 16 rounds is margin for fuzz/scale corpora. A graph needing
+    // MORE than 16 rounds would diverge from the engine loudly
+    // (hash mismatch), never silently agree.
+    "k_core" -> {
+      import operators.Graph.{KCoreK, SupplierNodeOffset}
+      val rounds = 16
+      // AS MATERIALIZED: DuckDB inlines CTEs by default, and each
+      // round references its predecessor 2× — un-materialized, the
+      // 16-round chain expands to 2^16 scan references and dies on
+      // file handles before it dies on work
+      val peel = (1 to rounds).map { i =>
+        s"""a$i AS MATERIALIZED (SELECT src FROM
+          |  (SELECT src, COUNT(*) AS dg FROM e${i - 1} GROUP BY src) WHERE dg >= $KCoreK),
+          |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+          |  JOIN a$i x ON e.src = x.src JOIN a$i y ON e.dst = y.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SupplierNodeOffset AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), e0 AS MATERIALIZED (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs
+        |),
+        |$peel
+        |SELECT CAST(src AS BIGINT) AS node_id,
+        |  CASE WHEN src >= $SupplierNodeOffset THEN 's' ELSE 'c' END AS node_type,
+        |  CAST(COUNT(*) AS BIGINT) AS core_degree
+        |FROM e$rounds GROUP BY 1, 2
         |ORDER BY node_id""".stripMargin
     },
 

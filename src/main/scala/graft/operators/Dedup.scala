@@ -115,21 +115,34 @@ object Dedup {
     (ab.map(_._1), ab.map(_._2))
   }
 
-  /** Distinct (doc_id, shingle-hash) pairs — the MinHash input.
-    * xxhash64 (codegen'd, no hex round-trip) — this operator is not
-    * oracle-replicated, so the portable-but-slow md5 hash isn't
-    * needed; pmod keeps the value in [0, P) for the permutations.
+  /** Distinct (doc_id, shingle-hash) pairs — the MinHash input, on
+    * the REPLICABLE md5/hash60 lattice (the lsh_tune convention:
+    * `hash60 mod P`, recomputed bit-for-bit by the DuckDB oracle).
+    * The distinct() guards mod-P collisions between distinct shingles
+    * of one doc — the verify stage computes SET intersections, so
+    * both engines must dedup after hashing. r9 ran xxhash64 here
+    * ("not oracle-replicated, so the portable hash isn't needed");
+    * promoting the flagship scale-path dedup operator to the oracle
+    * gate is worth the md5 cost (lsh_tune already pays it on the same
+    * shingle volume), and a throughput-critical deployment swaps the
+    * one hash expression back.
     */
   private[graft] def shingleHashesOf(docs: DataFrame): DataFrame =
     docs.withColumn("w", words(col("text")))
       .select(col("doc_id"), explode(shingles("w")).as("shingle"))
-      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
+      .select(col("doc_id"), pmod(hash60(col("shingle")), lit(P)).as("h"))
+      .distinct()
 
   /** dedup_minhash — MinHash(128) + LSH banding (16 bands × 8 rows)
     * → candidate pairs → exact-Jaccard verification on candidates.
-    * One shuffle keyed on (band, band-hash); minhash signatures are
+    * One shuffle keyed on (band, band-key); minhash signatures are
     * computed as 128 map-side partial mins (one aggregation, no
-    * per-permutation passes).
+    * per-permutation passes). Oracle-replicated end to end: signature
+    * lattice per [[shingleHashesOf]], band keys as the EXACT 8-long
+    * tuple (an array slice of the signature — equi-joinable, 64
+    * bytes, and tuple equality is what the oracle's joined-string
+    * key expresses injectively; a hashed band key would differ from
+    * the oracle's bucket relation on hash collisions).
     */
   def minhash(spark: SparkSession, dir: String): DataFrame =
     minhashOn(Tables(spark, dir).documents)
@@ -169,8 +182,8 @@ object Dedup {
       .agg(graft.functions.MinHashAgg.minhashAgg(col("h"), permA, permB, P).as("mh"))
 
     val bandCols = (0 until Bands).map { bId =>
-      val rowCols = (0 until RowsPerBand).map(r => col("mh").getItem(bId * RowsPerBand + r))
-      struct(lit(bId).as("band"), xxhash64(rowCols: _*).as("key"))
+      struct(lit(bId).as("band"),
+        slice(col("mh"), bId * RowsPerBand + 1, RowsPerBand).as("key"))
     }
     val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
@@ -318,8 +331,15 @@ object Dedup {
         it += 1
       }
       require(converged, s"label propagation did not converge in $maxIters rounds")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-    graft.Materialize.release(edges)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      // release INSIDE the finally: the non-convergence require above
+      // is an expected exit for pathological graphs (the diameter-40
+      // spec provokes it), and an edges.cache() pin that survives the
+      // exception is exactly the CacheManager leak DupSkewSpec's
+      // hygiene assert exists to catch
+      graft.Materialize.release(edges)
+    }
     labels
   }
 

@@ -12,7 +12,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class RetractStreamSpec extends AnyFunSuite {
   lazy val spark = GraftSession.builder("local[4]", 4).getOrCreate()
-  val sf = "/root/testdata/sf0.001"
+  // fuzz-replayable like the other stream ≡ batch suites (the r9
+  // pattern that caught a real gate-spec blind spot): point
+  // SPARK_GRAFT_SPEC_SF at a tools/fuzz_corpus.py output and the
+  // changelog equivalence re-proves itself on a perturbed orders
+  // table (jittered prices/dates, resampled keys)
+  val sf = sys.env.get("SPARK_GRAFT_SPEC_SF").filter(_.nonEmpty)
+    .getOrElse("/root/testdata/sf0.001")
 
   test("streamed changelog view equals the batch retract operator across micro-batches") {
     import org.apache.spark.sql.streaming.Trigger
