@@ -54,7 +54,14 @@ object SkewBench {
     // vector one label, every order one priority, every doc one
     // lang), the exact shape Window.partitionBy(key) dies on; the
     // two-level rank / bounded-heap designs must land ratio ≈ 1
-    "proto_prune", "q41_rank_funcs", "dsir_select")
+    "proto_prune", "q41_rank_funcs", "dsir_select", "q27_window_pack",
+    // round 10: the heap-ranked ANN family (r9 verdict #1/#2/#4 —
+    // qid windows replaced by TopKPerKey, ann_lsh width auto-scaled)
+    // against the duplicated-vector pathology: 10% of the corpus one
+    // identical vector → one LSH bucket/IVF cell holds 10% of the
+    // corpus and every cosine against it ties — ranking must stay
+    // bounded-heap, never a one-task window over the candidate mass
+    "ann_topk", "ann_lsh", "ann_ivf", "bitext_mine", "knn_graph")
 
   private val AllTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -149,8 +156,18 @@ object SkewBench {
     // (proto_prune's rank key), every order one priority (q41's),
     // documents' lang collapses below (dsir_select's) — each the
     // worst case for a Window.partitionBy(key) plan
-    spark.read.parquet(s"$baseDir/embeddings.parquet")
+    // label collapse (proto_prune's rank key) PLUS the duplicated-
+    // vector mass (round 10): vec_id % 10 == 3 rows all share one
+    // vector — the embedding boilerplate class that fills one LSH
+    // bucket / IVF cell with 10% of the corpus and ties every cosine
+    val embBase = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val hotVec = embBase.filter(col("embedding").isNotNull)
+      .orderBy(col("vec_id")).select(col("embedding")).head().getSeq[Float](0)
+    val hotLit = array(hotVec.map(x => lit(x)): _*).cast("array<float>")
+    embBase
       .withColumn("label", lit(0).cast("int"))
+      .withColumn("embedding",
+        when(col("vec_id") % 10 === 3, hotLit).otherwise(col("embedding")))
       .write.mode("overwrite").parquet(s"$skewDir/embeddings.parquet")
     spark.read.parquet(s"$baseDir/orders.parquet")
       .withColumn("o_orderpriority", lit("1-URGENT"))

@@ -510,31 +510,60 @@ object Relational {
   /** q27_window_pack — the remaining SQL window-function family in
     * one query (ntile / first_value / last_value / nth_value /
     * percent_rank / cume_dist), per order-priority partitions over
-    * orders. Frames are explicit (ROWS UNBOUNDED PRECEDING →
-    * UNBOUNDED FOLLOWING) because last_value's DEFAULT frame stops at
-    * CURRENT ROW — an implicit-frame formulation silently computes a
-    * running last, a classic cross-engine divergence. The ordering
-    * carries a full tie-break (price DESC, orderkey) so rank-family
-    * ratios are ratios of identical integers → bit-identical doubles
-    * on both engines with no rounding at all.
+    * orders, with a full tie-break (price DESC, orderkey) so
+    * rank-family ratios are ratios of identical integers →
+    * bit-identical doubles on both engines with no rounding at all.
     *
-    * Scale shape: one shuffle keyed by o_orderpriority, one sort per
-    * partition shared by every window function (Catalyst collapses
-    * same-spec windows into a single Window operator).
+    * NOT `Window.partitionBy(o_orderpriority)` (restructured round
+    * 10, closing the q41 hazard class's last member): priority
+    * cardinality is fixed at 5, so the native window form puts
+    * corpus/5 rows on single tasks. The row number comes from
+    * [[graft.plans.TwoLevelRank]] over the exact decimal-cents
+    * lattice and every function re-derives in closed form — legal
+    * BECAUSE the order is tie-free: ntile from (rn, n) (first
+    * n mod 4 buckets take the extra row, both engines' documented
+    * fill rule); percent_rank = (rn−1)/(n−1) and cume_dist = rn/n
+    * are the tie-free definitions, the same IEEE division of the
+    * same integers; first/last/nth_value over the full frame are the
+    * rows at rn = 1 / n / 2, read off a 5-row extremes card
+    * (max-of-when aggregation, broadcast back — nth_value's null on
+    * 1-row groups falls out of max over no rows). The DuckDB oracle
+    * still runs the NATIVE window functions — closed forms verify
+    * against the real thing.
+    *
+    * Scale shape: TwoLevelRank's segmented shuffle (keys ×
+    * [[graft.plans.TwoLevelRank.Segments]] partitions), one 5-row
+    * count and one 5-row extremes aggregation broadcast back — no
+    * stage anywhere holds a corpus/5 partition.
     */
   def q27(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables(spark, dir).orders
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    o.select(
+    val base = Tables(spark, dir).orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val ranked = graft.plans.TwoLevelRank.rowNumberPerKey(base,
+      keys = Seq("o_orderpriority"), value = "cents",
+      descending = true, ties = Seq("o_orderkey"), out = "rn")
+    val n = ranked.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    val withN = ranked.join(broadcast(n), "o_orderpriority")
+    val marks = withN
+      .filter(col("rn") === 1L || col("rn") === 2L || col("rn") === col("n"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(when(col("rn") === 1L, col("o_orderkey"))).as("top_key"),
+        max(when(col("rn") === col("n"), col("o_orderkey"))).as("bottom_key"),
+        max(when(col("rn") === 2L, col("o_orderkey"))).as("runnerup_key"))
+    withN.join(broadcast(marks), "o_orderpriority")
+      .select(
         col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        first_value(col("o_orderkey")).over(full).as("top_key"),
-        last_value(col("o_orderkey")).over(full).as("bottom_key"),
-        nth_value(col("o_orderkey"), 2).over(full).as("runnerup_key"),
-        percent_rank().over(w).as("prnk"),
-        cume_dist().over(w).as("cdist"))
+        expr("""CASE WHEN rn <= (n div 4 + 1) * (n % 4)
+               |  THEN (rn - 1) div (n div 4 + 1) + 1
+               |  ELSE n % 4 + (rn - (n div 4 + 1) * (n % 4) - 1) div (n div 4) + 1
+               |END""".stripMargin).cast("long").as("quartile"),
+        col("top_key"), col("bottom_key"), col("runnerup_key"),
+        when(col("n") === 1L, lit(0.0))
+          .otherwise((col("rn") - 1L).cast("double") / (col("n") - 1L).cast("double"))
+          .as("prnk"),
+        (col("rn").cast("double") / col("n").cast("double")).as("cdist"))
       .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
