@@ -146,6 +146,7 @@ object SparkEntry {
     "dq_check"          -> (Quality.dqCheck _),
     "drift_check"       -> (Quality.driftCheck _),
     "emb_pca"           -> (Clustering.embPca _),
+    "emb_health"        -> (Clustering.embHealth _),
     "coreset_select"    -> (Clustering.coresetSelect _),
     "mm_scenes"         -> (graft.multimodal.Multimodal.mmScenes _),
     "ann_eval"          -> ((s, d) => SimilaritySearch.annEval(s, d)),
@@ -733,6 +734,32 @@ object SparkEntry {
       s"""WITH $ngramCtes
         |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY d1, d2""".stripMargin,
+
+    // per-dimension lattice moments: l = floor(x·10⁶ + 0.5) is the
+    // identical IEEE double op chain both engines run; sums ride
+    // HUGEINT/DECIMAL(38) (the variance cross-term overflows int64);
+    // // and div both truncate toward zero on integers
+    "emb_health" -> {
+      import operators.Clustering.EmbCollapseVarLattice
+      s"""WITH l AS (
+        |  SELECT t.d AS dim,
+        |    CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS l
+        |  FROM embeddings, unnest(range(0, len(embedding))) AS t(d)
+        |  WHERE embedding IS NOT NULL),
+        |g AS (SELECT dim, COUNT(*) AS n_vecs,
+        |    SUM(CAST(l AS HUGEINT)) AS sl,
+        |    SUM(CAST(l AS HUGEINT) * CAST(l AS HUGEINT)) AS sl2,
+        |    MIN(l) AS min_ppm, MAX(l) AS max_ppm
+        |  FROM l GROUP BY 1)
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |  CAST(sl // n_vecs AS BIGINT) AS mean_ppm,
+        |  CAST(sl2 // n_vecs AS BIGINT) AS msq_ppm2,
+        |  CAST(min_ppm AS BIGINT) AS min_ppm, CAST(max_ppm AS BIGINT) AS max_ppm,
+        |  CAST(CAST(n_vecs AS HUGEINT) * sl2 - sl * sl
+        |    < CAST(n_vecs AS HUGEINT) * CAST(n_vecs AS HUGEINT)
+        |      * $EmbCollapseVarLattice AS BIGINT) AS collapsed
+        |FROM g ORDER BY dim""".stripMargin
+    },
 
     // MinHash(128) + 16×8 LSH banding + exact-Jaccard verify,
     // replicated bit-for-bit: the lsh_tune signature machinery

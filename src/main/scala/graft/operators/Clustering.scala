@@ -427,4 +427,68 @@ object Clustering {
       .select(col("vec_id"), col("label"), col("dist2"), col("rnk"), col("kept"))
       .orderBy(col("vec_id"))
   }
+
+  /** Collapse threshold for [[embHealth]]: a dimension whose
+    * variance (on the 10⁻⁶ lattice, so units of 10⁻¹² of the raw
+    * scale) falls below this is carrying ~no information. 100 lattice
+    * units² ≈ a raw standard deviation of 10⁻⁵ — far below any
+    * healthy embedding dimension, far above float noise.
+    */
+  val EmbCollapseVarLattice = 100L
+
+  /** emb_health — the embedding-space HEALTH card (the QA pass a
+    * team runs before trusting a new embedding dump: a fine-tuned or
+    * truncated encoder often ships dimensions that have COLLAPSED to
+    * a constant — dead capacity that silently degrades every
+    * downstream ANN/dedup/clustering operator): one row per
+    * dimension with vector count, mean and mean-square on the exact
+    * 10⁻⁶ lattice, the min/max lattice values, and the collapsed
+    * flag (population variance below [[EmbCollapseVarLattice]]).
+    * Reading the card: collapsed=1 rows are dead dimensions;
+    * |mean_ppm| far from 0 on many rows means the dump was not
+    * centered; a max-min span near 0 with collapsed=0 localizes
+    * near-constant dimensions the variance threshold just misses.
+    *
+    * Exactness: every value lands on the lattice first
+    * (l = floor(x·10⁶ + 0.5), the PQ convention — identical IEEE
+    * double ops both engines), and all aggregation is 64-bit integer
+    * (sums fit: |l| ≤ ~10⁷ at |x| ≤ 10, squares ≤ 10¹⁴, corpus sums
+    * ≤ 10¹⁴·n — DECIMAL(38) guards the variance cross-term n·Σl² −
+    * (Σl)², which does overflow int64). Truncating integer `div`
+    * matches both engines.
+    *
+    * Scale shape: ONE map-side explode (dim, lattice) pass — 64 rows
+    * per vector, constant factor — into a 64-group map-side-
+    * combinable aggregation; the card is dim rows. No shuffle wider
+    * than the 64-key agg at any corpus size.
+    */
+  def embHealth(spark: SparkSession, dir: String): DataFrame =
+    embHealthOn(Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+
+  private[graft] def embHealthOn(emb: DataFrame): DataFrame =
+    emb.filter(col("v").isNotNull)
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("x") * 1000000d + 0.5d).cast("long").as("l"))
+      .groupBy(col("dim"))
+      // DECIMAL(38,0) sums from the start: Σl² is ~10¹⁴ per vector
+      // pair of digits — int64 dies near 10⁵ vectors per dimension
+      // at full lattice range, and 100 TB is 10¹² (the sample_mixture
+      // lesson). The per-row cast is free next to the explode.
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(l AS DECIMAL(38,0))")).as("sl"),
+        sum(expr("CAST(l AS DECIMAL(38,0)) * CAST(l AS DECIMAL(38,0))")).as("sl2"),
+        min(col("l")).as("min_ppm"),
+        max(col("l")).as("max_ppm"))
+      .select(col("dim"), col("n_vecs"),
+        expr("CAST(sl div n_vecs AS BIGINT)").as("mean_ppm"),
+        expr("CAST(sl2 div n_vecs AS BIGINT)").as("msq_ppm2"),
+        col("min_ppm"), col("max_ppm"),
+        // population variance · n²: n·Σl² − (Σl)², DECIMAL(38) exact
+        expr(s"""CAST(CAST(n_vecs AS DECIMAL(38,0)) * sl2 - sl * sl
+                |  < CAST(n_vecs AS DECIMAL(38,0)) * CAST(n_vecs AS DECIMAL(38,0))
+                |    * $EmbCollapseVarLattice AS BIGINT)""".stripMargin)
+          .as("collapsed"))
+      .orderBy(col("dim"))
 }

@@ -217,4 +217,36 @@ class ClusteringSpec extends AnyFunSuite {
         .map(_._4).minOption.getOrElse(Long.MaxValue))
     }
   }
+
+  test("emb_health equals an in-JVM lattice recompute and flags a planted dead dimension") {
+    import spark.implicits._
+    import operators.Clustering.EmbCollapseVarLattice
+    // 3-dim fixture: dim 0 healthy, dim 1 COLLAPSED (constant 0.25),
+    // dim 2 near-constant but above the variance floor
+    val vecs: Seq[(Long, Seq[Double])] = (0L until 40L).map { i =>
+      (i, Seq(math.sin(i.toDouble) * 2.0, 0.25, 0.5 + (i % 2) * 0.001))
+    }
+    val emb = vecs.toDF("vec_id", "v")
+    val got = operators.Clustering.embHealthOn(emb).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // independent recompute on the same lattice
+    val byDim = (0 until 3).map { d =>
+      val ls = vecs.map { case (_, v) => math.floor(v(d) * 1000000d + 0.5d).toLong }
+      val n = ls.size.toLong
+      val sl = ls.map(BigInt(_)).sum
+      val sl2 = ls.map(l => BigInt(l) * BigInt(l)).sum
+      val collapsed =
+        if (BigInt(n) * sl2 - sl * sl < BigInt(n) * BigInt(n) * EmbCollapseVarLattice) 1L else 0L
+      d.toLong -> ((n, (sl / n).toLong, (sl2 / n).toLong, ls.min, ls.max, collapsed))
+    }.toMap
+    assert(got == byDim, s"got $got\nwant $byDim")
+    assert(got(1L)._6 == 1L, "constant dimension must flag collapsed")
+    assert(got(0L)._6 == 0L && got(2L)._6 == 0L,
+      "healthy / above-floor dimensions must not flag")
+    // registered entry runs on the real corpus with one row per dim
+    val card = operators.Clustering.embHealth(spark, sf).collect()
+    assert(card.length == 64 && card.map(_.getLong(0)).toSeq == (0L until 64L))
+  }
 }
