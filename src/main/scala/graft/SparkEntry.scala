@@ -177,6 +177,9 @@ object SparkEntry {
     "url_filter"        -> (Text.urlFilter _),
     "tok_fertility"     -> (Text.tokFertility _),
     "quality_calib"     -> (Text.qualityCalib _),
+    "quality_ensemble"  -> (Quality.qualityEnsemble _),
+    "dedup_keepbest"    -> (Quality.dedupKeepbest _),
+    "ivf_tune"          -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilaritySearch.ivfTune(s, d)),
     "ann_incremental"   -> ((s, d) => SimilaritySearch.annIncremental(s, d)),
     "ts_gaps"           -> (Temporal.tsGaps _),
     "comp_ratio"        -> (Text.compRatio _)
@@ -309,7 +312,73 @@ object SparkEntry {
     * output column names — the driver hash-compares values with
     * columns sorted by name).
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++ derivedOracleSql
+
+  /** Oracles defined by COMPOSING base entries (CTE-wrapping the full
+    * SELECTs, ORDER BY and all — legal as DuckDB subqueries), so a
+    * composed card can never drift from the operators it grades.
+    */
+  private lazy val derivedOracleSql: Map[String, String] = Map(
+    // five admission gates from the REGISTERED oracles, melted,
+    // pair-joined on doc_id, with exact-integer agreement and Cohen's
+    // kappa on HUGEINT (the cross-terms overflow int64 at scale);
+    // // and div both truncate toward zero (kappa can be negative)
+    "quality_ensemble" -> {
+      val peN = "(CAST(ka AS HUGEINT) * kb + CAST(n - ka AS HUGEINT) * (n - kb))"
+      // the base SQL interpolates AFTER stripMargin (its own lines
+      // may legitimately start with `|` — a concat operator split
+      // across lines — which a second stripMargin would eat)
+      val card = s"""g0 AS (
+        |  SELECT doc_id, 'gopher' AS gate, CAST(keep AS BIGINT) AS v FROM gq
+        |  UNION ALL SELECT doc_id, 'score', CAST(score >= ${operators.Quality.EnsembleScoreFloor} AS BIGINT) FROM qs
+        |  UNION ALL SELECT doc_id, 'url', CAST(verdict = 'pass' AS BIGINT) FROM uf
+        |  UNION ALL SELECT doc_id, 'lang', CAST(pred_lang = labeled_lang AS BIGINT) FROM li
+        |  UNION ALL SELECT doc_id, 'ccnet', CAST(bucket = 'head' AS BIGINT) FROM cb),
+        |p AS (SELECT a.gate AS gate_a, b.gate AS gate_b, a.v AS va, b.v AS vb
+        |  FROM g0 a JOIN g0 b ON a.doc_id = b.doc_id AND a.gate < b.gate),
+        |c AS (SELECT gate_a, gate_b, COUNT(*) AS n,
+        |    SUM(va * vb) AS bk, SUM((1 - va) * (1 - vb)) AS bd,
+        |    SUM(va) AS ka, SUM(vb) AS kb
+        |  FROM p GROUP BY 1, 2)
+        |SELECT gate_a, gate_b, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(bk AS BIGINT) AS n_both_keep, CAST(bd AS BIGINT) AS n_both_drop,
+        |  CAST(n - bk - bd AS BIGINT) AS n_disagree,
+        |  CAST(CAST(bk + bd AS HUGEINT) * 1000000 // n AS BIGINT) AS agree_ppm,
+        |  CAST(CASE WHEN CAST(n AS HUGEINT) * n - $peN = 0 THEN 0
+        |    ELSE (CAST(bk + bd AS HUGEINT) * n - $peN) * 1000000
+        |      // (CAST(n AS HUGEINT) * n - $peN) END AS BIGINT) AS kappa_ppm
+        |FROM c ORDER BY gate_a, gate_b""".stripMargin
+      "WITH gq AS (\n" + baseOracleSql("gopher_quality") + "\n),\n" +
+        "qs AS (\n" + baseOracleSql("quality_score") + "\n),\n" +
+        "uf AS (\n" + baseOracleSql("url_filter") + "\n),\n" +
+        "li AS (\n" + baseOracleSql("lang_id") + "\n),\n" +
+        "cb AS (\n" + baseOracleSql("ccnet_buckets") + "\n),\n" + card
+    },
+
+    // quality-aware survivorship: the dedup_clusters transitive
+    // closure + the two quality oracles, keeper = per-cluster argmax
+    // (rule gate DESC, score DESC, doc_id) — the oracle may use the
+    // native window (oracle side only; the engine runs the heap)
+    "dedup_keepbest" -> {
+      val card = """b AS (
+        |  SELECT dc.doc_id, dc.cluster_id, CAST(gq.keep AS BIGINT) AS gq, qs.score
+        |  FROM dc JOIN gq ON dc.doc_id = gq.doc_id
+        |  JOIN qs ON dc.doc_id = qs.doc_id),
+        |m AS (SELECT cluster_id, doc_id AS best_id FROM (
+        |    SELECT cluster_id, doc_id, ROW_NUMBER() OVER (
+        |      PARTITION BY cluster_id
+        |      ORDER BY gq DESC, score DESC, doc_id) AS rn FROM b)
+        |  WHERE rn = 1)
+        |SELECT b.doc_id, b.cluster_id, b.gq, CAST(b.score AS DOUBLE) AS score,
+        |  CAST(b.doc_id = m.best_id AS BIGINT) AS best
+        |FROM b JOIN m ON b.cluster_id = m.cluster_id
+        |ORDER BY b.doc_id""".stripMargin
+      "WITH dc AS (\n" + baseOracleSql("dedup_clusters") + "\n),\n" +
+        "gq AS (\n" + baseOracleSql("gopher_quality") + "\n),\n" +
+        "qs AS (\n" + baseOracleSql("quality_score") + "\n),\n" + card
+    })
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

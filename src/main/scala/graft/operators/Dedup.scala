@@ -716,7 +716,7 @@ object Dedup {
   private val labelCache = new graft.ArtifactCache("dedup_labels",
     "materialized connected-component label frames, keyed per corpus")
 
-  private def labelArtifact(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def labelArtifact(spark: SparkSession, dir: String): DataFrame =
     labelCache.getOrCompute(spark, dir)(
       clustersDocs(Tables(spark, dir).documents, maxIters = 20,
         star = true).materialized)

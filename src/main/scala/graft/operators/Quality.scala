@@ -138,4 +138,133 @@ object Quality {
           " * 1000000 div greatest(CAST(expected AS DECIMAL(38,0)), 1) AS BIGINT)"))
       .orderBy(col("feature"), col("bucket"))
   }
+
+  /** Score floor for [[qualityEnsemble]]'s soft-score gate: the
+    * quality_score "medium or better" bucket boundary.
+    */
+  val EnsembleScoreFloor = 0.3
+
+  /** quality_ensemble — the GATE AGREEMENT card (the evaluation-layer
+    * row next to quality_calib: before a curation stack trusts five
+    * overlapping quality signals, it reads how often they agree and
+    * whether the agreement beats chance): five binary admission gates
+    * — the Gopher rule conjunction, the soft score ≥
+    * [[EnsembleScoreFloor]] (the "medium" bucket floor), the URL
+    * filter's pass verdict, language-ID agreeing with the label, and
+    * the CCNet head bucket — compared pairwise. One row per unordered
+    * gate pair: doc count, both-keep / both-drop / disagree counts,
+    * raw agreement in ppm, and COHEN'S KAPPA in ppm (chance-corrected
+    * — two gates that both keep 95% of the corpus agree 90%+ by
+    * accident; kappa is the number that says whether they measure the
+    * same thing). A near-1e6 kappa pair is a redundant gate (drop the
+    * expensive one); a near-zero kappa pair measures independent
+    * failure modes (keep both).
+    *
+    * Exactness: every gate is a composition of the REGISTERED
+    * operators' own column definitions (same code, same constants —
+    * the dedup_eval convention), so each flag is oracle-green by
+    * inheritance; the card arithmetic is pure integer on
+    * DECIMAL(38) (the kappa cross-terms k_a·k_b and n² overflow
+    * int64 at corpus scale), with truncating `div` ≡ `//` on both
+    * engines (sign-checked — kappa is legitimately negative for
+    * anti-correlated gates).
+    *
+    * Scale shape: five map-heavy per-doc gate chains joined on the
+    * unique doc_id (the quality_calib shape; ccnet's LM model is the
+    * one vocabulary-sized term), melted 5× and self-joined on doc_id
+    * (10 pair rows per doc, a constant factor), then ONE 10-group
+    * map-side-combinable aggregation to the card.
+    */
+  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame =
+    qualityEnsembleOn(Tables(spark, dir).documents)
+
+  /** dedup_keepbest — QUALITY-AWARE cluster survivorship (the
+    * decision dedup_clusters's min-id keeper punts on: when a
+    * near-dup cluster holds one clean original and four mangled
+    * re-crawls, a production dedup keeps the BEST copy, not the
+    * lowest id — the survivorship policy of the CCNet/RefinedWeb
+    * lines): every document labeled with its cluster, the Gopher
+    * gate and the soft quality score, and a `best` flag on the
+    * cluster's argmax under (gopher keep DESC, score DESC, doc_id
+    * ASC) — rule gate first (never keep a rule-rejected copy over an
+    * admitted one), score as tiebreak, id for determinism.
+    *
+    * Composition of REGISTERED operators (cluster labels via the
+    * shared artifact, gate/score via the single rule definitions), so
+    * the keep-list can't drift from what dedup_clusters and
+    * gopher_quality each report. Scale shape: the label artifact's
+    * machinery (star contraction, O(log n) rounds), two map-heavy
+    * per-doc chains joined on unique doc_id, and the per-cluster
+    * argmax on the bounded heap ([[graft.plans.TopK]], k = 1) — a
+    * boilerplate cluster holding 10% of the corpus is exactly the
+    * group a cluster_id window would serialize on one task; the heap
+    * tracks one row per cluster per partition map-side. The best-id
+    * join back is cluster-keyed, output-sized.
+    */
+  def dedupKeepbest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val labels = Dedup.labelArtifact(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val gate = Text.gopherQualityOn(docs).select(col("doc_id"), col("keep").as("gq"))
+    val score = Text.qualityScoreOn(docs).select(col("doc_id"), col("score"))
+    val base = labels.join(gate, "doc_id").join(score, "doc_id")
+    val best = graft.plans.TopK.topKPerKey(base,
+        keys = Seq(col("cluster_id")),
+        order = Seq(col("gq").desc, col("score").desc, col("doc_id").asc), k = 1)
+      .select(col("cluster_id"), col("doc_id").as("best_id"))
+    base.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("gq"), col("score"),
+        (col("doc_id") === col("best_id")).cast("long").as("best"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[graft] def qualityEnsembleOn(docs: DataFrame): DataFrame = {
+    val gates = Seq(
+      "ccnet" -> LangModel.ccnetBucketsOn(docs)
+        .select(col("doc_id"), (col("bucket") === "head").cast("long").as("v")),
+      "gopher" -> Text.gopherQualityOn(docs)
+        .select(col("doc_id"), col("keep").as("v")),
+      "lang" -> Text.langIdOn(docs)
+        .select(col("doc_id"),
+          (col("pred_lang") === col("labeled_lang")).cast("long").as("v")),
+      "score" -> Text.qualityScoreOn(docs)
+        .select(col("doc_id"),
+          (col("score") >= EnsembleScoreFloor).cast("long").as("v")),
+      "url" -> Text.urlFilterOn(docs)
+        .select(col("doc_id"), (col("verdict") === "pass").cast("long").as("v")))
+    val melted = gates.map { case (name, df) =>
+      df.select(col("doc_id"), lit(name).as("gate"), col("v"))
+    }.reduce(_ unionAll _)
+    val pairs = melted.as("a").join(melted.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.gate") < col("b.gate"))
+      .select(col("a.gate").as("gate_a"), col("b.gate").as("gate_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+    pairs.groupBy(col("gate_a"), col("gate_b"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("va") * col("vb")).as("n_both_keep"),
+        sum((lit(1L) - col("va")) * (lit(1L) - col("vb"))).as("n_both_drop"),
+        sum(col("va")).as("ka"),
+        sum(col("vb")).as("kb"))
+      .select(col("gate_a"), col("gate_b"), col("n_docs"),
+        col("n_both_keep"), col("n_both_drop"),
+        (col("n_docs") - col("n_both_keep") - col("n_both_drop")).as("n_disagree"),
+        expr("CAST((CAST(n_both_keep AS DECIMAL(38,0)) + n_both_drop) * 1000000" +
+          " div n_docs AS BIGINT)").as("agree_ppm"),
+        // kappa = (po − pe) / (1 − pe) with po = agree/n,
+        // pe = (ka·kb + (n−ka)(n−kb))/n²  →  all-integer form:
+        // (agree·n − peN)·10⁶ div (n² − peN), peN on DECIMAL(38)
+        expr("""CASE WHEN CAST(n_docs AS DECIMAL(38,0)) * n_docs
+               |  - (CAST(ka AS DECIMAL(38,0)) * kb
+               |     + CAST(n_docs - ka AS DECIMAL(38,0)) * (n_docs - kb)) = 0
+               |THEN 0L
+               |ELSE CAST((CAST(n_both_keep + n_both_drop AS DECIMAL(38,0)) * n_docs
+               |    - (CAST(ka AS DECIMAL(38,0)) * kb
+               |       + CAST(n_docs - ka AS DECIMAL(38,0)) * (n_docs - kb)))
+               |  * 1000000
+               |  div (CAST(n_docs AS DECIMAL(38,0)) * n_docs
+               |    - (CAST(ka AS DECIMAL(38,0)) * kb
+               |       + CAST(n_docs - ka AS DECIMAL(38,0)) * (n_docs - kb)))
+               |  AS BIGINT) END""".stripMargin).as("kappa_ppm"))
+      .orderBy(col("gate_a"), col("gate_b"))
+  }
 }

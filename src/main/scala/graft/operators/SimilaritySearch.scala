@@ -235,6 +235,88 @@ object SimilaritySearch {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Probe budgets for [[ivfTune]] (capped at the trained cell
+    * count at runtime).
+    */
+  val IvfTuneProbes: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** ivf_tune — the IVF nprobe PARAMETER card (lsh_tune's sibling
+    * for the quantizer family: the table a team reads before fixing
+    * nprobe at 100 TB): for each probe budget, the measured candidate
+    * volume (rows the ADC/exact stage must score — the COST axis) and
+    * the measured recall@k against the brute-force truth (the QUALITY
+    * axis). Because the re-rank stage is exact, IVF's final recall
+    * EQUALS candidate recall — any true top-k member reaching the
+    * candidate set outranks every non-member by definition — so the
+    * card needs no per-config re-rank: ONE cell-assignment pass with
+    * probe RANKS (a candidate found at probe rank r is a candidate
+    * for every nprobe > r; the probe sets nest), two rank-keyed
+    * histograms, and a ≤ 16-row driver cumulation (the shardBalance
+    * bounds class).
+    *
+    * Scale shape: the ann_ivf machinery verbatim (bounded trained
+    * quantizer, map-side cell routing, queries broadcast); the
+    * histogram aggregations are map-side-combinable on ≤ maxProbe
+    * keys. Rows-only (float cell assignment, the ann_ivf class);
+    * DedupAnnSpec pins nesting monotonicity and consistency with the
+    * REGISTERED ann_ivf at its production nprobe.
+    */
+  def ivfTune(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    ivfTuneOn(embDouble(spark, dir), k)
+
+  private[graft] def ivfTuneOn(emb: DataFrame, k: Int): DataFrame = {
+    import graft.Materialize.MatOps
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = emb
+      .filter(col("vec_id") % 50 === 7 &&
+        col("vec_id") < lit(7L + 50L * MaxCentroids) &&
+        col("v").isNotNull)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long, Long)].toDF(
+        "nprobe", "n_queries", "n_candidates", "cand_per_query",
+        "n_hits", "recall_ppm")
+    val cids: Seq[Long] = cents.map(_._1).toSeq
+    val cvecs = Clustering.kmeansRefine(
+      emb.filter(col("v").isNotNull), cents.map(_._2).toSeq, Clustering.KmeansIters)
+    val maxProbe = math.min(IvfTuneProbes.max, cids.size)
+    val cells = emb
+      .withColumn("cid", element_at(nearestCentroids(col("v"), cids, cvecs, 1), 1))
+    val q = queriesOf(emb)
+    // probe RANK rides the explode: pr = 0-based position of the cell
+    // in the query's nearest-centroid list
+    val qProbes = q.select(col("qid"),
+      posexplode(nearestCentroids(col("qv"), cids, cvecs, maxProbe))
+        .as(Seq("pr", "cid")))
+    val cand = cells.join(broadcast(qProbes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("pr"))
+      .materialized // histogram + truth-join consumers
+    val truth = annTopKOn(emb, k).select(col("qid"), col("nid"))
+    val candByPr = cand.groupBy(col("pr")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hitsByPr = cand
+      .join(truth, cand("qid") === truth("qid") && cand("vec_id") === truth("nid"))
+      .groupBy(col("pr")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    graft.Materialize.release(cand)
+    val nQueries = q.count()
+    val rows = IvfTuneProbes.filter(_ <= maxProbe).map { np =>
+      val nc = (0 until np).map(candByPr.getOrElse(_, 0L)).sum
+      val nh = (0 until np).map(hitsByPr.getOrElse(_, 0L)).sum
+      (np.toLong, nQueries, nc,
+        if (nQueries > 0) nc / nQueries else 0L,
+        nh,
+        if (nQueries > 0) nh * 1000000L / (nQueries * k) else 0L)
+    }
+    rows.toDF("nprobe", "n_queries", "n_candidates", "cand_per_query",
+        "n_hits", "recall_ppm")
+      .orderBy(col("nprobe"))
+  }
+
   /** vec_quant — embedding storage prep: L2 norm plus symmetric
     * int8 quantization (q_i = round-half-up(v_i · 127/max|v|)) — the
     * 4× footprint reduction applied before shipping vectors to an

@@ -24,6 +24,32 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall < 0.9 (${exact.size} exact, ${lsh.size} lsh)")
   }
 
+  test("ivf_tune: probe sets nest, recall/cost monotone, nprobe=4 row equals registered ann_ivf") {
+    val card = graft.operators.SimilaritySearch.ivfTune(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(card.nonEmpty && card.map(_._1).toSeq == card.map(_._1).toSeq.sorted)
+    // nesting: candidates and hits both nondecreasing in nprobe
+    card.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3 >= a._3, s"candidates shrank: $a -> $b")
+        assert(b._5 >= a._5, s"hits shrank: $a -> $b")
+      case _ => ()
+    }
+    // exact-rerank law: final recall == candidate recall, so the
+    // nprobe=4 row must equal the REGISTERED ann_ivf's measured
+    // recall vs ann_topk (same centroids, same Lloyd rounds)
+    val exact = SparkEntry.queries("ann_topk")(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("ann_ivf")(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits4 = (exact & ivf).size.toLong
+    val row4 = card.find(_._1 == 4L).get
+    assert(row4._5 == hits4, s"ivf_tune nprobe=4 hits ${row4._5} != ann_ivf $hits4")
+    assert(row4._6 == hits4 * 1000000L / (row4._2 * 10),
+      "recall_ppm arithmetic drifted")
+  }
+
   test("ann_lsh signature width scales with the corpus; ranking is heap-based") {
     // the knn_graph auto-width law ported to ann_lsh (r9 verdict #2:
     // a FIXED width keeps 8 tables × 2^8 buckets constant in corpus

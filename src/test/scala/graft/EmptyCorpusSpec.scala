@@ -73,7 +73,10 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "url_filter" -> (d => operators.Text.urlFilterOn(d)),
     "tok_fertility" -> (d => operators.Text.tokFertilityOn(d)),
     "quality_calib" -> (d => operators.Text.qualityCalibOn(d)),
-    "comp_ratio" -> (d => operators.Text.compRatioOn(d))
+    "comp_ratio" -> (d => operators.Text.compRatioOn(d)),
+    // round-10 cards
+    "lang_id" -> (d => operators.Text.langIdOn(d)),
+    "quality_ensemble" -> (d => operators.Quality.qualityEnsembleOn(d))
   )
 
   for ((name, op) <- ops)
@@ -126,7 +129,9 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "vec_quant" -> (e => operators.SimilaritySearch.vecQuantOn(e)),
     "pq_codes" -> (e => operators.SimilaritySearch.pqCodesOn(e)),
     "dedup_embedding" -> (e => operators.Dedup.embeddingOn(e)),
-    "ann_incremental" -> (e => operators.SimilaritySearch.annIncrementalOn(e))
+    "ann_incremental" -> (e => operators.SimilaritySearch.annIncrementalOn(e)),
+    "ivf_tune" -> (e => operators.SimilaritySearch.ivfTuneOn(e, 10)),
+    "emb_health" -> (e => operators.Clustering.embHealthOn(e))
   )
 
   for ((name, op) <- vecOps)

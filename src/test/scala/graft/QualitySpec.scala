@@ -89,4 +89,75 @@ class QualitySpec extends AnyFunSuite {
       assert(d >= 0 && d <= 9 && k <= n && ppm <= 1000000L)
     }
   }
+
+  test("quality_ensemble: card equals an in-JVM pairwise recompute from the registered gates") {
+    val sf = "/root/testdata/sf0.001"
+    import operators.Quality.EnsembleScoreFloor
+    // the five gate vectors, straight from the registered operators
+    val gates: Map[String, Map[Long, Long]] = Map(
+      "gopher" -> operators.Text.gopherQuality(spark, sf).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep")).toMap,
+      "score" -> operators.Text.qualityScore(spark, sf).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (if (r.getAs[Double]("score") >= EnsembleScoreFloor) 1L else 0L)).toMap,
+      "url" -> operators.Text.urlFilter(spark, sf).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (if (r.getAs[String]("verdict") == "pass") 1L else 0L)).toMap,
+      "lang" -> operators.Text.langId(spark, sf).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (if (r.getAs[String]("pred_lang") == r.getAs[String]("labeled_lang")) 1L
+           else 0L)).toMap,
+      "ccnet" -> operators.LangModel.ccnetBuckets(spark, sf).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (if (r.getAs[String]("bucket") == "head") 1L else 0L)).toMap)
+    val names = gates.keys.toSeq.sorted
+    val expected = (for {
+      i <- names.indices; j <- i + 1 until names.size
+    } yield {
+      val (a, b) = (names(i), names(j))
+      val (ga, gb) = (gates(a), gates(b))
+      val ids = ga.keySet
+      assert(ids == gb.keySet, s"gate coverage differs: $a vs $b")
+      val n = ids.size.toLong
+      val bk = ids.count(id => ga(id) == 1 && gb(id) == 1).toLong
+      val bd = ids.count(id => ga(id) == 0 && gb(id) == 0).toLong
+      val ka = ga.values.sum; val kb = gb.values.sum
+      val peN = BigInt(ka) * kb + BigInt(n - ka) * (n - kb)
+      val den = BigInt(n) * n - peN
+      val kappa = if (den == 0) 0L
+        else ((BigInt(bk + bd) * n - peN) * 1000000 / den).toLong
+      (a, b, n, bk, bd, n - bk - bd, (bk + bd) * 1000000L / n, kappa)
+    }).sortBy(t => (t._1, t._2))
+    val got = operators.Quality.qualityEnsemble(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expected, s"got\n${got.mkString("\n")}\nwant\n${expected.mkString("\n")}")
+    // a gate paired with itself would be kappa 10⁶; pairs must not be
+    assert(got.forall(r => r._1 < r._2) && got.size == 10)
+  }
+
+  test("dedup_keepbest: one best per cluster, argmax law, labels agree with dedup_clusters") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = operators.Quality.dedupKeepbest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val clusters = operators.Dedup.clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == clusters.size)
+    rows.foreach { case (id, cl, _, _, _) =>
+      assert(clusters(id) == cl, s"doc $id label drifted from dedup_clusters") }
+    rows.groupBy(_._2).foreach { case (cl, g) =>
+      val bests = g.filter(_._5 == 1L)
+      assert(bests.length == 1, s"cluster $cl has ${bests.length} best rows")
+      // argmax under (gq DESC, score DESC, id ASC)
+      val want = g.minBy { case (id, _, gq, s, _) => (-gq, -s, id) }
+      assert(bests.head._1 == want._1,
+        s"cluster $cl keeper ${bests.head._1} != argmax ${want._1}")
+    }
+    // the policy must actually differ from min-id somewhere on this
+    // corpus (otherwise the operator adds nothing over dedup_clusters)
+    val minIdKeepers = rows.groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
+    val bestKeepers = rows.filter(_._5 == 1L).map(_._1).toSet
+    assert(bestKeepers != minIdKeepers,
+      "fixture has no cluster where quality overrides min-id — weaken the corpus check")
+  }
 }
