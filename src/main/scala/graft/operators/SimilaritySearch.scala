@@ -788,24 +788,54 @@ object SimilaritySearch {
   def annIncremental(spark: SparkSession, dir: String): DataFrame =
     annIncrementalOn(embDouble(spark, dir))
 
-  private[graft] def annIncrementalOn(emb: DataFrame): DataFrame = {
-    val spark = emb.sparkSession
-    val old = emb.filter(col("vec_id") % 5 =!= 4 && col("v").isNotNull)
-    val neu = emb.filter(col("vec_id") % 5 === 4 && col("v").isNotNull)
+  /** The frozen-centroid model [[annIncremental]] (and its streaming
+    * twin [[graft.streaming.VectorIngestStream]]) assigns against:
+    * the ann_ivf stride sample over the OLD snapshot + Lloyd
+    * refinement. Empty when the snapshot has no stride rows.
+    */
+  private[graft] def incrementalCentroids(
+      old: DataFrame): (Seq[Long], Seq[Seq[Double]]) = {
     val cents = old
       .filter(col("vec_id") % 50 === 7 &&
         col("vec_id") < lit(7L + 50L * MaxCentroids))
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    if (cents.isEmpty) {
+    if (cents.isEmpty) (Seq.empty, Seq.empty)
+    else (cents.map(_._1).toSeq,
+      Clustering.kmeansRefine(old, cents.map(_._2).toSeq,
+        Clustering.KmeansIters))
+  }
+
+  /** Card assembly shared by the batch operator and the streaming
+    * ingest spec: per-cell old/new counts full-outer-joined,
+    * growth ppm, and the rebalance flag at > 2× the corpus-wide
+    * arrival rate (`newTotal/oldTotal`, passed as the two
+    * construction-time scalars — never a 1-row cross join).
+    */
+  private[graft] def ivfCardFrom(oldN: DataFrame, newN: DataFrame,
+      oldTotal: Long, newTotal: Long): DataFrame = {
+    val overallPpm = if (oldTotal > 0) newTotal * 1000000L / oldTotal else 0L
+    oldN.join(newN, Seq("cid"), "full")
+      .select(col("cid"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"))
+      .withColumn("growth_ppm", expr("new_n * 1000000 div greatest(old_n, 1L)"))
+      .withColumn("rebalance",
+        (col("growth_ppm") > lit(2L * overallPpm)).cast("long"))
+      .orderBy(col("cid"))
+  }
+
+  private[graft] def annIncrementalOn(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val old = emb.filter(col("vec_id") % 5 =!= 4 && col("v").isNotNull)
+    val neu = emb.filter(col("vec_id") % 5 === 4 && col("v").isNotNull)
+    val (cids, cvecs) = incrementalCentroids(old)
+    if (cids.isEmpty) {
       import spark.implicits._
       return Seq.empty[(Long, Long, Long, Long, Long)]
         .toDF("cid", "old_n", "new_n", "growth_ppm", "rebalance")
     }
-    val cids: Seq[Long] = cents.map(_._1).toSeq
-    val cvecs = Clustering.kmeansRefine(old, cents.map(_._2).toSeq,
-      Clustering.KmeansIters)
     def cellOf(df: DataFrame): DataFrame =
       df.withColumn("cid",
         element_at(nearestCentroids(col("v"), cids, cvecs, 1), 1))
@@ -815,15 +845,6 @@ object SimilaritySearch {
       sum(when(col("vec_id") % 5 =!= 4 && col("v").isNotNull, 1L).otherwise(0L)),
       sum(when(col("vec_id") % 5 === 4 && col("v").isNotNull, 1L).otherwise(0L)))
       .head()
-    val overallPpm =
-      if (tot.getLong(0) > 0) tot.getLong(1) * 1000000L / tot.getLong(0) else 0L
-    oldN.join(newN, Seq("cid"), "full")
-      .select(col("cid"),
-        coalesce(col("old_n"), lit(0L)).as("old_n"),
-        coalesce(col("new_n"), lit(0L)).as("new_n"))
-      .withColumn("growth_ppm", expr("new_n * 1000000 div greatest(old_n, 1L)"))
-      .withColumn("rebalance",
-        (col("growth_ppm") > lit(2L * overallPpm)).cast("long"))
-      .orderBy(col("cid"))
+    ivfCardFrom(oldN, newN, tot.getLong(0), tot.getLong(1))
   }
 }
