@@ -232,9 +232,13 @@ object Quality {
           (col("score") >= EnsembleScoreFloor).cast("long").as("v")),
       "url" -> Text.urlFilterOn(docs)
         .select(col("doc_id"), (col("verdict") === "pass").cast("long").as("v")))
-    val melted = gates.map { case (name, df) =>
+    // materialized: the pair join consumes the melt TWICE (self-join)
+    // — without it the five gate chains re-evaluate per side (the r5
+    // self-union lesson; exchange reuse is a physical-plan maybe, the
+    // checkpoint is a guarantee)
+    val melted = graft.Materialize.eager(gates.map { case (name, df) =>
       df.select(col("doc_id"), lit(name).as("gate"), col("v"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _))
     val pairs = melted.as("a").join(melted.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.gate") < col("b.gate"))
       .select(col("a.gate").as("gate_a"), col("b.gate").as("gate_b"),
