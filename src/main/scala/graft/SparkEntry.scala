@@ -180,6 +180,8 @@ object SparkEntry {
     "quality_ensemble"  -> (Quality.qualityEnsemble _),
     "dedup_keepbest"    -> (Quality.dedupKeepbest _),
     "ivf_tune"          -> ((s: org.apache.spark.sql.SparkSession, d: String) => SimilaritySearch.ivfTune(s, d)),
+    "ts_forecast"       -> (Temporal.tsForecast _),
+    "event_paths"       -> (Curation.eventPaths _),
     "ann_incremental"   -> ((s, d) => SimilaritySearch.annIncremental(s, d)),
     "ts_gaps"           -> (Temporal.tsGaps _),
     "comp_ratio"        -> (Text.compRatio _)
@@ -3657,6 +3659,41 @@ object SparkEntry {
 
     // token_count's per-doc counters re-aggregated per source; ppm
     // ratios on positive integers — identical truncation both engines
+    // seasonal-naive backtest: hourly cents series, forecast(h) =
+    // obs(h-24), integer means (signed bias truncates toward zero on
+    // both engines), WAPE numerator on HUGEINT
+    "ts_forecast" ->
+      s"""WITH hb AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS obs
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.obs, b.obs AS p FROM hb a
+        |  JOIN hb b ON a.event_type = b.event_type
+        |    AND a.h = b.h + ${operators.Temporal.ForecastPeriodHours})
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  CAST(SUM(ABS(obs - p)) // COUNT(*) AS BIGINT) AS mae_cents,
+        |  CAST(SUM(obs - p) // COUNT(*) AS BIGINT) AS bias_cents,
+        |  CAST(CASE WHEN SUM(ABS(obs)) = 0 THEN 0
+        |    ELSE CAST(SUM(ABS(obs - p)) AS HUGEINT) * 1000000 // SUM(ABS(obs)) END
+        |    AS BIGINT) AS wape_ppm
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // 3-step path mining: the window order carries the full tie-break
+    // and the top-50 cut is a total order, so the frontier matches
+    "event_paths" ->
+      s"""WITH l AS (
+        |  SELECT user_id,
+        |    event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS e2,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS e3
+        |  FROM events),
+        |p AS (SELECT user_id, event_type || '>' || e2 || '>' || e3 AS path
+        |  FROM l WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM p GROUP BY 1
+        |ORDER BY n_occurrences DESC, path LIMIT ${operators.Curation.PathTopK}""".stripMargin,
+
     "tok_fertility" ->
       s"""WITH p AS (
         |  SELECT source,

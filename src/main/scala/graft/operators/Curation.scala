@@ -1032,6 +1032,52 @@ object Curation {
       .orderBy(col("user_id"))
   }
 
+  /** Path length and card size for [[eventPaths]]. */
+  val PathLen = 3
+  val PathTopK = 50
+
+  /** event_paths — frequent behavioral PATH mining (the Sankey /
+    * funnel-discovery query behind q24's fixed funnel: q24 measures a
+    * KNOWN sequence; this DISCOVERS which [[PathLen]]-step paths
+    * users actually walk): per user the event stream in strict
+    * (ts, event_id) order, every consecutive [[PathLen]]-gram of
+    * event types as a `a>b>c` path, and the top [[PathTopK]] paths
+    * by occurrence count with their distinct-user reach.
+    *
+    * Determinism: the window order carries the full (ts_ms,
+    * event_id) tie-break, so every path multiset is exact; the final
+    * cut orders by (count DESC, path) — a total order, so the top-50
+    * frontier is identical on both engines.
+    *
+    * Scale shape: ONE user-keyed window (user cardinality is
+    * unbounded — the safe partition class) producing the two leads,
+    * a path-keyed count + distinct-user aggregation (map-side
+    * partial), and a global top-k via TakeOrdered — a bounded driver
+    * collect (PathTopK rows), never a single-partition sort of the
+    * path universe.
+    */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame =
+    eventPathsOn(Tables(spark, dir).events)
+
+  private[graft] def eventPathsOn(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.Exact.epochMs(col("ts")).as("ts_ms"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(col("user_id"),
+        concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_occurrences").desc, col("path"))
+      .limit(PathTopK)
+  }
+
   /** lgConfigK for [[sketchCube]]'s DataSketches HLL (2¹² registers
     * ≈ 1.6% relative error, 4 KB per sketch).
     */

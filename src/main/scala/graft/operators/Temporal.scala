@@ -255,4 +255,59 @@ object Temporal {
         (col("next_ms") - col("t_ms")).as("gap_ms"))
       .orderBy(col("user_id"), col("gap_start_ms"), col("gap_end_ms"))
   }
+
+  /** Seasonal period for [[tsForecast]]: 24 hourly buckets — the
+    * daily cycle [[tsSeasonal]]'s profile already establishes this
+    * corpus has.
+    */
+  val ForecastPeriodHours = 24L
+
+  /** ts_forecast — the seasonal-naive BACKTEST card (ts_seasonal
+    * profiles the cycle; this measures how predictive it actually
+    * is — the baseline every forecasting effort must beat, and the
+    * number that says whether a series is forecastable at all): the
+    * hourly per-type value series, forecast(h) = observed(h − 24),
+    * evaluated over every hour where both sides exist. Per type:
+    * evaluated hours, MAE and signed BIAS in cents (integer means —
+    * a nonzero bias flags trend the seasonal model misses), and WAPE
+    * in ppm (Σ|err| / Σ|obs| — the scale-free error a mixed-volume
+    * type set can be compared on).
+    *
+    * Exactness: values land on the cents lattice (dec2·100, the
+    * ts_seasonal convention), hours on unix_micros div 3600·10⁶;
+    * every mean is truncating integer `div` (sign-correct on the
+    * signed bias — both engines truncate toward zero) and the WAPE
+    * numerator is promoted to DECIMAL(38) before the ×10⁶.
+    *
+    * Scale shape: one (type, hour)-keyed map-side-combinable
+    * aggregation (the series), one self-equi-join on (type, h = h+24)
+    * — co-partitioned, never a window over a type-bounded partition
+    * of raw events — and a type-keyed card aggregation.
+    */
+  def tsForecast(spark: SparkSession, dir: String): DataFrame =
+    tsForecastOn(Tables(spark, dir).events)
+
+  private[graft] def tsForecastOn(events: DataFrame): DataFrame = {
+    val hourly = events.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(sum(col("cents")).as("obs"))
+    val pred = hourly.select(col("event_type"),
+      (col("h") + ForecastPeriodHours).as("h"), col("obs").as("p"))
+    hourly.join(pred, Seq("event_type", "h"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("obs") - col("p"))).as("sae"),
+        sum(col("obs") - col("p")).as("se"),
+        sum(abs(col("obs"))).as("sa"))
+      .select(col("event_type"), col("n_eval"),
+        expr("sae div n_eval").as("mae_cents"),
+        expr("se div n_eval").as("bias_cents"),
+        expr("CASE WHEN sa = 0 THEN 0L ELSE " +
+          "CAST(CAST(sae AS DECIMAL(38,0)) * 1000000 div sa AS BIGINT) END")
+          .as("wape_ppm"))
+      .orderBy(col("event_type"))
+  }
 }

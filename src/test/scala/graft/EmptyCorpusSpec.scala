@@ -182,6 +182,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
     assert(operators.Relational.q44On(empty).count() == 0L)
     assert(operators.Relational.q45On(empty).count() == 0L)
     assert(operators.Temporal.tsGapsOn(empty).count() == 0L)
+    assert(operators.Temporal.tsForecastOn(empty).count() == 0L)
+    assert(operators.Curation.eventPathsOn(empty).count() == 0L)
   }
 
   test("proto_prune survives an empty labeled-embedding table") {
