@@ -257,9 +257,13 @@ object SimilaritySearch {
     * Scale shape: the ann_ivf machinery verbatim (bounded trained
     * quantizer, map-side cell routing, queries broadcast); the
     * histogram aggregations are map-side-combinable on ≤ maxProbe
-    * keys. Rows-only (float cell assignment, the ann_ivf class);
-    * DedupAnnSpec pins nesting monotonicity and consistency with the
-    * REGISTERED ann_ivf at its production nprobe.
+    * keys. Grading against truth costs ONE brute-force pass — O(n·q)
+    * with q fixed at [[MaxQueries]], linear in n (the ann_eval cost
+    * class: recall cards are priced by their ground truth, run them
+    * before committing an index, not per query). Rows-only (float
+    * cell assignment, the ann_ivf class); DedupAnnSpec pins nesting
+    * monotonicity and consistency with the REGISTERED ann_ivf at its
+    * production nprobe.
     */
   def ivfTune(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     ivfTuneOn(embDouble(spark, dir), k)
