@@ -832,6 +832,49 @@ object SparkEntry {
         |FROM g ORDER BY dim""".stripMargin
     },
 
+    // SimHash replicated bit-for-bit (round 10, the dedup_minhash
+    // promotion applied to its sibling): hash60 word lattice
+    // (multiset — frequency-weighted, so NO distinct), per-bit ±1
+    // majority with the agg's strict > 0 (ties → 0), 4×15-bit
+    // pigeonhole blocks, bit_count(xor) <= 3 verify, then the
+    // collapse/expansion closed form:
+    // n_near_dups = Σ gsize(partner reps) + gsize − 1
+    "dedup_simhash" ->
+      s"""WITH mem AS (SELECT doc_id,
+        |    MIN(doc_id) OVER (PARTITION BY text) AS rep,
+        |    COUNT(*) OVER (PARTITION BY text) AS gsize
+        |  FROM documents),
+        |reps AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |d AS (SELECT doc_id, $wordsSql AS w FROM reps),
+        |wh AS (SELECT doc_id, ${hash60Sql("word")} AS h
+        |  FROM (SELECT doc_id, unnest(w) AS word FROM d)),
+        |bt AS (SELECT unnest(range(0, 60)) AS b),
+        |bs AS (SELECT wh.doc_id, bt.b,
+        |    SUM(CASE WHEN (h >> bt.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM wh CROSS JOIN bt GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+        |      ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bs GROUP BY 1),
+        |bj AS (SELECT unnest(range(0, 4)) AS j),
+        |blk AS (SELECT doc_id, simhash, bj.j,
+        |    (simhash >> (15 * bj.j)) & 32767 AS key
+        |  FROM sig CROSS JOIN bj),
+        |prs AS (SELECT DISTINCT x.doc_id, y.doc_id AS other,
+        |    x.simhash AS sx, y.simhash AS sy
+        |  FROM blk x JOIN blk y ON x.j = y.j AND x.key = y.key
+        |    AND x.doc_id <> y.doc_id),
+        |prf AS (SELECT doc_id, other FROM prs
+        |  WHERE bit_count(xor(sx, sy)) <= 3),
+        |gsz AS (SELECT doc_id AS other, gsize AS g FROM mem WHERE doc_id = rep),
+        |ext AS (SELECT p.doc_id, SUM(g.g) AS ext
+        |  FROM prf p JOIN gsz g ON p.other = g.other GROUP BY 1)
+        |SELECT m.doc_id, s.simhash,
+        |  CAST(COALESCE(e.ext, 0) + m.gsize - 1 AS BIGINT) AS n_near_dups
+        |FROM mem m JOIN sig s ON m.rep = s.doc_id
+        |LEFT JOIN ext e ON m.rep = e.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
+
     // MinHash(128) + 16×8 LSH banding + exact-Jaccard verify,
     // replicated bit-for-bit: the lsh_tune signature machinery
     // (hash60-mod-P shingle lattice, perm constants interpolated from

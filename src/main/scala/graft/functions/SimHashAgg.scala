@@ -71,10 +71,14 @@ object SimHashAgg {
   * complement of [[SimHashAgg]] (which aggregates an exploded word
   * stream and therefore needs a shuffle): a stream computes the
   * signature inside the scan stage, no explode, no state. Bit-exact
-  * with the aggregate by construction: the same xxhash64(seed 42)
-  * per word ([[org.apache.spark.sql.catalyst.expressions.XxHash64Function]],
-  * the interpreted path of the SQL xxhash64), the same ±1 per-bit
-  * counters, the same `> 0` majority — NearDupStreamSpec asserts
+  * with the aggregate by construction: the same per-word hash — the
+  * REPLICABLE md5/hash60 lattice since round 10 (first 15 hex chars
+  * of md5(word), identical to `conv(substring(md5(w),1,15),16,10)`
+  * and to the DuckDB oracle's rebuild; the lsh_tune/dedup_minhash
+  * convention — promoting dedup_simhash to the oracle gate is worth
+  * the md5 cost, and the per-thread word-hash memo below makes the
+  * repeated-stopword common case cheap) — the same ±1 per-bit
+  * counters, the same `> 0` majority. NearDupStreamSpec asserts
   * signature equality over the corpus.
   */
 case class SimHashKernel(child: Expression, bits: Int)
@@ -91,8 +95,7 @@ case class SimHashKernel(child: Expression, bits: Int)
     var i = 0
     while (i < n) {
       if (!words.isNullAt(i)) {
-        val hv = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(words.getUTF8String(i), org.apache.spark.sql.types.StringType, 42L)
+        val hv = SimHashKernel.wordHash60(words.getUTF8String(i).toString)
         var b = 0
         while (b < bits) {
           counts(b) += (if (((hv >>> b) & 1L) == 1L) 1 else -1)
@@ -114,4 +117,32 @@ case class SimHashKernel(child: Expression, bits: Int)
 object SimHashKernel {
   def simhashKernel(words: Column, bits: Int): Column =
     Bridge.column(SimHashKernel(Bridge.expression(words), bits))
+
+  private val md = ThreadLocal.withInitial(
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val WordCacheCap = 4096
+  private val memo = ThreadLocal.withInitial(
+    () => new java.util.HashMap[String, java.lang.Long]())
+
+  /** First 15 hex chars of md5(word) as a 60-bit long (the
+    * EmbedKernel byte-fold — top 7 bytes + the high nibble of byte
+    * 7), per-thread memoized: natural text repeats its stopwords, so
+    * the digest runs ~once per distinct word per task. Flush-on-full
+    * keeps the memo bounded on adversarial vocabularies.
+    */
+  private[functions] def wordHash60(w: String): Long = {
+    val cache = memo.get()
+    val hit = cache.get(w)
+    if (hit != null) return hit.longValue()
+    val d = md.get()
+    d.reset()
+    val out = d.digest(w.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (out(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((out(7) >> 4) & 0xfL)
+    if (cache.size >= WordCacheCap) cache.clear()
+    cache.put(w, v)
+    v
+  }
 }

@@ -458,14 +458,18 @@ object Dedup {
   private[graft] val BlockBits = SimBits / Blocks // hamming ≤ Blocks-1 guaranteed found
 
   /** Per-document 60-bit SimHash (frequency-weighted bit majority
-    * over word hashes).
+    * over word hashes), on the REPLICABLE md5/hash60 word lattice
+    * since round 10 (the dedup_minhash promotion applied to its
+    * sibling: the DuckDB oracle rebuilds every signature bit-for-bit;
+    * the streaming [[graft.functions.SimHashKernel]] computes the
+    * identical hash with a per-thread word memo, so stream ≡ batch
+    * still holds; a throughput-critical deployment swaps the one
+    * hash expression back to xxhash64).
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    // xxhash64: bits 0..59 of the signed 64-bit hash (rows-only
-    // operator — no cross-engine replication constraint)
     val wordHashes = docs.withColumn("w", words(col("text")))
       .select(col("doc_id"), explode(col("w")).as("word"))
-      .select(col("doc_id"), xxhash64(col("word")).as("h"))
+      .select(col("doc_id"), hash60(col("word")).as("h"))
     // one custom aggregate instead of 60 sum(CASE) columns
     wordHashes.groupBy(col("doc_id"))
       .agg(graft.functions.SimHashAgg.simhashAgg(col("h"), SimBits).as("simhash"))
