@@ -166,7 +166,20 @@ final class ArtifactCache(val name: String, val holds: String) {
     map.clear()
   }
 
+  /** Free an evicted/cleared frame's storage NOW via
+    * [[Materialize.release]] (the r10 advisory: Dataset.unpersist is
+    * a no-op for checkpoint-strategy frames, so the ledger's
+    * "unpersisted immediately, never left to the async
+    * ContextCleaner" contract held only through drain()'s
+    * getPersistentRDDs sweep). Safe because the [[getOrCompute]] /
+    * [[refresh]] contract already requires artifact frames to be
+    * materialized ROOTS (a [[Materialize.eager]] product) and forbids
+    * consumers retaining them across refreshes; release is root-only
+    * by design, so even a mis-shaped derived frame could never
+    * truncate a shared artifact underneath it. Stopped-session frames
+    * no-op via the catch.
+    */
   private def safeUnpersist(df: DataFrame): Unit =
-    try df.unpersist()
+    try Materialize.release(df)
     catch { case scala.util.control.NonFatal(_) => () }
 }

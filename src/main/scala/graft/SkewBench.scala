@@ -61,7 +61,23 @@ object SkewBench {
     // identical vector → one LSH bucket/IVF cell holds 10% of the
     // corpus and every cosine against it ties — ranking must stay
     // bounded-heap, never a one-task window over the candidate mass
-    "ann_topk", "ann_lsh", "ann_ivf", "bitext_mine", "knn_graph")
+    "ann_topk", "ann_lsh", "ann_ivf", "bitext_mine", "knn_graph",
+    // round 11: the composed IVF+PQ index shares the quantizer law —
+    // measure it on the duplicated-vector mass too
+    "ann_ivf_pq")
+
+  /** The IVF-family targets re-measured on the ONE-CELL corpus (every
+    * embedding identical — the capped-quantizer collapse the r10
+    * verdict asked to make visible: with a frozen K the whole corpus
+    * lands in one cell and every probe scans it; under the
+    * [[operators.SimilaritySearch.ivfCells]] law the failure is a
+    * DATA pathology, and the design must still degrade gracefully —
+    * candidates stay evenly spread across scan partitions (the probe
+    * join is broadcast, never cid-shuffled) and ranking stays on the
+    * bounded heap, so the ratio vs the uniform twin isolates the
+    * extra candidate volume, not a one-task collapse).
+    */
+  val OneCellTargets: Seq[String] = Seq("ann_ivf", "ann_ivf_pq", "ann_incremental")
 
   private val AllTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -75,7 +91,8 @@ object SkewBench {
     val root = "target/tmp/sfskew"
     val uniformDir = s"$root/uniform"
     val skewDir = s"$root/skew"
-    buildCorpora(spark, baseDir, uniformDir, skewDir)
+    val oneCellDir = s"$root/onecell"
+    buildCorpora(spark, baseDir, uniformDir, skewDir, oneCellDir)
 
     def runOnce(name: String, dir: String): Double = {
       spark.catalog.clearCache()
@@ -110,6 +127,12 @@ object SkewBench {
       val r = if (u > 0 && s > 0) s / math.max(u, 0.2) else -1.0
       System.err.println(f"[skew] $n%-22s uniform ${fmt(u)}%7s  skew ${fmt(s)}%7s  ratio ${fmt(r)}%6s")
       (n, u, s, r)
+    } ++ OneCellTargets.map { n =>
+      val u = best(n, uniformDir)
+      val s = best(n, oneCellDir)
+      val r = if (u > 0 && s > 0) s / math.max(u, 0.2) else -1.0
+      System.err.println(f"[skew] ${n + "@onecell"}%-22s uniform ${fmt(u)}%7s  onecell ${fmt(s)}%7s  ratio ${fmt(r)}%6s")
+      (s"$n@onecell", u, s, r)
     }
     val json = rows.map { case (n, u, s, r) =>
       "\"" + n + "\":{\"uniform\":" + fmt(u) + ",\"skew\":" + fmt(s) +
@@ -133,13 +156,13 @@ object SkewBench {
     * the pathologies don't touch are symlinked, not copied.
     */
   private[graft] def buildCorpora(spark: SparkSession, baseDir: String,
-      uniformDir: String, skewDir: String): Unit = {
+      uniformDir: String, skewDir: String, oneCellDir: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (java.nio.file.Files.isSymbolicLink(f.toPath)) { f.delete(); return }
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
     }
-    Seq(uniformDir, skewDir).foreach { d =>
+    Seq(uniformDir, skewDir, oneCellDir).foreach { d =>
       rm(new java.io.File(d))
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
     }
@@ -151,6 +174,7 @@ object SkewBench {
     link(uniformDir, AllTables.filterNot(_ == "documents"))
     link(skewDir, AllTables.filterNot(
       Seq("documents", "lineitem", "events", "embeddings", "orders").contains))
+    link(oneCellDir, AllTables.filterNot(_ == "embeddings"))
 
     // bounded-key collapse pathologies: every vector one label
     // (proto_prune's rank key), every order one priority (q41's),
@@ -169,6 +193,13 @@ object SkewBench {
       .withColumn("embedding",
         when(col("vec_id") % 10 === 3, hotLit).otherwise(col("embedding")))
       .write.mode("overwrite").parquet(s"$skewDir/embeddings.parquet")
+    // the one-cell corpus: EVERY usable vector is the hot vector —
+    // the whole corpus quantizes into one IVF cell (null embeddings
+    // keep their null-handling role)
+    embBase
+      .withColumn("embedding",
+        when(col("embedding").isNotNull, hotLit).otherwise(col("embedding")))
+      .write.mode("overwrite").parquet(s"$oneCellDir/embeddings.parquet")
     spark.read.parquet(s"$baseDir/orders.parquet")
       .withColumn("o_orderpriority", lit("1-URGENT"))
       .write.mode("overwrite").parquet(s"$skewDir/orders.parquet")

@@ -310,6 +310,46 @@ object SparkEntry {
       |    ROUND(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
       |  FROM pr JOIN sz s1 ON pr.d1 = s1.doc_id JOIN sz s2 ON pr.d2 = s2.doc_id)""".stripMargin
 
+  /** The LSH signature relation rebuilt bit-for-bit in SQL (round-11
+    * promotion of ann_lsh/knn_graph — the lsh_tune play for the
+    * hyperplane family): plane coefficients re-derive from the same
+    * hash60 formula (`hash60("hp:tag:t:j:d") mod 2001 − 1000`),
+    * vectors quantize to the 10⁴ lattice, per-plane dots are integer
+    * sums, bit j of table t is set iff the dot is strictly positive
+    * — every step is exact integer arithmetic, so the bucket relation
+    * cannot drift across engines. The signature width replays the
+    * integer [[operators.SimilaritySearch.lshPlanesPerTable]] law
+    * (smallest p with target·2^p ≥ n, floor 2, cap interpolated from
+    * the same constants). Produces CTEs: e (non-null vectors), w
+    * (the width), sg (vec_id, t, sig).
+    */
+  private def lshSigCtes(tag: String, tables: Int): String = {
+    val ss = operators.SimilaritySearch
+    val range = 2 * ss.LshCoefRange + 1
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE embedding IS NOT NULL),
+      |nn AS (SELECT COUNT(*) AS n FROM e),
+      |w AS (SELECT GREATEST(2, (SELECT MIN(b)
+      |    FROM range(0, ${ss.LshMaxPlanes + 1}) AS t(b), nn
+      |    WHERE (CAST(${ss.KnnBucketTarget} AS BIGINT) << b) >= nn.n
+      |      OR b = ${ss.LshMaxPlanes})) AS p),
+      |pl AS (SELECT t.t, j.j, d.d,
+      |    ${hash60Sql(s"'hp:$tag:' || t.t || ':' || j.j || ':' || d.d")}
+      |      % $range - ${ss.LshCoefRange} AS coef
+      |  FROM range(0, $tables) t(t),
+      |    range(0, ${ss.LshMaxPlanes}) j(j),
+      |    range(0, ${ss.Dim}) d(d)
+      |  WHERE j.j < (SELECT p FROM w)),
+      |ql AS (SELECT vec_id, d.d,
+      |    CAST(floor(v[d.d + 1] * ${ss.PQLattice} + 0.5) AS BIGINT) AS qd
+      |  FROM e, range(0, ${ss.Dim}) d(d)),
+      |dt AS (SELECT q.vec_id, p.t, p.j, SUM(q.qd * p.coef) AS dot
+      |  FROM ql q JOIN pl p ON q.d = p.d GROUP BY 1, 2, 3),
+      |sg AS (SELECT vec_id, t,
+      |    SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+      |  FROM dt GROUP BY 1, 2)""".stripMargin
+  }
+
   /** DuckDB-runnable oracle SQL per query (same table names, same
     * output column names — the driver hash-compares values with
     * columns sorted by name).
@@ -1170,6 +1210,67 @@ object SparkEntry {
         |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, ROUND(rawsim, 6) AS sim
         |FROM r WHERE rk <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // multi-probe hyperplane LSH, oracle-replicated end to end
+    // (round-11 promotion): the hash60-lattice signature relation
+    // (lshSigCtes), hamming ≤ 2 probe masks generated combinatorially
+    // (0, one-bit, two-bit — never a 2^p enumeration), bucket-join
+    // candidates, exact-cosine re-rank with the ann_topk rank/round
+    // conventions. Queries are corpus members, so their signatures
+    // come from the SAME sg relation the corpus shuffles on.
+    "ann_lsh" -> {
+      val ss = operators.SimilaritySearch
+      s"""WITH ${lshSigCtes("lsh", ss.Tables_)},
+        |mk AS (SELECT CAST(0 AS BIGINT) AS m
+        |  UNION ALL SELECT (CAST(1 AS BIGINT) << i.i)
+        |    FROM range(0, ${ss.LshMaxPlanes}) i(i)
+        |    WHERE i.i < (SELECT p FROM w)
+        |  UNION ALL SELECT (CAST(1 AS BIGINT) << i.i) | (CAST(1 AS BIGINT) << j.j)
+        |    FROM range(0, ${ss.LshMaxPlanes}) i(i),
+        |      range(0, ${ss.LshMaxPlanes}) j(j)
+        |    WHERE i.i < j.j AND j.j < (SELECT p FROM w)),
+        |qs AS (SELECT s.vec_id AS qid, s.t, xor(s.sig, mk.m) AS sig
+        |  FROM sg s, mk
+        |  WHERE s.vec_id % 50 = 0 AND s.vec_id < ${50L * ss.MaxQueries}),
+        |cand AS (SELECT DISTINCT q.qid, c.vec_id
+        |  FROM sg c JOIN qs q ON c.t = q.t AND c.sig = q.sig
+        |  WHERE c.vec_id <> q.qid),
+        |sc AS (SELECT qid, cand.vec_id AS nid,
+        |    list_cosine_similarity(eq.v, ec.v) AS rawsim
+        |  FROM cand JOIN e eq ON eq.vec_id = cand.qid
+        |    JOIN e ec ON ec.vec_id = cand.vec_id),
+        |r AS (SELECT qid, nid, rawsim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rawsim DESC, nid) AS rk
+        |  FROM sc)
+        |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, ROUND(rawsim, 6) AS sim
+        |FROM r WHERE rk <= 10
+        |ORDER BY qid, rank""".stripMargin
+    },
+
+    // the all-pairs k-NN graph, oracle-replicated end to end
+    // (round-11 promotion): same hash60-lattice signatures (knn tag),
+    // the KnnBucketCap skew guard as a bucket-frequency filter,
+    // bucket self-join candidates, exact-cosine re-rank per source
+    "knn_graph" -> {
+      val ss = operators.SimilaritySearch
+      s"""WITH ${lshSigCtes("knn", ss.KnnTables)},
+        |f AS (SELECT t, sig, COUNT(*) AS bf FROM sg GROUP BY 1, 2),
+        |small AS (SELECT t, sig FROM f WHERE bf <= ${ss.KnnBucketCap}),
+        |idx AS (SELECT s.vec_id, s.t, s.sig
+        |  FROM sg s JOIN small USING (t, sig)),
+        |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        |  FROM idx a JOIN idx b
+        |  ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+        |sc AS (SELECT src, dst, list_cosine_similarity(es.v, ed.v) AS rawsim
+        |  FROM cand JOIN e es ON es.vec_id = src
+        |    JOIN e ed ON ed.vec_id = dst),
+        |r AS (SELECT src, dst, rawsim,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY rawsim DESC, dst) AS rk
+        |  FROM sc)
+        |SELECT src, dst, CAST(rk AS BIGINT) AS rank, ROUND(rawsim, 6) AS sim
+        |FROM r WHERE rk <= 8
+        |ORDER BY src, rank""".stripMargin
+    },
 
     // the ann_topk scan without the heap: threshold on the rounded
     // cosine (ulp-stable cut on both engines)
@@ -3722,7 +3823,9 @@ object SparkEntry {
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // 3-step path mining: the window order carries the full tie-break
-    // and the top-50 cut is a total order, so the frontier matches
+    // and the top-50 cut is a total order, so the frontier matches;
+    // all three legs filtered non-null AFTER the leads, symmetric
+    // with the engine (a null-typed event breaks paths, never bridges)
     "event_paths" ->
       s"""WITH l AS (
         |  SELECT user_id,
@@ -3731,7 +3834,8 @@ object SparkEntry {
         |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS e3
         |  FROM events),
         |p AS (SELECT user_id, event_type || '>' || e2 || '>' || e3 AS path
-        |  FROM l WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+        |  FROM l WHERE event_type IS NOT NULL
+        |    AND e2 IS NOT NULL AND e3 IS NOT NULL)
         |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM p GROUP BY 1

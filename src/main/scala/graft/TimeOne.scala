@@ -17,8 +17,12 @@ object TimeOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_DRAIN=1 → drain the artifact caches per run (the
+    // Bench cold_artifacts methodology) so EVERY run of an artifact
+    // consumer is a cold point, not just the first per JVM
+    val drain = sys.env.get("SPARK_GRAFT_DRAIN").contains("1")
     for (name <- names; i <- 1 to n) {
-      spark.catalog.clearCache()
+      if (drain) CacheLedger.drain(spark) else spark.catalog.clearCache()
       System.gc() // match Bench's isolation: drain earlier queries' debt
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)

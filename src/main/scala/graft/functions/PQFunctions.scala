@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 /** Product-quantization kernels as map-side Catalyst expressions.
   *
   * The codebook (sample vectors quantized onto an integer lattice)
-  * rides along as expression data — the [[HyperplaneSignatures]]
+  * rides along as expression data — the [[HyperplaneSignaturesLat]]
   * pattern: no per-row join against a centroid table, no literal-array
   * blowup in the expression tree, and the model footprint is
   * centroids×dim longs (broadcast-dimension class).

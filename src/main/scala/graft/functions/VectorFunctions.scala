@@ -132,34 +132,45 @@ case class DotProductLong(left: Expression, right: Expression) extends BinaryExp
     copy(left = l, right = r)
 }
 
-/** All LSH table signatures of a vector in ONE expression.
+/** All LSH table signatures of a vector in ONE expression, on the
+  * INTEGER lattice — the oracle-replicable form (round 11, the
+  * dedup_minhash/simhash promotion play applied to the ANN
+  * bucketing; this replaced the earlier double-Gaussian
+  * HyperplaneSignatures — building signatures from per-plane
+  * `typedLit` columns inlines tables×planes×dim literal arrays into
+  * the expression tree, so the matrix rides along as an expression
+  * FIELD instead, serialized once per task; constant fields are Seq,
+  * not Array, so canonicalization and exchange reuse keep working).
+  * The input vector quantizes to
+  * `l(x) = floor(x·latScale + 0.5)` (the PQ lattice convention) and
+  * projects onto INTEGER plane coefficients, so the per-plane dot is
+  * exact 64-bit arithmetic — the sign bit can never differ across
+  * engines, where the double form's near-zero projections sit one
+  * reassociation away from flipping. Bit j of table t is set iff the
+  * dot is strictly positive.
   *
-  * Building signatures from per-plane `typedLit` columns inlines
-  * tables×planes×dim literal arrays into the expression tree —
-  * analyzer/optimizer/codegen cost grows with the constant data.
-  * Here the plane matrix rides along as a field of the expression
-  * (serialized once per task), and the output is one
-  * array<long> of per-table signatures.
-  *
-  * Constant fields are Seq (structural equals/hashCode), not Array
-  * (reference equals) — semanticEquals/canonicalization between
-  * identical instances must hold or subexpression elimination and
-  * exchange reuse silently stop working.
+  * Overflow headroom: |coef| ≤ 1000 (the hash60 plane law), |l(x)| ≤
+  * latScale·max|x|; 64 dims × 1000 × ~10⁵ ≈ 6.4·10⁹ ≪ 2⁶³.
   */
-case class HyperplaneSignatures(
+case class HyperplaneSignaturesLat(
     child: Expression,
-    planes: Seq[Seq[Double]],
-    planesPerTable: Int)
+    planes: Seq[Seq[Long]],
+    planesPerTable: Int,
+    latScale: Double)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   import org.apache.spark.sql.types.{ArrayType, LongType}
   override def dataType: DataType = ArrayType(LongType)
   override def nullIntolerant: Boolean = true
 
-  @transient private lazy val mat: Array[Array[Double]] = planes.map(_.toArray).toArray
+  @transient private lazy val mat: Array[Array[Long]] = planes.map(_.toArray).toArray
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    val nEl = v.numElements()
+    val q = new Array[Long](nEl)
+    var i = 0
+    while (i < nEl) { q(i) = math.floor(v.getDouble(i) * latScale + 0.5).toLong; i += 1 }
     val nTables = mat.length / planesPerTable
     val sigs = new Array[Long](nTables)
     var t = 0
@@ -168,10 +179,10 @@ case class HyperplaneSignatures(
       var j = 0
       while (j < planesPerTable) {
         val p = mat(t * planesPerTable + j)
-        var dot = 0.0
-        val n = math.min(v.numElements(), p.length)
-        var i = 0
-        while (i < n) { dot += v.getDouble(i) * p(i); i += 1 }
+        var dot = 0L
+        val n = math.min(nEl, p.length)
+        var d = 0
+        while (d < n) { dot += q(d) * p(d); d += 1 }
         if (dot > 0) sig |= (1L << j)
         j += 1
       }
@@ -181,7 +192,7 @@ case class HyperplaneSignatures(
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
   }
 
-  override protected def withNewChildInternal(c: Expression): HyperplaneSignatures =
+  override protected def withNewChildInternal(c: Expression): HyperplaneSignaturesLat =
     copy(child = c)
 }
 
@@ -371,10 +382,13 @@ object VectorFunctions {
   def dotProductLong(a: Column, b: Column): Column =
     Bridge.column(DotProductLong(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Per-table LSH signatures (array of longs) of a vector column. */
-  def hyperplaneSignatures(v: Column, planes: Seq[Seq[Double]],
-      planesPerTable: Int): Column =
-    Bridge.column(HyperplaneSignatures(Bridge.expression(v), planes, planesPerTable))
+  /** Per-table integer-lattice LSH signatures (array of longs) of a
+    * vector column (oracle-replicable; see [[HyperplaneSignaturesLat]]).
+    */
+  def hyperplaneSignaturesLat(v: Column, planes: Seq[Seq[Long]],
+      planesPerTable: Int, latScale: Double): Column =
+    Bridge.column(HyperplaneSignaturesLat(Bridge.expression(v), planes,
+      planesPerTable, latScale))
 
   /** The `nprobe` nearest centroid ids of a vector column (cosine,
     * ties to the lower id). Pass centroids sorted by id.

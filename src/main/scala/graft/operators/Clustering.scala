@@ -156,11 +156,36 @@ object Clustering {
     // coarse routing level: every ⌈√K⌉-th fine centroid (a SUBSET of
     // fine, so no coarse bucket is empty — each coarse's own fine
     // maps to itself at cosine 1)
+    val (coarse, owners) = coarseRouting(fine)
+    val cells = emb.withColumn("cluster_id",
+      twoLevelCellId(col("v"), coarse, fine, owners, 2))
+    // same rounding as dedup_embedding so thresholds bite identically
+    val dupped = cells.as("a").join(cells.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(cosineSim(col("a.v"), col("b.v")), 4))
+      .filter(col("cos") >= SemThreshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    cells.join(dupped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        (coalesce(col("dup"), lit(0L)) === 0).cast("long").as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The two-level routing model over a fine centroid set, shared by
+    * [[semdedupOn]] and the IVF quantizer's corpus-proportional
+    * assignment path ([[SimilaritySearch.ivfCellId]]): coarse = every
+    * ⌈√K⌉-th fine centroid (a SUBSET of fine, so no coarse bucket is
+    * ever empty — each coarse's own fine maps to itself at cosine 1),
+    * owners(j) = the nearest coarse of fine centroid j by the same
+    * cosine/tie rules the executors use. Driver-side K·√K flops —
+    * model-sized, never corpus work.
+    */
+  private[graft] def coarseRouting(
+      fine: Seq[Seq[Double]]): (Seq[Seq[Double]], Seq[Int]) = {
     val cStep = math.max(1, math.ceil(math.sqrt(fine.size.toDouble)).toInt)
     val coarseIdx = fine.indices.by(cStep).toArray
     val coarse: Seq[Seq[Double]] = coarseIdx.map(fine).toIndexedSeq
-    // driver-side owner of each fine centroid: nearest coarse by the
-    // same cosine/tie rules (K·√K flops, model-sized)
     def cosD(a: Seq[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       val len = math.min(a.length, b.length)
@@ -178,19 +203,7 @@ object Clustering {
       }
       best
     }
-    val cells = emb.withColumn("cluster_id",
-      twoLevelCellId(col("v"), coarse, fine, owners, 2))
-    // same rounding as dedup_embedding so thresholds bite identically
-    val dupped = cells.as("a").join(cells.as("b"),
-        col("a.cluster_id") === col("b.cluster_id") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(cosineSim(col("a.v"), col("b.v")), 4))
-      .filter(col("cos") >= SemThreshold)
-      .select(col("b.vec_id").as("vec_id")).distinct()
-    cells.join(dupped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster_id"),
-        (coalesce(col("dup"), lit(0L)) === 0).cast("long").as("keep"))
-      .orderBy(col("vec_id"))
+    (coarse, owners)
   }
 
   /** emb_pca lattice scale, iteration budget, component count, and

@@ -1068,7 +1068,14 @@ object Curation {
         graft.Exact.epochMs(col("ts")).as("ts_ms"))
       .withColumn("e2", lead(col("event_type"), 1).over(w))
       .withColumn("e3", lead(col("event_type"), 2).over(w))
-      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      // all three legs non-null, SYMMETRICALLY with the oracle's `||`
+      // concatenation (the r10 advisory): concat_ws silently SKIPS a
+      // null leg — a null event_type would emit a 2-part 'a>c' path
+      // here while nulling the whole path there. A null-typed event
+      // still occupies its stream position (filter AFTER the leads),
+      // so it breaks paths through it rather than bridging neighbors.
+      .filter(col("event_type").isNotNull &&
+        col("e2").isNotNull && col("e3").isNotNull)
       .select(col("user_id"),
         concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
       .groupBy(col("path"))

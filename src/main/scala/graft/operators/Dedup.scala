@@ -165,11 +165,20 @@ object Dedup {
     */
   def minhashOn(docs: DataFrame): DataFrame = {
     val (reps, membership) = collapseByText(docs)
-    val sh = shingleHashesOf(reps).materialized
+    minhashFrom(shingleHashesOf(reps).materialized, membership)
+  }
+
+  /** Post-collapse tail of [[minhashOn]] over a CALLER-SUPPLIED
+    * materialized (doc_id, h) shingle-hash set + membership (the
+    * ngramJaccardFrom convention): [[dedupEval]] derives the hash set
+    * from its one shared shingle scan instead of re-deriving the
+    * corpus. Identical output by construction — same code path.
+    */
+  private[graft] def minhashFrom(sh: DataFrame,
+      membership: DataFrame): DataFrame =
     expandPairs(minhashPairs(sh), membership, "d1", "d2",
         "jaccard", lit(1.0), sh.select(col("doc_id")).distinct())
       .orderBy(col("d1"), col("d2"))
-  }
 
   /** LSH band-bucket candidate pairs over a (doc_id, h) shingle-hash
     * set — the stage whose volume the skew guard bounds (DupSkewSpec
@@ -337,8 +346,11 @@ object Dedup {
       // is an expected exit for pathological graphs (the diameter-40
       // spec provokes it), and an edges.cache() pin that survives the
       // exception is exactly the CacheManager leak DupSkewSpec's
-      // hygiene assert exists to catch
-      graft.Materialize.release(edges)
+      // hygiene assert exists to catch. The TREE form on purpose:
+      // edges' plan nests the dead materialized pair frame `p`, whose
+      // checkpoint blocks the cache unpersist alone would leak to the
+      // async ContextCleaner — both frames are owned by this loop.
+      graft.Materialize.releaseTree(edges)
     }
     labels
   }
@@ -734,17 +746,82 @@ object Dedup {
 
   def dedupEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val truth = ngramJaccardPairs(spark, dir) // graded 4x — materialized artifact
-    val methods: Seq[(String, DataFrame)] = Seq(
-      "ngram_jaccard" -> truth,
-      "dedup_minhash" -> pairArtifact("dedup_minhash", dir, spark)(
-        minhash(spark, dir).select(col("d1"), col("d2"))),
-      "winnow_pairs" -> pairArtifact("winnow_pairs", dir, spark)(
-        graft.operators.Text.winnowPairs(spark, dir)
-          .select(col("id1").as("d1"), col("id2").as("d2"))),
-      "dedup_fuzzy_text" -> pairArtifact("dedup_fuzzy_text", dir, spark)(
-        graft.operators.Text.dedupFuzzyText(spark, dir)
-          .select(col("id1").as("d1"), col("id2").as("d2"))))
+    // COLD-PATH sharing (the r10 verdict item — at 11.3 s cold this
+    // was the most expensive query, with minhash, winnowing, fuzzy
+    // and the exact truth each re-running the exact-text collapse and
+    // three of them re-deriving shingle-class scans): the four
+    // candidate pipelines feed from ONE collapse and ONE shingle
+    // scan, built lazily INSIDE the call (never a cross-query cache)
+    // so a warm re-grade — artifacts hot — touches none of it. Each
+    // method's tail is the standalone operator's own post-collapse
+    // code path (ngramJaccardFrom/minhashFrom/…Collapsed), so every
+    // artifact is bit-identical to what the registered query emits.
+    val docs = Tables(spark, dir).documents
+    // shared-state accessors are SYNCHRONIZED: the four cold
+    // pipelines run as concurrent jobs below, and the first toucher
+    // builds each shared frame while the others wait on the monitor
+    val lock = new Object
+    var coll: (DataFrame, DataFrame) = null
+    def collapsed: (DataFrame, DataFrame) = lock.synchronized {
+      if (coll == null) coll = collapseByText(docs)
+      coll
+    }
+    var shSet: DataFrame = null
+    var shHash: DataFrame = null
+    def shingleSet: DataFrame = lock.synchronized {
+      if (shSet == null) shSet = Text.shingleSetOf(collapsed._1).materialized
+      shSet
+    }
+    def shingleHash: DataFrame = {
+      val base = shingleSet
+      lock.synchronized {
+        // ≡ shingleHashesOf(reps): the hash lattice derives from the
+        // shared shingle strings instead of a second corpus scan
+        if (shHash == null) shHash = base
+          .select(col("doc_id"), pmod(hash60(col("shingle")), lit(P)).as("h"))
+          .distinct().materialized
+        shHash
+      }
+    }
+    // the four candidate pipelines are INDEPENDENT jobs over the
+    // shared inputs — schedule them concurrently (what a cluster
+    // deployment does with a multi-method evaluation: one pipeline's
+    // shuffle barriers leave executors idle that another can fill).
+    // ArtifactCache.getOrCompute is already race-safe (compute runs
+    // outside the bin lock; a lost race unpersists the loser).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val methods: Seq[(String, DataFrame)] =
+      try {
+        val futs = Seq(
+          "ngram_jaccard" -> scala.concurrent.Future(
+            pairArtifact("ngram_jaccard", dir, spark)( // graded 4x
+              Text.ngramJaccardFrom(shingleSet, collapsed._2, 0.5)
+                .select(col("d1"), col("d2")))),
+          "dedup_minhash" -> scala.concurrent.Future(
+            pairArtifact("dedup_minhash", dir, spark)(
+              minhashFrom(shingleHash, collapsed._2)
+                .select(col("d1"), col("d2")))),
+          "winnow_pairs" -> scala.concurrent.Future(
+            pairArtifact("winnow_pairs", dir, spark)(
+              Text.winnowPairsCollapsed(collapsed._1, collapsed._2)
+                .select(col("id1").as("d1"), col("id2").as("d2")))),
+          "dedup_fuzzy_text" -> scala.concurrent.Future(
+            pairArtifact("dedup_fuzzy_text", dir, spark)(
+              Text.dedupFuzzyTextCollapsed(collapsed._1, collapsed._2)
+                .select(col("id1").as("d1"), col("id2").as("d2")))))
+        futs.map { case (n, f) =>
+          n -> scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf)
+        }
+      } finally pool.shutdown()
+    val truth = methods.head._2
+    // the shared intermediates are dead once the artifacts exist
+    // (each artifact is its own checkpoint) — free them now
+    if (shHash != null) graft.Materialize.release(shHash)
+    if (shSet != null) graft.Materialize.release(shSet)
+    if (coll != null) graft.Materialize.release(coll._2)
     // ONE method-keyed aggregation over the tagged union (not one
     // scalar-agg chain per method — 18 single-partition exchanges in
     // the first cut); the truth flag rides a left join, the 1-row

@@ -158,41 +158,148 @@ object SimilaritySearch {
       .orderBy(col("qid"))
   }
 
-  /** Fixed quantizer budget: the centroid set must NOT grow with the
-    * corpus — an unbounded quantizer makes the driver collect linear
-    * in n and cell assignment O(n·centroids) = O(n²/50). Capped like
-    * [[MaxQueries]]: every 50th vector (offset 7, so the centroid and
-    * query sets are disjoint), first [[MaxCentroids]] by id. At any
-    * scale the model is ≤ MaxCentroids·dim doubles — the footprint
-    * class of a broadcast dimension (and how any IVF/KMeans model is
-    * held). Real deployments size this ≈√n up to a memory bound; the
-    * registered entry pins it for determinism across SFs.
+  /** IVF quantizer sizing — a LAW of the corpus, not a constant (the
+    * r10 verdict item; the same play that replaced ann_lsh's fixed
+    * signature width with [[lshPlanesPerTable]]): the coarse cell
+    * count K derives from ONE metadata count as
+    * `clamp([[IvfMinCells]], n / [[IvfCellTarget]], [[IvfMaxCells]])`,
+    * so expected cell occupancy stays ≈ IvfCellTarget once the law
+    * engages and per-query candidate volume is ≈ nprobe·IvfCellTarget
+    * — CONSTANT in n — where the previous frozen K = 64 degraded every
+    * query to scoring nprobe/64 = 1/16 of the corpus forever
+    * (measured R=20 slope 7.14 vs ≤ 3.9 for the auto-scaled ANN
+    * family). Deterministic per corpus: given the same vectors the
+    * same index is built at any parallelism.
+    *
+    * Bounds: [[IvfMinCells]] = 64 keeps the quantizer identical to
+    * the r10 geometry below 64·[[IvfCellTarget]] = 65 536 vectors
+    * (every registered SF — the ann_lsh p(5000)=8 trick, so recall
+    * anchors carry over). [[IvfMaxCells]] bounds the DRIVER model at
+    * 16384·dim doubles ≈ 8 MB (the [[Clustering.MaxCells]] footprint
+    * class — a production run raises it with driver memory); past the
+    * cap (n > ~16.8 M vectors here) candidate volume resumes growing
+    * ∝ n/IvfMaxCells, the regime where a real deployment swaps the
+    * flat coarse quantizer for a hierarchical one — the assignment
+    * side of that swap is already in place, see [[ivfCellId]].
     */
-  val MaxCentroids = 64
+  val IvfMinCells = 64
+  val IvfCellTarget = 1024
+  val IvfMaxCells = 16384
+
+  /** The cell-count law, factored for the spec (DedupAnnSpec pins
+    * points: 500 → 64, 5 000 → 64, 100 000 → 97, 2²⁰ → 1024,
+    * 10⁸ → capped 16384).
+    */
+  private[graft] def ivfCells(n: Long): Int =
+    math.min(IvfMaxCells.toLong,
+      math.max(IvfMinCells.toLong, n / IvfCellTarget)).toInt
+
+  /** Lloyd training-sample budget per cell: the quantizer TRAINS on a
+    * deterministic stride sample of ≤ [[IvfTrainPerCell]]·K vectors
+    * (the FAISS convention — k-means on a bounded sample, never the
+    * full corpus), so train cost is O(K²·IvfTrainPerCell·dim) —
+    * quantizer-sized — instead of 2 extra full-corpus assignment
+    * passes. Below 64·64 = 4096·… vectors the stride is 1 (the whole
+    * corpus trains — bit-identical to the r10 behavior at sf0.01 and
+    * sf0.1, asserted by the recall anchors in DedupAnnSpec).
+    */
+  val IvfTrainPerCell = 64
+
+  private[graft] def ivfTrainSample(nonNull: DataFrame, n: Long,
+      k: Int): DataFrame = {
+    val m = math.max(1L, n / (IvfTrainPerCell.toLong * math.max(1, k)))
+    if (m <= 1L) nonNull
+    else nonNull.filter(pmod(col("vec_id"), lit(m)) === 0)
+  }
+
+  /** The SHARED coarse quantizer every IVF-family operator builds its
+    * index from — ann_ivf / ann_ivf_stride ([[annIvfOn]]),
+    * [[ivfTuneOn]], [[annIvfPqOn]], and (via
+    * [[incrementalCentroids]]) ann_incremental and the streaming
+    * VectorIngestStream — so the cell-count law lands on all of them
+    * in lock-step (the dedup_simhash lock-step precedent). Seeds are
+    * the first K = [[ivfCells]](n) stride-50 vectors by id (offset 7
+    * keeps the seed and query sets disjoint; a bounded TakeOrdered,
+    * robust to sparse/offset id spaces where the old
+    * `vec_id < 7 + 50·K` range filter assumed density from 0);
+    * `trained = true` refines them with [[Clustering.KmeansIters]]
+    * Lloyd rounds over the [[ivfTrainSample]] bounded sample.
+    * Model footprint ≤ [[IvfMaxCells]]·dim doubles either way.
+    */
+  private[graft] def ivfQuantizer(nonNull: DataFrame,
+      trained: Boolean): (Seq[Long], Seq[Seq[Double]]) = {
+    val n = nonNull.count() // ONE metadata action sizes the law
+    val k = ivfCells(n)
+    val seeds = nonNull.filter(col("vec_id") % 50 === 7)
+      .select(col("vec_id"), col("v"))
+      .orderBy(col("vec_id")).limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val cids: Seq[Long] = seeds.map(_._1).toSeq
+    val init: Seq[Seq[Double]] = seeds.map(_._2).toSeq
+    val cvecs =
+      if (!trained || seeds.isEmpty) init
+      else Clustering.kmeansRefine(ivfTrainSample(nonNull, n, cids.size),
+        init, Clustering.KmeansIters)
+    (cids, cvecs)
+  }
+
+  /** Flat-assignment ceiling: corpus-side cell routing is the O(K)
+    * [[graft.functions.NearestCentroids]] argmax while K is
+    * broadcast-small, and routes through the O(√K)
+    * [[graft.functions.TwoLevelCellId]] expression (semdedup's
+    * assignment trick, [[Clustering.coarseRouting]]) once K passes
+    * this — at the law's K = n/1024 a flat scan would make the one
+    * assignment pass O(n·K) = O(n²/1024) corpus work. The gate sits
+    * above every registered/bench scale (engages past
+    * 256·1024 ≈ 262 k vectors), so small-corpus results are
+    * bit-identical to the flat form; past the gate assignment is the
+    * standard approximate-argmax every two-level IVF build uses.
+    * Query-side probing stays flat ([[MaxQueries]]-bounded rows).
+    */
+  private[graft] val IvfFlatAssignMaxCells = 256
+
+  private[graft] def ivfCellId(v: Column, cids: Seq[Long],
+      cvecs: Seq[Seq[Double]]): Column =
+    if (cvecs.isEmpty) lit(null).cast("long")
+    else if (cvecs.size <= IvfFlatAssignMaxCells)
+      element_at(nearestCentroids(v, cids, cvecs, 1), 1)
+    else {
+      val (coarse, owners) = Clustering.coarseRouting(cvecs)
+      val idx = twoLevelCellId(v, coarse, cvecs, owners, 2)
+      // map the fine INDEX back to the seed id so cell labels are
+      // identical across both assignment forms (one array literal,
+      // O(1) per row; coarse ⊆ fine means idx ≥ 0 whenever v is
+      // non-null, the guard is belt-and-braces for degenerate models)
+      when(idx >= 0, element_at(typedLit(cids), (idx + 1).cast("int")))
+    }
 
   /** ann_ivf — IVF (inverted-file) ANN: a deterministic coarse
-    * quantizer ([[MaxCentroids]]-bounded) assigns each corpus vector
-    * to its nearest-centroid cell; queries probe their `nprobe`
-    * nearest cells and re-rank exactly within them.
+    * quantizer sized by the [[ivfCells]] corpus law assigns each
+    * corpus vector to its nearest-centroid cell; queries probe their
+    * `nprobe` nearest cells and re-rank exactly within them. With
+    * K = n/[[IvfCellTarget]] once the law engages, per-query
+    * candidate volume is ≈ nprobe·IvfCellTarget — constant in n —
+    * the property that makes the index worth serving at 100 TB
+    * (the r10 frozen K = 64 scored 1/16 of the corpus per query at
+    * every scale).
     *
-    * Cell assignment is the [[graft.functions.NearestCentroids]]
-    * expression carrying the centroid matrix — a pure map-side
-    * projection inside the scan stage. The earlier formulation
+    * Cell assignment is a pure map-side projection inside the scan
+    * stage ([[ivfCellId]]: flat argmax below 256 cells, two-level
+    * √K routing above). The earlier formulation
     * (crossJoin(broadcast(centroids)) + row_number window) shuffled
     * the full n×centroids scored expansion just to pick one argmax
     * per vector; now the corpus-side plan is scan → project → one
     * shuffle keyed by cell.
     *
-    * The quantizer TRAINS by default: the deterministic stride
-    * sample seeds 2 Lloyd rounds
-    * ([[graft.operators.Clustering.kmeansRefine]], same cell count)
-    * — the IVF "train" phase, measured recall@10 0.62 trained vs
+    * The quantizer TRAINS by default ([[ivfQuantizer]]): the stride
+    * seeds get [[Clustering.KmeansIters]] Lloyd rounds over the
+    * bounded [[ivfTrainSample]] — measured recall@10 0.62 trained vs
     * 0.58 stride-only at 500 vectors (DedupAnnSpec, which registers
     * both: `ann_ivf` trained, `ann_ivf_stride` raw sample). Training
-    * cost is 2 corpus passes whose per-round driver traffic is
-    * centroids×dim aggregated rows — at 100 TB that is the standard
-    * (and cheap) IVF build amortized over every query batch served
-    * from the index.
+    * cost is quantizer-sized (≤ [[IvfTrainPerCell]]·K sample rows per
+    * round), amortized over every query batch served from the index.
     */
   def annIvf(spark: SparkSession, dir: String, k: Int = 10, nprobe: Int = 4,
       trained: Boolean = true): DataFrame =
@@ -200,27 +307,16 @@ object SimilaritySearch {
 
   private[graft] def annIvfOn(emb: DataFrame, k: Int, nprobe: Int,
       trained: Boolean): DataFrame = {
-    val cents = emb
-      .filter(col("vec_id") % 50 === 7 &&
-        col("vec_id") < lit(7L + 50L * MaxCentroids) &&
-        col("v").isNotNull) // a null embedding can't serve as a centroid
-      .select(col("vec_id"), col("v")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-    val cids: Seq[Long] = cents.map(_._1).toSeq
-    val cvecs: Seq[Seq[Double]] =
-      if (!trained) cents.map(_._2).toSeq
-      else Clustering.kmeansRefine(
-        emb.filter(col("v").isNotNull), cents.map(_._2).toSeq, Clustering.KmeansIters)
-    val cells = emb
-      .withColumn("cid", element_at(nearestCentroids(col("v"), cids, cvecs, 1), 1))
+    val (cids, cvecs) = ivfQuantizer(emb.filter(col("v").isNotNull), trained)
+    val cells = emb.withColumn("cid", ivfCellId(col("v"), cids, cvecs))
     val q = queriesOf(emb)
     val qCells = q.select(col("qid"), col("qv"),
       explode(nearestCentroids(col("qv"), cids, cvecs, nprobe)).as("cid"))
-    // per-query candidates grow ∝ n/K with K capped at MaxCentroids, so
-    // ranking them with a plain qid window would put that whole set on
-    // one task — bounded heap first (map-side k per key), then the rank
-    // window runs over ≤ k·q rows (the annTopKOn convention)
+    // per-query candidates are ≈ nprobe·IvfCellTarget under the cell
+    // law (∝ n/IvfMaxCells past the cap), but a hot cell can still
+    // concentrate them, so ranking never runs as a plain qid window —
+    // bounded heap first (map-side k per key), then the rank window
+    // runs over ≤ k·q rows (the annTopKOn convention)
     val scored = cells.join(broadcast(qCells), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", cosineSim(col("qv"), col("v")))
@@ -272,23 +368,14 @@ object SimilaritySearch {
     import graft.Materialize.MatOps
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = emb
-      .filter(col("vec_id") % 50 === 7 &&
-        col("vec_id") < lit(7L + 50L * MaxCentroids) &&
-        col("v").isNotNull)
-      .select(col("vec_id"), col("v")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-    if (cents.isEmpty)
+    val (cids, cvecs) = ivfQuantizer(emb.filter(col("v").isNotNull),
+      trained = true)
+    if (cids.isEmpty)
       return Seq.empty[(Long, Long, Long, Long, Long, Long)].toDF(
         "nprobe", "n_queries", "n_candidates", "cand_per_query",
         "n_hits", "recall_ppm")
-    val cids: Seq[Long] = cents.map(_._1).toSeq
-    val cvecs = Clustering.kmeansRefine(
-      emb.filter(col("v").isNotNull), cents.map(_._2).toSeq, Clustering.KmeansIters)
     val maxProbe = math.min(IvfTuneProbes.max, cids.size)
-    val cells = emb
-      .withColumn("cid", element_at(nearestCentroids(col("v"), cids, cvecs, 1), 1))
+    val cells = emb.withColumn("cid", ivfCellId(col("v"), cids, cvecs))
     val q = queriesOf(emb)
     // probe RANK rides the explode: pr = 0-based position of the cell
     // in the query's nearest-centroid list
@@ -299,14 +386,21 @@ object SimilaritySearch {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("pr"))
       .materialized // histogram + truth-join consumers
-    val truth = annTopKOn(emb, k).select(col("qid"), col("nid"))
+    val truth = annTopKOn(emb, k).select(col("qid"), col("nid")).materialized
     val candByPr = cand.groupBy(col("pr")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val hitsByPr = cand
       .join(truth, cand("qid") === truth("qid") && cand("vec_id") === truth("nid"))
       .groupBy(col("pr")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // recall denominator = the ACTUAL ground-truth pair count, not
+    // nQueries·k (the r10 advisory: a corpus smaller than k+1 usable
+    // vectors has < k truth rows per query, and a fixed denominator
+    // understates recall relative to the card's own n_hits). On any
+    // corpus with ≥ k+1 vectors the two agree exactly.
+    val nTruth = truth.count()
     graft.Materialize.release(cand)
+    graft.Materialize.release(truth)
     val nQueries = q.count()
     val rows = IvfTuneProbes.filter(_ <= maxProbe).map { np =>
       val nc = (0 until np).map(candByPr.getOrElse(_, 0L)).sum
@@ -314,7 +408,7 @@ object SimilaritySearch {
       (np.toLong, nQueries, nc,
         if (nQueries > 0) nc / nQueries else 0L,
         nh,
-        if (nQueries > 0) nh * 1000000L / (nQueries * k) else 0L)
+        if (nTruth > 0) nh * 1000000L / nTruth else 0L)
     }
     rows.toDF("nprobe", "n_queries", "n_candidates", "cand_per_query",
         "n_hits", "recall_ppm")
@@ -372,8 +466,9 @@ object SimilaritySearch {
   /** Product-quantization geometry: 64-d vectors → [[PQSubspaces]]
     * subspaces of 8 dims, [[PQCentroids]] centroids per subspace.
     * Codebook = the first PQCentroids vectors by id (deterministic
-    * "training sample", the [[MaxCentroids]] bounding discipline —
-    * NEVER corpus-proportional). [[PQLattice]] is the integer lattice
+    * "training sample" — a fixed, NEVER corpus-proportional codebook:
+    * PQ accuracy comes from subspace factorization, not codebook
+    * growth). [[PQLattice]] is the integer lattice
     * `l(x) = floor(x·10⁴ + 0.5)` all distances run on: 64-bit integer
     * sums are order-independent and engine-exact, which is what makes
     * pq_codes oracle-checkable where float PQ wouldn't be.
@@ -494,9 +589,8 @@ object SimilaritySearch {
     * id + 8 code bytes — scan cost is nprobe/cells of the corpus at
     * 8 lookups/vector, floats are touched for refine·k·q rows only.
     *
-    * Everything is composition: the [[MaxCentroids]]-bounded IVF
-    * quantizer and [[graft.functions.NearestCentroids]] cell routing
-    * from [[annIvf]]; the codebook, [[graft.functions.PQCodes]]
+    * Everything is composition: the [[ivfCells]]-law quantizer and
+    * [[ivfCellId]] cell routing from [[annIvf]]; the codebook, [[graft.functions.PQCodes]]
     * storage and [[graft.functions.PQDistTable]] scoring from
     * [[annPq]]; the bounded-heap top-k from [[graft.plans.TopK]].
     * Rows-only (two approximations stack: cell pruning + ADC;
@@ -508,22 +602,16 @@ object SimilaritySearch {
 
   private[graft] def annIvfPqOn(emb: DataFrame, k: Int, nprobe: Int,
       refine: Int): DataFrame = {
-    // IVF coarse quantizer — identical selection to annIvf
-    val cents = emb
-      .filter(col("vec_id") % 50 === 7 &&
-        col("vec_id") < lit(7L + 50L * MaxCentroids) &&
-        col("v").isNotNull)
-      .select(col("vec_id"), col("v")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-    val cids: Seq[Long] = cents.map(_._1).toSeq
-    val cvecs: Seq[Seq[Double]] = cents.map(_._2).toSeq
     val nonNull = emb.filter(col("v").isNotNull)
+    // the SHARED quantizer (cell law and all) — untrained seeds, the
+    // historical ann_ivf_pq geometry (training isolation lives in the
+    // ann_ivf/ann_ivf_stride pair)
+    val (cids, cvecs) = ivfQuantizer(nonNull, trained = false)
     val cb = pqCodebook(nonNull)
     // the stored index: cell id + PQ codes per vector (both map-side
     // expressions — building the index is one scan, no shuffle)
     val index = nonNull.select(col("vec_id"),
-      element_at(nearestCentroids(col("v"), cids, cvecs, 1), 1).as("cid"),
+      ivfCellId(col("v"), cids, cvecs).as("cid"),
       graft.functions.PQFunctions.pqCodes(col("v"), cb, PQSubspaces, PQLattice).as("codes"))
     val q = queriesOf(nonNull).select(col("qid"), col("qv"))
     val probes = q.select(col("qid"),
@@ -535,25 +623,60 @@ object SimilaritySearch {
     refineAndRank(scored, nonNull, q, k, refine)
   }
 
-  private val Tables_ = 8  // LSH hash tables
-  private val Dim = 64
+  private[graft] val Tables_ = 8  // LSH hash tables
+  private[graft] val Dim = 64
 
-  /** Seeded random hyperplanes for [[annLsh]] at a given signature
-    * width, flat [table*planesPerTable][dim] (immutable Seqs: the
-    * expression fields need structural equality for canonicalization/
-    * plan reuse). Memoized per width — the matrix is a pure function
-    * of (seed, width), so repeated invocations at one corpus size
-    * share one plan-equal expression; entries are width-keyed driver
-    * Seqs of ≤ tables·width·dim doubles (kilobytes — no ledger entry
-    * needed).
+  /** LSH plane-coefficient law (round 11 — the promotion of ann_lsh
+    * and knn_graph to the oracle gate): coefficients come off the
+    * cross-engine hash60 lattice instead of a JVM-seeded Gaussian,
+    * `coef(tag, t, j, d) = hash60("hp:tag:t:j:d") mod (2·R+1) − R`
+    * with R = [[LshCoefRange]] — uniform signed integers, which for
+    * sign-projection LSH bucket exactly as well as Gaussians (the
+    * recall-floor specs re-assert it) and which the DuckDB oracle
+    * recomputes bit-for-bit from the same tiny formula where a
+    * 12k-double Gaussian matrix would have to be interpolated as SQL
+    * text. Vectors quantize to the [[PQLattice]] 10⁴ grid before
+    * projecting ([[graft.functions.HyperplaneSignaturesLat]]), so a
+    * signature bit is a strict integer sign test — no float dot at
+    * the bucket boundary on either engine. A prefix property falls
+    * out for free: width-p planes are the first p of width-24 planes
+    * (coefficients depend only on (tag, t, j, d)), so widening the
+    * law never reshuffles existing tables' early bits.
+    */
+  private[graft] val LshCoefRange = 1000L
+  private[graft] val LshMaxPlanes = 24
+
+  /** Driver-side hash60 (first 15 hex chars of md5 as a 60-bit long —
+    * identical to [[graft.functions.TextFunctions.hash60]] and the
+    * oracle's `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`).
+    */
+  private def hash60JVM(s: String): Long = {
+    val out = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (out(i) & 0xffL); i += 1 }
+    (v << 4) | ((out(7) >> 4) & 0xfL)
+  }
+
+  /** The hash60-lattice plane matrix for `tables`×`p` planes of
+    * [[Dim]] integer coefficients, flat [t·p + j][d] (immutable Seqs:
+    * expression fields need structural equality for canonicalization
+    * and exchange reuse). Memoized per (tag, p) — pure function,
+    * kilobytes per entry.
     */
   private val lshPlaneCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Seq[Seq[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Seq[Long]]]()
 
-  private def hyperplanesFor(p: Int): Seq[Seq[Double]] =
-    lshPlaneCache.computeIfAbsent(p, { p =>
-      val rnd = new scala.util.Random(7)
-      Vector.fill(Tables_ * p)(Vector.fill(Dim)(rnd.nextGaussian()))
+  private[graft] def lshLatPlanes(tag: String, tables: Int,
+      p: Int): Seq[Seq[Long]] =
+    lshPlaneCache.computeIfAbsent((tag, p), { _ =>
+      Vector.tabulate(tables * p) { tj =>
+        val t = tj / p; val j = tj % p
+        Vector.tabulate(Dim) { d =>
+          hash60JVM(s"hp:$tag:$t:$j:$d") % (2 * LshCoefRange + 1) - LshCoefRange
+        }
+      }
     })
 
   /** (table, signature) rows for a vector column — one expression
@@ -564,10 +687,10 @@ object SimilaritySearch {
     * would only pollute the signature-0 bucket.
     */
   private def tableSigs(df: DataFrame, vCol: String,
-      planes: Seq[Seq[Double]], planesPerTable: Int): DataFrame =
+      planes: Seq[Seq[Long]], planesPerTable: Int): DataFrame =
     df.select(df.columns.toIndexedSeq.map(col) :+
-        posexplode(hyperplaneSignatures(col(vCol), planes, planesPerTable))
-          .as(Seq("t", "sig")): _*)
+        posexplode(hyperplaneSignaturesLat(col(vCol), planes, planesPerTable,
+          PQLattice)).as(Seq("t", "sig")): _*)
 
   /** Probe masks: all p-bit patterns with ≤ 2 bits set (multi-probe
     * LSH — query-side only, so the corpus keeps ONE signature per
@@ -603,17 +726,26 @@ object SimilaritySearch {
   def annLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     annLshOn(embDouble(spark, dir), k)
 
-  /** The [[annLsh]] width law, factored for the spec: signature bits
-    * per table for a corpus of n usable vectors.
+  /** The [[annLsh]]/[[knnGraphOn]] width law, factored for the spec:
+    * signature bits per table for a corpus of n usable vectors — the
+    * smallest p with 2^p·[[KnnBucketTarget]] ≥ n (expected bucket
+    * occupancy ≈ target), floored at 2 and capped at
+    * [[LshMaxPlanes]]. INTEGER arithmetic on purpose (round 11): the
+    * former `ceil(log₂(n/target))` float form is equivalent at every
+    * measured point but one libm ulp away from disagreeing with the
+    * oracle's integer replica at exact powers of two; this form is
+    * the same comparison both engines run exactly.
     */
-  private[graft] def lshPlanesPerTable(n: Long): Int =
-    math.max(2,
-      math.ceil(math.log(math.max(1L, n).toDouble / KnnBucketTarget) / math.log(2)).toInt)
+  private[graft] def lshPlanesPerTable(n: Long): Int = {
+    var b = 0
+    while (b < LshMaxPlanes && (KnnBucketTarget.toLong << b) < n) b += 1
+    math.max(2, b)
+  }
 
   private[graft] def annLshOn(emb: DataFrame, k: Int): DataFrame = {
     val n = emb.filter(col("v").isNotNull).count()
     val p = lshPlanesPerTable(n)
-    val planes = hyperplanesFor(p)
+    val planes = lshLatPlanes("lsh", Tables_, p)
     val corpus = tableSigs(emb, "v", planes, p)
     val q = queriesOf(emb)
     val masks = probeMasks(p)
@@ -657,7 +789,7 @@ object SimilaritySearch {
     */
   val KnnBucketCap = 256
 
-  private val KnnTables = 8
+  private[graft] val KnnTables = 8
 
   /** knn_graph — the all-pairs k-NN graph over the embedding corpus:
     * for EVERY vector, its k most-cosine-similar neighbors. This is
@@ -681,15 +813,11 @@ object SimilaritySearch {
 
   private[graft] def knnGraphOn(emb: DataFrame, k: Int): DataFrame = {
     val n = math.max(1L, emb.count())
-    val planesPerTable = math.max(2,
-      math.ceil(math.log(n.toDouble / KnnBucketTarget) / math.log(2)).toInt)
-    val planes: Seq[Seq[Double]] = {
-      val rnd = new scala.util.Random(13)
-      Vector.fill(KnnTables * planesPerTable)(Vector.fill(Dim)(rnd.nextGaussian()))
-    }
+    val planesPerTable = lshPlanesPerTable(n)
+    val planes = lshLatPlanes("knn", KnnTables, planesPerTable)
     val sigs = emb.select(col("vec_id"),
-      posexplode(hyperplaneSignatures(col("v"), planes, planesPerTable))
-        .as(Seq("t", "sig")))
+      posexplode(hyperplaneSignaturesLat(col("v"), planes, planesPerTable,
+        PQLattice)).as(Seq("t", "sig")))
     val smallBuckets = sigs.groupBy(col("t"), col("sig"))
       .agg(count(lit(1)).as("f"))
       .filter(col("f") <= KnnBucketCap)
@@ -780,11 +908,10 @@ object SimilaritySearch {
     * mistake this operator exists to avoid.
     *
     * Scale: centroid training is the ann_ivf driver-capped path
-    * (≤ [[MaxCentroids]] stride rows collected, Lloyd over
+    * (≤ [[ivfCells]](n) stride rows collected, Lloyd over
     * broadcast-sized state); both assignments are map-side
-    * [[graft.functions.VectorFunctions.nearestCentroids]] scans; the
-    * card is two cell-keyed counts full-outer-joined (≤ MaxCentroids
-    * rows each). The corpus-wide rate is two scalars computed at
+    * [[ivfCellId]] scans; the card is two cell-keyed counts
+    * full-outer-joined (≤ [[IvfMaxCells]] rows each). The corpus-wide rate is two scalars computed at
     * construction (the shardBalance bounds class) — never a 1-row
     * cross join in the final plan. Rows-only (float assignment has
     * no cross-engine lattice); DedupAnnSpec pins the laws.
@@ -794,22 +921,16 @@ object SimilaritySearch {
 
   /** The frozen-centroid model [[annIncremental]] (and its streaming
     * twin [[graft.streaming.VectorIngestStream]]) assigns against:
-    * the ann_ivf stride sample over the OLD snapshot + Lloyd
-    * refinement. Empty when the snapshot has no stride rows.
+    * the SHARED [[ivfQuantizer]] trained over the OLD snapshot — the
+    * cell-count law applies here in lock-step, so yesterday's index
+    * is sized for yesterday's corpus and the growth card reads
+    * against the geometry a re-train would actually produce. Empty
+    * when the snapshot has no stride rows. Callers pass a
+    * null-filtered frame.
     */
   private[graft] def incrementalCentroids(
-      old: DataFrame): (Seq[Long], Seq[Seq[Double]]) = {
-    val cents = old
-      .filter(col("vec_id") % 50 === 7 &&
-        col("vec_id") < lit(7L + 50L * MaxCentroids))
-      .select(col("vec_id"), col("v")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-    if (cents.isEmpty) (Seq.empty, Seq.empty)
-    else (cents.map(_._1).toSeq,
-      Clustering.kmeansRefine(old, cents.map(_._2).toSeq,
-        Clustering.KmeansIters))
-  }
+      old: DataFrame): (Seq[Long], Seq[Seq[Double]]) =
+    ivfQuantizer(old, trained = true)
 
   /** Card assembly shared by the batch operator and the streaming
     * ingest spec: per-cell old/new counts full-outer-joined,
@@ -841,8 +962,7 @@ object SimilaritySearch {
         .toDF("cid", "old_n", "new_n", "growth_ppm", "rebalance")
     }
     def cellOf(df: DataFrame): DataFrame =
-      df.withColumn("cid",
-        element_at(nearestCentroids(col("v"), cids, cvecs, 1), 1))
+      df.withColumn("cid", ivfCellId(col("v"), cids, cvecs))
     val oldN = cellOf(old).groupBy(col("cid")).agg(count(lit(1)).as("old_n"))
     val newN = cellOf(neu).groupBy(col("cid")).agg(count(lit(1)).as("new_n"))
     val tot = emb.agg(

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: assignment is stateless and map-side; the one
   * stateful operator is a cid-keyed count — state is bounded by the
-  * CELL COUNT (≤ MaxCentroids rows), not the stream, so the state
+  * CELL COUNT (≤ SimilaritySearch.IvfMaxCells rows), not the stream, so the state
   * store stays metadata-sized forever. Checkpoint recovery resumes
   * the counts, never recounts (VectorIngestSpec drives a two-phase
   * restart).

@@ -131,20 +131,82 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "centroid cross join resurfaced")
   }
 
-  test("ann_ivf quantizer is bounded: centroid count capped regardless of corpus size") {
-    import graft.operators.SimilaritySearch.MaxCentroids
-    // the exact predicate the operator collects — at ANY corpus size
-    // it admits at most MaxCentroids ids (one per 50-id stride below
-    // the cap), so the driver-side model footprint is constant
-    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
-      val n = Tables(spark, d).embeddings
-        .filter(col("vec_id") % 50 === 7 &&
-          col("vec_id") < lit(7L + 50L * MaxCentroids) &&
-          col("embedding").isNotNull)
-        .count()
-      assert(n <= MaxCentroids, s"$d: $n centroids > cap $MaxCentroids")
-      assert(n > 0, s"$d: empty quantizer")
+  test("ivf cell-count law: scales ∝ n/target between the floor and the driver cap") {
+    import graft.operators.SimilaritySearch.{ivfCells, IvfMinCells, IvfMaxCells}
+    // the r10 verdict fix: K is a deterministic LAW of one metadata
+    // count, not a frozen constant — candidates/query stay
+    // ≈ nprobe·IvfCellTarget once the law engages (the
+    // lshPlanesPerTable play through the SHARED quantizer)
+    assert(ivfCells(0) == IvfMinCells)
+    assert(ivfCells(500) == 64)          // sf0.01: identical to r10 geometry
+    assert(ivfCells(5000) == 64)         // sf0.1: identical to r10 geometry
+    assert(ivfCells(100000) == 97)       // R=20 replica corpus: law engaged
+    assert(ivfCells(1L << 20) == 1024)   // 1M vectors → 1024 cells
+    assert(ivfCells(100000000L) == IvfMaxCells) // driver-budget cap
+    // monotone, never above cap or below floor
+    Seq(1L, 999L, 65536L, 1L << 24, 1L << 40).foreach { n =>
+      assert(ivfCells(n) >= IvfMinCells && ivfCells(n) <= IvfMaxCells)
     }
+  }
+
+  test("ivf quantizer: seed collect is K-bounded and the Lloyd sample honors its budget") {
+    import graft.operators.SimilaritySearch.{ivfCells, ivfTrainSample, IvfTrainPerCell}
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val nonNull = Tables(spark, d).embeddings
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val n = nonNull.count()
+      val k = ivfCells(n)
+      val seeds = nonNull.filter(col("vec_id") % 50 === 7)
+        .orderBy(col("vec_id")).limit(k).count()
+      assert(seeds <= k, s"$d: $seeds seeds > law $k")
+      assert(seeds > 0, s"$d: empty quantizer")
+      // below IvfTrainPerCell·K vectors the sample IS the corpus
+      // (bit-identical to the r10 full-corpus Lloyd at sf0.01/sf0.1)
+      assert(ivfTrainSample(nonNull, n, k).count() == n,
+        s"$d: small corpus must train on every vector")
+    }
+    // the bounded regime: a corpus far past the budget samples ≤
+    // ~IvfTrainPerCell·K rows (stride arithmetic, no data needed)
+    val n = 10000000L; val k = ivfCells(n)
+    val m = math.max(1L, n / (IvfTrainPerCell.toLong * k))
+    assert(m > 1, "large corpus must stride-sample the Lloyd input")
+    assert(n / m <= IvfTrainPerCell.toLong * k + k,
+      s"sample ${n / m} exceeds the ${IvfTrainPerCell * k} budget")
+  }
+
+  test("ivf corpus assignment routes two-level past the flat gate, flat below — same cells") {
+    import graft.operators.SimilaritySearch.{ivfCellId, IvfFlatAssignMaxCells}
+    import spark.implicits._
+    // synthetic quantizer: 300 centroids (> the 256 gate) on a ring;
+    // the two-level expression must be in the plan AND agree with the
+    // flat argmax on every assignment (coarse ⊆ fine keeps routing
+    // exact when the true cell's coarse owner is probed — on this
+    // well-separated ring it always is)
+    val dim = 4
+    def vecOf(i: Int): Seq[Double] = {
+      val a = 2 * math.Pi * i / 300.0
+      Seq(math.cos(a), math.sin(a), 0.1, 0.0)
+    }
+    val cids = (0 until 300).map(_.toLong)
+    val cvecs = (0 until 300).map(vecOf)
+    assert(cvecs.size > IvfFlatAssignMaxCells)
+    val probe = (0 until 300).map(i => (i.toLong, vecOf(i))).toDF("vec_id", "v")
+    val twoLevel = probe.withColumn("cid", ivfCellId(col("v"), cids, cvecs))
+      .select(col("vec_id"), col("cid"))
+    // analyzed plan: ConvertToLocalRelation folds the projection over
+    // this literal input before execution (which is also why the
+    // collect below is cheap) — the expression choice is what's under
+    // test, and it lives in the analyzed tree
+    assert(twoLevel.queryExecution.analyzed.toString.toLowerCase
+      .contains("twolevelcellid"), "two-level expression missing past the gate")
+    val flat = probe.withColumn("cid",
+        element_at(graft.functions.VectorFunctions.nearestCentroids(
+          col("v"), cids, cvecs, 1), 1))
+      .select(col("vec_id"), col("cid"))
+    assert(twoLevel.collect().toSeq.sortBy(_.getLong(0)).map(_.toSeq) ==
+      flat.collect().toSeq.sortBy(_.getLong(0)).map(_.toSeq),
+      "two-level assignment disagrees with the flat argmax on its own centroids")
   }
 
   test("knn_graph recall vs the brute-force all-pairs graph, ordering and degree bounds") {
@@ -183,12 +245,15 @@ class DedupAnnSpec extends AnyFunSuite {
     // the auto-width rule: ⌈log₂(n/target)⌉ planes, floored at 2 —
     // bucket occupancy stays ≈ target at any n, so candidate volume
     // is linear in n (a fixed width would go O(n²) past its capacity)
-    import graft.operators.SimilaritySearch.KnnBucketTarget
-    def planesFor(n: Long) = math.max(2,
-      math.ceil(math.log(n.toDouble / KnnBucketTarget) / math.log(2)).toInt)
-    assert(planesFor(500) == 4)
-    assert(planesFor(500000) == 14)          // 1000× corpus: +10 bits
-    assert(planesFor(500000000L) == 24)      // buckets keep pace with n
+    import graft.operators.SimilaritySearch.lshPlanesPerTable
+    // the INTEGER form of the law (round 11 — oracle-replicable):
+    // smallest p with 2^p·target ≥ n, floor 2, cap 24; values
+    // identical to the r10 float ceil(log₂(n/target)) at every point
+    assert(lshPlanesPerTable(500) == 4)
+    assert(lshPlanesPerTable(5000) == 8)
+    assert(lshPlanesPerTable(500000) == 14)          // 1000× corpus: +10 bits
+    assert(lshPlanesPerTable(500000000L) == 24)      // buckets keep pace with n
+    assert(lshPlanesPerTable(1L << 62) == 24)        // LshMaxPlanes cap
     val plan = graft.operators.SimilaritySearch.knnGraph(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), s"bounded-heap top-k missing:\n$plan")
