@@ -172,22 +172,24 @@ object SimilaritySearch {
     * same index is built at any parallelism.
     *
     * Bounds: [[IvfMinCells]] = 64 keeps the quantizer identical to
-    * the r10 geometry below 64·[[IvfCellTarget]] = 65 536 vectors
+    * the r10 geometry below 64·[[IvfCellTarget]] = 8192 vectors
     * (every registered SF — the ann_lsh p(5000)=8 trick, so recall
-    * anchors carry over). [[IvfMaxCells]] bounds the DRIVER model at
+    * anchors carry over), and 128 vectors/cell is the FAISS-realistic
+    * occupancy band (its nlist ≈ 4√n guidance gives ~50/cell at this
+    * scale). [[IvfMaxCells]] bounds the DRIVER model at
     * 16384·dim doubles ≈ 8 MB (the [[Clustering.MaxCells]] footprint
     * class — a production run raises it with driver memory); past the
-    * cap (n > ~16.8 M vectors here) candidate volume resumes growing
+    * cap (n > ~2.1 M vectors here) candidate volume resumes growing
     * ∝ n/IvfMaxCells, the regime where a real deployment swaps the
     * flat coarse quantizer for a hierarchical one — the assignment
     * side of that swap is already in place, see [[ivfCellId]].
     */
   val IvfMinCells = 64
-  val IvfCellTarget = 1024
+  val IvfCellTarget = 128
   val IvfMaxCells = 16384
 
   /** The cell-count law, factored for the spec (DedupAnnSpec pins
-    * points: 500 → 64, 5 000 → 64, 100 000 → 97, 2²⁰ → 1024,
+    * points: 500 → 64, 5 000 → 64, 40 000 → 312, 2²⁰ → 8192,
     * 10⁸ → capped 16384).
     */
   private[graft] def ivfCells(n: Long): Int =
@@ -199,7 +201,7 @@ object SimilaritySearch {
     * (the FAISS convention — k-means on a bounded sample, never the
     * full corpus), so train cost is O(K²·IvfTrainPerCell·dim) —
     * quantizer-sized — instead of 2 extra full-corpus assignment
-    * passes. Below 64·64 = 4096·… vectors the stride is 1 (the whole
+    * passes. While n ≤ IvfTrainPerCell·K the stride is 1 (the whole
     * corpus trains — bit-identical to the r10 behavior at sf0.01 and
     * sf0.1, asserted by the recall anchors in DedupAnnSpec).
     */

@@ -139,9 +139,9 @@ class DedupAnnSpec extends AnyFunSuite {
     // lshPlanesPerTable play through the SHARED quantizer)
     assert(ivfCells(0) == IvfMinCells)
     assert(ivfCells(500) == 64)          // sf0.01: identical to r10 geometry
-    assert(ivfCells(5000) == 64)         // sf0.1: identical to r10 geometry
-    assert(ivfCells(100000) == 97)       // R=20 replica corpus: law engaged
-    assert(ivfCells(1L << 20) == 1024)   // 1M vectors → 1024 cells
+    assert(ivfCells(2000) == 64)         // sf0.1: identical to r10 geometry
+    assert(ivfCells(40000) == 312)       // R=20 replica corpus: law engaged
+    assert(ivfCells(1L << 20) == 8192)   // 1M vectors → 8192 cells
     assert(ivfCells(100000000L) == IvfMaxCells) // driver-budget cap
     // monotone, never above cap or below floor
     Seq(1L, 999L, 65536L, 1L << 24, 1L << 40).foreach { n =>
