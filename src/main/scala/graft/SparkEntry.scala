@@ -397,6 +397,41 @@ object SparkEntry {
         "cb AS (\n" + baseOracleSql("ccnet_buckets") + "\n),\n" + card
     },
 
+    // the near-dup METHOD EVALUATION card composed from the four
+    // registered pair oracles (round-11 promotion — the card that
+    // grades methods is itself graded): tagged union, truth left
+    // join, per-method counts, integer ppm. nj is MATERIALIZED (read
+    // twice: as a method and as the truth — default inlining would
+    // run the heaviest base twice)
+    "dedup_eval" -> {
+      val card = """tagged AS (
+        |  SELECT 'ngram_jaccard' AS method, d1, d2 FROM nj
+        |  UNION ALL SELECT 'dedup_minhash', d1, d2 FROM mh
+        |  UNION ALL SELECT 'winnow_pairs', id1, id2 FROM wp
+        |  UNION ALL SELECT 'dedup_fuzzy_text', id1, id2 FROM ft),
+        |g AS (SELECT method, COUNT(*) AS np,
+        |    SUM(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END) AS nh
+        |  FROM tagged a LEFT JOIN nj t ON a.d1 = t.d1 AND a.d2 = t.d2
+        |  GROUP BY 1),
+        |m AS (SELECT unnest(['dedup_fuzzy_text', 'dedup_minhash',
+        |    'ngram_jaccard', 'winnow_pairs']) AS method),
+        |nt AS (SELECT COUNT(*) AS ntr FROM nj)
+        |SELECT m.method,
+        |  CAST(COALESCE(np, 0) AS BIGINT) AS n_pairs,
+        |  CAST(ntr AS BIGINT) AS n_truth,
+        |  CAST(COALESCE(nh, 0) AS BIGINT) AS n_hits,
+        |  CAST(CASE WHEN ntr = 0 THEN 0
+        |    ELSE COALESCE(nh, 0) * 1000000 // ntr END AS BIGINT) AS recall_ppm,
+        |  CAST(CASE WHEN COALESCE(np, 0) = 0 THEN 0
+        |    ELSE COALESCE(nh, 0) * 1000000 // np END AS BIGINT) AS precision_ppm
+        |FROM m LEFT JOIN g USING (method), nt
+        |ORDER BY m.method""".stripMargin
+      "WITH nj AS MATERIALIZED (\n" + baseOracleSql("ngram_jaccard") + "\n),\n" +
+        "mh AS (\n" + baseOracleSql("dedup_minhash") + "\n),\n" +
+        "wp AS (\n" + baseOracleSql("winnow_pairs") + "\n),\n" +
+        "ft AS (\n" + baseOracleSql("dedup_fuzzy_text") + "\n),\n" + card
+    },
+
     // quality-aware survivorship: the dedup_clusters transitive
     // closure + the two quality oracles, keeper = per-cluster argmax
     // (rule gate DESC, score DESC, doc_id) — the oracle may use the
@@ -1764,13 +1799,22 @@ object SparkEntry {
         |  CAST(top_word_frac > 0.3 OR dup_2gram_frac > 0.2 AS BIGINT) AS flagged
         |FROM f ORDER BY doc_id""".stripMargin,
 
-    "corpus_shuffle" ->
-      s"""WITH s AS (SELECT doc_id,
+    // shard count replays the autoShards law from COUNT(*) (floor 64,
+    // ⌈n/1024⌉ docs per training shard, cap 2^20 — integer arithmetic
+    // on both engines)
+    "corpus_shuffle" -> {
+      import operators.Curation.{ShuffleShards, ShuffleShardDocs, ShuffleMaxShards}
+      s"""WITH k AS (SELECT LEAST($ShuffleMaxShards, GREATEST($ShuffleShards,
+        |    (COUNT(*) + ${ShuffleShardDocs - 1}) // $ShuffleShardDocs)) AS sh
+        |  FROM documents),
+        |s AS (SELECT doc_id,
         |    ${hash60Sql("'shuffle7:' || CAST(doc_id AS VARCHAR)")} AS h
         |  FROM documents)
-        |SELECT doc_id, h % 64 AS shard,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) AS BIGINT) AS pos
-        |FROM s ORDER BY shard, pos""".stripMargin,
+        |SELECT doc_id, h % (SELECT sh FROM k) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY h % (SELECT sh FROM k)
+        |    ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin
+    },
 
     "pii_scrub" ->
       """WITH a AS (

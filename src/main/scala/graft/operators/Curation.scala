@@ -51,7 +51,28 @@ object Curation {
         concat_ws(" ", slice(col("w"), start, lit(ChunkWords))).as("chunk_text"))
   }
 
-  val ShuffleShards = 64 // training-order shards of corpus_shuffle
+  /** Self-sizing law for the parallelism-knob shard counts (round 11
+    * — the r10 watch item: ShuffleShards/PackShards/BudgetShards were
+    * constants carrying a "deployment MUST raise with corpus size"
+    * comment-contract; the contract is now CODE, the ann_lsh
+    * width-law play): shards = clamp(floor, ⌈n / target⌉, cap),
+    * derived from a row count the operator already has (or one
+    * metadata action). The floor keeps every registered SF at
+    * exactly the historical constant — outputs bit-identical where
+    * the shard count is output-visible (corpus_shuffle) and plans
+    * unchanged where it is pure parallelism (seq_pack/token_budget,
+    * whose two-level prefix sums are shard-count-independent by
+    * construction). The cap bounds the driver-folded offset tables
+    * and the shard-file count.
+    */
+  private[graft] def autoShards(n: Long, floor: Int, target: Long,
+      cap: Int): Int =
+    math.min(cap.toLong,
+      math.max(floor.toLong, (n + target - 1) / target)).toInt
+
+  val ShuffleShards = 64   // floor: training-order shards of corpus_shuffle
+  val ShuffleShardDocs = 1024L // target docs per training shard file
+  val ShuffleMaxShards = 1 << 20
 
   /** corpus_shuffle — deterministic global training-order
     * permutation: every doc gets a portable 60-bit hash of a seeded
@@ -67,24 +88,29 @@ object Curation {
     * before them is map-side hashing. This is how a 100 TB corpus
     * gets a reproducible epoch order without a global sort.
     *
-    * DEPLOYMENT CONTRACT: unlike [[shardBalance]]'s size-bucket key
-    * (a semantic constant — see its two-level prefix sum),
-    * [[ShuffleShards]] is a pure parallelism KNOB with no semantic
-    * meaning beyond "number of training shard files": a deployment
-    * MUST raise it with corpus size (shards ≈ corpus / desired
-    * partition bytes) so each shard's window stays task-sized. The
+    * The shard count is the [[autoShards]] LAW (floor
+    * [[ShuffleShards]], target [[ShuffleShardDocs]] docs per training
+    * shard file, cap [[ShuffleMaxShards]]) from one metadata count —
+    * each shard's window stays ≈ task-sized at any corpus size where
+    * the former constant let shards grow linearly with the corpus.
+    * The count is OUTPUT-VISIBLE (shard = h mod shards), so the
+    * DuckDB oracle replays the identical integer law from its own
+    * COUNT(*); below 64·1024 docs the law floors at the historical 64
+    * and the output is bit-identical to every earlier round. The
     * output contract ((shard, pos) = read order, deterministic in the
-    * seed) holds at every shard count.
+    * seed AND the corpus) holds at every size.
     */
   def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
     corpusShuffleOn(Tables(spark, dir).documents)
 
   private[graft] def corpusShuffleOn(docs: DataFrame): DataFrame = {
+    val shards = autoShards(docs.count(), ShuffleShards, ShuffleShardDocs,
+      ShuffleMaxShards)
     val h = hash60(concat(lit("shuffle7:"), col("doc_id").cast("string")))
     val perShard = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
     docs.select(col("doc_id"))
       .withColumn("h", h)
-      .withColumn("shard", pmod(col("h"), lit(ShuffleShards.toLong)))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
       .withColumn("pos", row_number().over(perShard).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))
@@ -92,7 +118,9 @@ object Curation {
 
   val PackBudget = 256 // words per training sequence
 
-  val PackShards = 32 // parallelism of the seq_pack prefix sum
+  val PackShards = 32       // floor: parallelism of the seq_pack prefix sum
+  val PackShardDocs = 1024L // target docs per prefix-sum shard
+  val PackMaxShards = 65536 // bounds the driver-folded offset table
 
   /** seq_pack — sequence packing: assign chunks to fixed-budget
     * training sequences by contiguous fill in canonical (doc_id,
@@ -105,15 +133,19 @@ object Curation {
     * is reported per pack.)
     *
     * The running sum is a TWO-LEVEL prefix sum, never a global
-    * window: docs are split into [[PackShards]] contiguous doc_id
-    * ranges (so shard order == global order); level 1 is a per-shard
-    * cumulative sum (one hash shuffle, all shards in parallel);
-    * level 2 folds the ≤ PackShards per-shard totals into exclusive
-    * offsets on the driver (bounded by the constant shard count, like
-    * a broadcast) and broadcast-joins them back. cum = local + offset
-    * is bit-identical to the serial global window at any
-    * parallelism — and the plan has no single-partition exchange
-    * (asserted in CurationTemporalSpec).
+    * window: docs are split into contiguous doc_id ranges (so shard
+    * order == global order); level 1 is a per-shard cumulative sum
+    * (one hash shuffle, all shards in parallel); level 2 folds the
+    * per-shard totals into exclusive offsets on the driver (bounded
+    * by [[PackMaxShards]], like a broadcast) and broadcast-joins them
+    * back. cum = local + offset is bit-identical to the serial global
+    * window at any parallelism — and the plan has no single-partition
+    * exchange (asserted in CurationTemporalSpec). The shard count is
+    * the [[autoShards]] law (floor [[PackShards]], target
+    * [[PackShardDocs]] docs/shard) from a count that rides the
+    * min/max bounds aggregation already paid — per-shard window size
+    * stays ≈ constant at any corpus size, and the decomposition's
+    * exactness makes the count invisible in the output.
     */
   def seqPack(spark: SparkSession, dir: String): DataFrame =
     seqPackOn(Tables(spark, dir).documents)
@@ -121,8 +153,10 @@ object Curation {
   private[graft] def seqPackOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     // shard span from a single-column scan of the raw table (min/max
-    // pushdown-friendly; never touches the exploded chunks)
-    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    // pushdown-friendly; never touches the exploded chunks); the row
+    // count for the shard law rides the same aggregation
+    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id")),
+      count(lit(1))).head()
     // empty input (legal: an aggressive upstream filter chain can
     // remove every doc — found live when a pathological corpus
     // decontaminated to nothing inside pipeline_e2e) → empty output,
@@ -133,7 +167,9 @@ object Curation {
         .toDF("pack_id", "n_chunks", "n_words", "first_chunk")
     }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val span = math.max(1L, (hi - lo) / PackShards + 1)
+    val shards = autoShards(bounds.getLong(2), PackShards, PackShardDocs,
+      PackMaxShards)
+    val span = math.max(1L, (hi - lo) / shards + 1)
     val chunks = chunksOf(docs)
       .select(col("doc_id"), col("chunk_id"), col("n_chunk_words"))
       // integer div, not `/`: Spark's `/` is double division and a
@@ -141,7 +177,7 @@ object Curation {
       // very large ids; `div` is exact at any id magnitude
       .withColumn("shard", expr(s"(doc_id - $lo) div $span"))
     // level 2 first: per-shard totals → exclusive prefix offsets.
-    // Driver sees ≤ PackShards rows — constant, independent of data.
+    // Driver sees ≤ PackMaxShards rows — the broadcast-dimension class.
     val totals = chunks.groupBy(col("shard"))
       .agg(sum(col("n_chunk_words")).as("tot"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
@@ -1170,7 +1206,9 @@ object Curation {
     */
   val BudgetDivisor = 3L
 
-  val BudgetShards = 32 // parallelism of the boundary-class prefix sum
+  val BudgetShards = 32       // floor: parallelism of the boundary prefix sum
+  val BudgetShardDocs = 1024L // target boundary-class docs per shard
+  val BudgetMaxShards = 65536
 
   /** token_budget — data selection under a token budget: keep the
     * highest-quality documents (greedy by (score DESC, doc_id)) whose
@@ -1195,8 +1233,11 @@ object Curation {
     *     seq_pack's TWO-LEVEL decomposition (contiguous doc_id-range
     *     shards → per-shard window + driver-folded broadcast
     *     offsets) — bit-identical to the serial running sum, no
-    *     single-partition exchange, worst case (every doc in one
-    *     class) still BudgetShards-way parallel.
+    *     single-partition exchange; the shard count is the
+    *     [[autoShards]] law over the boundary class's OWN row count
+    *     (which rides the class histogram for free), so the worst
+    *     case (every doc in one class) keeps per-shard windows
+    *     ≈ [[BudgetShardDocs]] docs at any corpus size.
     *
     * Oracle: DuckDB's global `SUM() OVER (ORDER BY score DESC,
     * doc_id)` prefix filter — the serial formulation the
@@ -1214,10 +1255,11 @@ object Curation {
     // the corpus-sized work — instead of reading 24 bytes/doc
     val scored = graft.Materialize.eager(Text.withQualityScore(docs)
       .select(col("doc_id"), col("score"), col("n_words")))
-    // level A: score-class totals (≤ |round-4 lattice| rows)
+    // level A: score-class totals (≤ |round-4 lattice| rows); the
+    // per-class row count rides along to size the boundary shard law
     val classes = scored.groupBy(col("score"))
-      .agg(sum(col("n_words")).as("tok"))
-      .collect().map(r => r.getDouble(0) -> r.getLong(1))
+      .agg(sum(col("n_words")).as("tok"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
       .sortBy(-_._1)
     if (classes.isEmpty)
       return Seq.empty[(Long, Double, Long)].toDF("doc_id", "score", "n_words")
@@ -1233,10 +1275,12 @@ object Curation {
     if (i == classes.length) return wholesale.orderBy(col("doc_id"))
     val (sStar, remain) = (classes(i)._1, budget - acc)
     // boundary class only: two-level prefix sum in doc_id order
+    val shards = autoShards(classes(i)._3, BudgetShards, BudgetShardDocs,
+      BudgetMaxShards)
     val cls = scored.filter(col("score") === sStar)
     val bounds = cls.agg(min(col("doc_id")), max(col("doc_id"))).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val span = math.max(1L, (hi - lo) / BudgetShards + 1)
+    val span = math.max(1L, (hi - lo) / shards + 1)
     val sharded = cls.withColumn("shard", expr(s"(doc_id - $lo) div $span"))
     val totals = sharded.groupBy(col("shard"))
       .agg(sum(col("n_words")).as("tot"))

@@ -209,7 +209,10 @@ object SimilaritySearch {
 
   private[graft] def ivfTrainSample(nonNull: DataFrame, n: Long,
       k: Int): DataFrame = {
-    val m = math.max(1L, n / (IvfTrainPerCell.toLong * math.max(1, k)))
+    // CEILING stride: the expected sample n/m never exceeds the
+    // budget (a floor stride overshoots by up to 1/m)
+    val budget = IvfTrainPerCell.toLong * math.max(1, k)
+    val m = math.max(1L, (n + budget - 1) / budget)
     if (m <= 1L) nonNull
     else nonNull.filter(pmod(col("vec_id"), lit(m)) === 0)
   }

@@ -139,6 +139,31 @@ class CurationTemporalSpec extends AnyFunSuite {
     assert(got.count(_._3 > Curation.PackBudget / 2) > got.length / 2)
   }
 
+  test("autoShards law: floors at the historical constants, scales ∝ n/target, caps") {
+    import Curation.{autoShards, ShuffleShards, ShuffleShardDocs, ShuffleMaxShards,
+      PackShards, PackShardDocs, PackMaxShards}
+    // the r10 watch item closed: the parallelism knobs derive from a
+    // row count; every registered SF sits below the floor, so shard
+    // counts (and corpus_shuffle's output, where the count is
+    // visible) are identical to the former constants
+    assert(autoShards(500, ShuffleShards, ShuffleShardDocs, ShuffleMaxShards) == 64)
+    assert(autoShards(5000, ShuffleShards, ShuffleShardDocs, ShuffleMaxShards) == 64)
+    assert(autoShards(100000, ShuffleShards, ShuffleShardDocs, ShuffleMaxShards) == 98)
+    assert(autoShards(100000000L, ShuffleShards, ShuffleShardDocs,
+      ShuffleMaxShards) == 97657)
+    assert(autoShards(1L << 40, ShuffleShards, ShuffleShardDocs,
+      ShuffleMaxShards) == ShuffleMaxShards)
+    assert(autoShards(5000, PackShards, PackShardDocs, PackMaxShards) == 32)
+    assert(autoShards(1L << 30, PackShards, PackShardDocs, PackMaxShards)
+      == PackMaxShards)
+    // seq_pack output is shard-count-INVARIANT (the two-level sum is
+    // exact): a corpus big enough to engage the law still packs
+    // identically to the serial reference — asserted by running the
+    // law-engaged span arithmetic against the serial packing above;
+    // here pin that the law point used there is engaged
+    assert(autoShards(60000, PackShards, PackShardDocs, PackMaxShards) == 59)
+  }
+
   test("doc_chunk: empty word list yields no chunks (no fabricated ids)") {
     import spark.implicits._
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")

@@ -167,12 +167,13 @@ class DedupAnnSpec extends AnyFunSuite {
         s"$d: small corpus must train on every vector")
     }
     // the bounded regime: a corpus far past the budget samples ≤
-    // ~IvfTrainPerCell·K rows (stride arithmetic, no data needed)
+    // IvfTrainPerCell·K rows (CEILING stride — expected n/m never
+    // exceeds the budget; stride arithmetic only, no data needed)
     val n = 10000000L; val k = ivfCells(n)
-    val m = math.max(1L, n / (IvfTrainPerCell.toLong * k))
+    val budget = IvfTrainPerCell.toLong * k
+    val m = math.max(1L, (n + budget - 1) / budget)
     assert(m > 1, "large corpus must stride-sample the Lloyd input")
-    assert(n / m <= IvfTrainPerCell.toLong * k + k,
-      s"sample ${n / m} exceeds the ${IvfTrainPerCell * k} budget")
+    assert(n / m <= budget, s"sample ${n / m} exceeds the $budget budget")
   }
 
   test("ivf corpus assignment routes two-level past the flat gate, flat below — same cells") {
