@@ -10,7 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class DedupAnnSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
-  val sf = "/root/testdata/sf0.001"
+  // overridable like the stream suites: SPARK_GRAFT_SPEC_SF=<fuzzDir>
+  // replays the recall floors / law anchors on a perturbed corpus
+  // (round 11: the clustered-embedding fuzz mode targets exactly the
+  // ANN family this suite anchors)
+  val sf: String =
+    sys.env.getOrElse("SPARK_GRAFT_SPEC_SF", "/root/testdata/sf0.001")
 
   test("minhash-LSH finds all high-jaccard pairs found exactly (recall on verified candidates)") {
     val exact = SparkEntry.queries("ngram_jaccard")(spark, sf)

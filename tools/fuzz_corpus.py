@@ -12,10 +12,18 @@ at word granularity so every text-derived lattice (shingles, hashes,
 frame energies) gets fresh values.
 
 Usage:
-  python3 tools/fuzz_corpus.py <seed> <srcSfDir> <outDir>
+  python3 tools/fuzz_corpus.py <seed> <srcSfDir> <outDir> [clustered]
 then run the standard chain on <outDir>:
   sbt "runMain graft.Verify <outDir> <verifyOut>"
   python3 tools/oracle_check.py <outDir> <verifyOut>
+
+The optional `clustered` mode (round 11) replaces the embedding
+bootstrap with a few TIGHT Gaussian blobs around corpus-sampled
+centers — the distribution real embedding dumps have (near-uniform
+fuzz corpora are the IVF quantizer's EASIEST case; clustered mass in
+few cells is its worst). Labels become the blob index, so
+label-consuming ops (proto_prune) see coherent classes too. All other
+tables fuzz exactly as in the default mode.
 """
 import os
 import sys
@@ -125,24 +133,40 @@ def main() -> None:
         + pd.to_timedelta(rng.integers(-30, 31, len(lif)), unit="D")
     W("lineitem", lif)
 
-    # embeddings: bootstrap + 1/256-lattice float32 jitter (exact in
-    # both engines' doubles)
     em = T("embeddings")
     k = 400
-    vi = rng.integers(0, len(em), k)
-    vecs = []
-    for j in vi:
-        v = np.asarray(em.embedding.values[j], dtype=np.float32)
-        if rng.random() < 0.5:
-            v = (v + rng.integers(-8, 9, len(v)).astype(np.float32) / 256.0) \
-                .astype(np.float32)
-        vecs.append(v)
+    clustered = len(sys.argv) > 4 and sys.argv[4] == "clustered"
+    if clustered:
+        # a few TIGHT Gaussian blobs around corpus-sampled centers:
+        # the real-embedding-dump shape (and the IVF quantizer's worst
+        # case — mass concentrates in few cells). float32 throughout;
+        # labels = blob index so label consumers see coherent classes.
+        n_blobs = 6
+        centers = [np.asarray(em.embedding.values[j], dtype=np.float32)
+                   for j in rng.integers(0, len(em), n_blobs)]
+        blob = rng.integers(0, n_blobs, k)
+        vecs = [(centers[b] + rng.normal(0.0, 0.02, len(centers[b]))
+                 .astype(np.float32)).astype(np.float32) for b in blob]
+        labels = blob.astype("int32")
+    else:
+        # bootstrap + 1/256-lattice float32 jitter (exact in both
+        # engines' doubles)
+        vi = rng.integers(0, len(em), k)
+        vecs = []
+        for j in vi:
+            v = np.asarray(em.embedding.values[j], dtype=np.float32)
+            if rng.random() < 0.5:
+                v = (v + rng.integers(-8, 9, len(v)).astype(np.float32) / 256.0) \
+                    .astype(np.float32)
+            vecs.append(v)
+        labels = em.label.values[rng.integers(0, len(em), k)].astype("int32")
     W("embeddings", pa.table({
         "vec_id": pa.array(np.arange(k, dtype="int64")),
         "embedding": pa.array([list(map(float, v)) for v in vecs],
                               type=pa.list_(pa.float32())),
-        "label": pa.array(em.label.values[rng.integers(0, len(em), k)].astype("int32"))}))
-    print(f"fuzz corpus seed={seed} written to {out}")
+        "label": pa.array(labels)}))
+    print(f"fuzz corpus seed={seed}"
+          + (" clustered" if clustered else "") + f" written to {out}")
 
 
 if __name__ == "__main__":
