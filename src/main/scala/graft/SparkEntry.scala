@@ -350,6 +350,161 @@ object SparkEntry {
       |  FROM dt GROUP BY 1, 2)""".stripMargin
   }
 
+  /** The UNTRAINED IVF index rebuilt in SQL (round-11 promotion of
+    * ann_ivf_stride / ann_ivf_pq): seeds = the first K stride-50
+    * vectors by id under the [[operators.SimilaritySearch.ivfCells]]
+    * law replayed from COUNT(*); cell assignment and query probing
+    * are cosine ranks over (vector, seed) pairs —
+    * `list_cosine_similarity` is the same sequential fold the
+    * engine's NearestCentroids runs (the ann_topk/ann_radius
+    * equivalence proof), ties to the lower seed id, NaN-first under
+    * DESC on both engines. Replays the FLAT assignment regime; the
+    * two-level gate engages past 256 cells ≈ 262k vectors, far
+    * beyond any oracle corpus. Produces CTEs: e (vec_id, v DOUBLE[],
+    * lv 10⁴-lattice BIGINT[]), nn, w (the cell law), seeds (cid,
+    * cv), cells (vec_id, cid), q (qid), qp (qid, cid — the nprobe
+    * probes).
+    */
+  private def ivfStrideCtes(nprobe: Int): String = {
+    val ss = operators.SimilaritySearch
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x * ${ss.PQLattice.toLong} + 0.5) AS BIGINT)) AS lv
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |nn AS (SELECT COUNT(*) AS n FROM e),
+      |w AS (SELECT LEAST(${ss.IvfMaxCells}, GREATEST(${ss.IvfMinCells},
+      |    n // ${ss.IvfCellTarget})) AS k FROM nn),
+      |seeds AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM (
+      |    SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+      |    FROM e WHERE vec_id % 50 = 7)
+      |  WHERE rn <= (SELECT k FROM w)),
+      |asg AS (SELECT e.vec_id, seeds.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.v, seeds.cv) DESC, seeds.cid) AS rk
+      |  FROM e, seeds),
+      |cells AS (SELECT vec_id, cid FROM asg WHERE rk = 1),
+      |q AS (SELECT vec_id AS qid FROM e
+      |  WHERE vec_id % 50 = 0 AND vec_id < ${50L * ss.MaxQueries}),
+      |qp AS (SELECT qid, cid FROM (
+      |    SELECT q.qid, seeds.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY q.qid
+      |        ORDER BY list_cosine_similarity(eq.v, seeds.cv) DESC, seeds.cid) AS rk
+      |    FROM q JOIN e eq ON eq.vec_id = q.qid, seeds)
+      |  WHERE rk <= $nprobe)""".stripMargin
+  }
+
+  /** The TRAINED IVF quantizer rebuilt in SQL (round-11 promotion of
+    * ann_ivf / ivf_tune / ann_incremental — possible because the
+    * Lloyd means went INTEGER-lattice, see
+    * [[operators.Clustering.KmLatScale]]): stride seeds under the
+    * cell law, then [[operators.Clustering.KmeansIters]] unrolled
+    * Lloyd rounds over the ceiling-stride train sample — assignment
+    * = cosine rank (the proven fold), means = lattice-integer sums,
+    * truncating division, one double division by the scale; empty
+    * cells keep their previous centroid via COALESCE. `src` lets
+    * ann_incremental train on a snapshot predicate. Produces CTEs:
+    * e/nn/w/seeds as [[ivfStrideCtes]], ts (train sample), cN (the
+    * trained (cid, cv) centroids, N = KmeansIters).
+    */
+  private def ivfTrainedCtes(src: String = "e",
+      extraAfterE: String = ""): String = {
+    val ss = operators.SimilaritySearch
+    val lat = operators.Clustering.KmLatScale
+    val per = ss.IvfTrainPerCell
+    val dim = ss.Dim
+    val round = (r: Int) =>
+      s"""a$r AS (SELECT vec_id, cid FROM (
+        |    SELECT ts.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY ts.vec_id
+        |        ORDER BY list_cosine_similarity(ts.v, c.cv) DESC, c.cid) AS rk
+        |    FROM ts, c${r - 1} c)
+        |  WHERE rk = 1),
+        |s$r AS (SELECT a$r.cid, dd.d AS pos,
+        |    SUM(CAST(floor(ts.v[dd.d + 1] * $lat + 0.5) AS BIGINT)) AS s,
+        |    COUNT(*) AS n
+        |  FROM a$r JOIN ts ON ts.vec_id = a$r.vec_id, range(0, $dim) dd(d)
+        |  GROUP BY 1, 2),
+        |m$r AS (SELECT cid,
+        |    list(CAST(s // n AS DOUBLE) / $lat ORDER BY pos) AS mv
+        |  FROM s$r GROUP BY cid),
+        |c$r AS (SELECT c.cid, COALESCE(m$r.mv, c.cv) AS cv
+        |  FROM c${r - 1} c LEFT JOIN m$r USING (cid))""".stripMargin
+    val rounds = (1 to operators.Clustering.KmeansIters).map(round)
+      .mkString(",\n")
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x * ${ss.PQLattice.toLong} + 0.5) AS BIGINT)) AS lv
+      |  FROM embeddings WHERE embedding IS NOT NULL),$extraAfterE
+      |nn AS (SELECT COUNT(*) AS n FROM $src),
+      |w AS (SELECT LEAST(${ss.IvfMaxCells}, GREATEST(${ss.IvfMinCells},
+      |    n // ${ss.IvfCellTarget})) AS k FROM nn),
+      |seeds AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM (
+      |    SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+      |    FROM $src WHERE vec_id % 50 = 7)
+      |  WHERE rn <= (SELECT k FROM w)),
+      |sc AS (SELECT COUNT(*) AS c FROM seeds),
+      |mm AS (SELECT GREATEST(1, (nn.n + GREATEST(1, $per * sc.c) - 1)
+      |    // GREATEST(1, $per * sc.c)) AS m
+      |  FROM nn, sc),
+      |ts AS MATERIALIZED (SELECT vec_id, v FROM $src, mm WHERE vec_id % mm.m = 0),
+      |c0 AS (SELECT cid, cv FROM seeds),
+      |$rounds""".stripMargin
+  }
+
+  /** The PQ code/distance relations rebuilt in SQL (the pq_codes
+    * oracle's fragments, shared by ann_pq / ann_ivf_pq): codebook =
+    * first [[operators.SimilaritySearch.PQCentroids]] lattice vectors
+    * by id; `d` holds the EXACT integer subspace distance of every
+    * vector to every centroid — the same relation is the per-vector
+    * code argmin AND the per-query ADC distance table (PQDistTable
+    * computes exactly these rows for the query vector). Requires the
+    * `e` CTE from [[ivfStrideCtes]] (or an identical one) in scope.
+    */
+  private def pqCtes: String = {
+    val ss = operators.SimilaritySearch
+    val sub = ss.Dim / ss.PQSubspaces
+    s"""cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, lv AS cv
+      |  FROM (SELECT vec_id, lv FROM e ORDER BY vec_id LIMIT ${ss.PQCentroids})),
+      |ms AS (SELECT unnest(range(0, ${ss.PQSubspaces})) AS m),
+      |d AS MATERIALIZED (SELECT e.vec_id, ms.m, cb.j,
+      |    list_sum(list_transform(range(1, ${sub + 1}),
+      |      i -> (e.lv[ms.m*$sub+i] - cb.cv[ms.m*$sub+i])
+      |         * (e.lv[ms.m*$sub+i] - cb.cv[ms.m*$sub+i]))) AS dist
+      |  FROM e CROSS JOIN ms CROSS JOIN cb),
+      |codes AS (SELECT vec_id, m, j AS code FROM (
+      |    SELECT vec_id, m, j,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rk
+      |    FROM d)
+      |  WHERE rk = 1)""".stripMargin
+  }
+
+  /** The ADC + exact-refine tail shared by the ann_pq / ann_ivf_pq
+    * oracles (mirrors SimilaritySearch.refineAndRank): `adc` must
+    * provide (qid, vec_id, adist); keeps the refine·k best per query
+    * (adist asc, vec_id), re-ranks them by exact integer lattice L2
+    * over the full vectors, emits (qid, nid, rank, dist).
+    */
+  private def pqRefineTail(k: Int, refine: Int): String = {
+    val ss = operators.SimilaritySearch
+    s"""cand AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
+      |    FROM adc)
+      |  WHERE rk <= ${refine * k}),
+      |ex AS (SELECT cand.qid, cand.vec_id,
+      |    list_sum(list_transform(range(1, ${ss.Dim + 1}),
+      |      i -> (eq.lv[i] - ec.lv[i]) * (eq.lv[i] - ec.lv[i]))) AS dist
+      |  FROM cand JOIN e eq ON eq.vec_id = cand.qid
+      |    JOIN e ec ON ec.vec_id = cand.vec_id),
+      |r AS (SELECT qid, vec_id, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk
+      |  FROM ex)
+      |SELECT qid, vec_id AS nid, CAST(rk AS BIGINT) AS rank,
+      |  CAST(dist AS BIGINT) AS dist
+      |FROM r WHERE rk <= $k
+      |ORDER BY qid, rank""".stripMargin
+  }
+
   /** DuckDB-runnable oracle SQL per query (same table names, same
     * output column names — the driver hash-compares values with
     * columns sorted by name).
@@ -395,6 +550,100 @@ object SparkEntry {
         "uf AS (\n" + baseOracleSql("url_filter") + "\n),\n" +
         "li AS (\n" + baseOracleSql("lang_id") + "\n),\n" +
         "cb AS (\n" + baseOracleSql("ccnet_buckets") + "\n),\n" + card
+    },
+
+    // the IVF nprobe parameter card (round-11 promotion): trained
+    // centroids, probe RANKS ride the assignment (probe sets nest),
+    // two rank-keyed histograms, the brute-force truth composed from
+    // the ann_topk oracle, integer cumulation per probe budget
+    "ivf_tune" -> {
+      val ss = operators.SimilaritySearch
+      val cN = s"c${operators.Clustering.KmeansIters}"
+      val probesList = ss.IvfTuneProbes.mkString("[", ", ", "]")
+      s"""WITH ${ivfTrainedCtes()},
+        |cells AS (SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+        |    FROM e, $cN c)
+        |  WHERE rk = 1),
+        |qq AS (SELECT vec_id AS qid FROM embeddings
+        |  WHERE vec_id % 50 = 0 AND vec_id < ${50L * ss.MaxQueries}),
+        |mp AS (SELECT LEAST(${ss.IvfTuneProbes.max}, c) AS mx FROM sc),
+        |probes AS (SELECT qid, cid, rk - 1 AS pr FROM (
+        |    SELECT q.qid, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(eq.v, c.cv) DESC, c.cid) AS rk
+        |    FROM qq q JOIN e eq ON eq.vec_id = q.qid, $cN c)
+        |  WHERE rk <= (SELECT mx FROM mp)),
+        |cand AS MATERIALIZED (SELECT p.qid, cells.vec_id, p.pr
+        |  FROM cells JOIN probes p ON cells.cid = p.cid
+        |  WHERE cells.vec_id <> p.qid),
+        |tk AS MATERIALIZED (
+        |${baseOracleSql("ann_topk")}
+        |),
+        |cb AS (SELECT pr, COUNT(*) AS c FROM cand GROUP BY 1),
+        |hb AS (SELECT pr, COUNT(*) AS c FROM cand
+        |  JOIN tk ON cand.qid = tk.qid AND cand.vec_id = tk.nid GROUP BY 1),
+        |nq AS (SELECT COUNT(*) AS v FROM qq),
+        |nt AS (SELECT COUNT(*) AS v FROM tk),
+        |cfg AS (SELECT unnest($probesList) AS np),
+        |agg AS (SELECT cfg.np,
+        |    (SELECT COALESCE(SUM(c), 0) FROM cb WHERE pr < cfg.np) AS nc,
+        |    (SELECT COALESCE(SUM(c), 0) FROM hb WHERE pr < cfg.np) AS nh
+        |  FROM cfg WHERE cfg.np <= (SELECT mx FROM mp))
+        |SELECT CAST(np AS BIGINT) AS nprobe,
+        |  CAST((SELECT v FROM nq) AS BIGINT) AS n_queries,
+        |  CAST(nc AS BIGINT) AS n_candidates,
+        |  CAST(CASE WHEN (SELECT v FROM nq) > 0
+        |    THEN nc // (SELECT v FROM nq) ELSE 0 END AS BIGINT) AS cand_per_query,
+        |  CAST(nh AS BIGINT) AS n_hits,
+        |  CAST(CASE WHEN (SELECT v FROM nt) > 0
+        |    THEN nh * 1000000 // (SELECT v FROM nt) ELSE 0 END AS BIGINT) AS recall_ppm
+        |FROM agg ORDER BY nprobe""".stripMargin
+    },
+
+    // the ANN recall card composed from the five registered method
+    // oracles (round-11 promotion — the last composition unlocked by
+    // the ann_ivf / ann_pq / ann_ivf_pq promotions): truth =
+    // ann_topk (MATERIALIZED: read as a method, as the qid universe
+    // and as the grading target), per-(method, qid) hit counts, a
+    // query the method found nothing for still counts via the
+    // (method × qids) left join, integer ppm
+    "ann_eval" -> {
+      val methods = Seq("ann_topk", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivf_pq")
+      val k = 10
+      val card = s"""qids AS (SELECT DISTINCT qid FROM tk),
+        |tagged AS (
+        |  SELECT 'ann_topk' AS method, qid, nid FROM tk
+        |  UNION ALL SELECT 'ann_lsh', qid, nid FROM lshm
+        |  UNION ALL SELECT 'ann_ivf', qid, nid FROM ivfm
+        |  UNION ALL SELECT 'ann_pq', qid, nid FROM pqm
+        |  UNION ALL SELECT 'ann_ivf_pq', qid, nid FROM ipqm),
+        |hits AS (SELECT method, a.qid, COUNT(*) AS h
+        |  FROM tagged a JOIN tk t ON a.qid = t.qid AND a.nid = t.nid
+        |  GROUP BY 1, 2),
+        |ml AS (SELECT unnest(['ann_topk', 'ann_lsh', 'ann_ivf',
+        |    'ann_pq', 'ann_ivf_pq']) AS method),
+        |mq AS (SELECT ml.method, q.qid FROM ml, qids q),
+        |perq AS (SELECT mq.method, mq.qid, COALESCE(h.h, 0) AS h
+        |  FROM mq LEFT JOIN hits h ON h.method = mq.method AND h.qid = mq.qid),
+        |card AS (SELECT method, COUNT(*) AS nq, SUM(h) AS nh, MIN(h) AS wh
+        |  FROM perq GROUP BY 1)
+        |SELECT ml.method,
+        |  CAST(COALESCE(nq, 0) AS BIGINT) AS n_queries,
+        |  CAST(COALESCE(nh, 0) AS BIGINT) AS n_hits,
+        |  CAST(CASE WHEN COALESCE(nq, 0) = 0 THEN 0
+        |    ELSE COALESCE(nh, 0) * 1000000 // (nq * $k) END AS BIGINT)
+        |    AS mean_recall_ppm,
+        |  CAST(COALESCE(wh, 0) * 1000000 // $k AS BIGINT) AS worst_recall_ppm
+        |FROM ml LEFT JOIN card USING (method)
+        |ORDER BY ml.method""".stripMargin
+      "WITH tk AS MATERIALIZED (\n" + baseOracleSql("ann_topk") + "\n),\n" +
+        "lshm AS MATERIALIZED (\n" + baseOracleSql("ann_lsh") + "\n),\n" +
+        "ivfm AS MATERIALIZED (\n" + baseOracleSql("ann_ivf") + "\n),\n" +
+        "pqm AS MATERIALIZED (\n" + baseOracleSql("ann_pq") + "\n),\n" +
+        "ipqm AS MATERIALIZED (\n" + baseOracleSql("ann_ivf_pq") + "\n),\n" + card
     },
 
     // the near-dup METHOD EVALUATION card composed from the four
@@ -1306,6 +1555,137 @@ object SparkEntry {
         |FROM r WHERE rk <= 8
         |ORDER BY src, rank""".stripMargin
     },
+
+    // the TRAINED IVF index replayed end to end (round-11 promotion —
+    // unlocked by the integer-lattice Lloyd means): trained centroids
+    // from ivfTrainedCtes, flat cosine assignment of the FULL corpus
+    // and the query probes against them, exact re-rank with the
+    // ann_topk conventions
+    "ann_ivf" -> {
+      val ss = operators.SimilaritySearch
+      val cN = s"c${operators.Clustering.KmeansIters}"
+      s"""WITH ${ivfTrainedCtes()},
+        |cells AS (SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+        |    FROM e, $cN c)
+        |  WHERE rk = 1),
+        |q AS (SELECT vec_id AS qid FROM e
+        |  WHERE vec_id % 50 = 0 AND vec_id < ${50L * ss.MaxQueries}),
+        |qp AS (SELECT qid, cid FROM (
+        |    SELECT q.qid, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(eq.v, c.cv) DESC, c.cid) AS rk
+        |    FROM q JOIN e eq ON eq.vec_id = q.qid, $cN c)
+        |  WHERE rk <= 4),
+        |scd AS (SELECT qp.qid, cells.vec_id,
+        |    list_cosine_similarity(eq.v, ec.v) AS rawsim
+        |  FROM cells JOIN qp ON cells.cid = qp.cid
+        |    JOIN e eq ON eq.vec_id = qp.qid
+        |    JOIN e ec ON ec.vec_id = cells.vec_id
+        |  WHERE cells.vec_id <> qp.qid),
+        |r AS (SELECT qid, vec_id, rawsim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rawsim DESC, vec_id) AS rk
+        |  FROM scd)
+        |SELECT qid, vec_id AS nid, CAST(rk AS BIGINT) AS rank, ROUND(rawsim, 6) AS sim
+        |FROM r WHERE rk <= 10
+        |ORDER BY qid, rank""".stripMargin
+    },
+
+    // incremental IVF maintenance (round-11 promotion): the trained
+    // quantizer over the OLD snapshot only, both snapshots assigned
+    // against its frozen centroids, integer growth/rebalance card
+    "ann_incremental" -> {
+      val cN = s"c${operators.Clustering.KmeansIters}"
+      s"""WITH ${ivfTrainedCtes("old",
+          "\n      |old AS (SELECT * FROM e WHERE vec_id % 5 <> 4),")},
+        |neu AS (SELECT * FROM e WHERE vec_id % 5 = 4),
+        |ao AS (SELECT vec_id, cid FROM (
+        |    SELECT o.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY o.vec_id
+        |        ORDER BY list_cosine_similarity(o.v, c.cv) DESC, c.cid) AS rk
+        |    FROM old o, $cN c)
+        |  WHERE rk = 1),
+        |an AS (SELECT vec_id, cid FROM (
+        |    SELECT x.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(x.v, c.cv) DESC, c.cid) AS rk
+        |    FROM neu x, $cN c)
+        |  WHERE rk = 1),
+        |oc AS (SELECT cid, COUNT(*) AS old_n FROM ao GROUP BY 1),
+        |ncn AS (SELECT cid, COUNT(*) AS new_n FROM an GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM old) AS ot,
+        |    (SELECT COUNT(*) FROM neu) AS nt),
+        |opm AS (SELECT CASE WHEN ot > 0 THEN nt * 1000000 // ot ELSE 0 END AS p
+        |  FROM tot)
+        |SELECT COALESCE(oc.cid, ncn.cid) AS cid,
+        |  CAST(COALESCE(old_n, 0) AS BIGINT) AS old_n,
+        |  CAST(COALESCE(new_n, 0) AS BIGINT) AS new_n,
+        |  CAST(COALESCE(new_n, 0) * 1000000
+        |    // GREATEST(COALESCE(old_n, 0), 1) AS BIGINT) AS growth_ppm,
+        |  CAST(COALESCE(new_n, 0) * 1000000
+        |    // GREATEST(COALESCE(old_n, 0), 1) > 2 * (SELECT p FROM opm)
+        |    AS BIGINT) AS rebalance
+        |FROM oc FULL OUTER JOIN ncn ON oc.cid = ncn.cid
+        |ORDER BY cid""".stripMargin
+    },
+
+    // the untrained IVF index replayed end to end (round-11
+    // promotion): stride seeds under the cell law, flat cosine
+    // assignment and probing (the proven list_cosine_similarity
+    // fold), exact re-rank with the ann_topk conventions
+    "ann_ivf_stride" ->
+      s"""WITH ${ivfStrideCtes(4)},
+        |sc AS (SELECT qp.qid, cells.vec_id,
+        |    list_cosine_similarity(eq.v, ec.v) AS rawsim
+        |  FROM cells JOIN qp ON cells.cid = qp.cid
+        |    JOIN e eq ON eq.vec_id = qp.qid
+        |    JOIN e ec ON ec.vec_id = cells.vec_id
+        |  WHERE cells.vec_id <> qp.qid),
+        |r AS (SELECT qid, vec_id, rawsim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rawsim DESC, vec_id) AS rk
+        |  FROM sc)
+        |SELECT qid, vec_id AS nid, CAST(rk AS BIGINT) AS rank, ROUND(rawsim, 6) AS sim
+        |FROM r WHERE rk <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // ADC over PQ codes + exact refine, ALL integer (round-11
+    // promotion): the `d` relation doubles as the per-vector code
+    // argmin and the per-query ADC distance table (PQDistTable
+    // computes exactly these rows), so the whole index is one
+    // lattice-exact rebuild
+    "ann_pq" -> {
+      val ss = operators.SimilaritySearch
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * ${ss.PQLattice.toLong} + 0.5) AS BIGINT)) AS lv
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |q AS (SELECT vec_id AS qid FROM e
+        |  WHERE vec_id % 50 = 0 AND vec_id < ${50L * ss.MaxQueries}),
+        |$pqCtes,
+        |adc AS (SELECT dq.vec_id AS qid, c.vec_id, SUM(dq.dist) AS adist
+        |  FROM codes c
+        |  JOIN d dq ON dq.m = c.m AND dq.j = c.code
+        |  JOIN q ON dq.vec_id = q.qid
+        |  WHERE c.vec_id <> dq.vec_id
+        |  GROUP BY 1, 2),
+        |${pqRefineTail(10, 4)}""".stripMargin
+    },
+
+    // the composed IVF+ADC index (round-11 promotion): untrained
+    // stride cells route both the stored codes and the query probes;
+    // ADC scores only the probed cells; exact integer refine
+    "ann_ivf_pq" ->
+      s"""WITH ${ivfStrideCtes(4)},
+        |$pqCtes,
+        |adc AS (SELECT qp.qid, c.vec_id, SUM(dq.dist) AS adist
+        |  FROM cells JOIN qp ON cells.cid = qp.cid
+        |  JOIN codes c ON c.vec_id = cells.vec_id
+        |  JOIN d dq ON dq.vec_id = qp.qid AND dq.m = c.m AND dq.j = c.code
+        |  WHERE cells.vec_id <> qp.qid
+        |  GROUP BY 1, 2),
+        |${pqRefineTail(10, 4)}""".stripMargin,
 
     // the ann_topk scan without the heap: threshold on the rounded
     // cosine (ulp-stable cut on both engines)

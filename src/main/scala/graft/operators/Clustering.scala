@@ -50,19 +50,35 @@ object Clustering {
     */
   val SemThreshold = 0.4
 
+  /** Lattice scale of the Lloyd means: coordinates quantize to
+    * `floor(x·10⁶ + 0.5)` before summing, means are integer division
+    * (truncating toward zero on both engines), and the centroid
+    * coordinate is `latMean / 10⁶` — one correctly-rounded double
+    * division of a ≪ 2⁵³ integer. Round 11, the oracle-promotion
+    * move: the former DECIMAL(28,18) means were partitioning-exact
+    * but NOT cross-engine replicable — Spark's double→decimal cast
+    * goes through Java's shortest-string conversion while the
+    * oracle engine rounds the binary expansion, so scale-18 digits
+    * disagree; every step of the lattice form is arithmetic both
+    * engines define identically. Recall impact of a 10⁻⁶ grid on
+    * O(1)-magnitude centroids is nil (DedupAnnSpec floors unchanged).
+    */
+  val KmLatScale = 1000000L
+
   /** Deterministic Lloyd k-means over an embedding frame
     * ((vec_id, v: array<double>), nulls already dropped).
     *
     * Deterministic at ANY parallelism: init is the first K vectors by
     * vec_id (bounded TakeOrdered); assignment is the map-side
     * [[graft.functions.NearestCentroids]] expression (cosine, ties to
-    * the lower centroid id); and the per-cell means accumulate in
-    * exact DECIMAL(28,18) — decimal addition is associative and
-    * commutative where double addition is not, so the means (and
-    * every downstream assignment) are bit-identical however Spark
-    * partitions the corpus (asserted under repartition in
-    * ClusteringSpec). Per round the driver sees K×dim aggregated
-    * rows — model-sized, never corpus-sized.
+    * the lower centroid id); and the per-cell means accumulate as
+    * [[KmLatScale]]-lattice INTEGERS — integer addition is
+    * associative and commutative where double addition is not, so
+    * the means (and every downstream assignment) are bit-identical
+    * however Spark partitions the corpus (asserted under repartition
+    * in ClusteringSpec) AND bit-replicable by the DuckDB oracle.
+    * Per round the driver sees K×dim aggregated rows — model-sized,
+    * never corpus-sized.
     *
     * Empty cells keep their previous centroid (the standard Lloyd
     * convention that avoids dead-centroid NaNs).
@@ -89,14 +105,17 @@ object Clustering {
         .withColumn("cid", element_at(nearestCentroids(col("v"), ids, cvecs, 1), 1))
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("x").cast("decimal(28,18)")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(floor(col("x") * KmLatScale + 0.5).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = cvecs.map(_.toArray).toArray
       sums.groupBy(_.getLong(0)).foreach { case (cid, rows) =>
         val dim = rows.map(_.getInt(1)).max + 1
         val mean = new Array[Double](dim)
         rows.foreach { r =>
-          mean(r.getInt(1)) = r.getDecimal(2).doubleValue() / r.getLong(3)
+          // truncating integer division (both engines' div), then ONE
+          // correctly-rounded double division by the lattice scale
+          mean(r.getInt(1)) = (r.getLong(2) / r.getLong(3)).toDouble / KmLatScale
         }
         next(cid.toInt) = mean
       }
