@@ -1479,6 +1479,99 @@ object SparkEntry {
         |WHERE cos >= 0.4
         |ORDER BY id1, id2""".stripMargin,
 
+    // SemDeDup replayed end to end (round-11 promotion): the fine
+    // centroids are RAW stride-sampled corpus vectors (no Lloyd), the
+    // coarse level is every ⌈√m⌉-th fine centroid, owners/probing/
+    // argmax are cosine ranks via the proven fold (ties to the lower
+    // index, NaN-first — TwoLevelCellId's exact conventions), and the
+    // within-cell prune reuses dedup_embedding's round-4 lattice.
+    // The ceil(n/k) and ceil(sqrt(m)) float forms equal their integer
+    // twins for all feasible n (quotient gaps ≥ 1/k ≫ ulp)
+    "semdedup" -> {
+      val cl = operators.Clustering
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |nn AS (SELECT COUNT(*) AS n FROM e),
+        |kk AS (SELECT GREATEST(2, LEAST(${cl.MaxCells},
+        |    n // ${cl.TargetCell})) AS k FROM nn),
+        |st AS (SELECT GREATEST(${cl.TargetCell},
+        |    (nn.n + kk.k - 1) // kk.k) AS s FROM nn, kk),
+        |fs AS (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS fi
+        |  FROM e, st WHERE vec_id % st.s = 0),
+        |fine AS MATERIALIZED (
+        |  SELECT fi, v FROM fs
+        |  UNION ALL
+        |  SELECT 0 AS fi, v FROM (SELECT v FROM e ORDER BY vec_id LIMIT 1)
+        |  WHERE NOT EXISTS (SELECT 1 FROM fs)),
+        |nf AS (SELECT COUNT(*) AS m FROM fine),
+        |cs AS (SELECT GREATEST(1, CAST(CEIL(SQRT(m)) AS BIGINT)) AS step FROM nf),
+        |coarse AS MATERIALIZED (SELECT fi AS ci, v FROM fine, cs
+        |  WHERE fi % cs.step = 0),
+        |own AS MATERIALIZED (SELECT fi, ci FROM (
+        |    SELECT f.fi, c.ci, ROW_NUMBER() OVER (PARTITION BY f.fi
+        |      ORDER BY list_cosine_similarity(f.v, c.v) DESC, c.ci) AS rk
+        |    FROM fine f, coarse c)
+        |  WHERE rk = 1),
+        |p2 AS (SELECT vec_id, ci FROM (
+        |    SELECT e.vec_id, c.ci, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.ci) AS rk
+        |    FROM e, coarse c)
+        |  WHERE rk <= 2),
+        |cells AS MATERIALIZED (SELECT vec_id, fi AS cluster_id FROM (
+        |    SELECT p2.vec_id, f.fi, ROW_NUMBER() OVER (PARTITION BY p2.vec_id
+        |      ORDER BY list_cosine_similarity(ev.v, f.v) DESC, f.fi) AS rk
+        |    FROM p2 JOIN own ON own.ci = p2.ci
+        |      JOIN fine f ON f.fi = own.fi
+        |      JOIN e ev ON ev.vec_id = p2.vec_id)
+        |  WHERE rk = 1),
+        |dup AS (SELECT DISTINCT b.vec_id
+        |  FROM cells a JOIN cells b
+        |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= ${cl.SemThreshold})
+        |SELECT e.vec_id, cells.cluster_id,
+        |  CAST(dup.vec_id IS NULL AS BIGINT) AS keep
+        |FROM e JOIN cells ON cells.vec_id = e.vec_id
+        |LEFT JOIN dup ON dup.vec_id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin
+    },
+
+    // greedy k-center replayed as K unrolled rounds (round-11
+    // promotion; the k_core unroll pattern): every float step is a
+    // single correctly-rounded op both engines share — the proven
+    // cosine fold, 1.0 − x, LEAST selection — so the raw-double radii
+    // hash-match; argmax ties to the lower vec_id, NaN-first
+    "coreset_select" -> {
+      val K = operators.Clustering.CoresetK
+      val rounds = (1 until K).map { k =>
+        s"""d$k AS MATERIALIZED (SELECT d${k - 1}.vec_id, d${k - 1}.v,
+          |    LEAST(d${k - 1}.mind,
+          |      1.0 - list_cosine_similarity(d${k - 1}.v, cc$k.v)) AS mind
+          |  FROM d${k - 1}, (SELECT e.v FROM e, p${k - 1}
+          |    WHERE e.vec_id = p${k - 1}.far_id) cc$k),
+          |p$k AS (SELECT vec_id AS far_id, mind AS radius FROM d$k
+          |  ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val picks = (0 until K).map { k =>
+        if (k == 0)
+          s"SELECT CAST(0 AS BIGINT) AS k, seed.vec_id, p0.radius FROM seed, p0"
+        else
+          s"SELECT CAST($k AS BIGINT) AS k, p${k - 1}.far_id AS vec_id, " +
+            s"p$k.radius FROM p${k - 1}, p$k"
+      }.mkString("\n|UNION ALL ")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |seed AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+        |d0 AS MATERIALIZED (SELECT e.vec_id, e.v,
+        |    1.0 - list_cosine_similarity(e.v, seed.v) AS mind FROM e, seed),
+        |p0 AS (SELECT vec_id AS far_id, mind AS radius FROM d0
+        |  ORDER BY mind DESC, vec_id LIMIT 1),
+        |$rounds
+        |$picks
+        |ORDER BY k""".stripMargin
+    },
+
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
