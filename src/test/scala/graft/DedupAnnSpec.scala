@@ -566,15 +566,20 @@ class DedupAnnSpec extends AnyFunSuite {
     // two approximations stack (cell pruning × ADC quantization) —
     // the composed index trades recall for the nprobe/cells scan cut
     assert(recall >= 0.2, s"IVFADC recall $recall < 0.2 (${exact.size} exact)")
-    // empirical pin on this fixed corpus (not a theorem — the two
-    // refine stages rank different candidate pools): cell pruning
-    // costs some recall vs the unpruned ADC run; if this ever flips,
-    // the probed-cell routing changed, which is worth noticing
-    val pq = SparkEntry.queries("ann_pq")(spark, sf)
-      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pqRecall = (exact & pq).size.toDouble / exact.size
-    assert(recall <= pqRecall + 1e-9,
-      s"cell-pruned recall $recall exceeds unpruned ADC $pqRecall — routing changed?")
+    // empirical pin on the FIXED default corpus only (not a theorem —
+    // the two refine stages rank different candidate pools, and cell
+    // pruning can legitimately BEAT unpruned ADC by evicting
+    // ADC-favored false candidates from the refine-k pool: fuzz seed
+    // 27 measured exactly that, 0.5125 vs 0.475, with every oracle
+    // still green). On the pinned corpus a flip still signals a
+    // routing change worth noticing.
+    if (sys.env.get("SPARK_GRAFT_SPEC_SF").isEmpty) {
+      val pq = SparkEntry.queries("ann_pq")(spark, sf)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pqRecall = (exact & pq).size.toDouble / exact.size
+      assert(recall <= pqRecall + 1e-9,
+        s"cell-pruned recall $recall exceeds unpruned ADC $pqRecall — routing changed?")
+    }
     // index build is a single scan stage: no exchange keyed by vec_id
     val plan = graft.operators.SimilaritySearch.annIvfPq(spark, sf)
       .queryExecution.executedPlan.toString
