@@ -147,6 +147,7 @@ object SparkEntry {
     "drift_check"       -> (Quality.driftCheck _),
     "emb_pca"           -> (Clustering.embPca _),
     "emb_health"        -> (Clustering.embHealth _),
+    "emb_drift"         -> (Clustering.embDrift _),
     "coreset_select"    -> (Clustering.coresetSelect _),
     "mm_scenes"         -> (graft.multimodal.Multimodal.mmScenes _),
     "ann_eval"          -> ((s, d) => SimilaritySearch.annEval(s, d)),
@@ -1154,6 +1155,48 @@ object SparkEntry {
         |    < CAST(n_vecs AS HUGEINT) * CAST(n_vecs AS HUGEINT)
         |      * $EmbCollapseVarLattice AS BIGINT) AS collapsed
         |FROM g ORDER BY dim""".stripMargin
+    },
+
+    // two-snapshot drift card (round 11 — emb_health's discipline
+    // over the ann_incremental old/new split): lattice sums per
+    // side, truncating-div means and old variance, and the z² ≥ 9
+    // two-sample test as one exact integer product comparison
+    "emb_drift" -> {
+      import operators.Clustering.EmbDriftZ2
+      s"""WITH l AS (
+        |  SELECT vec_id, t.d AS dim,
+        |    CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS l
+        |  FROM embeddings, unnest(range(0, len(embedding))) AS t(d)
+        |  WHERE embedding IS NOT NULL),
+        |o AS (SELECT dim, COUNT(*) AS n_old,
+        |    SUM(CAST(l AS HUGEINT)) AS sl_old,
+        |    SUM(CAST(l AS HUGEINT) * CAST(l AS HUGEINT)) AS sl2_old
+        |  FROM l WHERE vec_id % 5 <> 4 GROUP BY 1),
+        |nw AS (SELECT dim, COUNT(*) AS n_new,
+        |    SUM(CAST(l AS HUGEINT)) AS sl_new
+        |  FROM l WHERE vec_id % 5 = 4 GROUP BY 1),
+        |j AS (SELECT COALESCE(o.dim, nw.dim) AS dim,
+        |    COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+        |    CASE WHEN COALESCE(n_old, 0) = 0 THEN 0
+        |      ELSE sl_old // n_old END AS mean_old_ppm,
+        |    CASE WHEN COALESCE(n_new, 0) = 0 THEN 0
+        |      ELSE sl_new // n_new END AS mean_new_ppm,
+        |    CASE WHEN COALESCE(n_old, 0) = 0 THEN 0
+        |      ELSE (CAST(n_old AS HUGEINT) * sl2_old - sl_old * sl_old)
+        |        // (CAST(n_old AS HUGEINT) * n_old) END AS var_old_ppm2
+        |  FROM o FULL OUTER JOIN nw ON o.dim = nw.dim)
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |  CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(mean_old_ppm AS BIGINT) AS mean_old_ppm,
+        |  CAST(mean_new_ppm AS BIGINT) AS mean_new_ppm,
+        |  CAST(var_old_ppm2 AS BIGINT) AS var_old_ppm2,
+        |  CAST(mean_new_ppm - mean_old_ppm AS BIGINT) AS shift_ppm,
+        |  CAST(n_old > 0 AND n_new > 0 AND
+        |    CAST(mean_new_ppm - mean_old_ppm AS HUGEINT)
+        |      * (mean_new_ppm - mean_old_ppm) * n_old * n_new
+        |    > $EmbDriftZ2 * CAST(var_old_ppm2 AS HUGEINT) * (n_old + n_new)
+        |    AS BIGINT) AS drifted
+        |FROM j ORDER BY dim""".stripMargin
     },
 
     // SimHash replicated bit-for-bit (round 10, the dedup_minhash

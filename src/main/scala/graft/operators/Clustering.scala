@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -497,6 +497,82 @@ object Clustering {
   def embHealth(spark: SparkSession, dir: String): DataFrame =
     embHealthOn(Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+
+  /** Drift-flag strength for [[embDrift]]: a dimension flags when the
+    * two-sample mean shift clears a z ≈ 3 test against the OLD
+    * snapshot's variance — `shift²·n_old·n_new >
+    * [[EmbDriftZ2]]·var_old·(n_old + n_new)`, the standard two-sample
+    * z² inequality cleared of square roots and divisions so it runs
+    * as one EXACT integer comparison.
+    */
+  val EmbDriftZ2 = 9L
+
+  /** emb_drift — the embedding snapshot DRIFT card (the monitoring
+    * pass between [[embHealth]]'s one-snapshot QA and
+    * ann_incremental's cell-growth card: an encoder upgrade or a
+    * shifted corpus moves the embedding DISTRIBUTION, and an IVF/LSH
+    * index built on yesterday's geometry silently degrades — this
+    * card says WHICH dimensions moved before anyone pays for a
+    * rebuild): per dimension, old-snapshot vs new-batch counts
+    * (the ann_incremental vec_id % 5 split), exact lattice means,
+    * the mean shift, the old variance, and the drifted flag
+    * ([[EmbDriftZ2]]).
+    *
+    * Exactness: the emb_health discipline end to end — values land
+    * on the 10⁻⁶ lattice first, all aggregation is integer
+    * (DECIMAL(38) where cross-terms outgrow int64), means and
+    * variance use truncating `div`, and the flag is a pure integer
+    * product comparison. Oracle replays every step.
+    *
+    * Scale shape: ONE map-side explode pass (dim, lattice, side) into
+    * a dim-keyed map-side-combinable aggregation per side; the card
+    * is dim rows joined on dim. No shuffle wider than the 64-key agg
+    * at any corpus size.
+    */
+  def embDrift(spark: SparkSession, dir: String): DataFrame =
+    embDriftOn(Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+
+  private[graft] def embDriftOn(emb: DataFrame): DataFrame = {
+    val lat = emb.filter(col("v").isNotNull)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        floor(col("x") * 1000000d + 0.5d).cast("long").as("l"))
+    def side(p: Column, tag: String): DataFrame =
+      lat.filter(p).groupBy(col("dim")).agg(
+        count(lit(1)).as(s"n_$tag"),
+        sum(expr("CAST(l AS DECIMAL(38,0))")).as(s"sl_$tag"),
+        sum(expr("CAST(l AS DECIMAL(38,0)) * CAST(l AS DECIMAL(38,0))"))
+          .as(s"sl2_$tag"))
+    val o = side(col("vec_id") % 5 =!= 4, "old")
+    val n = side(col("vec_id") % 5 === 4, "new")
+    o.join(n, Seq("dim"), "full")
+      .select(col("dim"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        expr("CASE WHEN n_old IS NULL OR n_old = 0 THEN 0L " +
+          "ELSE CAST(sl_old div n_old AS BIGINT) END").as("mean_old_ppm"),
+        expr("CASE WHEN n_new IS NULL OR n_new = 0 THEN 0L " +
+          "ELSE CAST(sl_new div n_new AS BIGINT) END").as("mean_new_ppm"),
+        // old POPULATION variance in lattice² units, truncating div
+        expr("CASE WHEN n_old IS NULL OR n_old = 0 THEN 0L " +
+          "ELSE CAST((CAST(n_old AS DECIMAL(38,0)) * sl2_old - sl_old * sl_old) " +
+          "div (CAST(n_old AS DECIMAL(38,0)) * CAST(n_old AS DECIMAL(38,0))) " +
+          "AS BIGINT) END").as("var_old_ppm2"))
+      .withColumn("shift_ppm", col("mean_new_ppm") - col("mean_old_ppm"))
+      // the z² ≥ EmbDriftZ2 two-sample test as an exact integer
+      // product comparison (no sqrt, no division — the flag can never
+      // drift across engines); both sides must be populated
+      .withColumn("drifted",
+        expr(s"""CAST(n_old > 0 AND n_new > 0 AND
+                |  CAST(shift_ppm AS DECIMAL(38,0)) * CAST(shift_ppm AS DECIMAL(38,0))
+                |    * CAST(n_old AS DECIMAL(38,0)) * CAST(n_new AS DECIMAL(38,0))
+                |  > CAST($EmbDriftZ2 AS DECIMAL(38,0))
+                |    * CAST(var_old_ppm2 AS DECIMAL(38,0))
+                |    * (CAST(n_old AS DECIMAL(38,0)) + CAST(n_new AS DECIMAL(38,0)))
+                |  AS BIGINT)""".stripMargin))
+      .orderBy(col("dim"))
+  }
 
   private[graft] def embHealthOn(emb: DataFrame): DataFrame =
     emb.filter(col("v").isNotNull)

@@ -249,4 +249,48 @@ class ClusteringSpec extends AnyFunSuite {
     val card = operators.Clustering.embHealth(spark, sf).collect()
     assert(card.length == 64 && card.map(_.getLong(0)).toSeq == (0L until 64L))
   }
+
+  test("emb_drift equals an in-JVM lattice recompute and flags a planted mean shift") {
+    import spark.implicits._
+    import operators.Clustering.EmbDriftZ2
+    // 3-dim fixture over the ann_incremental old/new split
+    // (vec_id % 5 == 4 is the new batch): dim 0 stationary, dim 1
+    // shifted by +0.5 in the new batch (must flag), dim 2 noisy but
+    // unshifted (must not flag)
+    val vecs: Seq[(Long, Seq[Double])] = (0L until 50L).map { i =>
+      val isNew = i % 5 == 4
+      (i, Seq(
+        math.sin(i.toDouble),
+        math.cos(i.toDouble) * 0.01 + (if (isNew) 0.5 else 0.0),
+        math.sin(i.toDouble * 3.0) * 2.0))
+    }
+    val got = operators.Clustering.embDriftOn(vecs.toDF("vec_id", "v"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    val byDim = (0 until 3).map { d =>
+      def side(p: Long => Boolean) =
+        vecs.filter(t => p(t._1)).map { case (_, v) =>
+          math.floor(v(d) * 1000000d + 0.5d).toLong
+        }
+      val (o, nw) = (side(_ % 5 != 4), side(_ % 5 == 4))
+      val (no, nn) = (o.size.toLong, nw.size.toLong)
+      val (slo, sln) = (o.map(BigInt(_)).sum, nw.map(BigInt(_)).sum)
+      val sl2o = o.map(l => BigInt(l) * BigInt(l)).sum
+      val mo = (slo / no).toLong; val mn = (sln / nn).toLong
+      val varO = ((BigInt(no) * sl2o - slo * slo) / (BigInt(no) * BigInt(no))).toLong
+      val shift = mn - mo
+      val drifted = if (BigInt(shift) * BigInt(shift) * no * nn >
+        BigInt(EmbDriftZ2) * varO * (no + nn)) 1L else 0L
+      d.toLong -> ((no, nn, mo, mn, varO, shift, drifted))
+    }.toMap
+    assert(got == byDim, s"got $got\nwant $byDim")
+    assert(got(1L)._7 == 1L, "planted mean shift must flag drifted")
+    assert(got(0L)._7 == 0L && got(2L)._7 == 0L,
+      "stationary dimensions must not flag")
+    // registered entry: one row per dim on the real corpus
+    val card = operators.Clustering.embDrift(spark, sf).collect()
+    assert(card.length == 64 && card.map(_.getLong(0)).toSeq == (0L until 64L))
+  }
 }
