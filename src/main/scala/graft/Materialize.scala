@@ -41,12 +41,12 @@ import org.apache.spark.storage.StorageLevel
   * bit-identical under every strategy, only failure semantics and
   * memory accounting move.
   *
-  * OUT of scope here: the lazy per-round checkpoints inside driver
-  * loops (pagerank, BPE training, label propagation). Those exist to
+  * The lazy per-round checkpoints inside driver loops (pagerank, BPE
+  * training, label propagation) are a SEPARATE knob: they exist to
   * truncate lineage that would otherwise nest per round, so `cache`
-  * cannot replace them; cluster users needing loop fault tolerance
-  * should set a checkpoint dir and the `checkpoint` strategy, which
-  * the loops' FINAL eager materialization honors.
+  * cannot replace them — they route through [[round]] and its
+  * `spark.graft.loopMaterialize` config (see [[round]]'s scaladoc
+  * for the loop recovery contract).
   */
 object Materialize {
 
@@ -68,6 +68,58 @@ object Materialize {
         c
       case "checkpoint" => df.checkpoint(eager = true)
       case _ => df.localCheckpoint(eager = true)
+    }
+
+  /** Per-round lineage truncation for DRIVER LOOPS (pagerank, k_core,
+    * label propagation, star contraction, Lloyd, BPE/unigram
+    * training, SCD2 advance): every loop that used to call
+    * `localCheckpoint` inline per round routes through here, so loop
+    * FAILURE SEMANTICS are one session-level choice:
+    *
+    *   spark.graft.loopMaterialize = localCheckpoint (default) | checkpoint
+    *
+    * - `localCheckpoint` — per-round blocks are LOCAL and
+    *   non-replicated: the fastest truncation, and the right default
+    *   for a dedicated batch run, but a mid-loop executor loss (or
+    *   dynamic-allocation decommission) cannot recompute a lost
+    *   round — the whole OPERATOR restarts. That is the documented
+    *   recovery contract of the default.
+    * - `checkpoint` — per-round state lands in the RELIABLE
+    *   checkpoint dir (caller must have called
+    *   `sc.setCheckpointDir`): an executor loss mid-loop recomputes
+    *   nothing — the next round re-reads the surviving round files —
+    *   which is what a 100 TB, multi-hour loop on a shared fleet
+    *   wants. Costs one filesystem write per round, plus the
+    *   standard lazy-checkpoint caveat that the round's plan runs
+    *   once more at write time unless already persisted.
+    *
+    * Both forms replace the logical plan with a LogicalRDD
+    * immediately (lineage must not nest round-over-round — the r4
+    * exponential-plan failure) and both preserve the child's output
+    * partitioning, so per-round join plans are strategy-independent
+    * and results are bit-identical (LoopStrategySpec pins this).
+    * `eager` applies to the default branch only, and defaults false:
+    * rounds materialize inside the NEXT action's job (the bpe_train
+    * lesson) instead of one eager job per round. The reliable branch
+    * is ALWAYS eager — lazy `rdd.checkpoint()` marks are only
+    * finalized for a job's TOP RdD (doCheckpoint does not recurse to
+    * marked ancestors unless `spark.checkpoint.checkpointAllMarkedAncestors`
+    * is set at context start), so a lazily-marked round would never
+    * reach the checkpoint dir — and a write that happens after the
+    * loop ends would provide no mid-loop recovery anyway. The
+    * transient persist around the write is the standard move that
+    * keeps the round's plan from computing twice (once for the
+    * eager action, once inside the checkpoint-file writer).
+    */
+  val LoopStrategyKey = "spark.graft.loopMaterialize"
+
+  def round(df: DataFrame, eager: Boolean = false): DataFrame =
+    df.sparkSession.conf.getOption(LoopStrategyKey).getOrElse("localCheckpoint") match {
+      case "checkpoint" =>
+        val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try persisted.checkpoint(eager = true)
+        finally persisted.unpersist()
+      case _ => df.localCheckpoint(eager = eager)
     }
 
   /** Defensive variant for operators whose CONTRACT says "pass a

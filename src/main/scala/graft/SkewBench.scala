@@ -134,8 +134,12 @@ object SkewBench {
       System.err.println(f"[skew] ${n + "@onecell"}%-22s uniform ${fmt(u)}%7s  onecell ${fmt(s)}%7s  ratio ${fmt(r)}%6s")
       (s"$n@onecell", u, s, r)
     }
+    // the pathology timing is keyed by its corpus: hot-key rows carry
+    // "skew", one-cell rows carry "onecell" — JSON consumers can tell
+    // the pathologies apart without parsing the row-key suffix
     val json = rows.map { case (n, u, s, r) =>
-      "\"" + n + "\":{\"uniform\":" + fmt(u) + ",\"skew\":" + fmt(s) +
+      val field = if (n.endsWith("@onecell")) "onecell" else "skew"
+      "\"" + n + "\":{\"uniform\":" + fmt(u) + ",\"" + field + "\":" + fmt(s) +
         ",\"ratio\":" + fmt(r) + "}"
     }.mkString("{", ",", "}")
     val worst = rows.filter(_._4 >= 0).sortBy(-_._4).take(3)

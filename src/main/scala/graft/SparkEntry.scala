@@ -360,8 +360,11 @@ object SparkEntry {
     * engine's NearestCentroids runs (the ann_topk/ann_radius
     * equivalence proof), ties to the lower seed id, NaN-first under
     * DESC on both engines. Replays the FLAT assignment regime; the
-    * two-level gate engages past 256 cells ≈ 262k vectors, far
-    * beyond any oracle corpus. Produces CTEs: e (vec_id, v DOUBLE[],
+    * two-level gate engages past
+    * [[operators.SimilaritySearch.IvfFlatAssignMaxCells]] = 1024
+    * cells ≈ 131k non-null vectors under the n/128 cell law, far
+    * beyond any oracle corpus (the fuzz/sf dirs carry ≤ ~2k
+    * vectors). Produces CTEs: e (vec_id, v DOUBLE[],
     * lv 10⁴-lattice BIGINT[]), nn, w (the cell law), seeds (cid,
     * cv), cells (vec_id, cid), q (qid), qp (qid, cid — the nprobe
     * probes).
@@ -2240,17 +2243,27 @@ object SparkEntry {
         |ORDER BY esz.doc_id""".stripMargin,
 
     // Bloom filter rebuilt relationally: same md5-lattice probe
-    // positions, distinct position set, all-k-bits membership
+    // positions, distinct position set, all-k-bits membership; the
+    // bit count replays the integer [[operators.Text.bloomBits]] law
+    // from COUNT(*) over the eval side (smallest power of two ≥
+    // BloomBitsPerShingle·n, floor 2¹⁵, cap 2²⁷ — same
+    // shift-compare both engines run exactly)
     "bloom_decontaminate" -> {
-      import operators.Text.{BloomBits, BloomK}
+      import operators.Text.{BloomBitsPerShingle, BloomK}
       val probeHash = hash60Sql("CAST(i AS VARCHAR) || '|' || shingle")
+      val bitsSub = "(SELECT bits FROM bb)"
       s"""WITH $ngramCtes,
         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 3),
+        |nc AS (SELECT COUNT(*) AS n FROM ev),
+        |bb AS (SELECT (CAST(1 AS BIGINT) << (SELECT MIN(b)
+        |    FROM range(15, 28) t(b), nc
+        |    WHERE (CAST(1 AS BIGINT) << b) >= $BloomBitsPerShingle * nc.n
+        |      OR b = 27)) AS bits),
         |ks AS (SELECT unnest(range(0, $BloomK)) AS i),
-        |ep AS (SELECT DISTINCT $probeHash % $BloomBits AS p FROM ev CROSS JOIN ks),
+        |ep AS (SELECT DISTINCT $probeHash % $bitsSub AS p FROM ev CROSS JOIN ks),
         |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 <> 3),
         |dsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM tr GROUP BY 1),
-        |pb AS (SELECT doc_id, shingle, $probeHash % $BloomBits AS p
+        |pb AS (SELECT doc_id, shingle, $probeHash % $bitsSub AS p
         |  FROM tr CROSS JOIN ks),
         |bh AS (SELECT doc_id, shingle FROM pb JOIN ep USING (p)
         |  GROUP BY 1, 2 HAVING COUNT(*) = $BloomK),

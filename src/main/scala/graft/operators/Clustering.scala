@@ -356,16 +356,14 @@ object Clustering {
       return Seq.empty[(Long, Long, Double)].toDF("k", "vec_id", "radius")
     val picks = Seq.newBuilder[(Long, Long, Double)]
     var (id, vec) = (seedRows(0).getLong(0), seedRows(0).getSeq[Double](1))
-    var state = embIn
-      .withColumn("mind", lit(1.0) - cosineSim(col("v"), typedLit(vec)))
-      .localCheckpoint(false)
+    var state = graft.Materialize.round(embIn
+      .withColumn("mind", lit(1.0) - cosineSim(col("v"), typedLit(vec))))
     for (k <- 0 until CoresetK) {
       // lazy per-round checkpoint (the pagerank convention): the
       // round's own argmax action materializes it, lineage stays flat
-      if (k > 0) state = state
+      if (k > 0) state = graft.Materialize.round(state
         .withColumn("mind", least(col("mind"),
-          lit(1.0) - cosineSim(col("v"), typedLit(vec))))
-        .localCheckpoint(false)
+          lit(1.0) - cosineSim(col("v"), typedLit(vec)))))
       val far = state
         .agg(max(struct(col("mind"), (-col("vec_id")).as("nid"))).as("m"))
         .select(col("m.mind"), col("m.nid")).head()
@@ -524,10 +522,10 @@ object Clustering {
     * variance use truncating `div`, and the flag is a pure integer
     * product comparison. Oracle replays every step.
     *
-    * Scale shape: ONE map-side explode pass (dim, lattice, side) into
-    * a dim-keyed map-side-combinable aggregation per side; the card
-    * is dim rows joined on dim. No shuffle wider than the 64-key agg
-    * at any corpus size.
+    * Scale shape: ONE map-side explode pass (dim, lattice) into ONE
+    * dim-keyed map-side-combinable aggregation carrying both sides as
+    * conditional sums — one corpus scan, one Exchange, 64 keys. No
+    * shuffle wider than the dim agg at any corpus size.
     */
   def embDrift(spark: SparkSession, dir: String): DataFrame =
     embDriftOn(Tables(spark, dir).embeddings
@@ -538,15 +536,18 @@ object Clustering {
       .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         floor(col("x") * 1000000d + 0.5d).cast("long").as("l"))
-    def side(p: Column, tag: String): DataFrame =
-      lat.filter(p).groupBy(col("dim")).agg(
-        count(lit(1)).as(s"n_$tag"),
-        sum(expr("CAST(l AS DECIMAL(38,0))")).as(s"sl_$tag"),
-        sum(expr("CAST(l AS DECIMAL(38,0)) * CAST(l AS DECIMAL(38,0))"))
-          .as(s"sl2_$tag"))
-    val o = side(col("vec_id") % 5 =!= 4, "old")
-    val n = side(col("vec_id") % 5 === 4, "new")
-    o.join(n, Seq("dim"), "full")
+    // ONE dim-keyed pass with conditional sums (r11 VERDICT: two
+    // separately-filtered aggregations scanned + exploded the corpus
+    // twice) — a side with no rows yields NULL sums, exactly what the
+    // old full-outer join produced, so every CASE below is unchanged
+    val isNew = col("vec_id") % 5 === 4
+    def sums(p: Column, tag: String): Seq[Column] = Seq(
+      sum(when(p, 1L)).as(s"n_$tag"),
+      sum(when(p, expr("CAST(l AS DECIMAL(38,0))"))).as(s"sl_$tag"),
+      sum(when(p, expr("CAST(l AS DECIMAL(38,0)) * CAST(l AS DECIMAL(38,0))")))
+        .as(s"sl2_$tag"))
+    val both = sums(!isNew, "old") ++ sums(isNew, "new")
+    lat.groupBy(col("dim")).agg(both.head, both.tail: _*)
       .select(col("dim"),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),

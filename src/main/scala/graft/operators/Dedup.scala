@@ -328,7 +328,7 @@ object Dedup {
         // only dodges recomputation, not re-planning. The round carries
         // its own `chg` flag, so the convergence check is a filter-count
         // over the materialized checkpoint — no extra join job.
-        val updated = propagationRound(edges, labels).localCheckpoint(true)
+        val updated = graft.Materialize.round(propagationRound(edges, labels), eager = true)
         // the round before last is dead once this round's EAGER
         // checkpoint exists (labels is a projection over `updated`,
         // so `updated` itself must outlive the loop)
@@ -448,7 +448,7 @@ object Dedup {
       var converged = false
       var it = 0
       while (!converged && it < maxIters) {
-        val next = starRound(edges).localCheckpoint(true)
+        val next = graft.Materialize.round(starRound(edges), eager = true)
         val nfp = fingerprint(next)
         graft.Materialize.release(edges)
         edges = next
@@ -815,13 +815,22 @@ object Dedup {
           n -> scala.concurrent.Await.result(f,
             scala.concurrent.duration.Duration.Inf)
         }
-      } finally pool.shutdown()
+      } finally {
+        // the shared intermediates are dead once the artifacts exist
+        // (each artifact is its own checkpoint) — free them HERE so a
+        // failed pipeline future can't leak the pins (r11 ADVICE; the
+        // CacheHygieneSpec leak class). On the failure path the other
+        // futures may still be running, so drain the pool first —
+        // releasing a frame mid-build would re-pin it.
+        pool.shutdown()
+        pool.awaitTermination(1L, java.util.concurrent.TimeUnit.DAYS)
+        lock.synchronized {
+          if (shHash != null) graft.Materialize.release(shHash)
+          if (shSet != null) graft.Materialize.release(shSet)
+          if (coll != null) graft.Materialize.release(coll._2)
+        }
+      }
     val truth = methods.head._2
-    // the shared intermediates are dead once the artifacts exist
-    // (each artifact is its own checkpoint) — free them now
-    if (shHash != null) graft.Materialize.release(shHash)
-    if (shSet != null) graft.Materialize.release(shSet)
-    if (coll != null) graft.Materialize.release(coll._2)
     // ONE method-keyed aggregation over the tagged union (not one
     // scalar-agg chain per method — 18 single-partition exchanges in
     // the first cut); the truth flag rides a left join, the 1-row

@@ -77,50 +77,66 @@ object Graph {
     finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
-  private def pagerankRounds(customer: DataFrame, supplier: DataFrame,
-      orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val nodes = customer.select(col("c_custkey").as("id"))
-      .unionAll(supplier.select((col("s_suppkey") + SupplierNodeOffset).as("id")))
-    // orders is the dimension side of the edge derivation (two long
-    // columns): broadcast-hinted so the 100 TB side (lineitem) joins
-    // in its scan stage — no fact-table shuffle just to build edges
+  /** The mirrored, src-hash-partitioned trade edge list SHARED by
+    * [[pagerank]] and [[kCore]] (both loops consume the identical
+    * structure): orders is the dimension side of the edge derivation
+    * (two long columns), broadcast-hinted so the 100 TB side
+    * (lineitem) joins in its scan stage — no fact-table shuffle just
+    * to build edges. Hash-partitioning on src ONCE and materializing
+    * as ROW blocks is the whole game at cluster scale: the per-round
+    * src-keyed join reads the stored partitioning and never
+    * re-shuffles the edges — the edge list is the 100 TB side, and
+    * 10 rounds × an edge shuffle is the difference between minutes
+    * and hours. Two measured choices (DebugPr A/B, sf0.1):
+    * materialized row blocks beat a columnar cache() ~2× per round
+    * (the rounds re-decode the columnar cache every scan), and the
+    * mirror union needs NO separate pairs materialization — both
+    * union branches read the distinct's OWN shuffle via
+    * ReusedExchange, so the lineitem⋈orders plan still executes once
+    * (the r5 double-evaluation was pre-repartition lineage, which
+    * the repartition exchange now deduplicates). Caller owns the
+    * release.
+    */
+  private[graft] def mirroredTradeEdges(orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
     val pairs = lineitem
       .join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), (col("l_suppkey") + SupplierNodeOffset).as("s"))
       .distinct()
-    // hash-partition the mirrored edge list on src ONCE and
-    // materialize it as ROW blocks: the per-round src-keyed join
-    // then reads the stored partitioning and never re-shuffles the
-    // edges — the only per-round shuffle is the (tiny,
-    // map-side-combined) contrib aggregation. At cluster scale this
-    // is the whole game: the edge list is the 100 TB side, and 10
-    // rounds × an edge shuffle is the difference between minutes and
-    // hours. Two measured choices (DebugPr A/B, sf0.1): materialized
-    // row blocks beat a columnar cache() ~2× per round (the rounds
-    // re-decode the columnar cache every scan — encode/decode buys
-    // nothing for an intermediate read 10× in row form), and the
-    // mirror union needs NO separate pairs materialization — both
-    // union branches read the distinct's OWN shuffle via
-    // ReusedExchange, so the lineitem⋈orders plan still executes
-    // once (the r5 double-evaluation was pre-repartition lineage,
-    // which the repartition exchange now deduplicates).
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+    pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
       .repartition(col("src"))
       .materialized
+  }
+
+  private def pagerankRounds(customer: DataFrame, supplier: DataFrame,
+      orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val nodes = customer.select(col("c_custkey").as("id"))
+      .unionAll(supplier.select((col("s_suppkey") + SupplierNodeOffset).as("id")))
+    val edges = mirroredTradeEdges(orders, lineitem)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // the STATIC per-node state (id, outdeg), materialized once —
     // nodes⋈deg is id-keyed, so the join's own exchange already
-    // leaves pr hash(id)-partitioned — no explicit repartition
-    var pr = nodes
+    // leaves it hash(id)-partitioned, and every round joins it back
+    // zero-exchange. Keeping outdeg OUT of the per-round state is
+    // the r11 verdict item: the loop's checkpoint I/O is
+    // bytes-per-round × rounds, and outdeg never changes — so the
+    // rounds checkpoint the minimal (id, pr) pair, a third less
+    // block I/O per round than the old (id, outdeg, pr) state
+    // (PagerankStorageSpec measures both shapes).
+    val base = nodes
       .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
-        lit(PrScale).as("pr"))
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       .materialized
+    // initial ranks: a LAZY projection over base — hash(id)
+    // partitioning flows through, and round 1 is its only consumer,
+    // so it needs no storage of its own
+    var pr = base.select(col("id"), lit(PrScale).as("pr"))
     // checkpoint EVERY round — but LAZILY (the bpe_train lesson), with
     // only the final round eager (strategy-gated: under the
     // `checkpoint` strategy the final state lands reliably). Lazy
-    // localCheckpoint still replaces the logical plan with a
+    // Materialize.round still replaces the logical plan with a
     // LogicalRDD immediately (lineage cannot nest round-over-round —
     // the r4 exponential-plan failure) and still preserves the
     // plan's hash(id) output partitioning AND id-ordering, so each
@@ -132,29 +148,36 @@ object Graph {
     // remaining cost is ~0.45 s/round of join+agg stage work, not
     // launches. (The r5 "2-round cadence 2× slower" measurement was
     // about skipping checkpoints — plan doubling — not laziness.)
-    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame](pr)
+    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (r <- 1 to PrIters)
       pr =
-        if (r == PrIters) Materialize.eager(pagerankRound(edges, pr))
+        if (r == PrIters)
+          // the final round re-attaches the static outdeg (one more
+          // zero-exchange id-keyed join) so everything below can be
+          // released before the caller consumes the result
+          Materialize.eager(pagerankRound(edges, base, pr)
+            .join(base.hint("SHUFFLE_HASH"), Seq("id")))
         else {
-          val c = pagerankRound(edges, pr).localCheckpoint(false)
+          val c = Materialize.round(pagerankRound(edges, base, pr))
           rounds += c
           c
         }
-    // release edges AND every intermediate round's checkpoint blocks
-    // promptly — via Materialize.release, because Dataset.unpersist
-    // is a no-op for checkpoint-strategy blocks (it only clears
-    // CacheManager entries; the blocks hang off the LogicalRDD). Safe
-    // only AFTER the eager final round has run the chain (the lazy
-    // blocks materialize inside that job and are dead the moment it
-    // returns). Without this sweep each invocation retains ~10
-    // node-table copies until the async ContextCleaner catches up —
-    // measured in the r9 driver bench as runs GROWING 10.0 → 11.6 →
-    // 14.9 s inside one JVM under storage pressure (and at 10⁹
-    // nodes, 10 retained rank-table copies is an executor OOM, not a
-    // slowdown). Only the final round's blocks stay (the returned
-    // frame); PagerankStorageSpec pins the retained-block budget.
+    // release edges, the static base AND every intermediate round's
+    // checkpoint blocks promptly — via Materialize.release, because
+    // Dataset.unpersist is a no-op for checkpoint-strategy blocks
+    // (it only clears CacheManager entries; the blocks hang off the
+    // LogicalRDD). Safe only AFTER the eager final round has run the
+    // chain (the lazy blocks materialize inside that job and are
+    // dead the moment it returns). Without this sweep each
+    // invocation retains ~10 node-table copies until the async
+    // ContextCleaner catches up — measured in the r9 driver bench as
+    // runs GROWING 10.0 → 11.6 → 14.9 s inside one JVM under storage
+    // pressure (and at 10⁹ nodes, 10 retained rank-table copies is
+    // an executor OOM, not a slowdown). Only the final round's
+    // blocks stay (the returned frame); PagerankStorageSpec pins the
+    // retained-block budget.
     Materialize.release(edges)
+    Materialize.release(base)
     rounds.foreach(Materialize.release)
     pr.select(col("id").as("node_id"),
         when(col("id") >= SupplierNodeOffset, lit("s")).otherwise(lit("c")).as("node_type"),
@@ -162,14 +185,16 @@ object Graph {
       .orderBy(col("node_id"))
   }
 
-  /** One PageRank round over (src, dst) edges and (id, outdeg, pr)
-    * ranks — factored out so its PLAN is directly assertable (the
-    * driver-loop discipline shared with [[Dedup.propagationRound]]
-    * and BPE's pair counts): one src-keyed hash join, one dst-keyed
+  /** One PageRank round over (src, dst) edges, the static (id,
+    * outdeg) base and the (id, pr) rank state — factored out so its
+    * PLAN is directly assertable (the driver-loop discipline shared
+    * with [[Dedup.propagationRound]] and BPE's pair counts): one
+    * id-keyed base⋈rank join, one src-keyed hash join, one dst-keyed
     * aggregation, one left join back — nothing may degenerate to a
     * nested loop or a single partition.
     */
-  private[graft] def pagerankRound(edges: DataFrame, pr: DataFrame): DataFrame = {
+  private[graft] def pagerankRound(edges: DataFrame, base: DataFrame,
+      pr: DataFrame): DataFrame = {
     // isolated (outdeg 0) nodes are filtered BEFORE the contrib
     // division — they have no out-edges, so dropping them changes
     // nothing downstream, and relying on the join to skip them is
@@ -187,8 +212,16 @@ object Graph {
     // its rank slice and streams the co-located edge partition.
     // Also skips the per-round BroadcastExchange driver round-trip
     // the default plan was paying 10× (DebugPr A/B).
+    // re-attach the static outdeg with an id-keyed SHUFFLE_HASH join
+    // first: base and pr are BOTH hash(id)-partitioned LogicalRDDs
+    // (base from its build join's exchange, pr as the previous
+    // round's checkpointed join output), so this plans with zero
+    // exchanges — the price of the narrow (id, pr) round state is
+    // one map-side hash join, the saving is a third of every round's
+    // checkpoint block I/O
     val contribs = edges
-      .join(pr.filter(col("outdeg") > 0)
+      .join(base.filter(col("outdeg") > 0)
+          .join(pr.hint("SHUFFLE_HASH"), Seq("id"))
           .select(col("id"), expr("pr div outdeg").as("contrib"))
           .hint("SHUFFLE_HASH"),
         edges("src") === col("id"))
@@ -198,12 +231,12 @@ object Graph {
     // the join-back build side (damped mass per dst) is ALSO
     // node-count-sized — one row per node with in-edges — so it gets
     // the same SHUFFLE_HASH treatment: its agg output is already
-    // hash(dst)-partitioned, pr is hash(id)-partitioned → zero
+    // hash(dst)-partitioned, base is hash(id)-partitioned → zero
     // exchanges, and no broadcast that would OOM at 10⁹ nodes
     val damped = contribs.hint("SHUFFLE_HASH")
-    pr.select(col("id"), col("outdeg"))
-      .join(damped, pr("id") === damped("dst"), "left")
-      .select(col("id"), col("outdeg"),
+    base.select(col("id"))
+      .join(damped, base("id") === damped("dst"), "left")
+      .select(col("id"),
         (lit(PrTeleport) + coalesce(col("damped"), lit(0L))).as("pr"))
   }
 
@@ -337,15 +370,7 @@ object Graph {
   }
 
   private def kCoreRounds(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val pairs = lineitem
-      .join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), (col("l_suppkey") + SupplierNodeOffset).as("s"))
-      .distinct()
-    var edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-      .repartition(col("src"))
-      .materialized
+    var edges = mirroredTradeEdges(orders, lineitem)
     var prev: DataFrame = null
     var lastN = Long.MaxValue
     var done = false
@@ -368,7 +393,7 @@ object Graph {
         lastN = n
         val alive = deg.filter(col("deg") >= KCoreK).select(col("src").as("id"))
         prev = edges
-        edges = kCoreFilterRound(edges, alive).localCheckpoint(false)
+        edges = Materialize.round(kCoreFilterRound(edges, alive))
       }
     }
     val out = Materialize.eager(

@@ -255,15 +255,21 @@ object SimilaritySearch {
     * broadcast-small, and routes through the O(√K)
     * [[graft.functions.TwoLevelCellId]] expression (semdedup's
     * assignment trick, [[Clustering.coarseRouting]]) once K passes
-    * this — at the law's K = n/1024 a flat scan would make the one
-    * assignment pass O(n·K) = O(n²/1024) corpus work. The gate sits
-    * above every registered/bench scale (engages past
-    * 256·1024 ≈ 262 k vectors), so small-corpus results are
-    * bit-identical to the flat form; past the gate assignment is the
-    * standard approximate-argmax every two-level IVF build uses.
-    * Query-side probing stays flat ([[MaxQueries]]-bounded rows).
+    * this — at the law's K = n/[[IvfCellTarget]] (= n/128) a flat
+    * scan would make the one assignment pass O(n·K) = O(n²/128)
+    * corpus work. The gate engages past
+    * 1024·[[IvfCellTarget]] = 131 072 non-null vectors — far beyond
+    * every registered, fuzz and bench corpus (the R=20 corpus is
+    * 40 000 vectors, K = 312, still flat) — so every corpus the
+    * DuckDB oracles replay uses the EXACT flat argmax the SQL
+    * rebuilds; past the gate assignment is the standard
+    * approximate-argmax every two-level IVF build uses (and oracle
+    * parity intentionally ends there). Flat cost at the gate edge is
+    * bounded: 131 k rows × 1024 centroids ≈ 8.6 G multiplies, one
+    * pass. Query-side probing stays flat ([[MaxQueries]]-bounded
+    * rows).
     */
-  private[graft] val IvfFlatAssignMaxCells = 256
+  private[graft] val IvfFlatAssignMaxCells = 1024
 
   private[graft] def ivfCellId(v: Column, cids: Seq[Long],
       cvecs: Seq[Seq[Double]]): Column =
@@ -817,10 +823,15 @@ object SimilaritySearch {
     knnGraphOn(embDouble(spark, dir).filter(col("v").isNotNull), k)
 
   private[graft] def knnGraphOn(emb: DataFrame, k: Int): DataFrame = {
-    val n = math.max(1L, emb.count())
+    // width law sizes from the NON-NULL vector count — same population
+    // annLshOn counts and the oracle's `nn` CTE replays; counting raw
+    // rows would pick a different plane count whenever null rows
+    // straddle a KnnBucketTarget·2^p boundary (r11 ADVICE)
+    val nonNull = emb.filter(col("v").isNotNull)
+    val n = math.max(1L, nonNull.count())
     val planesPerTable = lshPlanesPerTable(n)
     val planes = lshLatPlanes("knn", KnnTables, planesPerTable)
-    val sigs = emb.select(col("vec_id"),
+    val sigs = nonNull.select(col("vec_id"),
       posexplode(hyperplaneSignaturesLat(col("v"), planes, planesPerTable,
         PQLattice)).as(Seq("t", "sig")))
     val smallBuckets = sigs.groupBy(col("t"), col("sig"))

@@ -71,7 +71,7 @@ object Tokenizer {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("freq"),
         concat(chars, array(lit(BpeFunctions.EndOfWord))).as("syms"))
-      .localCheckpoint(false)
+      .transform(graft.Materialize.round(_))
     var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var r = 1
@@ -92,9 +92,8 @@ object Tokenizer {
         // the final round's winner needs no vocabulary rewrite —
         // nothing would consume it
         if (r < numMerges) {
-          val next = vocab
-            .withColumn("syms", BpeFunctions.mergePair(col("syms"), l, rr))
-            .localCheckpoint(false)
+          val next = graft.Materialize.round(vocab
+            .withColumn("syms", BpeFunctions.mergePair(col("syms"), l, rr)))
           prev = vocab
           vocab = next
         }
@@ -285,7 +284,7 @@ object Tokenizer {
       .select(explode(words(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .localCheckpoint(false)
+      .transform(graft.Materialize.round(_))
     val subsExpr = expr(
       "flatten(transform(sequence(1, length(word)), i -> " +
         s"transform(sequence(i, least(i + ${UniMaxPieceLen - 1}, length(word))), " +
@@ -293,7 +292,7 @@ object Tokenizer {
     val subs = wordFreq
       .select(col("freq"), explode(subsExpr).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
-      .localCheckpoint(false) // two bounded consumers: shortlist + charset
+      .transform(graft.Materialize.round(_)) // two bounded consumers: shortlist + charset
     val top = subs.orderBy(col("cnt").desc, col("piece")).limit(UniSeedCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val chars = subs.filter(length(col("piece")) === 1)

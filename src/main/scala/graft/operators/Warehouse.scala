@@ -198,7 +198,7 @@ object Warehouse {
       .join(rootFlags.hint("SHUFFLE_HASH"), "anc")
       .select(col("id"), col("anc"), col("d"),
         (col("is_root") || col("anc_root")).as("done"))
-      .localCheckpoint(false)
+      .transform(graft.Materialize.round(_))
     var prev: DataFrame = null
     var lastPending = Long.MaxValue
     var pending = state.filter(!col("done")).count()
@@ -217,8 +217,9 @@ object Warehouse {
         .select(col("id"), col("anc2").as("anc"),
           (col("d") + col("d2")).as("d"), col("done2").as("done"))
       prev = state
-      state = settled.select(col("id"), col("anc"), col("d"), col("done"))
-        .unionAll(advanced).localCheckpoint(false)
+      state = graft.Materialize.round(
+        settled.select(col("id"), col("anc"), col("d"), col("done"))
+          .unionAll(advanced))
       pending = state.filter(!col("done")).count() // materializes the round
       graft.Materialize.release(prev)
     }

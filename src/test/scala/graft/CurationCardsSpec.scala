@@ -155,6 +155,45 @@ class CurationCardsSpec extends AnyFunSuite {
     assert(joins <= 2, s"unexpected extra join:\n${qe.optimizedPlan}")
   }
 
+  test("bloom bit-count law points (floor, growth, cap)") {
+    import graft.operators.Text.bloomBits
+    assert(bloomBits(0L) == 32768L)            // empty eval -> floor
+    assert(bloomBits(1665L) == 32768L)         // sf0.01 sits AT the floor
+    assert(bloomBits(4096L) == 32768L)         // 8*4096 = 2^15 exactly
+    assert(bloomBits(4097L) == 65536L)         // first step off the floor
+    assert(bloomBits(11718L) == 131072L)       // sf0.1's measured eval count
+    assert(bloomBits(1000000L) == (1L << 23))  // 10^6-shingle benchmark suite
+    assert(bloomBits(100000000L) == (1L << 27)) // driver cap: 16 MB bitmap
+  }
+
+  test("bloom FP rate stays bounded on a PLANTED large eval suite (the law, not the floor)") {
+    import spark.implicits._
+    // ~30k distinct eval shingles — the regime where the old frozen
+    // 2^15-bit bitmap saturates (density ~0.94, FP ~0.8) and the
+    // count-derived law keeps density <= 1-e^(-3/8) so FP <= ~3.1%.
+    // Token vocabularies are disjoint across sides, so EVERY bloom
+    // hit on the train side is a false positive by construction.
+    val evalDocs = (0 until 12).map { d =>
+      (3L + 17L * d, (0 until 2600).map(j => s"e${d}x$j").mkString(" "))
+    }
+    val trainDocs = (0 until 12).map { d =>
+      (1L + 17L * d, (0 until 2600).map(j => s"t${d}x$j").mkString(" "))
+    }
+    val sh = graft.operators.Text.shingleSetOf(
+      (evalDocs ++ trainDocs).toDF("doc_id", "text"))
+    val nEval = sh.filter(col("doc_id") % 17 === 3)
+      .select(col("shingle")).distinct().count()
+    assert(nEval > 25000L, s"planted eval side too small: $nEval")
+    assert(graft.operators.Text.bloomBits(nEval) == 262144L,
+      "law point: next power of two >= 8 * ~30k")
+    val rows = Text.bloomDecontaminateOn(sh).collect()
+    val clean = rows.map(_.getAs[Long]("n_shingles")).sum
+    val fps = rows.map(_.getAs[Long]("n_false_pos")).sum
+    assert(rows.forall(_.getAs[Long]("n_overlap") == 0L), "sides must be disjoint")
+    val rate = fps.toDouble / clean
+    assert(rate <= 0.05, s"fp rate $rate exceeds the law's ~3.1% bound")
+  }
+
   test("bloom with an empty eval slice: zero hits, zero flags, no failure") {
     import spark.implicits._
     // doc_ids chosen so none satisfy id % 17 == 3

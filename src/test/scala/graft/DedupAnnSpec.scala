@@ -184,20 +184,20 @@ class DedupAnnSpec extends AnyFunSuite {
   test("ivf corpus assignment routes two-level past the flat gate, flat below — same cells") {
     import graft.operators.SimilaritySearch.{ivfCellId, IvfFlatAssignMaxCells}
     import spark.implicits._
-    // synthetic quantizer: 300 centroids (> the 256 gate) on a ring;
+    // synthetic quantizer: 1100 centroids (> the 1024 gate) on a ring;
     // the two-level expression must be in the plan AND agree with the
     // flat argmax on every assignment (coarse ⊆ fine keeps routing
     // exact when the true cell's coarse owner is probed — on this
     // well-separated ring it always is)
     val dim = 4
     def vecOf(i: Int): Seq[Double] = {
-      val a = 2 * math.Pi * i / 300.0
+      val a = 2 * math.Pi * i / 1100.0
       Seq(math.cos(a), math.sin(a), 0.1, 0.0)
     }
-    val cids = (0 until 300).map(_.toLong)
-    val cvecs = (0 until 300).map(vecOf)
+    val cids = (0 until 1100).map(_.toLong)
+    val cvecs = (0 until 1100).map(vecOf)
     assert(cvecs.size > IvfFlatAssignMaxCells)
-    val probe = (0 until 300).map(i => (i.toLong, vecOf(i))).toDF("vec_id", "v")
+    val probe = (0 until 1100).map(i => (i.toLong, vecOf(i))).toDF("vec_id", "v")
     val twoLevel = probe.withColumn("cid", ivfCellId(col("v"), cids, cvecs))
       .select(col("vec_id"), col("cid"))
     // analyzed plan: ConvertToLocalRelation folds the projection over

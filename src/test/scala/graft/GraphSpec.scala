@@ -82,9 +82,11 @@ class GraphSpec extends AnyFunSuite {
     try {
       val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
         .toDF("src", "dst").repartition(col("src")).localCheckpoint(true)
-      val pr = Seq((1L, 1L, 1000L), (2L, 2L, 1000L), (3L, 1L, 1000L))
-        .toDF("id", "outdeg", "pr").repartition(col("id")).localCheckpoint(true)
-      val round = operators.Graph.pagerankRound(edges, pr)
+      val base = Seq((1L, 1L), (2L, 2L), (3L, 1L))
+        .toDF("id", "outdeg").repartition(col("id")).localCheckpoint(true)
+      val pr = Seq((1L, 1000L), (2L, 1000L), (3L, 1000L))
+        .toDF("id", "pr").repartition(col("id")).localCheckpoint(true)
+      val round = operators.Graph.pagerankRound(edges, base, pr)
       val plan = round.queryExecution.executedPlan.toString
       // both join inputs are pre-partitioned on their join keys, so
       // the round's COMPLETE shuffle budget is the ONE contrib

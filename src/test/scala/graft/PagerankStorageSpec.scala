@@ -33,6 +33,52 @@ class PagerankStorageSpec extends AnyFunSuite {
       s"pagerank retained $delta persisted RDDs — intermediate rounds leaked")
   }
 
+  test("per-round checkpoint carries the narrow (id, pr) state — measured against the old 3-column shape") {
+    // the r11 verdict item: the loop's recurring cost is checkpoint
+    // bytes-per-round × rounds, so the rounds must persist ONLY the
+    // mutable (id, pr) pair — outdeg is static and lives in the
+    // once-materialized base. Measure both shapes' actual block
+    // bytes on the same node population and pin the saving.
+    import org.apache.spark.sql.functions._
+    CacheLedger.drain(spark)
+    val t = Tables(spark, sf)
+    val edges = operators.Graph.mirroredTradeEdges(t.orders, t.lineitem)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = t.customer.select(col("c_custkey").as("id"))
+      .unionAll(t.supplier.select(
+        (col("s_suppkey") + operators.Graph.SupplierNodeOffset).as("id")))
+    val base = Materialize.eager(nodes
+      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
+    val pr0 = base.select(col("id"), lit(operators.Graph.PrScale).as("pr"))
+
+    def checkpointedBytes(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val c = df.localCheckpoint(eager = true)
+      val rdd = c.queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+      val info = spark.sparkContext.getRDDStorageInfo.find(_.id == rdd.id)
+      val bytes = info.map(i => i.memSize + i.diskSize).getOrElse(0L)
+      val n = c.count()
+      Materialize.release(c)
+      (bytes, n)
+    }
+
+    // the shipped round output: (id, pr)
+    val round = operators.Graph.pagerankRound(edges, base, pr0)
+    val (narrowBytes, n) = checkpointedBytes(round)
+    // the pre-r12 state shape on the same rows: (id, outdeg, pr)
+    val (wideBytes, n2) = checkpointedBytes(round.join(base, Seq("id"))
+      .select(col("id"), col("outdeg"), col("pr")))
+    Materialize.release(edges); Materialize.release(base)
+    assert(round.columns.toSeq == Seq("id", "pr"),
+      "pagerank's per-round state widened beyond (id, pr)")
+    assert(n == n2 && n > 0)
+    info(f"per-round checkpoint: narrow=$narrowBytes%d B wide=$wideBytes%d B " +
+      f"(${n}%d nodes, ${narrowBytes.toDouble / n}%.1f vs ${wideBytes.toDouble / n}%.1f B/node)")
+    assert(narrowBytes > 0 && narrowBytes < wideBytes,
+      s"narrow state ($narrowBytes B) must beat the 3-column shape ($wideBytes B)")
+  }
+
   test("back-to-back pagerank runs do not accumulate retained storage") {
     CacheLedger.drain(spark)
     val deltas = (1 to 3).map { _ =>

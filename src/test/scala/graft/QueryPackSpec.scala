@@ -138,7 +138,8 @@ class QueryPackSpec extends AnyFunSuite {
       "pagerankRound" ->
         operators.Graph.pagerankRound(
           Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
-          Seq((1L, 1L, 1000000000L), (2L, 1L, 1000000000L)).toDF("id", "outdeg", "pr")),
+          Seq((1L, 1L), (2L, 1L)).toDF("id", "outdeg"),
+          Seq((1L, 1000000000L), (2L, 1000000000L)).toDF("id", "pr")),
       "kCoreFilterRound" ->
         operators.Graph.kCoreFilterRound(
           Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
