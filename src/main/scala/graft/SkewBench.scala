@@ -42,6 +42,7 @@ object SkewBench {
     "domain_stats", "domain_topk", "freq_words",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "ngram_jaccard",
     "dedup_clusters", "dedup_containment", "dedup_fuzzy_text",
+    "graph_communities",
     "winnow_clusters", "mm_audio_match",
     "pagerank", "k_core", "triangle_count",
     "q15_skew_salted", "q21_skew_join",

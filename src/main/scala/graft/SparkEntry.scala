@@ -143,6 +143,7 @@ object SparkEntry {
     "mix_budget"        -> (Curation.mixBudget _),
     "dedup_containment" -> (Text.dedupContainment _),
     "k_core"            -> (Graph.kCore _),
+    "graph_communities" -> (Graph.graphCommunities _),
     "dq_check"          -> (Quality.dqCheck _),
     "drift_check"       -> (Quality.driftCheck _),
     "emb_pca"           -> (Clustering.embPca _),
@@ -159,6 +160,7 @@ object SparkEntry {
     "mix_temperature"   -> (Curation.mixTemperature _),
     "mm_audio_match"    -> (graft.multimodal.Multimodal.mmAudioMatch _),
     "mm_video_dedup"    -> (graft.multimodal.Multimodal.mmVideoDedup _),
+    "mm_crossmodal"     -> ((s, d) => graft.multimodal.Multimodal.mmCrossmodal(s, d)),
     "ts_seasonal"       -> (Temporal.tsSeasonal _),
     "q44_dynamic_pivot" -> (Relational.q44 _),
     "exact_pctl"        -> (Relational.exactPctl _),
@@ -324,11 +326,13 @@ object SparkEntry {
     * the same constants). Produces CTEs: e (non-null vectors), w
     * (the width), sg (vec_id, t, sig).
     */
-  private def lshSigCtes(tag: String, tables: Int): String = {
+  private def lshSigCtes(tag: String, tables: Int,
+      eSql: String = """SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL""".stripMargin,
+      preCtes: String = ""): String = {
     val ss = operators.SimilaritySearch
     val range = 2 * ss.LshCoefRange + 1
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      |  WHERE embedding IS NOT NULL),
+    s"""${preCtes}e AS ($eSql),
       |nn AS (SELECT COUNT(*) AS n FROM e),
       |w AS (SELECT GREATEST(2, (SELECT MIN(b)
       |    FROM range(0, ${ss.LshMaxPlanes + 1}) AS t(b), nn
@@ -1693,6 +1697,61 @@ object SparkEntry {
         |SELECT src, dst, CAST(rk AS BIGINT) AS rank, ROUND(rawsim, 6) AS sim
         |FROM r WHERE rk <= 8
         |ORDER BY src, rank""".stripMargin
+    },
+
+    // text→media retrieval over the shared hashing-trick space: the
+    // ann_lsh chain (xm-tag planes, width law from the MEDIA count)
+    // over EmbedKernel vectors rebuilt exactly as doc_embed's oracle
+    // does; the paired media item is KEPT (retrieval grading, no
+    // self-exclusion) and flagged; mime re-derives from source as the
+    // media-table stand-in does
+    "mm_crossmodal" -> {
+      val ss = operators.SimilaritySearch
+      val dim = operators.Curation.EmbedDim
+      val embedPre =
+        s"""w0 AS (SELECT doc_id,
+          |    list_filter(string_split($normSql, ' '), x -> x <> '') AS ws
+          |  FROM documents),
+          |b0 AS (SELECT doc_id,
+          |    list_transform(ws, x -> struct_pack(
+          |      b := ${hash60Sql("'emb:' || x")} % $dim,
+          |      s := CASE WHEN ${hash60Sql("'sgn:' || x")} % 2 = 0 THEN 1 ELSE -1 END)) AS bs
+          |  FROM w0),
+          |v0 AS (SELECT doc_id,
+          |    list_transform(range(0, $dim), i ->
+          |      coalesce(list_sum(list_transform(list_filter(bs, z -> z.b = i), z -> z.s)), 0)) AS vec
+          |  FROM b0),
+          |""".stripMargin
+      val eSql =
+        "SELECT doc_id AS vec_id, list_transform(vec, x -> CAST(x AS DOUBLE)) AS v FROM v0"
+      s"""WITH ${lshSigCtes("xm", ss.Tables_, eSql, embedPre)},
+        |mk AS (SELECT CAST(0 AS BIGINT) AS m
+        |  UNION ALL SELECT (CAST(1 AS BIGINT) << i.i)
+        |    FROM range(0, ${ss.LshMaxPlanes}) i(i)
+        |    WHERE i.i < (SELECT p FROM w)
+        |  UNION ALL SELECT (CAST(1 AS BIGINT) << i.i) | (CAST(1 AS BIGINT) << j.j)
+        |    FROM range(0, ${ss.LshMaxPlanes}) i(i),
+        |      range(0, ${ss.LshMaxPlanes}) j(j)
+        |    WHERE i.i < j.j AND j.j < (SELECT p FROM w)),
+        |qs AS (SELECT s.vec_id AS qid, s.t, xor(s.sig, mk.m) AS sig
+        |  FROM sg s, mk
+        |  WHERE s.vec_id % 50 = 0 AND s.vec_id < ${50L * ss.MaxQueries}),
+        |cand AS (SELECT DISTINCT q.qid, c.vec_id
+        |  FROM sg c JOIN qs q ON c.t = q.t AND c.sig = q.sig),
+        |sc AS (SELECT qid, cand.vec_id AS media_id,
+        |    list_cosine_similarity(eq.v, ec.v) AS rawsim
+        |  FROM cand JOIN e eq ON eq.vec_id = cand.qid
+        |    JOIN e ec ON ec.vec_id = cand.vec_id),
+        |r AS (SELECT qid, media_id, rawsim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rawsim DESC, media_id) AS rk
+        |  FROM sc)
+        |SELECT r.qid, CAST(r.rk AS BIGINT) AS rank, r.media_id,
+        |  'application/x-graft-' || d.source AS mime,
+        |  ROUND(r.rawsim, 6) AS sim,
+        |  CAST(r.media_id = r.qid AS BIGINT) AS paired
+        |FROM r JOIN documents d ON d.doc_id = r.media_id
+        |WHERE r.rk <= 10
+        |ORDER BY r.qid, r.rk""".stripMargin
     },
 
     // the TRAINED IVF index replayed end to end (round-11 promotion —
@@ -3292,6 +3351,50 @@ object SparkEntry {
         |  CASE WHEN src >= $SupplierNodeOffset THEN 's' ELSE 'c' END AS node_type,
         |  CAST(COUNT(*) AS BIGINT) AS core_degree
         |FROM e$rounds GROUP BY 1, 2
+        |ORDER BY node_id""".stripMargin
+    },
+
+    // label propagation UNROLLED (the pagerank convention): 8 fixed
+    // alternating half-rounds — customers update on odd rounds,
+    // suppliers on even (the bipartite semi-synchronous schedule the
+    // engine runs) — majority neighbor label with ties to the
+    // SMALLEST via the (count DESC, lbl) row_number. AS MATERIALIZED
+    // per round (the k_core lesson: each round references its
+    // predecessor twice).
+    "graph_communities" -> {
+      import operators.Graph.{LpaRounds, SupplierNodeOffset}
+      val rounds = (1 to LpaRounds).map { i =>
+        val side =
+          if (i % 2 == 0) s"e.dst >= $SupplierNodeOffset"
+          else s"e.dst < $SupplierNodeOffset"
+        s"""c$i AS (SELECT e.dst AS id, a.lbl, COUNT(*) AS c
+          |  FROM edges e JOIN l${i - 1} a ON e.src = a.id
+          |  WHERE $side GROUP BY 1, 2),
+          |b$i AS (SELECT id, lbl FROM (
+          |    SELECT id, lbl,
+          |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rk
+          |    FROM c$i) WHERE rk = 1),
+          |l$i AS MATERIALIZED (SELECT l.id, COALESCE(b.lbl, l.lbl) AS lbl
+          |  FROM l${i - 1} l LEFT JOIN b$i b ON b.id = l.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nodes AS (
+        |  SELECT c_custkey AS id FROM customer
+        |  UNION ALL SELECT s_suppkey + $SupplierNodeOffset FROM supplier
+        |), pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SupplierNodeOffset AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), edges AS MATERIALIZED (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs
+        |),
+        |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
+        |$rounds,
+        |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS csize
+        |  FROM l$LpaRounds GROUP BY 1)
+        |SELECT l.id AS node_id,
+        |  CASE WHEN l.id >= $SupplierNodeOffset THEN 's' ELSE 'c' END AS node_type,
+        |  CAST(l.lbl AS BIGINT) AS community, sz.csize
+        |FROM l$LpaRounds l JOIN sz ON sz.lbl = l.lbl
         |ORDER BY node_id""".stripMargin
     },
 

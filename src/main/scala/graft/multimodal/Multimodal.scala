@@ -663,4 +663,83 @@ object Multimodal {
       .withColumn("recovered", (col("v2") === col("v1") + 1).cast("long"))
       .orderBy(col("v1"), col("v2"))
   }
+
+  /** The MEDIA-TOWER embeddings for [[mmCrossmodal]]: payload bytes →
+    * decoded caption → the SHARED hashing-trick space
+    * ([[graft.functions.EmbedKernel]], the doc_embed kernel). This is
+    * the CLIP-convention stand-in: a real deployment's media tower is
+    * a trained encoder whose outputs land in the same space as the
+    * text tower — here the stub tower reads the payload's caption
+    * bytes (the only deterministic signal this environment's media
+    * stand-in carries, the [[decodeStub]] contract), so alignment
+    * with the text tower holds BY CONSTRUCTION and a swapped-in real
+    * encoder changes only this function's body. Dim matches the ANN
+    * family's 64, so every registered index structure applies
+    * unchanged.
+    */
+  private[graft] def mediaEmbeddings(media: DataFrame): DataFrame =
+    media
+      .withColumn("caption", decode(col("payload"), "utf-8"))
+      .withColumn("ev", graft.functions.EmbedKernel.embedKernel(
+        graft.functions.TextFunctions.words(col("caption"))))
+      .select(col("doc_id").as("media_id"), col("mime"),
+        expr("transform(ev.vec, x -> cast(x as double))").as("v"))
+
+  /** mm_crossmodal — text→media retrieval over the SHARED embedding
+    * space (the capability a multimodal training pipeline uses to
+    * mine image/audio pairs for captions and to audit text↔media
+    * alignment): the bounded text-query batch (doc_embed vectors,
+    * the ann-family stride) retrieves its top-k media items from the
+    * media tower's index. Composed ENTIRELY from registered
+    * machinery — the doc_embed kernel on both towers, the ann_lsh
+    * hyperplane-lattice tables with the integer width law sized from
+    * the MEDIA corpus, hamming ≤ 2 multi-probe, exact-cosine re-rank
+    * on candidates only, per-query top-k on the bounded heap. The
+    * PAIRED media item (same doc) is the ground-truth hit, retrieval
+    * style (text→image recall@k grading), so self-matches are KEPT
+    * and flagged — `paired` = 1 marks the query's own media.
+    *
+    * Scale shape: the ann_lsh contract verbatim — media-side work is
+    * one signature pass + bucket join (never an n×q sweep), the
+    * query batch is broadcast, candidate volume ≈ probes·occupancy
+    * per query. Oracle replays every step (the lshSigCtes relation
+    * over the EmbedKernel vector lattice). DedupAnnSpec pins the
+    * recall floor vs the brute-force cross-modal scan and the
+    * paired-hit-at-rank-1 property.
+    */
+  def mmCrossmodal(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.cosineSim
+    val ss = graft.operators.SimilaritySearch
+    val media = mediaEmbeddings(mediaTable(spark, dir))
+    // text tower: the registered doc_embed vectors, ann-batch bounded
+    val q = graft.operators.Curation.docEmbeddings(Tables(spark, dir).documents)
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < lit(50L * ss.MaxQueries))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val n = math.max(1L, media.count()) // ONE metadata action sizes the law
+    val p = ss.lshPlanesPerTable(n)
+    val planes = ss.lshLatPlanes("xm", ss.Tables_, p)
+    val corpus = ss.tableSigs(media, "v", planes, p)
+    val masks = ss.probeMasks(p)
+    val qSig = ss.tableSigs(q, "qv", planes, p)
+      .select(col("qid"), col("qv"), col("t"),
+        explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
+    val candidates = corpus.join(broadcast(qSig),
+        corpus("t") === qSig("t") && corpus("sig") === qSig("sig"))
+      .select(col("qid"), col("qv"), col("media_id"), col("mime"), col("v"))
+      .distinct()
+    val scored = candidates
+      .withColumn("sim", cosineSim(col("qv"), col("v")))
+      .select(col("qid"), col("media_id"), col("mime"), col("sim"))
+    val topk = graft.plans.TopK.topKPerKey(scored,
+      keys = Seq(col("qid")),
+      order = Seq(col("sim").desc, col("media_id").asc), k = k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("media_id"))
+    topk
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("qid"), col("rank"), col("media_id"), col("mime"),
+        round(col("sim"), 6).as("sim"),
+        (col("media_id") === col("qid")).cast("long").as("paired"))
+      .orderBy(col("qid"), col("rank"))
+  }
 }

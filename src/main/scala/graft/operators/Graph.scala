@@ -407,6 +407,109 @@ object Graph {
     out.orderBy(col("node_id"))
   }
 
+  /** Fixed label-propagation schedule for [[graphCommunities]]: 8
+    * alternating half-rounds = 4 updates per side. FIXED on purpose
+    * (the k_core unrolled-oracle play needs a data-independent round
+    * count, and LPA's standard stopping rule is a fixed budget);
+    * alternating because the trade graph is BIPARTITE
+    * (customer↔supplier), where fully-synchronous LPA is the
+    * textbook oscillation case — two sides swap label sets forever —
+    * and the semi-synchronous one-side-per-round schedule is the
+    * published fix (Cordasco & Gargano 2010).
+    */
+  val LpaRounds = 8
+
+  /** graph_communities — community detection over the trade graph by
+    * deterministic label propagation, completing the graph family
+    * next to pagerank (centrality), triangle_count (local density)
+    * and k_core (dense substructure): every node starts as its own
+    * label; each half-round, every node on the UPDATING side adopts
+    * its neighbors' majority label (ties to the SMALLEST label — the
+    * determinism rule that makes the whole card replayable, where
+    * textbook LPA breaks ties randomly); [[LpaRounds]] half-rounds,
+    * then one row per node with its community and the community
+    * size.
+    *
+    * Scale shape: the shared [[mirroredTradeEdges]] list (hash(src)
+    * row blocks, built once); each half-round is one zero-exchange
+    * src-keyed SHUFFLE_HASH join (labels are node-count-sized, never
+    * broadcast), a map-side-combinable (dst, lbl) count, the
+    * per-node argmax as a scalar max(struct) aggregate (a celebrity
+    * hub is a hot AGG key — combinable — never a join blowup), and
+    * a zero-exchange join-back; per-round state is the minimal
+    * (id, lbl) pair under the pagerank checkpoint discipline
+    * ([[graft.Materialize.round]]). Only the final assembly joins
+    * community sizes.
+    */
+  def graphCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    graphCommunitiesOn(t.customer, t.supplier, t.orders, t.lineitem)
+  }
+
+  private[graft] def graphCommunitiesOn(customer: DataFrame,
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // AQE off for the driver loop only (the pagerank rationale)
+    val spark = customer.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try lpaRounds(customer, supplier, orders, lineitem)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def lpaRounds(customer: DataFrame, supplier: DataFrame,
+      orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val nodes = customer.select(col("c_custkey").as("id"))
+      .unionAll(supplier.select((col("s_suppkey") + SupplierNodeOffset).as("id")))
+    val edges = mirroredTradeEdges(orders, lineitem)
+    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // initial state hash(id)-partitioned so every round's label join
+    // and join-back run zero-exchange (the pagerank base convention)
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+      .repartition(col("id")).materialized
+    rounds += labels
+    for (r <- 1 to LpaRounds) {
+      val next = lpaRound(edges, labels, updateSuppliers = r % 2 == 0)
+      labels =
+        if (r == LpaRounds) Materialize.eager(next)
+        else { val c = Materialize.round(next); rounds += c; c }
+    }
+    // community sizes: one lbl-keyed agg + join — node-count-sized
+    // both sides (SHUFFLE_HASH, never broadcast), final assembly only
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
+    val out = Materialize.eager(
+      labels.join(sizes.hint("SHUFFLE_HASH"), Seq("lbl")))
+    Materialize.release(edges)
+    rounds.foreach(Materialize.release)
+    Materialize.release(labels)
+    out.select(col("id").as("node_id"),
+        when(col("id") >= SupplierNodeOffset, lit("s")).otherwise(lit("c")).as("node_type"),
+        col("lbl").as("community"), col("csize"))
+      .orderBy(col("node_id"))
+  }
+
+  /** One LPA half-round over the UPDATING side: count neighbor labels
+    * (one src-keyed zero-exchange join + a combinable (dst, lbl)
+    * agg), take each node's majority label with ties to the smallest
+    * (the coreset max(struct) argmax idiom — `max((count, -lbl))`),
+    * and join back so non-updating and isolated nodes keep their
+    * label. Factored out so its plan is directly assertable (the
+    * [[pagerankRound]] discipline).
+    */
+  private[graft] def lpaRound(edges: DataFrame, labels: DataFrame,
+      updateSuppliers: Boolean): DataFrame = {
+    val side =
+      if (updateSuppliers) col("dst") >= SupplierNodeOffset
+      else col("dst") < SupplierNodeOffset
+    val counted = edges.filter(side)
+      .join(labels.hint("SHUFFLE_HASH"), edges("src") === labels("id"))
+      .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      .groupBy(col("dst")).agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+      .select(col("dst"), (-col("m.nl")).as("best"))
+    labels.join(counted.hint("SHUFFLE_HASH"),
+        labels("id") === counted("dst"), "left")
+      .select(col("id"), coalesce(col("best"), col("lbl")).as("lbl"))
+  }
+
   /** One peel round: keep edges whose BOTH endpoints survive —
     * factored out so its plan is directly assertable (the
     * driver-loop discipline of [[pagerankRound]]). Two semi joins,

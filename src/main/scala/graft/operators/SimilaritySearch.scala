@@ -697,7 +697,7 @@ object SimilaritySearch {
     * exploded rows) — intentional: a null embedding can't score and
     * would only pollute the signature-0 bucket.
     */
-  private def tableSigs(df: DataFrame, vCol: String,
+  private[graft] def tableSigs(df: DataFrame, vCol: String,
       planes: Seq[Seq[Long]], planesPerTable: Int): DataFrame =
     df.select(df.columns.toIndexedSeq.map(col) :+
         posexplode(hyperplaneSignaturesLat(col(vCol), planes, planesPerTable,
@@ -709,7 +709,7 @@ object SimilaritySearch {
     * C(p,2) masks — NOT by filtering the 2^p range, which stops being
     * enumerable once the width scales past ~30 bits.
     */
-  private def probeMasks(p: Int): Seq[Long] = {
+  private[graft] def probeMasks(p: Int): Seq[Long] = {
     val one = (0 until p).map(i => 1L << i)
     val two = for { i <- 0 until p; j <- i + 1 until p } yield (1L << i) | (1L << j)
     0L +: (one ++ two)

@@ -91,6 +91,45 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_crossmodal: recall floor vs the brute-force cross-modal scan, paired hit at sim 1") {
+    import graft.functions.VectorFunctions.cosineSim
+    val k = 10
+    val got = SparkEntry.queries("mm_crossmodal")(spark, sf).collect()
+    assert(got.nonEmpty)
+    // brute force: every query's exact top-k over the FULL media
+    // index (test-only — bounded queries × small corpus here)
+    val media = graft.multimodal.Multimodal.mediaEmbeddings(
+      graft.multimodal.Multimodal.mediaTable(spark, sf))
+    val ss = operators.SimilaritySearch
+    // the towers align by construction, so the query batch's text
+    // vectors equal its media vectors — read them off the one frame
+    val qv = media
+      .filter(col("media_id") % 50 === 0 && col("media_id") < lit(50L * ss.MaxQueries))
+      .select(col("media_id").as("qid"), col("v").as("qv"))
+    val exact = media.join(qv, lit(true))
+      .select(col("qid"), col("media_id"), cosineSim(col("qv"), col("v")).as("sim"))
+      .collect().groupBy(_.getLong(0))
+      .flatMap { case (qid, rows) =>
+        rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(k)
+          .map(r => (qid, r.getLong(1))).toSeq
+      }.toSet
+    val approx = got.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("media_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"cross-modal recall $recall < 0.7")
+    // retrieval grading: the query's own media embeds identically, so
+    // rank 1 must carry sim = 1.0 (the paired item or an exact-text
+    // duplicate that ties it), and the paired flag marks identity
+    got.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rows) =>
+      val r1 = rows.minBy(_.getAs[Long]("rank"))
+      assert(r1.getAs[Double]("sim") == 1.0, s"query $qid rank-1 sim != 1")
+    }
+    got.foreach { r =>
+      assert((r.getAs[Long]("paired") == 1L) ==
+        (r.getAs[Long]("media_id") == r.getAs[Long]("qid")))
+      assert(r.getAs[String]("mime").startsWith("application/x-graft-"))
+    }
+  }
+
   test("ann_ivf recall vs brute-force ann_topk") {
     val exact = SparkEntry.queries("ann_topk")(spark, sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

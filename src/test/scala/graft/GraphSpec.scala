@@ -195,4 +195,79 @@ class GraphSpec extends AnyFunSuite {
     val b = operators.Graph.triangleCountOn(e.repartition(7)).collect().toSeq
     assert(a == b)
   }
+
+  test("graph_communities equals the in-memory semi-synchronous LPA reference") {
+    import org.apache.spark.sql.functions._
+    val off = operators.Graph.SupplierNodeOffset
+    val t = Tables(spark, sf)
+    val pairs = t.lineitem
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), (col("l_suppkey") + off).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (t.customer.select(col("c_custkey")).collect().map(_.getLong(0)) ++
+      t.supplier.select(col("s_suppkey") + off).collect().map(_.getLong(0))).toSeq
+    val adj: Map[Long, Seq[Long]] = pairs.toSeq.flatMap { case (c, s) =>
+      Seq(c -> s, s -> c) }.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    // reference: LpaRounds alternating half-rounds, majority neighbor
+    // label with ties to the smallest, non-updating/isolated keep
+    var lbl: Map[Long, Long] = nodes.map(n => n -> n).toMap
+    for (r <- 1 to operators.Graph.LpaRounds) {
+      val updates = nodes.filter(n =>
+        if (r % 2 == 0) n >= off else n < off).flatMap { n =>
+        val votes = adj.getOrElse(n, Seq.empty).map(lbl)
+        if (votes.isEmpty) None
+        else {
+          val counts = votes.groupBy(identity).map { case (l, v) => (l, v.size) }
+          Some(n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1)
+        }
+      }.toMap
+      lbl = lbl ++ updates
+    }
+    val want = {
+      val sizes = lbl.values.groupBy(identity).map { case (l, v) => l -> v.size.toLong }
+      lbl.map { case (n, l) => n -> (l, sizes(l)) }
+    }
+    val got = operators.Graph.graphCommunities(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"LPA differs: got ${got.size} nodes, want ${want.size}")
+    // structure sanity: the dense trade graph must actually cluster
+    // (labels propagate), and isolated nodes stay singletons
+    assert(got.values.map(_._1).toSet.size < nodes.size,
+      "no label ever propagated — LPA is inert")
+    val isolated = nodes.toSet -- adj.keySet
+    isolated.foreach { n =>
+      assert(got(n) == ((n, 1L)), s"isolated node $n must keep its own singleton label")
+    }
+    val types = operators.Graph.graphCommunities(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    types.foreach { case (id, tp) => assert(tp == (if (id >= off) "s" else "c")) }
+  }
+
+  test("an LPA half-round keeps the loop plan discipline (no edge re-shuffle, no broadcast)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val off = operators.Graph.SupplierNodeOffset
+      val edges = Seq((1L, off + 2L), (off + 2L, 1L), (2L, off + 2L), (off + 2L, 2L))
+        .toDF("src", "dst").repartition(col("src")).localCheckpoint(true)
+      val labels = Seq((1L, 1L), (2L, 2L), (off + 2L, off + 2L))
+        .toDF("id", "lbl").repartition(col("id")).localCheckpoint(true)
+      val round = operators.Graph.lpaRound(edges, labels, updateSuppliers = true)
+      val plan = round.queryExecution.executedPlan.toString
+      // budget: the (dst, lbl) count exchange + the dst argmax
+      // exchange — the label join and join-back consume the existing
+      // hash partitioning
+      val perRound = "Exchange hashpartitioning\\([^)]*\\), ENSURE_REQUIREMENTS".r
+        .findAllIn(plan).toSeq
+      assert(perRound.size <= 2, s"half-round plans ${perRound.size} exchanges:\n$plan")
+      assert(!perRound.exists(_.contains("src#")),
+        s"the materialized edge list is being re-shuffled on src:\n$plan")
+      assert(plan.contains("ShuffledHashJoin"), s"label join must be shuffled-hash:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"a half-round must not broadcast the node-count-sized label table:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
 }
