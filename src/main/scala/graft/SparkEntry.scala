@@ -2215,6 +2215,57 @@ object SparkEntry {
 
     // the bottom-k sketch is definitionally this window query — the
     // engine runs it as a mergeable aggregate instead of a full sort
+    // the E-S rank's integer binary logarithm unrolled: 40
+    // square-and-compare rounds over HUGEINT (m² < 2¹²⁶ fits), the
+    // EsRankLat spec verbatim — bitlength via length(bin(U)), mantissa
+    // shift as a BIGINT multiply, `//` ≡ the JVM's truncating shifts
+    // and BigInteger division on positives; the weight is the
+    // oracle-proven 4-decimal quality score in 10⁻⁴ units
+    "sample_weighted" -> {
+      import operators.Curation.{WeightedK, WeightFloorQ4}
+      val ln2q4 = graft.functions.EsRankLat.Ln2Q40 * 10000L
+      val p125 = java.math.BigInteger.ONE.shiftLeft(125).toString
+      val p63 = java.math.BigInteger.ONE.shiftLeft(63).toString
+      val p62 = java.math.BigInteger.ONE.shiftLeft(62).toString
+      val steps = (1 to 40).map { i =>
+        s"""s$i AS (SELECT doc_id, lang, wq4, e,
+          |    CASE WHEN mm >= $p125 THEN mm // $p63 ELSE mm // $p62 END AS m,
+          |    f * 2 + CASE WHEN mm >= $p125 THEN 1 ELSE 0 END AS f
+          |  FROM (SELECT *, m * m AS mm FROM s${i - 1}))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (
+        |  SELECT doc_id, lang, $wordsSql AS w,
+        |    CAST(len($wordsSql) AS BIGINT) AS n_words
+        |  FROM documents),
+        |sw AS (SELECT doc_id, lang,
+        |    ROUND(CAST(${hitsSql(profiles.head._2)} AS DOUBLE) / n_words + 1e-9, 4) AS stopword_ratio,
+        |    n_words
+        |  FROM q),
+        |sc AS (SELECT doc_id, lang,
+        |    ROUND(least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 +
+        |          least(1.0, stopword_ratio * 5.0) * 0.5 + 1e-9, 4) AS score
+        |  FROM sw),
+        |s0 AS (SELECT doc_id, lang,
+        |    GREATEST(CAST(ROUND(score * 10000, 0) AS BIGINT), $WeightFloorQ4) AS wq4,
+        |    length(bin(u)) AS e,
+        |    CAST(u * (CAST(1 AS BIGINT) << (63 - length(bin(u)))) AS HUGEINT) AS m,
+        |    CAST(0 AS BIGINT) AS f
+        |  FROM (SELECT doc_id, lang, score,
+        |      (${hash60Sql("CAST(doc_id AS VARCHAR)")} >> 7) + 1 AS u
+        |    FROM sc)),
+        |$steps,
+        |rk AS (SELECT doc_id, lang,
+        |    CAST((CAST(54 - e AS HUGEINT) * 1099511627776 - f) * $ln2q4
+        |      // (CAST(wq4 AS HUGEINT) * 1099511627776) AS BIGINT) AS esr
+        |  FROM s40),
+        |r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY esr, doc_id) AS rn
+        |  FROM rk)
+        |SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id
+        |FROM r WHERE rn <= $WeightedK
+        |ORDER BY lang, rank""".stripMargin
+    },
+
     "sample_reservoir" ->
       s"""WITH h AS (
         |  SELECT lang, doc_id,

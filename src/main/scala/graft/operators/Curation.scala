@@ -767,17 +767,18 @@ object Curation {
       .orderBy(col("lang"), col("rank"))
 
   /** Weighted-sample size for [[sampleWeighted]], and the weight
-    * floor (a zero weight would make the E-S key infinite).
+    * floor in 10⁻⁴ units (a zero weight would make the E-S key
+    * infinite; 1 q4 unit ≡ the old 1e-4 double floor).
     */
   val WeightedK = 8
-  val WeightFloor = 1e-4
+  val WeightFloorQ4 = 1L
 
   /** sample_weighted — Efraimidis–Spirakis weighted k-sample per
     * group through the SAME mergeable bottom-k sketch as
     * [[sampleReservoir]]: each doc's rank is −ln(u)/w on a 2⁴⁰
-    * integer lattice, where u is an exact-double 53-bit uniform from
-    * the doc's md5 hash and w the quality score — the k smallest
-    * ranks per group are a weighted-without-replacement sample with
+    * integer lattice, where u is the doc's seeded 53-bit md5 uniform
+    * and w the quality score in 10⁻⁴ units — the k smallest ranks
+    * per group are a weighted-without-replacement sample with
     * inclusion odds proportional to weight (the A-ES result). The
     * quality-weighted subsampling a curation mix actually ships
     * (sample MORE from what's good) where [[sampleReservoir]]
@@ -786,28 +787,37 @@ object Curation {
     * Scale shape identical to the uniform sketch: ≤ k rows per group
     * leave each partition map-side; only kilobyte buffers shuffle.
     * Deterministic at any parallelism (bottom-k of a pure function
-    * of the row); registered rows-only — the ln() is JVM-float
-    * territory, so exactness lives in the spec's bit-identical
-    * in-JVM recomputation, not a cross-engine hash.
+    * of the row). PROMOTED to the oracle gate round 12: the rank's
+    * libm `ln` — the one non-replicable step that kept this
+    * rows-only — is replaced by the SPECIFIED integer binary
+    * logarithm of [[graft.functions.EsRankLat]] (40 exact
+    * square-and-compare rounds, ln2 frozen as an integer constant),
+    * which DuckDB unrolls over HUGEINT and matches bit for bit. The
+    * weight enters as round(score·10⁴) — `score` is itself
+    * oracle-proven 4-decimal, so the integerization is exact on both
+    * engines — and scaling w by any constant leaves the rank ORDER
+    * (hence the sample) unchanged, so q4 units lose nothing.
     */
   def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
     val scored = Text.withQualityScore(Tables(spark, dir).documents)
       .select(col("doc_id"), col("lang"), col("score"))
-    sampleWeightedOn(scored, greatest(col("score"), lit(WeightFloor)))
+    sampleWeightedOn(scored,
+      greatest(round(col("score") * 10000, 0).cast("long"), lit(WeightFloorQ4)))
   }
 
-  /** The E-S rank of the doc_id column under the given weight. */
-  private[graft] def esRank(weight: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val u = (shiftrightunsigned(hash60(col("doc_id").cast("string")), 7) + 1)
-      .cast("double") / lit(9007199254740992.0) // 2^53: exact-double lattice
-    (-log(u) / weight * lit(1099511627776.0)).cast("long") // 2^40 lattice
+  /** The E-S rank of the doc_id column under the given q4-integer
+    * weight (see [[graft.functions.EsRankLat]] for the exact spec).
+    */
+  private[graft] def esRank(weightQ4: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val u = shiftrightunsigned(hash60(col("doc_id").cast("string")), 7) + 1
+    graft.functions.EsRankLat.esRankLat(u, weightQ4)
   }
 
   private[graft] def sampleWeightedOn(
-      docs: DataFrame, weight: org.apache.spark.sql.Column): DataFrame =
+      docs: DataFrame, weightQ4: org.apache.spark.sql.Column): DataFrame =
     docs.groupBy(col("lang"))
       .agg(graft.functions.ReservoirAgg.reservoir(
-        esRank(weight), col("doc_id"), WeightedK).as("rs"))
+        esRank(weightQ4), col("doc_id"), WeightedK).as("rs"))
       .select(col("lang"), posexplode(col("rs")).as(Seq("i", "doc_id")))
       .select(col("lang"), (col("i") + 1).cast("long").as("rank"), col("doc_id"))
       .orderBy(col("lang"), col("rank"))

@@ -245,9 +245,10 @@ class CurationCardsSpec extends AnyFunSuite {
       .select(col("doc_id"), col("lang")).as[(Long, String)].collect()
     val expected = langs.groupBy(_._2).map { case (lang, ds) =>
       val ranked = ds.map { case (id, _) =>
-        val u = ((hash60Jvm(id.toString) >>> 7) + 1).toDouble / 9007199254740992.0
-        val w = math.max(scores(id), graft.operators.Curation.WeightFloor)
-        ((-math.log(u) / w * 1099511627776.0).toLong, id)
+        val u = (hash60Jvm(id.toString) >>> 7) + 1
+        val wq4 = math.max(math.round(scores(id) * 10000),
+          graft.operators.Curation.WeightFloorQ4)
+        (graft.functions.EsRankLat.rank(u, wq4), id)
       }.sortBy(identity).take(graft.operators.Curation.WeightedK).map(_._2)
       lang -> ranked.toSeq
     }
@@ -260,7 +261,7 @@ class CurationCardsSpec extends AnyFunSuite {
   test("weighted sample favors weight: a dominant-weight doc is always included") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, "en")).toDF("doc_id", "lang")
-    val weight = when(col("doc_id") === 7L, lit(1e6)).otherwise(lit(1e-4))
+    val weight = when(col("doc_id") === 7L, lit(10000000000L)).otherwise(lit(1L))
     val got = graft.operators.Curation.sampleWeightedOn(docs, weight)
       .collect().map(_.getAs[Long]("doc_id"))
     assert(got.contains(7L))
@@ -273,7 +274,8 @@ class CurationCardsSpec extends AnyFunSuite {
       val scored = graft.operators.Text.withQualityScore(docs.repartition(parts))
         .select(col("doc_id"), col("lang"), col("score"))
       graft.operators.Curation.sampleWeightedOn(scored,
-        greatest(col("score"), lit(graft.operators.Curation.WeightFloor))).collect().toSeq
+        greatest(round(col("score") * 10000, 0).cast("long"),
+          lit(graft.operators.Curation.WeightFloorQ4))).collect().toSeq
     }
     assert(run(1) == run(11))
   }

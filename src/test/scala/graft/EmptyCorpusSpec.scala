@@ -55,7 +55,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "sample_weighted" -> (d => operators.Curation.sampleWeightedOn(
       d.select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("lang")),
-      org.apache.spark.sql.functions.lit(1.0))),
+      org.apache.spark.sql.functions.lit(10000L))),
     "word_pmi" -> (d => operators.Text.wordPmiOn(d)),
     // round-7 wave-8 retrieval pair
     "bm25_search" -> (d => operators.Retrieval.bm25SearchOn(d)),

@@ -212,11 +212,11 @@ class PropertySpec extends AnyFunSuite {
     import spark.implicits._
     val docs = (1L to 300L).map(i => (i, "en")).toDF("doc_id", "lang")
     // weight proportional to a deterministic per-doc value
-    def w(scale: Double) =
-      (pmod(col("doc_id") * 37, lit(101)) + lit(1)).cast("double") * lit(scale)
-    val a = graft.operators.Curation.sampleWeightedOn(docs, w(1.0))
+    def w(scaleQ4: Long) =
+      (pmod(col("doc_id") * 37, lit(101)) + lit(1)) * lit(scaleQ4)
+    val a = graft.operators.Curation.sampleWeightedOn(docs, w(10000L))
       .collect().map(_.getAs[Long]("doc_id")).toSeq
-    val b = graft.operators.Curation.sampleWeightedOn(docs, w(1.0))
+    val b = graft.operators.Curation.sampleWeightedOn(docs, w(10000L))
       .collect().map(_.getAs[Long]("doc_id")).toSeq
     assert(a == b) // deterministic
     // the E-S KEY changes under scaling but the top-k ORDER need not
