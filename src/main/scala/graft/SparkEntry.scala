@@ -2352,16 +2352,18 @@ object SparkEntry {
         |FROM esz LEFT JOIN ef ON esz.doc_id = ef.doc_id
         |ORDER BY esz.doc_id""".stripMargin,
 
-    // Bloom filter rebuilt relationally: same md5-lattice probe
-    // positions, distinct position set, all-k-bits membership; the
+    // Bloom filter rebuilt relationally: ONE md5 per shingle with the
+    // k Kirsch–Mitzenmacher double-hashed probes derived from it
+    // (h1 = h >> 30, h2 = low 30 bits forced odd, probe_i = h1 + i·h2
+    // mod bits), distinct position set, all-k-bits membership; the
     // bit count replays the integer [[operators.Text.bloomBits]] law
     // from COUNT(*) over the eval side (smallest power of two ≥
     // BloomBitsPerShingle·n, floor 2¹⁵, cap 2²⁷ — same
     // shift-compare both engines run exactly)
     "bloom_decontaminate" -> {
       import operators.Text.{BloomBitsPerShingle, BloomK}
-      val probeHash = hash60Sql("CAST(i AS VARCHAR) || '|' || shingle")
-      val bitsSub = "(SELECT bits FROM bb)"
+      val h = hash60Sql("'bl|' || shingle")
+      val probe = s"((h >> 30) + i * ((h & 1073741823) | 1)) % (SELECT bits FROM bb)"
       s"""WITH $ngramCtes,
         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 3),
         |nc AS (SELECT COUNT(*) AS n FROM ev),
@@ -2370,11 +2372,13 @@ object SparkEntry {
         |    WHERE (CAST(1 AS BIGINT) << b) >= $BloomBitsPerShingle * nc.n
         |      OR b = 27)) AS bits),
         |ks AS (SELECT unnest(range(0, $BloomK)) AS i),
-        |ep AS (SELECT DISTINCT $probeHash % $bitsSub AS p FROM ev CROSS JOIN ks),
+        |eh AS (SELECT shingle, $h AS h FROM ev),
+        |ep AS (SELECT DISTINCT $probe AS p FROM eh CROSS JOIN ks),
         |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 <> 3),
         |dsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM tr GROUP BY 1),
-        |pb AS (SELECT doc_id, shingle, $probeHash % $bitsSub AS p
-        |  FROM tr CROSS JOIN ks),
+        |th AS (SELECT doc_id, shingle, $h AS h FROM tr),
+        |pb AS (SELECT doc_id, shingle, $probe AS p
+        |  FROM th CROSS JOIN ks),
         |bh AS (SELECT doc_id, shingle FROM pb JOIN ep USING (p)
         |  GROUP BY 1, 2 HAVING COUNT(*) = $BloomK),
         |bl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits FROM bh GROUP BY 1),
