@@ -144,6 +144,7 @@ object SparkEntry {
     "dedup_containment" -> (Text.dedupContainment _),
     "k_core"            -> (Graph.kCore _),
     "graph_communities" -> (Graph.graphCommunities _),
+    "community_stats"   -> (Graph.communityStats _),
     "dq_check"          -> (Quality.dqCheck _),
     "drift_check"       -> (Quality.driftCheck _),
     "emb_pca"           -> (Clustering.embPca _),
@@ -326,6 +327,45 @@ object SparkEntry {
     * the same constants). Produces CTEs: e (non-null vectors), w
     * (the width), sg (vec_id, t, sig).
     */
+  /** The semi-synchronous LPA chain rebuilt in SQL, shared by the
+    * graph_communities and community_stats oracles: trade nodes +
+    * mirrored edges, then [[operators.Graph.LpaRounds]] unrolled
+    * alternating half-rounds (customers odd, suppliers even —
+    * mirroring the engine's bipartite schedule), majority label with
+    * ties to the SMALLEST via (count DESC, lbl) row_number, AS
+    * MATERIALIZED per round (each references its predecessor twice).
+    * Produces CTEs: nodes, pairs, edges, l0..l{LpaRounds}.
+    */
+  private def lpaCtes: String = {
+    import operators.Graph.{LpaRounds, SupplierNodeOffset}
+    val rounds = (1 to LpaRounds).map { i =>
+      val side =
+        if (i % 2 == 0) s"e.dst >= $SupplierNodeOffset"
+        else s"e.dst < $SupplierNodeOffset"
+      s"""c$i AS (SELECT e.dst AS id, a.lbl, COUNT(*) AS c
+        |  FROM edges e JOIN l${i - 1} a ON e.src = a.id
+        |  WHERE $side GROUP BY 1, 2),
+        |b$i AS (SELECT id, lbl FROM (
+        |    SELECT id, lbl,
+        |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rk
+        |    FROM c$i) WHERE rk = 1),
+        |l$i AS MATERIALIZED (SELECT l.id, COALESCE(b.lbl, l.lbl) AS lbl
+        |  FROM l${i - 1} l LEFT JOIN b$i b ON b.id = l.id)""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS (
+      |  SELECT c_custkey AS id FROM customer
+      |  UNION ALL SELECT s_suppkey + $SupplierNodeOffset FROM supplier
+      |), pairs AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SupplierNodeOffset AS s
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), edges AS MATERIALIZED (
+      |  SELECT c AS src, s AS dst FROM pairs
+      |  UNION ALL SELECT s AS src, c AS dst FROM pairs
+      |),
+      |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
+      |$rounds""".stripMargin
+  }
+
   private def lshSigCtes(tag: String, tables: Int,
       eSql: String = """SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |  WHERE embedding IS NOT NULL""".stripMargin,
@@ -3415,35 +3455,11 @@ object SparkEntry {
     // engine runs) — majority neighbor label with ties to the
     // SMALLEST via the (count DESC, lbl) row_number. AS MATERIALIZED
     // per round (the k_core lesson: each round references its
-    // predecessor twice).
+    // predecessor twice). Shared with the community_stats oracle via
+    // lpaCtes (nodes/pairs/edges/l0..l8).
     "graph_communities" -> {
       import operators.Graph.{LpaRounds, SupplierNodeOffset}
-      val rounds = (1 to LpaRounds).map { i =>
-        val side =
-          if (i % 2 == 0) s"e.dst >= $SupplierNodeOffset"
-          else s"e.dst < $SupplierNodeOffset"
-        s"""c$i AS (SELECT e.dst AS id, a.lbl, COUNT(*) AS c
-          |  FROM edges e JOIN l${i - 1} a ON e.src = a.id
-          |  WHERE $side GROUP BY 1, 2),
-          |b$i AS (SELECT id, lbl FROM (
-          |    SELECT id, lbl,
-          |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rk
-          |    FROM c$i) WHERE rk = 1),
-          |l$i AS MATERIALIZED (SELECT l.id, COALESCE(b.lbl, l.lbl) AS lbl
-          |  FROM l${i - 1} l LEFT JOIN b$i b ON b.id = l.id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH nodes AS (
-        |  SELECT c_custkey AS id FROM customer
-        |  UNION ALL SELECT s_suppkey + $SupplierNodeOffset FROM supplier
-        |), pairs AS (
-        |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SupplierNodeOffset AS s
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |), edges AS MATERIALIZED (
-        |  SELECT c AS src, s AS dst FROM pairs
-        |  UNION ALL SELECT s AS src, c AS dst FROM pairs
-        |),
-        |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
-        |$rounds,
+      s"""WITH $lpaCtes,
         |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS csize
         |  FROM l$LpaRounds GROUP BY 1)
         |SELECT l.id AS node_id,
@@ -3451,6 +3467,34 @@ object SparkEntry {
         |  CAST(l.lbl AS BIGINT) AS community, sz.csize
         |FROM l$LpaRounds l JOIN sz ON sz.lbl = l.lbl
         |ORDER BY node_id""".stripMargin
+    },
+
+    // the community QUALITY card: degree mass + mirrored internal
+    // edges per label over the SAME unrolled LPA chain, Newman's Q
+    // summand as two truncating integer divisions on the ppm lattice
+    // (HUGEINT cross-terms ≡ the engine's DECIMAL(38))
+    "community_stats" -> {
+      import operators.Graph.LpaRounds
+      s"""WITH $lpaCtes,
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+        |dm AS (SELECT l.lbl, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(COALESCE(deg.d, 0)) AS BIGINT) AS degree_sum
+        |  FROM l$LpaRounds l LEFT JOIN deg ON deg.src = l.id GROUP BY 1),
+        |ie AS (SELECT a.lbl, CAST(COUNT(*) AS BIGINT) AS e_mir
+        |  FROM edges e JOIN l$LpaRounds a ON e.src = a.id
+        |    JOIN l$LpaRounds b ON e.dst = b.id
+        |  WHERE a.lbl = b.lbl GROUP BY 1),
+        |mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m_mir FROM edges)
+        |SELECT CAST(dm.lbl AS BIGINT) AS community, dm.n_nodes, dm.degree_sum,
+        |  CAST(COALESCE(ie.e_mir, 0) // 2 AS BIGINT) AS internal_edges,
+        |  CASE WHEN mm.m_mir = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    CAST(CAST(COALESCE(ie.e_mir, 0) AS HUGEINT) * 1000000
+        |      // mm.m_mir AS BIGINT) -
+        |    CAST(CAST(dm.degree_sum AS HUGEINT) * dm.degree_sum * 1000000
+        |      // (mm.m_mir * mm.m_mir) AS BIGINT)
+        |  END AS q_ppm
+        |FROM dm LEFT JOIN ie ON dm.lbl = ie.lbl CROSS JOIN mm
+        |ORDER BY community""".stripMargin
     },
 
     // independent formulation: naive a<b<c enumeration (the engine

@@ -244,6 +244,43 @@ class GraphSpec extends AnyFunSuite {
     types.foreach { case (id, tp) => assert(tp == (if (id >= off) "s" else "c")) }
   }
 
+  test("community_stats equals the in-memory modularity recomputation over the LPA labeling") {
+    import org.apache.spark.sql.functions._
+    val off = operators.Graph.SupplierNodeOffset
+    // labels from the registered operator (already proven against the
+    // in-JVM LPA reference above); recompute the card's integers
+    val labels = operators.Graph.graphCommunities(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val t = Tables(spark, sf)
+    val pairs = t.lineitem
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), (col("l_suppkey") + off).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mirrored = pairs.flatMap { case (c, s) => Seq(c -> s, s -> c) }
+    val mMir = mirrored.length.toLong
+    val deg = mirrored.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val want = labels.values.toSeq.distinct.sorted.map { lbl =>
+      val members = labels.collect { case (n, l) if l == lbl => n }.toSet
+      val dSum = members.toSeq.map(n => deg.getOrElse(n, 0L)).sum
+      val eMir = mirrored.count { case (a, b) => members(a) && labels(b) == lbl }.toLong
+      val q = (BigInt(eMir) * 1000000 / mMir -
+        BigInt(dSum) * dSum * 1000000 / (BigInt(mMir) * mMir)).toLong
+      (lbl, members.size.toLong, dSum, eMir / 2, q)
+    }
+    val got = operators.Graph.communityStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == want, s"modularity card differs:\ngot  $got\nwant $want")
+    // the summed Q must sit in Newman's range; singleton communities
+    // (isolated nodes) contribute exactly 0
+    val totalQ = got.map(_._5).sum
+    assert(totalQ >= -500000L && totalQ < 1000000L, s"global Q out of range: $totalQ")
+    got.filter(_._2 == 1L).foreach { r =>
+      if (r._3 == 0L) assert(r._5 == 0L, s"isolated singleton with nonzero q: $r")
+    }
+  }
+
   test("an LPA half-round keeps the loop plan discipline (no edge re-shuffle, no broadcast)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
