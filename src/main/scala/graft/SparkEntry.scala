@@ -395,20 +395,82 @@ object SparkEntry {
       |  FROM dt GROUP BY 1, 2)""".stripMargin
   }
 
+  /** The engine's GATE-CONDITIONAL corpus→cell assignment
+    * ([[operators.SimilaritySearch.ivfCellId]]) replayed in SQL —
+    * flat argmax while the centroid count is ≤
+    * [[operators.SimilaritySearch.IvfFlatAssignMaxCells]], the
+    * two-level coarse/owners/probe-2/argmax routing above it (the
+    * semdedup promotion's CTE pattern: coarse = every ⌈√K⌉-th
+    * centroid by cid rank, owners = nearest coarse per centroid,
+    * probe the 2 nearest coarse buckets, argmax over their members —
+    * all cosine ranks via the proven fold, ties to the lower
+    * cid/index, NaN-first under DESC). Because the SQL carries the
+    * SAME `k ≤ gate` conditional the engine branches on, oracle
+    * parity holds on BOTH sides of the gate instead of ending at it
+    * (the r11 ADVICE finding; the r12 interim fix had raised the gate
+    * to 1024 so every corpus assigned flat — parity at an O(n²/128)
+    * price this replay removes). The inert branch's rank input is
+    * gated EMPTY by the one-row k relation, so DuckDB never builds
+    * the n×K cross product it isn't using. `{out}_fr` and `{out}`
+    * are MATERIALIZED, and every branch reads `{out}_fr` rather than
+    * `cent` directly, so `cent` (often the full unrolled Lloyd
+    * chain) is referenced exactly ONCE — without this, DuckDB's
+    * default CTE inlining re-evaluated the Lloyd chain per reference
+    * (measured: the ann_ivf oracle alone burned 200+ CPU-minutes at
+    * the 40k replica; the k_core AS MATERIALIZED lesson).
+    *
+    * `src` must expose (vec_id, v), `cent` (cid, cv); emits helper
+    * CTEs prefixed `{out}_` plus the final `{out}` (vec_id, cid).
+    */
+  private def ivfAssignCtes(src: String, cent: String,
+      out: String): String = {
+    val gate = operators.SimilaritySearch.IvfFlatAssignMaxCells
+    s"""${out}_fr AS MATERIALIZED (SELECT cid, cv,
+      |    ROW_NUMBER() OVER (ORDER BY cid) - 1 AS fi FROM $cent),
+      |${out}_kc AS (SELECT COUNT(*) AS k FROM ${out}_fr),
+      |${out}_st AS (SELECT GREATEST(1,
+      |    CAST(CEIL(SQRT(CAST(k AS DOUBLE))) AS BIGINT)) AS step
+      |  FROM ${out}_kc),
+      |${out}_co AS (SELECT fi AS ci, cv FROM ${out}_fr, ${out}_st
+      |  WHERE fi % step = 0),
+      |${out}_ow AS (SELECT fi, ci FROM (
+      |    SELECT f.fi, c.ci, ROW_NUMBER() OVER (PARTITION BY f.fi
+      |      ORDER BY list_cosine_similarity(f.cv, c.cv) DESC, c.ci) AS rk
+      |    FROM ${out}_fr f, ${out}_co c, ${out}_kc WHERE k > $gate)
+      |  WHERE rk = 1),
+      |${out}_p2 AS (SELECT vec_id, ci FROM (
+      |    SELECT s.vec_id, c.ci, ROW_NUMBER() OVER (PARTITION BY s.vec_id
+      |      ORDER BY list_cosine_similarity(s.v, c.cv) DESC, c.ci) AS rk
+      |    FROM $src s, ${out}_co c, ${out}_kc WHERE k > $gate)
+      |  WHERE rk <= 2),
+      |$out AS MATERIALIZED (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT s.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY s.vec_id
+      |      ORDER BY list_cosine_similarity(s.v, c.cv) DESC, c.cid) AS rk
+      |    FROM $src s, ${out}_fr c, ${out}_kc WHERE k <= $gate)
+      |  WHERE rk = 1
+      |  UNION ALL
+      |  SELECT vec_id, cid FROM (
+      |    SELECT p.vec_id, f.cid, ROW_NUMBER() OVER (PARTITION BY p.vec_id
+      |      ORDER BY list_cosine_similarity(ev.v, f.cv) DESC, f.cid) AS rk
+      |    FROM ${out}_p2 p JOIN ${out}_ow o ON o.ci = p.ci
+      |      JOIN ${out}_fr f ON f.fi = o.fi
+      |      JOIN $src ev ON ev.vec_id = p.vec_id)
+      |  WHERE rk = 1)""".stripMargin
+  }
+
   /** The UNTRAINED IVF index rebuilt in SQL (round-11 promotion of
     * ann_ivf_stride / ann_ivf_pq): seeds = the first K stride-50
     * vectors by id under the [[operators.SimilaritySearch.ivfCells]]
-    * law replayed from COUNT(*); cell assignment and query probing
-    * are cosine ranks over (vector, seed) pairs —
+    * law replayed from COUNT(*); cell assignment is the
+    * gate-conditional [[ivfAssignCtes]] replay (flat below
+    * [[operators.SimilaritySearch.IvfFlatAssignMaxCells]] cells,
+    * two-level routing above — parity on both sides of the gate);
+    * query probing is flat cosine ranks over (query, seed) pairs —
     * `list_cosine_similarity` is the same sequential fold the
     * engine's NearestCentroids runs (the ann_topk/ann_radius
     * equivalence proof), ties to the lower seed id, NaN-first under
-    * DESC on both engines. Replays the FLAT assignment regime; the
-    * two-level gate engages past
-    * [[operators.SimilaritySearch.IvfFlatAssignMaxCells]] = 1024
-    * cells ≈ 131k non-null vectors under the n/128 cell law, far
-    * beyond any oracle corpus (the fuzz/sf dirs carry ≤ ~2k
-    * vectors). Produces CTEs: e (vec_id, v DOUBLE[],
+    * DESC on both engines. Produces CTEs: e (vec_id, v DOUBLE[],
     * lv 10⁴-lattice BIGINT[]), nn, w (the cell law), seeds (cid,
     * cv), cells (vec_id, cid), q (qid), qp (qid, cid — the nprobe
     * probes).
@@ -426,11 +488,7 @@ object SparkEntry {
       |    SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
       |    FROM e WHERE vec_id % 50 = 7)
       |  WHERE rn <= (SELECT k FROM w)),
-      |asg AS (SELECT e.vec_id, seeds.cid,
-      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-      |      ORDER BY list_cosine_similarity(e.v, seeds.cv) DESC, seeds.cid) AS rk
-      |  FROM e, seeds),
-      |cells AS (SELECT vec_id, cid FROM asg WHERE rk = 1),
+      |${ivfAssignCtes("e", "seeds", "cells")},
       |q AS (SELECT vec_id AS qid FROM e
       |  WHERE vec_id % 50 = 0 AND vec_id < ${50L * ss.MaxQueries}),
       |qp AS (SELECT qid, cid FROM (
@@ -475,7 +533,7 @@ object SparkEntry {
         |m$r AS (SELECT cid,
         |    list(CAST(s // n AS DOUBLE) / $lat ORDER BY pos) AS mv
         |  FROM s$r GROUP BY cid),
-        |c$r AS (SELECT c.cid, COALESCE(m$r.mv, c.cv) AS cv
+        |c$r AS MATERIALIZED (SELECT c.cid, COALESCE(m$r.mv, c.cv) AS cv
         |  FROM c${r - 1} c LEFT JOIN m$r USING (cid))""".stripMargin
     val rounds = (1 to operators.Clustering.KmeansIters).map(round)
       .mkString(",\n")
@@ -609,12 +667,7 @@ object SparkEntry {
       val cN = s"c${operators.Clustering.KmeansIters}"
       val probesList = ss.IvfTuneProbes.mkString("[", ", ", "]")
       s"""WITH ${ivfTrainedCtes()},
-        |cells AS (SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
-        |    FROM e, $cN c)
-        |  WHERE rk = 1),
+        |${ivfAssignCtes("e", cN, "cells")},
         |qq AS (SELECT vec_id AS qid FROM embeddings
         |  WHERE vec_id % 50 = 0 AND vec_id < ${50L * ss.MaxQueries}),
         |mp AS (SELECT LEAST(${ss.IvfTuneProbes.max}, c) AS mx FROM sc),
@@ -1796,19 +1849,15 @@ object SparkEntry {
 
     // the TRAINED IVF index replayed end to end (round-11 promotion —
     // unlocked by the integer-lattice Lloyd means): trained centroids
-    // from ivfTrainedCtes, flat cosine assignment of the FULL corpus
-    // and the query probes against them, exact re-rank with the
-    // ann_topk conventions
+    // from ivfTrainedCtes, gate-conditional assignment of the FULL
+    // corpus (ivfAssignCtes — flat below the gate, two-level routing
+    // above), flat query probes, exact re-rank with the ann_topk
+    // conventions
     "ann_ivf" -> {
       val ss = operators.SimilaritySearch
       val cN = s"c${operators.Clustering.KmeansIters}"
       s"""WITH ${ivfTrainedCtes()},
-        |cells AS (SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
-        |    FROM e, $cN c)
-        |  WHERE rk = 1),
+        |${ivfAssignCtes("e", cN, "cells")},
         |q AS (SELECT vec_id AS qid FROM e
         |  WHERE vec_id % 50 = 0 AND vec_id < ${50L * ss.MaxQueries}),
         |qp AS (SELECT qid, cid FROM (
@@ -1833,24 +1882,15 @@ object SparkEntry {
 
     // incremental IVF maintenance (round-11 promotion): the trained
     // quantizer over the OLD snapshot only, both snapshots assigned
-    // against its frozen centroids, integer growth/rebalance card
+    // against its frozen centroids via the gate-conditional
+    // ivfAssignCtes replay, integer growth/rebalance card
     "ann_incremental" -> {
       val cN = s"c${operators.Clustering.KmeansIters}"
       s"""WITH ${ivfTrainedCtes("old",
           "\n      |old AS (SELECT * FROM e WHERE vec_id % 5 <> 4),")},
         |neu AS (SELECT * FROM e WHERE vec_id % 5 = 4),
-        |ao AS (SELECT vec_id, cid FROM (
-        |    SELECT o.vec_id, c.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY o.vec_id
-        |        ORDER BY list_cosine_similarity(o.v, c.cv) DESC, c.cid) AS rk
-        |    FROM old o, $cN c)
-        |  WHERE rk = 1),
-        |an AS (SELECT vec_id, cid FROM (
-        |    SELECT x.vec_id, c.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
-        |        ORDER BY list_cosine_similarity(x.v, c.cv) DESC, c.cid) AS rk
-        |    FROM neu x, $cN c)
-        |  WHERE rk = 1),
+        |${ivfAssignCtes("old", cN, "ao")},
+        |${ivfAssignCtes("neu", cN, "an")},
         |oc AS (SELECT cid, COUNT(*) AS old_n FROM ao GROUP BY 1),
         |ncn AS (SELECT cid, COUNT(*) AS new_n FROM an GROUP BY 1),
         |tot AS (SELECT (SELECT COUNT(*) FROM old) AS ot,

@@ -258,18 +258,20 @@ object SimilaritySearch {
     * this — at the law's K = n/[[IvfCellTarget]] (= n/128) a flat
     * scan would make the one assignment pass O(n·K) = O(n²/128)
     * corpus work. The gate engages past
-    * 1024·[[IvfCellTarget]] = 131 072 non-null vectors — far beyond
-    * every registered, fuzz and bench corpus (the R=20 corpus is
-    * 40 000 vectors, K = 312, still flat) — so every corpus the
-    * DuckDB oracles replay uses the EXACT flat argmax the SQL
-    * rebuilds; past the gate assignment is the standard
-    * approximate-argmax every two-level IVF build uses (and oracle
-    * parity intentionally ends there). Flat cost at the gate edge is
-    * bounded: 131 k rows × 1024 centroids ≈ 8.6 G multiplies, one
-    * pass. Query-side probing stays flat ([[MaxQueries]]-bounded
-    * rows).
+    * 256·[[IvfCellTarget]] = 32 768 non-null vectors, and the DuckDB
+    * oracles replay the SAME conditional (SparkEntry.ivfAssignCtes:
+    * the flat argmax below the gate, the coarse/owners/probe-2/argmax
+    * routing above it — the semdedup promotion's CTE pattern), so
+    * oracle parity holds on BOTH sides of the gate rather than ending
+    * at it — measured cross-engine on the 40 000-vector replica corpus
+    * (K = 312, two-level on both engines). The r12 interim fix had
+    * instead RAISED this gate to 1024 so every corpus assigned flat;
+    * that bought parity at an O(n²/128) price inside the 32k–131k
+    * window (ann_ivf's R=20 point 2.45 → 5.83 s) — replaying the gate
+    * in SQL buys the same parity without the price. Query-side
+    * probing stays flat ([[MaxQueries]]-bounded rows).
     */
-  private[graft] val IvfFlatAssignMaxCells = 1024
+  private[graft] val IvfFlatAssignMaxCells = 256
 
   private[graft] def ivfCellId(v: Column, cids: Seq[Long],
       cvecs: Seq[Seq[Double]]): Column =

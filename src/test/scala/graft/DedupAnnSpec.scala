@@ -187,6 +187,14 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(ivfCells(40000) == 312)       // R=20 replica corpus: law engaged
     assert(ivfCells(1L << 20) == 8192)   // 1M vectors → 8192 cells
     assert(ivfCells(100000000L) == IvfMaxCells) // driver-budget cap
+    // the flat/two-level gate sits where the oracle replays it
+    // (ivfAssignCtes carries the same conditional) — every registered
+    // and fuzz corpus (≤ ~2k vectors) assigns flat, the 40k replica
+    // corpus exercises the routed branch on BOTH engines
+    import graft.operators.SimilaritySearch.IvfFlatAssignMaxCells
+    assert(IvfFlatAssignMaxCells == 256)
+    assert(ivfCells(2000) <= IvfFlatAssignMaxCells)
+    assert(ivfCells(40000) > IvfFlatAssignMaxCells)
     // monotone, never above cap or below floor
     Seq(1L, 999L, 65536L, 1L << 24, 1L << 40).foreach { n =>
       assert(ivfCells(n) >= IvfMinCells && ivfCells(n) <= IvfMaxCells)
@@ -223,7 +231,7 @@ class DedupAnnSpec extends AnyFunSuite {
   test("ivf corpus assignment routes two-level past the flat gate, flat below — same cells") {
     import graft.operators.SimilaritySearch.{ivfCellId, IvfFlatAssignMaxCells}
     import spark.implicits._
-    // synthetic quantizer: 1100 centroids (> the 1024 gate) on a ring;
+    // synthetic quantizer: 1100 centroids (> the 256 gate) on a ring;
     // the two-level expression must be in the plan AND agree with the
     // flat argmax on every assignment (coarse ⊆ fine keeps routing
     // exact when the true cell's coarse owner is probed — on this
