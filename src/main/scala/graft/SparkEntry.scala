@@ -1622,6 +1622,99 @@ object SparkEntry {
         |WHERE cos >= 0.4
         |ORDER BY id1, id2""".stripMargin,
 
+    // the driver eigensolve replayed end to end (round-12 promotion —
+    // the last float rows-only entry with a deterministic fixed
+    // sequence): the integer scatter matrix is order-free BIGINT
+    // sums on the q = floor(x·scale + 0.5) lattice (ScatterAgg's
+    // math.round); every driver double op — covariance division,
+    // the 100 power-iteration matrix-vector folds, norms, Rayleigh
+    // quotient, sign canonicalization, deflation — is replayed in
+    // the SAME sequence via list_transform/list_sum (DuckDB's
+    // list_sum is the left fold, verified on non-associative
+    // adversarial values; Scala foldLeft/Seq.sum are the same fold),
+    // so eigenvalues hash bit-exactly and %.6f formatting agrees
+    // (no double sits on a 6-digit decimal midpoint — the denominator
+    // would need a factor of 5^7). Iteration CTEs are MATERIALIZED
+    // 1-row relations (the ivfAssignCtes inlining lesson).
+    "emb_pca" -> {
+      val cl = operators.Clustering
+      val d = cl.PcaDim
+      def comp(c: Int, mat: String): String = {
+        val iters = (1 to cl.PcaIters).map { t =>
+          s"""v${c}_$t AS MATERIALIZED (
+            |  SELECT CASE WHEN nrm > 0 THEN list_transform(w, x -> x / nrm)
+            |    ELSE pv END AS v
+            |  FROM (SELECT pv, w,
+            |      sqrt(list_sum(list_transform(w, x -> x * x))) AS nrm
+            |    FROM (SELECT p.v AS pv,
+            |        list_transform(range(0, $d), i ->
+            |          list_sum(list_transform(range(0, $d),
+            |            j -> m.c[i + 1][j + 1] * p.v[j + 1]))) AS w
+            |      FROM v${c}_${t - 1} p, $mat m)))""".stripMargin
+        }.mkString(",\n")
+        s"""st$c AS (SELECT i FROM (
+          |    SELECT ii.i AS i, ROW_NUMBER() OVER (
+          |      ORDER BY m.c[ii.i + 1][ii.i + 1] DESC, ii.i) AS rk
+          |    FROM $mat m, range(0, $d) ii(i))
+          |  WHERE rk = 1),
+          |v${c}_0 AS (SELECT list_transform(range(0, $d),
+          |    i -> CASE WHEN i = st$c.i THEN 1.0 ELSE 0.0 END) AS v
+          |  FROM st$c),
+          |$iters,
+          |lm$c AS (SELECT list_sum(list_transform(range(0, $d),
+          |    i -> p.v[i + 1] * list_sum(list_transform(range(0, $d),
+          |      j -> m.c[i + 1][j + 1] * p.v[j + 1])))) AS l, p.v AS v
+          |  FROM v${c}_${cl.PcaIters} p, $mat m),
+          |vc$c AS MATERIALIZED (SELECT CASE
+          |    WHEN COALESCE(list_filter(v, x -> abs(x) > 1e-12)[1], 0.0) < 0
+          |    THEN list_transform(v, x -> -x) ELSE v END AS v, l
+          |  FROM lm$c)""".stripMargin
+      }
+      val deflate = (c: Int) =>
+        s"""cm${c + 1} AS MATERIALIZED (SELECT list_transform(range(0, $d),
+          |    i -> list_transform(range(0, $d),
+          |      j -> m.c[i + 1][j + 1] - k.l * k.v[i + 1] * k.v[j + 1])) AS c
+          |  FROM cm$c m, vc$c k)""".stripMargin
+      val chain = (0 until cl.PcaComponents).map { c =>
+        comp(c, s"cm$c") +
+          (if (c < cl.PcaComponents - 1) ",\n" + deflate(c) else "")
+      }.mkString(",\n")
+      val picks = (0 until cl.PcaComponents)
+        .map(c => s"SELECT $c AS cc, l, v FROM vc$c")
+        .mkString("\n|  UNION ALL ")
+      s"""WITH e AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |nn AS (SELECT COUNT(*) AS n FROM e),
+        |lat AS MATERIALIZED (SELECT list_transform(v,
+        |    x -> CAST(floor(x * ${cl.PcaScale} + 0.5) AS BIGINT)) AS q FROM e),
+        |sc AS MATERIALIZED (SELECT ii.i AS i, jj.j AS j,
+        |    SUM(COALESCE(q[ii.i + 1], 0) * COALESCE(q[jj.j + 1], 0)) AS s
+        |  FROM lat, range(0, $d) ii(i), range(0, $d) jj(j) GROUP BY 1, 2),
+        |sv AS MATERIALIZED (SELECT ii.i AS i,
+        |    SUM(COALESCE(q[ii.i + 1], 0)) AS s
+        |  FROM lat, range(0, $d) ii(i) GROUP BY 1),
+        |cij AS (SELECT sc.i AS i, sc.j AS j,
+        |    CAST(sc.s AS DOUBLE) / nn.n
+        |      - (CAST(a.s AS DOUBLE) / nn.n) * (CAST(b.s AS DOUBLE) / nn.n)
+        |      AS cv
+        |  FROM sc JOIN sv a ON a.i = sc.i JOIN sv b ON b.i = sc.j, nn),
+        |cm0 AS MATERIALIZED (SELECT list(cr ORDER BY i) AS c FROM (
+        |    SELECT i, list(cv ORDER BY j) AS cr FROM cij GROUP BY i)),
+        |tr AS (SELECT list_sum(list_transform(range(0, $d),
+        |    i -> c[i + 1][i + 1])) AS t FROM cm0),
+        |$chain
+        |SELECT CAST(cc + 1 AS BIGINT) AS component,
+        |  l / ${cl.PcaScale * cl.PcaScale} AS eigenvalue,
+        |  CASE WHEN (SELECT t FROM tr) > 0
+        |    THEN CAST(trunc(l * 1000000.0 / (SELECT t FROM tr)) AS BIGINT)
+        |    ELSE 0 END AS explained_ppm,
+        |  array_to_string(list_transform(v, x -> printf('%.6f', x)), ',')
+        |    AS eigvec
+        |FROM ($picks), nn
+        |WHERE nn.n > 0
+        |ORDER BY component""".stripMargin
+    },
+
     // SemDeDup replayed end to end (round-11 promotion): the fine
     // centroids are RAW stride-sampled corpus vectors (no Lloyd), the
     // coarse level is every ⌈√m⌉-th fine centroid, owners/probing/

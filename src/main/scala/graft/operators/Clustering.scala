@@ -251,9 +251,15 @@ object Clustering {
     * Output: one row per component — eigenvalue (x-units),
     * explained-variance ppm against the covariance trace, and the
     * unit eigenvector (round-6, comma-joined — the vec_quant string
-    * convention). Rows-only: a power-iteration eigensolve is not
-    * oracle SQL; ClusteringSpec checks the eigenpair residuals,
-    * orthogonality, ordering, and exact equality with an
+    * convention). Oracle-pass (round-12 promotion, previously
+    * rows-only): the scatter sums are order-free BIGINT lattice
+    * aggregates, and the driver eigensolve runs ONE fixed sequence
+    * of double ops — so the DuckDB oracle replays the whole thing
+    * (2 components × [[PcaIters]] unrolled power-iteration CTEs over
+    * the covariance list-of-lists; `list_sum` is the same left fold
+    * as Scala's `foldLeft`/`Seq.sum`, so eigenvalues hash
+    * bit-exactly). ClusteringSpec additionally checks the eigenpair
+    * residuals, orthogonality, ordering, and exact equality with an
     * independent in-JVM reference.
     */
   def embPca(spark: SparkSession, dir: String): DataFrame =
