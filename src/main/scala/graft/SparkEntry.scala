@@ -459,6 +459,72 @@ object SparkEntry {
       |  WHERE rk = 1)""".stripMargin
   }
 
+  /** The BPE trainer's full merge-round chain rebuilt in SQL
+    * (round-12 promotion of bpe_train / bpe_encode — the "30 rounds
+    * of argmax are not oracle SQL" claim was wrong the same way
+    * emb_pca's was): the word-frequency vocabulary (the
+    * corpus-independent Heaps-law table both engines train on), then
+    * `rounds` unrolled rounds of pair-count → gated argmax
+    * (cnt ≥ 2 = the engine's min-frequency stop; cnt DESC, then
+    * lexicographic pair — binary collation in BOTH engines) →
+    * vocabulary rewrite. The rewrite replays
+    * [[graft.functions.BpeFunctions.mergeOnce]]'s greedy
+    * left-to-right overlap rule exactly via gaps-and-islands parity:
+    * match positions chain into runs (`p − ROW_NUMBER()` groups),
+    * and greedy keeps the ODD-rank members of each run (a kept merge
+    * consumes its right neighbor, so the next possible keep is two
+    * positions on). Early-stop replays as the same one-row gate
+    * ivfAssignCtes uses: an empty winner passes the vocabulary
+    * through unchanged, which keeps every later round's winner empty
+    * too. `rewriteLast` = encode wants the post-round-`rounds`
+    * vocabulary state (the engine's encoder applies ALL merges in
+    * rank order — identical to the training rewrite sequence on
+    * corpus words); train skips the dead final rewrite exactly like
+    * the engine. Emits v0..v`rounds` and w1..w`rounds`.
+    */
+  private def bpeCtes(rounds: Int, rewriteLast: Boolean): String = {
+    def rnd(r: Int, rewrite: Boolean): String = {
+      val head = s"""ex$r AS MATERIALIZED (SELECT word, freq, syms,
+        |    unnest(range(1, len(syms) + 1)) AS p FROM v${r - 1}),
+        |pc$r AS (SELECT syms[p] AS l, syms[p + 1] AS r2, SUM(freq) AS cnt
+        |  FROM ex$r WHERE syms[p + 1] IS NOT NULL GROUP BY 1, 2),
+        |w$r AS MATERIALIZED (SELECT l, r2, cnt FROM pc$r WHERE cnt >= 2
+        |  ORDER BY cnt DESC, l, r2 LIMIT 1)""".stripMargin
+      if (!rewrite) head
+      else head + s""",
+        |mk$r AS (SELECT e.word, e.p,
+        |    e.p - ROW_NUMBER() OVER (PARTITION BY e.word ORDER BY e.p) AS grp
+        |  FROM ex$r e, w$r w
+        |  WHERE e.syms[e.p] = w.l AND e.syms[e.p + 1] = w.r2),
+        |kp$r AS MATERIALIZED (SELECT word, p FROM (
+        |    SELECT word, p,
+        |      ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY p) AS rn
+        |    FROM mk$r) WHERE rn % 2 = 1),
+        |v$r AS MATERIALIZED (
+        |  SELECT e.word AS word, any_value(e.freq) AS freq,
+        |    list(CASE WHEN k.p IS NOT NULL THEN e.syms[e.p] || e.syms[e.p + 1]
+        |      ELSE e.syms[e.p] END ORDER BY e.p) AS syms
+        |  FROM ex$r e
+        |  LEFT JOIN kp$r k ON k.word = e.word AND k.p = e.p
+        |  LEFT JOIN kp$r k2 ON k2.word = e.word AND k2.p = e.p - 1
+        |  WHERE k2.p IS NULL AND EXISTS (SELECT 1 FROM w$r)
+        |  GROUP BY e.word
+        |  UNION ALL
+        |  SELECT word, freq, syms FROM v${r - 1}
+        |  WHERE NOT EXISTS (SELECT 1 FROM w$r))""".stripMargin
+    }
+    val chain = (1 to rounds)
+      .map(r => rnd(r, rewrite = r < rounds || rewriteLast)).mkString(",\n")
+    s"""vb AS MATERIALIZED (
+      |  SELECT word, COUNT(*) AS freq FROM (
+      |    SELECT unnest($wordsSql) AS word FROM documents)
+      |  WHERE length(word) > 0 GROUP BY word),
+      |v0 AS MATERIALIZED (
+      |  SELECT word, freq,
+      |    list_append(string_split(word, ''), '</w>') AS syms FROM vb),
+      |$chain""".stripMargin
+  }
+
   /** The UNTRAINED IVF index rebuilt in SQL (round-11 promotion of
     * ann_ivf_stride / ann_ivf_pq): seeds = the first K stride-50
     * vectors by id under the [[operators.SimilaritySearch.ivfCells]]
@@ -1567,6 +1633,58 @@ object SparkEntry {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY est DESC, w) AS BIGINT) AS term_rank,
         |  w AS term, est
         |FROM c ORDER BY est DESC, w LIMIT ${operators.Text.FreqTopK}""".stripMargin,
+
+    // the BPE merge table replayed end to end (round-12 promotion):
+    // 32 unrolled rounds over the word-frequency vocabulary via
+    // bpeCtes (greedy-overlap rewrite as gaps-and-islands parity,
+    // min-frequency stop as the one-row gate); ranks are the rounds
+    // that produced a winner. SUM returns HUGEINT — cast (the
+    // mix_budget lesson). The final round's rewrite is skipped like
+    // the engine's (nothing consumes it).
+    "bpe_train" -> {
+      val R = operators.Tokenizer.NumMerges
+      val picks = (1 to R)
+        .map(r => s"SELECT $r AS rank, l AS lsym, r2 AS rsym, cnt FROM w$r")
+        .mkString("\n|  UNION ALL ")
+      s"""WITH ${bpeCtes(R, rewriteLast = false)}
+        |SELECT CAST(rank AS BIGINT) AS rank, lsym, rsym,
+        |  CAST(cnt AS BIGINT) AS pair_count
+        |FROM ($picks)
+        |ORDER BY rank""".stripMargin
+    },
+
+    // tokenization with the learned merges (round-12 promotion):
+    // because encode runs on the SAME corpus the merges were trained
+    // on, every document word's token sequence IS the trained
+    // vocabulary's final state (the engine's rank-order merge replay
+    // and the training rewrite are the same sequence), so encode =
+    // the bpeCtes chain with the final rewrite + a per-doc join;
+    // token order is (word position, symbol position); n_words
+    // counts the RAW split (empties included) like the engine's
+    // size(words(text))
+    "bpe_encode" -> {
+      val R = operators.Tokenizer.NumMerges
+      s"""WITH ${bpeCtes(R, rewriteLast = true)},
+        |dw AS (SELECT doc_id, unnest(ws) AS word,
+        |    unnest(range(1, len(ws) + 1)) AS wi
+        |  FROM (SELECT doc_id, $wordsSql AS ws FROM documents)),
+        |tk AS (SELECT d.doc_id, d.wi,
+        |    unnest(v.syms) AS tok, unnest(range(1, len(v.syms) + 1)) AS si
+        |  FROM dw d JOIN v$R v ON v.word = d.word),
+        |ag AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |    string_agg(CASE WHEN rn <= 8 THEN tok END, ' ' ORDER BY wi, si)
+        |      AS prev
+        |  FROM (SELECT doc_id, wi, si, tok,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi, si) AS rn
+        |    FROM tk)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len($wordsSql) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(ag.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  COALESCE(ag.prev, '') AS tok_preview
+        |FROM documents d LEFT JOIN ag ON ag.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    },
 
     "token_count" ->
       """SELECT doc_id,

@@ -36,8 +36,14 @@ object Tokenizer {
     * argmax row visits the driver per round (metadata, like
     * dedup_clusters' convergence counts). localCheckpoint per round
     * truncates the exponential plan-nesting (the dedup_clusters
-    * lesson). Rows-only: 30 rounds of argmax are not oracle SQL;
-    * TokenizerSpec proves equality against an independent in-memory
+    * lesson). Oracle-pass (round-12 promotion, previously
+    * rows-only): the DuckDB oracle unrolls all [[NumMerges]] rounds
+    * over the same word-frequency vocabulary — pair counts, the
+    * gated (cnt ≥ 2) argmax under the identical (count DESC,
+    * lexicographic) order, and [[graft.functions.BpeFunctions
+    * .mergeOnce]]'s greedy left-to-right rewrite replayed as
+    * gaps-and-islands parity (SparkEntry.bpeCtes). TokenizerSpec
+    * additionally proves equality against an independent in-memory
     * reference trainer on the full corpus.
     */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
@@ -257,10 +263,17 @@ object Tokenizer {
     * word-frequency vocabulary (Heaps-law sublinear), every EM round
     * is one vocabulary-sized aggregation with the bounded model
     * broadcast inside the expression, and only capped (piece, count)
-    * shortlists reach the driver. Rows-only: an EM loop is not
-    * oracle SQL; UnigramSpec proves exact equality against an
-    * independent in-JVM reference trainer (the bpe_train
-    * convention) plus lossless round-trip and compression.
+    * shortlists reach the driver. Rows-only — and unlike bpe_train
+    * (whose "loops aren't SQL" claim round 12 disproved by unrolling
+    * them), the blocker here is REAL: the Viterbi scores are libm
+    * `math.log` values (UnigramFunctions.scala), which no SQL engine
+    * reproduces bit-exactly. (sample_weighted escaped this class by
+    * swapping its ln for a SPECIFIED integer logarithm; doing that
+    * here would change the trained vocabulary itself — a semantics
+    * change, not a replay.) UnigramSpec proves
+    * exact equality against an independent in-JVM reference trainer
+    * (the bpe_train convention) plus lossless round-trip and
+    * compression.
     */
   def unigramTrain(spark: SparkSession, dir: String): DataFrame = {
     val model = trainUnigramModel(Tables(spark, dir).documents)
