@@ -14,6 +14,7 @@ whether a failure is a logic bug or pure float drift.
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [--approx]
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -42,6 +43,13 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir, out_dir = args[0], args[1]
     con = duckdb.connect()
+    # DuckDB's default memory limit can mis-detect container RAM and
+    # OOM the replica-corpus runs (semdedup/lsh_tune at the 20x dir
+    # failed tiny block allocations with 120 GB free); pin a generous
+    # limit, overridable for smaller hosts. Dev tool only — the
+    # driver's replica runs at sf0.01 where this never binds.
+    con.execute(
+        f"SET memory_limit='{os.environ.get('ORACLE_MEM', '64GB')}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
