@@ -116,6 +116,7 @@ object SparkEntry {
     "data_split"        -> (Curation.dataSplit _),
     "user_history"      -> (Curation.userHistory _),
     "knn_graph"         -> ((s, d) => SimilaritySearch.knnGraph(s, d)),
+    "contrastive_pairs" -> (SimilaritySearch.contrastivePairs _),
     "scd2_merge"        -> (Warehouse.scd2Merge _),
     "cdc_apply"         -> (Warehouse.cdcApply _),
     "html_extract"      -> (Text.htmlExtract _),
@@ -688,6 +689,32 @@ object SparkEntry {
     * composed card can never drift from the operators it grades.
     */
   private lazy val derivedOracleSql: Map[String, String] = Map(
+    // the contrastive training-pair card composed over the registered
+    // knn_graph oracle (round 12): band the graph edges at the
+    // SemThreshold duplicate boundary, rank within (anchor, band),
+    // keep rank-1 pos + top-J negs for anchors that HAVE a positive —
+    // thresholds compare on the graph's round(·,6) sims, identical
+    // doubles in both engines
+    "contrastive_pairs" -> {
+      val thr = operators.Clustering.SemThreshold
+      val j = operators.SimilaritySearch.ContrastiveNegatives
+      "WITH g AS MATERIALIZED (\n" + baseOracleSql("knn_graph") + "\n),\n" +
+        s"""r AS (SELECT src, dst, sim, role,
+          |    ROW_NUMBER() OVER (PARTITION BY src, role
+          |      ORDER BY sim DESC, dst) AS rk,
+          |    MAX(CASE WHEN role = 'pos' THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY src) AS has_pos
+          |  FROM (SELECT src, dst, sim,
+          |      CASE WHEN sim >= $thr THEN 'pos' ELSE 'neg' END AS role
+          |    FROM g))
+          |SELECT src AS anchor, role, CAST(rk AS BIGINT) AS rank,
+          |  dst AS partner, sim
+          |FROM r
+          |WHERE has_pos = 1 AND ((role = 'pos' AND rk = 1)
+          |  OR (role = 'neg' AND rk <= $j))
+          |ORDER BY anchor, role DESC, rank""".stripMargin
+    },
+
     // five admission gates from the REGISTERED oracles, melted,
     // pair-joined on doc_id, with exact-integer agreement and Cohen's
     // kappa on HUGEINT (the cross-terms overflow int64 at scale);

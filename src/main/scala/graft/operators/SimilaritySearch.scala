@@ -817,9 +817,10 @@ object SimilaritySearch {
     * the corpus shuffles once per table on (table, signature),
     * buckets self-join (skew-capped by [[KnnBucketCap]]), exact
     * cosine re-ranks candidates only, and per-source top-k runs on
-    * the engine's bounded-heap operator. Rows-only: LSH candidate
-    * generation is approximate (recall vs the brute-force graph
-    * asserted in DedupAnnSpec).
+    * the engine's bounded-heap operator. Oracle-pass (round-11
+    * promotion): the integer-lattice signature relation, bucket
+    * join and re-rank replay in SQL; recall vs the brute-force
+    * graph additionally asserted in DedupAnnSpec.
     */
   def knnGraph(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
     knnGraphOn(embDouble(spark, dir).filter(col("v").isNotNull), k)
@@ -858,6 +859,57 @@ object SimilaritySearch {
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("src"), col("dst"), col("rank"), round(col("sim"), 6).as("sim"))
       .orderBy(col("src"), col("rank"))
+  }
+
+  /** Hard negatives kept per anchor by [[contrastivePairs]]. */
+  val ContrastiveNegatives = 4
+
+  /** contrastive_pairs — self-supervised training-pair mining over
+    * the corpus k-NN graph (the DPR/SimCSE data-preparation card an
+    * embedding-model team runs over the corpus): for every anchor
+    * that has a POSITIVE — a neighbor at or above the near-duplicate
+    * band, cosine ≥ [[Clustering.SemThreshold]], the SAME boundary
+    * the dedup family treats as "same content" — emit that positive
+    * (the best-ranked in-band neighbor) plus the top
+    * [[ContrastiveNegatives]] HARD negatives: the most similar
+    * neighbors STRICTLY BELOW the band — close enough to be
+    * informative gradients, dissimilar enough to be true negatives
+    * (random negatives are trivially easy; in-band "negatives" are
+    * false ones). Anchors with no in-band neighbor emit nothing — a
+    * contrastive example needs its positive.
+    *
+    * Pure composition over the REGISTERED [[knnGraph]] (same edges,
+    * same rounded similarities, same constants), so the banded-LSH
+    * scale shape is inherited wholesale; the only new work is ONE
+    * window pass over the graph's ≤ k rows per anchor (band rank +
+    * a has-positive flag — no self-join, no second traversal of the
+    * LSH pipeline). Oracle BY COMPOSITION over the knn_graph oracle
+    * (derivedOracleSql — the dedup_eval convention: the card cannot
+    * drift from the operator it mines).
+    */
+  def contrastivePairs(spark: SparkSession, dir: String): DataFrame =
+    contrastivePairsOn(embDouble(spark, dir).filter(col("v").isNotNull))
+
+  private[graft] def contrastivePairsOn(emb: DataFrame): DataFrame = {
+    val thr = Clustering.SemThreshold
+    val g = knnGraphOn(emb, 8)
+      .withColumn("role",
+        when(col("sim") >= thr, lit("pos")).otherwise(lit("neg")))
+    val wBand = Window.partitionBy(col("src"), col("role"))
+      .orderBy(col("sim").desc, col("dst"))
+    // per-anchor windows over ≤ k graph edges — bounded partitions
+    val ranked = g.withColumn("rk", row_number().over(wBand))
+      .withColumn("has_pos",
+        max(when(col("role") === "pos", 1).otherwise(0))
+          .over(Window.partitionBy(col("src"))))
+    ranked
+      .filter(col("has_pos") === 1 &&
+        ((col("role") === "pos" && col("rk") === 1) ||
+          (col("role") === "neg" && col("rk") <= ContrastiveNegatives)))
+      .select(col("src").as("anchor"), col("role"),
+        col("rk").cast("long").as("rank"), col("dst").as("partner"),
+        col("sim"))
+      .orderBy(col("anchor"), col("role").desc, col("rank"))
   }
 
   /** ann_eval — the index-selection recall card: every approximate

@@ -294,6 +294,45 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("contrastive_pairs: one in-band positive per anchor, hard negatives below the band, exact graph composition") {
+    import graft.operators.Clustering.SemThreshold
+    import graft.operators.SimilaritySearch.ContrastiveNegatives
+    val got = SparkEntry.queries("contrastive_pairs")(spark, sf).collect()
+    assert(got.nonEmpty, "fixture corpus must mine some pairs")
+    val byAnchor = got.groupBy(_.getAs[Long]("anchor"))
+    byAnchor.foreach { case (a, rows) =>
+      val pos = rows.filter(_.getAs[String]("role") == "pos")
+      val neg = rows.filter(_.getAs[String]("role") == "neg")
+      assert(pos.length == 1 && pos.head.getAs[Long]("rank") == 1L,
+        s"anchor $a must carry exactly one rank-1 positive")
+      assert(pos.head.getAs[Double]("sim") >= SemThreshold)
+      assert(neg.length <= ContrastiveNegatives)
+      assert(neg.forall(_.getAs[Double]("sim") < SemThreshold),
+        s"anchor $a has an in-band 'negative' (a false negative)")
+      assert(neg.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to neg.length).toSeq, "negative ranks must be contiguous")
+    }
+    // exact composition: recompute from the REGISTERED graph's output
+    val g = SparkEntry.queries("knn_graph")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"),
+        r.getAs[Double]("sim")))
+    val expect = g.groupBy(_._1).flatMap { case (a, edges) =>
+      val (ps, ns) = edges.partition(_._3 >= SemThreshold)
+      if (ps.isEmpty) Nil
+      else {
+        val p = ps.minBy(e => (-e._3, e._2))
+        val hard = ns.sortBy(e => (-e._3, e._2)).take(ContrastiveNegatives)
+        (a, "pos", 1L, p._2, p._3) ::
+          hard.toList.zipWithIndex.map { case (e, i) =>
+            (a, "neg", i + 1L, e._2, e._3) }
+      }
+    }.toSet
+    val gotSet = got.map(r => (r.getAs[Long]("anchor"), r.getAs[String]("role"),
+      r.getAs[Long]("rank"), r.getAs[Long]("partner"),
+      r.getAs[Double]("sim"))).toSet
+    assert(gotSet == expect, "contrastive_pairs drifted from its own graph")
+  }
+
   test("knn_graph signature width scales with the corpus and the plan stays bucket-joined") {
     // the auto-width rule: ⌈log₂(n/target)⌉ planes, floored at 2 —
     // bucket occupancy stays ≈ target at any n, so candidate volume

@@ -122,6 +122,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
       e.select(org.apache.spark.sql.functions.col("v")))),
     "ann_pq" -> (e => operators.SimilaritySearch.annPqOn(e, 10, 3)),
     "knn_graph" -> (e => operators.SimilaritySearch.knnGraphOn(e, 5)),
+    "contrastive_pairs" -> (e => operators.SimilaritySearch.contrastivePairsOn(e)),
     "dsir_select" -> (_ => operators.LangModel.dsirSelectOn(emptyDocs)),
     "ccnet_buckets" -> (_ => operators.LangModel.ccnetBucketsOn(emptyDocs)),
     // the rest of the ANN/quantization family: an empty corpus means
