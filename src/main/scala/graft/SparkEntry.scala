@@ -706,7 +706,7 @@ object SparkEntry {
           |      OVER (PARTITION BY src) AS has_pos
           |  FROM (SELECT src, dst, sim,
           |      CASE WHEN sim >= $thr THEN 'pos' ELSE 'neg' END AS role
-          |    FROM g))
+          |    FROM g WHERE NOT isnan(sim)))
           |SELECT src AS anchor, role, CAST(rk AS BIGINT) AS rank,
           |  dst AS partner, sim
           |FROM r

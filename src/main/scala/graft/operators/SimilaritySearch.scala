@@ -892,7 +892,14 @@ object SimilaritySearch {
 
   private[graft] def contrastivePairsOn(emb: DataFrame): DataFrame = {
     val thr = Clustering.SemThreshold
+    // NaN-sim edges (a zero-norm vector's 0/0 cosine) are degenerate
+    // and mine NOTHING — dropped explicitly because the three
+    // implementations disagree on bare `NaN >= thr` (Spark SQL's
+    // total order says true, Scala/Java say false; DuckDB says true):
+    // an explicit filter keeps engine, oracle and the spec's in-JVM
+    // twin aligned by construction instead of by comparison trivia
     val g = knnGraphOn(emb, 8)
+      .filter(!isnan(col("sim")))
       .withColumn("role",
         when(col("sim") >= thr, lit("pos")).otherwise(lit("neg")))
     val wBand = Window.partitionBy(col("src"), col("role"))

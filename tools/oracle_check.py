@@ -46,10 +46,15 @@ def main() -> None:
     # DuckDB's default memory limit can mis-detect container RAM and
     # OOM the replica-corpus runs (semdedup/lsh_tune at the 20x dir
     # failed tiny block allocations with 120 GB free); pin a generous
-    # limit, overridable for smaller hosts. Dev tool only — the
-    # driver's replica runs at sf0.01 where this never binds.
+    # limit, overridable via ORACLE_MEM. Capped at 80% of detected
+    # physical RAM so a small host keeps DuckDB's managed spilling
+    # instead of an OS-level OOM kill. Dev tool only — the driver's
+    # replica runs at sf0.01 where this never binds.
+    phys_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+               ) * 0.8 / 2**30
+    default = f"{max(1, min(64, int(phys_gb)))}GB"
     con.execute(
-        f"SET memory_limit='{os.environ.get('ORACLE_MEM', '64GB')}'")
+        f"SET memory_limit='{os.environ.get('ORACLE_MEM', default)}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
