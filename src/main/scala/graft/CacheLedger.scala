@@ -64,7 +64,8 @@ object CacheLedger {
     * complete ledger (Scala objects register lazily on first use).
     */
   def touchAll(): Unit = {
-    val _ = (operators.Tokenizer, operators.Dedup, operators.LangModel)
+    val _ = (operators.Tokenizer, operators.Dedup, operators.LangModel,
+      operators.Graph)
   }
 
   /** Clear every registered cache, unpersisting any frames they held. */

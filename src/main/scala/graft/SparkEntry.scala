@@ -328,17 +328,34 @@ object SparkEntry {
     * the same constants). Produces CTEs: e (non-null vectors), w
     * (the width), sg (vec_id, t, sig).
     */
+  /** Unrolled budget for the LPA oracle chain: 16 half-rounds ≥ the
+    * engine's observed convergence on every registered corpus (the
+    * gates converge at 5-7; /tmp replica trade graphs in the same
+    * band), and = the [[operators.Graph.lpaCapHalfRounds]] law's
+    * FLOOR, so `LEAST(conv, cap)` below is exact whenever the chain
+    * is long enough to find conv at all. A corpus converging past 16
+    * hash-mismatches LOUDLY (the k_core 16-round convention) — the
+    * chain can never silently agree with an unconverged engine,
+    * because every chain round past the engine's fixpoint is an
+    * identity and every round before it is a real update.
+    */
+  private val LpaOracleBudget = 16
+
   /** The semi-synchronous LPA chain rebuilt in SQL, shared by the
     * graph_communities and community_stats oracles: trade nodes +
-    * mirrored edges, then [[operators.Graph.LpaRounds]] unrolled
+    * mirrored edges, then [[LpaOracleBudget]] unrolled
     * alternating half-rounds (customers odd, suppliers even —
     * mirroring the engine's bipartite schedule), majority label with
     * ties to the SMALLEST via (count DESC, lbl) row_number, AS
     * MATERIALIZED per round (each references its predecessor twice).
-    * Produces CTEs: nodes, pairs, edges, l0..l{LpaRounds}.
+    * Budget ≥ the engine's convergence round ⇒ l{B} IS the converged
+    * labeling (every past-fixpoint half-round is an identity — the
+    * k_core unrolled-oracle play, now applied to a fixpoint loop).
+    * Produces CTEs: nodes, pairs, edges, l0..l{LpaOracleBudget}.
     */
   private def lpaCtes: String = {
-    import operators.Graph.{LpaRounds, SupplierNodeOffset}
+    import operators.Graph.SupplierNodeOffset
+    val LpaRounds = LpaOracleBudget
     val rounds = (1 to LpaRounds).map { i =>
       val side =
         if (i % 2 == 0) s"e.dst >= $SupplierNodeOffset"
@@ -365,6 +382,37 @@ object SparkEntry {
       |),
       |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
       |$rounds""".stripMargin
+  }
+
+  /** The fixpoint loop's convergence META replayed in SQL (for the
+    * community_stats card): per-round change counts over the
+    * [[lpaCtes]] chain, conv = the first EVEN round closing a full
+    * bipartite cycle in which neither half-round changed a label
+    * (the engine's exact stopping rule — convergence is checked at
+    * cycle boundaries, one action per cycle), cap = the
+    * [[operators.Graph.lpaCapHalfRounds]] law replayed from COUNT(*)
+    * via the exact integer bit-length (length(bin(n)) — no float
+    * log; the law is even by construction, so cycle stepping lands
+    * on it exactly), rounds_used = LEAST(conv, cap) with a
+    * non-converging chain falling back to cap, converged as BIGINT
+    * 0/1 (the scd2 is_current convention). Produces CTEs: ch, conv,
+    * cap, meta(rounds_used, converged).
+    */
+  private def lpaMetaCtes: String = {
+    val ch = (1 to LpaOracleBudget).map { i =>
+      s"""SELECT $i AS r, (SELECT COUNT(*) FROM l$i a
+        |    JOIN l${i - 1} b ON a.id = b.id WHERE a.lbl <> b.lbl) AS c""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""ch AS MATERIALIZED ($ch),
+      |conv AS (SELECT MIN(a.r) AS v FROM ch a JOIN ch b ON b.r = a.r - 1
+      |  WHERE a.c = 0 AND b.c = 0 AND a.r % 2 = 0),
+      |cap AS (SELECT LEAST(96, GREATEST(16,
+      |    4 * length(bin((SELECT COUNT(*) FROM nodes))) + 8)) AS v),
+      |meta AS (SELECT
+      |    CAST(LEAST(COALESCE(conv.v, cap.v), cap.v) AS BIGINT) AS rounds_used,
+      |    CAST(CASE WHEN conv.v IS NOT NULL AND conv.v <= cap.v
+      |      THEN 1 ELSE 0 END AS BIGINT) AS converged
+      |  FROM conv CROSS JOIN cap)""".stripMargin
   }
 
   private def lshSigCtes(tag: String, tables: Int,
@@ -3727,33 +3775,40 @@ object SparkEntry {
         |ORDER BY node_id""".stripMargin
     },
 
-    // label propagation UNROLLED (the pagerank convention): 8 fixed
+    // label propagation UNROLLED past the fixpoint (the k_core
+    // convention applied to a convergence loop): LpaOracleBudget
     // alternating half-rounds — customers update on odd rounds,
     // suppliers on even (the bipartite semi-synchronous schedule the
     // engine runs) — majority neighbor label with ties to the
     // SMALLEST via the (count DESC, lbl) row_number. AS MATERIALIZED
     // per round (the k_core lesson: each round references its
-    // predecessor twice). Shared with the community_stats oracle via
-    // lpaCtes (nodes/pairs/edges/l0..l8).
+    // predecessor twice). The engine stops at its convergence round;
+    // every chain round past it is an identity, so l{B} equals the
+    // converged labeling exactly. Shared with the community_stats
+    // oracle via lpaCtes (nodes/pairs/edges/l0..l{B}).
     "graph_communities" -> {
-      import operators.Graph.{LpaRounds, SupplierNodeOffset}
+      import operators.Graph.SupplierNodeOffset
       s"""WITH $lpaCtes,
         |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS csize
-        |  FROM l$LpaRounds GROUP BY 1)
+        |  FROM l$LpaOracleBudget GROUP BY 1)
         |SELECT l.id AS node_id,
         |  CASE WHEN l.id >= $SupplierNodeOffset THEN 's' ELSE 'c' END AS node_type,
         |  CAST(l.lbl AS BIGINT) AS community, sz.csize
-        |FROM l$LpaRounds l JOIN sz ON sz.lbl = l.lbl
+        |FROM l$LpaOracleBudget l JOIN sz ON sz.lbl = l.lbl
         |ORDER BY node_id""".stripMargin
     },
 
     // the community QUALITY card: degree mass + mirrored internal
     // edges per label over the SAME unrolled LPA chain, Newman's Q
     // summand as two truncating integer divisions on the ppm lattice
-    // (HUGEINT cross-terms ≡ the engine's DECIMAL(38))
+    // (HUGEINT cross-terms ≡ the engine's DECIMAL(38)), plus the
+    // loop's convergence meta (rounds_used / converged) replayed
+    // from the chain's per-round change counts + the bit-length cap
+    // law (lpaMetaCtes)
     "community_stats" -> {
-      import operators.Graph.LpaRounds
+      val LpaRounds = LpaOracleBudget
       s"""WITH $lpaCtes,
+        |$lpaMetaCtes,
         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
         |dm AS (SELECT l.lbl, CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |    CAST(SUM(COALESCE(deg.d, 0)) AS BIGINT) AS degree_sum
@@ -3770,8 +3825,9 @@ object SparkEntry {
         |      // mm.m_mir AS BIGINT) -
         |    CAST(CAST(dm.degree_sum AS HUGEINT) * dm.degree_sum * 1000000
         |      // (mm.m_mir * mm.m_mir) AS BIGINT)
-        |  END AS q_ppm
-        |FROM dm LEFT JOIN ie ON dm.lbl = ie.lbl CROSS JOIN mm
+        |  END AS q_ppm,
+        |  meta.rounds_used, meta.converged
+        |FROM dm LEFT JOIN ie ON dm.lbl = ie.lbl CROSS JOIN mm CROSS JOIN meta
         |ORDER BY community""".stripMargin
     },
 

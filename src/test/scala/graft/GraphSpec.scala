@@ -196,7 +196,167 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("graph_communities equals the in-memory semi-synchronous LPA reference") {
+  /** One in-JVM semi-synchronous half-round: the UPDATING side
+    * (customers odd r, suppliers even) takes the neighbor-majority
+    * label with ties to the smallest; isolated/non-updating keep.
+    */
+  private def lpaHalfRound(nodes: Seq[Long], adj: Map[Long, Seq[Long]],
+      lbl: Map[Long, Long], r: Int): Map[Long, Long] = {
+    val off = operators.Graph.SupplierNodeOffset
+    nodes.filter(n => if (r % 2 == 0) n >= off else n < off).flatMap { n =>
+      val votes = adj.getOrElse(n, Seq.empty).map(lbl)
+      if (votes.isEmpty) None
+      else {
+        val counts = votes.groupBy(identity).map { case (l, v) => (l, v.size) }
+        Some(n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1)
+      }
+    }.toMap
+  }
+
+  /** Plain-Scala reference for the semi-synchronous LPA FIXPOINT
+    * loop: same alternating schedule, same majority-with-smallest-tie
+    * rule, same stopping rule (a full bipartite cycle — customer +
+    * supplier half-rounds — changing no label, checked at cycle
+    * boundaries) under the same [[operators.Graph.lpaCapHalfRounds]]
+    * budget. Returns (labels, roundsUsed, converged).
+    */
+  private def referenceLpa(nodes: Seq[Long], adj: Map[Long, Seq[Long]])
+      : (Map[Long, Long], Int, Boolean) = {
+    val cap = operators.Graph.lpaCapHalfRounds(nodes.size.toLong)
+    var lbl: Map[Long, Long] = nodes.map(n => n -> n).toMap
+    var r = 0
+    var converged = false
+    while (!converged && r < cap) {
+      var cycleChanged = 0
+      for (h <- 1 to 2) {
+        val updates = lpaHalfRound(nodes, adj, lbl, r + h)
+        cycleChanged += updates.count { case (n, l) => lbl(n) != l }
+        lbl = lbl ++ updates
+      }
+      r += 2
+      converged = cycleChanged == 0
+    }
+    (lbl, r, converged)
+  }
+
+  /** Synthetic trade tables whose graph is the PATH
+    * c1−s1−c2−s2−…−ck−sk (2k nodes, diameter 2k−1): trading pair
+    * (ci, si) for every i plus (c(i+1), si) below k. The adversarial
+    * long-diameter case for any fixed LPA budget — the minimum label
+    * creeps ONE hop per half-round, so convergence takes exactly 2k
+    * half-rounds.
+    */
+  private def pathTables(k: Int) = {
+    import spark.implicits._
+    val customer = (1L to k.toLong).toDF("c_custkey")
+    val supplier = (1L to k.toLong).toDF("s_suppkey")
+    val pairs = (1L to k.toLong).flatMap(i =>
+      Seq((i, i)) ++ (if (i < k) Seq((i + 1, i)) else Nil))
+    val orders = pairs.zipWithIndex.map { case ((c, _), j) => (j.toLong, c) }
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = pairs.zipWithIndex.map { case ((_, s), j) => (j.toLong, s) }
+      .toDF("l_orderkey", "l_suppkey")
+    (customer, supplier, orders, lineitem, pairs)
+  }
+
+  private def pathNodesAdj(k: Int, pairs: Seq[(Long, Long)]) = {
+    val off = operators.Graph.SupplierNodeOffset
+    val nodes = (1L to k.toLong) ++ (1L to k.toLong).map(_ + off)
+    val adj = pairs.flatMap { case (c, s) => Seq(c -> (s + off), (s + off) -> c) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    (nodes, adj)
+  }
+
+  test("planted path: the r12 frozen 8-round budget under-propagates; the fixpoint loop converges") {
+    // k=8 → n=16 nodes, diameter 15: convergence needs 16 half-rounds,
+    // within the budget law's cap(16)=28 but past the old frozen 8
+    val (customer, supplier, orders, lineitem, pairs) = pathTables(8)
+    val (nodes, adj) = pathNodesAdj(8, pairs)
+    // the old engine: exactly 8 half-rounds, no convergence test —
+    // provably fragments the single path community
+    var frozen: Map[Long, Long] = nodes.map(n => n -> n).toMap
+    for (r <- 1 to 8) frozen = frozen ++ lpaHalfRound(nodes, adj, frozen, r)
+    assert(frozen.values.toSet.size > 1,
+      "fixture sanity: 8 rounds must leave the path fragmented")
+    // the fixpoint engine: converges to ONE community (min label 1)
+    val got = operators.Graph.graphCommunitiesOn(customer, supplier, orders, lineitem)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val (refLbl, refRounds, refConverged) = referenceLpa(nodes, adj)
+    assert(refConverged && refRounds == 16, s"expected conv at 16, got $refRounds")
+    assert(got.keySet == nodes.toSet)
+    got.foreach { case (n, (lbl, sz)) =>
+      assert(lbl == refLbl(n) && sz == 16L,
+        s"node $n: ($lbl, $sz) — path must merge into one community")
+    }
+    assert(got.values.map(_._1).toSet.size == 1,
+      "the converged path must be a single community")
+    // and the card carries the convergence meta
+    val card = operators.Graph.communityStatsOn(customer, supplier, orders, lineitem)
+      .collect()
+    assert(card.length == 1)
+    assert(card.head.getLong(5) == 16L && card.head.getLong(6) == 1L,
+      s"card meta: rounds_used=${card.head.getLong(5)} converged=${card.head.getLong(6)}")
+  }
+
+  test("planted long path: budget exhaustion is REPORTED, and the labeling is the exact state at the cap") {
+    // k=32 → n=64 nodes: convergence would need 64 half-rounds, past
+    // cap(64)=36 — the loop must stop at 36, say so on the card, and
+    // emit exactly the 36-round state (not a partial or corrupt one)
+    val (customer, supplier, orders, lineitem, pairs) = pathTables(32)
+    val (nodes, adj) = pathNodesAdj(32, pairs)
+    val cap = operators.Graph.lpaCapHalfRounds(64L)
+    assert(cap == 36, s"law check: cap(64) must be 36, got $cap")
+    val (refLbl, refRounds, refConverged) = referenceLpa(nodes, adj)
+    assert(!refConverged && refRounds == cap)
+    val got = operators.Graph.graphCommunitiesOn(customer, supplier, orders, lineitem)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == refLbl, "budget-exhausted labeling must be the exact state at the cap")
+    assert(got.values.toSet.size > 1, "fixture sanity: the cap state is still fragmented")
+    val card = operators.Graph.communityStatsOn(customer, supplier, orders, lineitem)
+      .collect()
+    assert(card.forall(r => r.getLong(5) == cap.toLong && r.getLong(6) == 0L),
+      "every card row must announce the exhausted budget (converged = 0)")
+  }
+
+  test("community_stats reuses graph_communities' labeling artifact (no second LPA loop)") {
+    // count Spark jobs for a COLD card (artifact dropped — pays the
+    // loop) vs a WARM one (labeling artifact hot): the loop is one
+    // action per half-round plus init, so the warm card must run at
+    // least the loop's worth of jobs fewer — a re-run loop fails this
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    def settled(): Int = {
+      // listener delivery is async: poll until the count stabilizes
+      var last = -1
+      var cur = counter.get()
+      var spins = 0
+      while (cur != last && spins < 100) {
+        last = cur; Thread.sleep(50); cur = counter.get(); spins += 1
+      }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      CacheLedger.drain(spark)
+      val before = settled()
+      val cold = operators.Graph.communityStats(spark, sf).collect().toSeq
+      val coldJobs = settled() - before
+      val warm = operators.Graph.communityStats(spark, sf).collect().toSeq
+      val warmJobs = settled() - before - coldJobs
+      assert(warm == cold, "warm card must equal the cold card bit-for-bit")
+      // sf0.001 converges in 3 cycles → ≥ 3 cycle actions + the init
+      // count vanish on the warm path
+      assert(warmJobs <= coldJobs - 3,
+        s"warm card ran $warmJobs jobs vs cold $coldJobs — LPA loop re-ran?")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("graph_communities equals the in-memory semi-synchronous LPA fixpoint reference") {
     import org.apache.spark.sql.functions._
     val off = operators.Graph.SupplierNodeOffset
     val t = Tables(spark, sf)
@@ -209,21 +369,10 @@ class GraphSpec extends AnyFunSuite {
       t.supplier.select(col("s_suppkey") + off).collect().map(_.getLong(0))).toSeq
     val adj: Map[Long, Seq[Long]] = pairs.toSeq.flatMap { case (c, s) =>
       Seq(c -> s, s -> c) }.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
-    // reference: LpaRounds alternating half-rounds, majority neighbor
-    // label with ties to the smallest, non-updating/isolated keep
-    var lbl: Map[Long, Long] = nodes.map(n => n -> n).toMap
-    for (r <- 1 to operators.Graph.LpaRounds) {
-      val updates = nodes.filter(n =>
-        if (r % 2 == 0) n >= off else n < off).flatMap { n =>
-        val votes = adj.getOrElse(n, Seq.empty).map(lbl)
-        if (votes.isEmpty) None
-        else {
-          val counts = votes.groupBy(identity).map { case (l, v) => (l, v.size) }
-          Some(n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1)
-        }
-      }.toMap
-      lbl = lbl ++ updates
-    }
+    val (lbl, refRounds, refConverged) = referenceLpa(nodes, adj)
+    assert(refConverged, "gate corpus sanity: the trade graph must converge")
+    assert(refRounds <= 8,
+      s"gate corpus converges at $refRounds > the r12 budget — hash continuity broken")
     val want = {
       val sizes = lbl.values.groupBy(identity).map { case (l, v) => l -> v.size.toLong }
       lbl.map { case (n, l) => n -> (l, sizes(l)) }
@@ -260,16 +409,24 @@ class GraphSpec extends AnyFunSuite {
     val mirrored = pairs.flatMap { case (c, s) => Seq(c -> s, s -> c) }
     val mMir = mirrored.length.toLong
     val deg = mirrored.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    // convergence meta from the in-JVM fixpoint reference
+    val nodes = (t.customer.select(col("c_custkey")).collect().map(_.getLong(0)) ++
+      t.supplier.select(col("s_suppkey") + off).collect().map(_.getLong(0))).toSeq
+    val adj: Map[Long, Seq[Long]] = mirrored.toSeq.groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2) }
+    val (_, refRounds, refConverged) = referenceLpa(nodes, adj)
     val want = labels.values.toSeq.distinct.sorted.map { lbl =>
       val members = labels.collect { case (n, l) if l == lbl => n }.toSet
       val dSum = members.toSeq.map(n => deg.getOrElse(n, 0L)).sum
       val eMir = mirrored.count { case (a, b) => members(a) && labels(b) == lbl }.toLong
       val q = (BigInt(eMir) * 1000000 / mMir -
         BigInt(dSum) * dSum * 1000000 / (BigInt(mMir) * mMir)).toLong
-      (lbl, members.size.toLong, dSum, eMir / 2, q)
+      (lbl, members.size.toLong, dSum, eMir / 2, q,
+        refRounds.toLong, if (refConverged) 1L else 0L)
     }
     val got = operators.Graph.communityStats(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
       .toSeq
     assert(got == want, s"modularity card differs:\ngot  $got\nwant $want")
     // the summed Q must sit in Newman's range; singleton communities
