@@ -54,18 +54,21 @@ object Bench {
     }
     selected.foreach(runOnce(_, warmupDir))
 
-    // min over adaptive timed runs. Two passes suffice for light,
-    // stable queries, but min-of-two was NOT converging on the heavy
-    // tail (r6: dedup_clusters 8.26 s driver vs 3.97 s same-code
-    // builder run, pagerank bouncing 10↔18 s across rounds) — GC/JIT
-    // noise at this scale is multi-second and concentrates on the
-    // longest queries. Damping rule: every run is preceded by a GC
-    // drain; a query gets extra passes (≤ 6 total) while its min
-    // exceeds 5 s with fewer than 3 runs taken, or its runs diverge
-    // >1.5× without the two BEST runs agreeing within 25% (two
-    // agreeing runs mean the min is reproducible, not a fluke).
-    // Per-run times are recorded in the artifact so variance is
-    // visible rather than inferred from round-to-round diffs.
+    // min over ≥ 3 timed runs (plus a MEDIAN per query in the
+    // artifact). Min-of-two was NOT converging on the heavy tail
+    // (r6: dedup_clusters 8.26 s driver vs 3.97 s same-code builder
+    // run, pagerank bouncing 10↔18 s across rounds) — GC/JIT noise
+    // at this scale is multi-second and concentrates on the longest
+    // queries — and two samples cannot separate a code regression
+    // from machine weather (the r12 +25.6% driver headline took
+    // cross-session builder runs to attribute; the r12 advisory asks
+    // for medians of ≥ 3 in ONE artifact). Damping rule: every run
+    // is preceded by a GC drain; a query gets extra passes (≤ 6
+    // total) while its runs diverge >1.5× without the two BEST runs
+    // agreeing within 25% (two agreeing runs mean the min is
+    // reproducible, not a fluke). Per-run times are recorded in the
+    // artifact so variance is visible rather than inferred from
+    // round-to-round diffs.
     def timeQuery(n: String, dir: String): Seq[Double] = {
       val runs = scala.collection.mutable.ArrayBuffer[Double]()
       // the GC drain before EVERY pass matters: multi-round queries
@@ -73,15 +76,14 @@ object Bench {
       // as mid-query pauses (pagerank measured 16.4 s in a full
       // bench vs 9.2 s isolated-warm — same code)
       def pass(): Unit = { System.gc(); runs += runOnce(n, dir) }
-      pass(); pass()
+      pass(); pass(); pass()
       def pos = runs.filter(_ >= 0)
       def needMore: Boolean = {
         if (runs.exists(_ < 0) || runs.size >= 6) return false
         val s = pos.sorted
-        val heavyUnderSampled = s.head > 5.0 && runs.size < 3
         val divergentUnsettled =
           s.last > 1.5 * s.head && s(1) > 1.25 * s.head
-        heavyUnderSampled || divergentUnsettled
+        divergentUnsettled
       }
       while (needMore) pass()
       runs.toSeq
@@ -131,16 +133,26 @@ object Bench {
         s""","slope_vs":"${small.getPath}","slope":$sl,"superlinear":$sup"""
       }
     }
-    // per-run times (the damping rule's evidence): queries with > 2
+    // per-run times (the damping rule's evidence): queries with > 3
     // entries got extra variance passes; the spread between entries
     // IS the measured bench noise for that query
     val runsJson = allRuns
       .map { case (k, rs) => "\"" + k + "\":" + rs.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // medians of the ≥ 3 runs (the r12 advisory): the median is the
+    // variance-robust per-query number a round-over-round diff should
+    // read — a regression moves the median, weather moves the spread
+    def medianOf(runs: Seq[Double]): Double =
+      if (runs.exists(_ < 0)) -1.0
+      else { val s = runs.sorted; s(s.size / 2) }
+    val medians = allRuns.map { case (n, rs) => n -> medianOf(rs) }
+    val mediansJson = medians
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val medianTotal = fmt(medians.map(_._2).filter(_ >= 0).sum)
     // cold_artifacts: every pass runs behind a CacheLedger drain, so
     // per-query times are cold operator cost (no warm memoized pair
     // sets / models / scores — the r9 advisory)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_artifacts":true,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"$slopeJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_artifacts":true,"queries":$qs,"medians":$mediansJson,"median_total":$medianTotal,"runs":$runsJson,"sf":"$sfDir"$slopeJson}"""
     // persist to a file first: log capture truncates long lines (r02's
     // tail lost the front half of the per-query map), the file never
     // two copies: target/bench.json (historic location) and a
@@ -178,6 +190,6 @@ object Bench {
     }
     val failed = results.collect { case (n, t) if t < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"queries":{${sb.toString}},"detail":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":$total,"median_total":$medianTotal,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"queries":{${sb.toString}},"detail":"target/bench.json"}""")
   }
 }

@@ -1825,10 +1825,17 @@ object SparkEntry {
     // the SAME sequence via list_transform/list_sum (DuckDB's
     // list_sum is the left fold, verified on non-associative
     // adversarial values; Scala foldLeft/Seq.sum are the same fold),
-    // so eigenvalues hash bit-exactly and %.6f formatting agrees
-    // (no double sits on a 6-digit decimal midpoint — the denominator
-    // would need a factor of 5^7). Iteration CTEs are MATERIALIZED
-    // 1-row relations (the ivfAssignCtes inlining lesson).
+    // so eigenvalues hash bit-exactly and %.6f formatting agrees —
+    // a 6-decimal midpoint IS double-representable (any odd/2^k,
+    // k ≥ 7, e.g. 0.0078125, where Java HALF_UP and printf's
+    // half-even would split), but the iterates are sqrt-normalized
+    // quotients for which landing exactly on such a dyadic midpoint
+    // is measure-zero; the gate corpora and fuzz replays confirm no
+    // occurrence. Iteration CTEs are MATERIALIZED 1-row relations
+    // (the ivfAssignCtes inlining lesson). The lattice transform
+    // mirrors math.round's full non-finite contract (NaN → 0, ±Inf
+    // saturating to the Long bounds), so a non-finite embedding
+    // element compares instead of crashing the CAST.
     "emb_pca" -> {
       val cl = operators.Clustering
       val d = cl.PcaDim
@@ -1879,7 +1886,10 @@ object SparkEntry {
         |  FROM embeddings WHERE embedding IS NOT NULL),
         |nn AS (SELECT COUNT(*) AS n FROM e),
         |lat AS MATERIALIZED (SELECT list_transform(v,
-        |    x -> CAST(floor(x * ${cl.PcaScale} + 0.5) AS BIGINT)) AS q FROM e),
+        |    x -> CASE WHEN isnan(x * ${cl.PcaScale}) THEN 0
+        |      WHEN x * ${cl.PcaScale} >= 9223372036854775807 THEN 9223372036854775807
+        |      WHEN x * ${cl.PcaScale} <= -9223372036854775808 THEN -9223372036854775808
+        |      ELSE CAST(floor(x * ${cl.PcaScale} + 0.5) AS BIGINT) END) AS q FROM e),
         |sc AS MATERIALIZED (SELECT ii.i AS i, jj.j AS j,
         |    SUM(COALESCE(q[ii.i + 1], 0) * COALESCE(q[jj.j + 1], 0)) AS s
         |  FROM lat, range(0, $d) ii(i), range(0, $d) jj(j) GROUP BY 1, 2),

@@ -50,11 +50,18 @@ def main() -> None:
     # physical RAM so a small host keeps DuckDB's managed spilling
     # instead of an OS-level OOM kill. Dev tool only — the driver's
     # replica runs at sf0.01 where this never binds.
-    phys_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-               ) * 0.8 / 2**30
-    default = f"{max(1, min(64, int(phys_gb)))}GB"
-    con.execute(
-        f"SET memory_limit='{os.environ.get('ORACLE_MEM', default)}'")
+    mem = os.environ.get("ORACLE_MEM")
+    if not mem:
+        # sysconf keys are platform-dependent — only probe them when
+        # ORACLE_MEM is unset, and fall back to a fixed default rather
+        # than crashing at startup on hosts without SC_PHYS_PAGES
+        try:
+            phys_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+                       ) * 0.8 / 2**30
+            mem = f"{max(1, min(64, int(phys_gb)))}GB"
+        except (AttributeError, OSError, ValueError):
+            mem = "16GB"
+    con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
