@@ -418,15 +418,22 @@ object SparkEntry {
   private def lshSigCtes(tag: String, tables: Int,
       eSql: String = """SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |  WHERE embedding IS NOT NULL""".stripMargin,
-      preCtes: String = ""): String = {
+      preCtes: String = "", denseBumpOver: Long = 0L): String = {
     val ss = operators.SimilaritySearch
     val range = 2 * ss.LshCoefRange + 1
+    // denseBumpOver > 0 replays knnPlanesPerTable's dense-regime
+    // plane (+1 past the threshold, still capped) — the knn_graph
+    // oracle passes KnnDenseN; query-side families keep the flat law
+    val bumpSql =
+      if (denseBumpOver > 0L)
+        s" + (SELECT CASE WHEN n > $denseBumpOver THEN 1 ELSE 0 END FROM nn)"
+      else ""
     s"""${preCtes}e AS ($eSql),
       |nn AS (SELECT COUNT(*) AS n FROM e),
-      |w AS (SELECT GREATEST(2, (SELECT MIN(b)
+      |w AS (SELECT LEAST(${ss.LshMaxPlanes}, GREATEST(2, (SELECT MIN(b)
       |    FROM range(0, ${ss.LshMaxPlanes + 1}) AS t(b), nn
       |    WHERE (CAST(${ss.KnnBucketTarget} AS BIGINT) << b) >= nn.n
-      |      OR b = ${ss.LshMaxPlanes})) AS p),
+      |      OR b = ${ss.LshMaxPlanes}))$bumpSql) AS p),
       |pl AS (SELECT t.t, j.j, d.d,
       |    ${hash60Sql(s"'hp:$tag:' || t.t || ':' || j.j || ':' || d.d")}
       |      % $range - ${ss.LshCoefRange} AS coef
@@ -2069,7 +2076,7 @@ object SparkEntry {
     // bucket self-join candidates, exact-cosine re-rank per source
     "knn_graph" -> {
       val ss = operators.SimilaritySearch
-      s"""WITH ${lshSigCtes("knn", ss.KnnTables)},
+      s"""WITH ${lshSigCtes("knn", ss.KnnTables, denseBumpOver = ss.KnnDenseN)},
         |f AS (SELECT t, sig, COUNT(*) AS bf FROM sg GROUP BY 1, 2),
         |small AS (SELECT t, sig FROM f WHERE bf <= ${ss.KnnBucketCap}),
         |idx AS (SELECT s.vec_id, s.t, s.sig

@@ -802,6 +802,36 @@ object SimilaritySearch {
     */
   val KnnBucketCap = 256
 
+  /** Dense-regime threshold for [[knnPlanesPerTable]]: past this
+    * many usable vectors the knn_graph signature gains ONE plane
+    * over the shared [[lshPlanesPerTable]] law, halving expected
+    * bucket occupancy (~32 → ~16). Rationale: the corpus-to-corpus
+    * graph SCORES every bucket pair, so its stage cost is
+    * ≈ tables·n·occupancy — at small n fixed per-table overheads
+    * dominate and the wider bucket buys recall cheaply; past the
+    * threshold exact scoring dominates and the halved occupancy
+    * halves the dominant term (the r12 carried watch item:
+    * knn_graph's R=20 ratio 7.0 tracked the occupancy-law bound
+    * while the other ANN families sat at 3.3-4.5). The threshold
+    * sits above every registered gate corpus (≤ 2000 usable
+    * vectors), so gate hashes are unchanged; the law ENGAGES on the
+    * 20× replica, where the oracle replays it cross-engine (the
+    * count-derived-law discipline). Query-side families (ann_lsh,
+    * mm_crossmodal) keep the flat law: their candidate volume is
+    * probes·occupancy·|queries| with BOUNDED queries, so occupancy
+    * there trades recall, not stage cost.
+    */
+  val KnnDenseN = 4096L
+
+  /** The [[knnGraphOn]] width law: the shared integer law plus the
+    * [[KnnDenseN]] dense-regime plane, still capped at
+    * [[LshMaxPlanes]]. SQL replay: the lshSigCtes width CTE with
+    * `denseBumpOver = KnnDenseN`.
+    */
+  private[graft] def knnPlanesPerTable(n: Long): Int =
+    math.min(LshMaxPlanes,
+      lshPlanesPerTable(n) + (if (n > KnnDenseN) 1 else 0))
+
   private[graft] val KnnTables = 8
 
   /** knn_graph — the all-pairs k-NN graph over the embedding corpus:
@@ -832,8 +862,14 @@ object SimilaritySearch {
     // straddle a KnnBucketTarget·2^p boundary (r11 ADVICE)
     val nonNull = emb.filter(col("v").isNotNull)
     val n = math.max(1L, nonNull.count())
-    val planesPerTable = lshPlanesPerTable(n)
+    val planesPerTable = knnPlanesPerTable(n)
     val planes = lshLatPlanes("knn", KnnTables, planesPerTable)
+    // NOT materialized: the bucket histogram and both self-join
+    // sides all consume the signature table through the SAME
+    // hash(t, sig) exchange, which the planner deduplicates
+    // (ReusedExchange) — the lattice expression runs once; an eager
+    // checkpoint here measured strictly slower (one extra write+read
+    // pass) at both sf0.1 and the 20× replica
     val sigs = nonNull.select(col("vec_id"),
       posexplode(hyperplaneSignaturesLat(col("v"), planes, planesPerTable,
         PQLattice)).as(Seq("t", "sig")))
@@ -842,18 +878,26 @@ object SimilaritySearch {
       .filter(col("f") <= KnnBucketCap)
       .select(col("t"), col("sig"))
     val indexed = sigs.join(smallBuckets, Seq("t", "sig"))
+    // NO corpus-wide DISTINCT on the pair table: cross-table
+    // duplicates are rare (0.3 % measured at the 20× replica) but a
+    // nearly-all-unique dedup aggregate cost ~4 s there — an extra
+    // full shuffle + hash agg of the candidate table that at 100 TB
+    // is the stage bottleneck. Duplicate (src, dst) pairs carry the
+    // SAME deterministic cosine, so the bounded heap collapses them
+    // in-place (topKPerKey's dedupe contract) for one ≤ k-entry set
+    // probe per row.
     val candidates = indexed.as("a").join(indexed.as("b"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-      .distinct()
     val scored = candidates
       .join(emb.select(col("vec_id").as("src"), col("v").as("sv")), "src")
       .join(emb.select(col("vec_id").as("dst"), col("v").as("dv")), "dst")
       .select(col("src"), col("dst"), cosineSim(col("sv"), col("dv")).as("sim"))
     val topk = graft.plans.TopK.topKPerKey(scored,
       keys = Seq(col("src")),
-      order = Seq(col("sim").desc, col("dst").asc), k = k)
+      order = Seq(col("sim").desc, col("dst").asc), k = k,
+      dedupe = Seq(col("dst")))
     val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
     topk
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -20,12 +20,27 @@ import org.apache.spark.sql.graftbridge.Bridge
   * key: O(n log k), constant memory per key, no sort buffer. At
   * 100 TB with millions of keys per partition that's the difference
   * between a spilling sort and a streaming pass.
+  *
+  * `dedupe` (optional) makes the heap ALSO collapse duplicate rows:
+  * a row whose (key, dedupe) tuple is already in the heap is
+  * skipped, and one whose twin was already EVICTED can never
+  * re-enter (duplicates carry identical order values, so it compares
+  * ≥ the heap head that beat its twin). CONTRACT: rows equal on
+  * (keys ++ dedupe) must be fully identical rows — the caller's
+  * duplicates must be true duplicates (LSH candidates colliding in
+  * several tables: same (src, dst) ⇒ same deterministic cosine).
+  * This turns "DISTINCT before top-k" into one ≤ k-entry set probe
+  * per row: the r13 knn_graph measurement had a corpus-wide DISTINCT
+  * spending ~4 s to remove 0.3 % duplicates at the 20× replica —
+  * a nearly-all-unique hash aggregate is pure pass-through cost,
+  * and at 100 TB it is a full extra shuffle of the candidate table.
   */
 case class TopKPerKey(
     k: Int,
     keys: Seq[Expression],
     order: Seq[SortOrder],
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    dedupe: Seq[Expression] = Nil) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
@@ -36,7 +51,8 @@ case class TopKPerKeyExec(
     k: Int,
     keys: Seq[Expression],
     order: Seq[SortOrder],
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    dedupe: Seq[Expression] = Nil) extends UnaryExecNode {
   import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
   override def output: Seq[Attribute] = child.output
@@ -75,9 +91,19 @@ case class TopKPerKeyExec(
     val numKeys = longMetric("numKeys")
     val heapRows = longMetric("heapRows")
     val numOutputRows = longMetric("numOutputRows")
+    val dedupeExprs = dedupe
     child.execute().mapPartitions { iter =>
       val ordering = RowOrdering.create(sortOrder, childOutput)
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // dedupe identity = (key, dedupe) so one set per partition
+      // suffices (no per-heap allocation); only populated when the
+      // caller opted in
+      val dedupeProj =
+        if (dedupeExprs.isEmpty) null
+        else UnsafeProjection.create(keyExprs ++ dedupeExprs, childOutput)
+      val inHeap =
+        if (dedupeExprs.isEmpty) null
+        else scala.collection.mutable.HashSet.empty[UnsafeRow]
       // identity projection to UnsafeRow: the shuffle inserted by
       // requiredChildDistribution usually delivers UnsafeRows already,
       // but a child that satisfies the distribution natively may emit
@@ -85,34 +111,50 @@ case class TopKPerKeyExec(
       // asInstanceOf would throw at runtime
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       // max-heap under `ordering` so the worst of the current best-k
-      // is at the head and can be evicted in O(log k)
+      // is at the head and can be evicted in O(log k); with dedupe,
+      // heap entries are (row, its dedupe id) so an eviction can
+      // release the id without re-projecting
       val heaps = scala.collection.mutable.HashMap.empty[
-        UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
+        UnsafeRow, scala.collection.mutable.PriorityQueue[(UnsafeRow, UnsafeRow)]]
+      val pairOrdering = ordering.on[(UnsafeRow, UnsafeRow)](_._1)
       var held = 0L
       iter.foreach { row =>
         val ur = row match {
           case u: UnsafeRow => u
           case other => toUnsafe(other)
         }
-        val key = keyProj(ur)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](
-              ordering.on[UnsafeRow](identity))
-            heaps.put(key.copy(), h)
-            h
-        }
-        if (heap.size < kLocal) {
-          held += 1
-          if (held > maxRows) throw new IllegalStateException(
-            s"TopKPerKeyExec holds > $maxRows rows in one task " +
-              s"(k=$kLocal × ${heaps.size} keys so far): repartition on more keys, " +
-              s"lower k, use a sort-based plan, or raise ${TopKPerKeyExec.MaxRowsKey}")
-          heap.enqueue(ur.copy())
-        } else if (ordering.compare(ur, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(ur.copy())
+        // in-heap duplicate: skip before touching the heap. A
+        // duplicate whose twin was EVICTED is not in the set, but it
+        // compares ≥ the head that beat its twin (identical order
+        // values), so the insert path below rejects it — re-entry is
+        // structurally impossible.
+        val dk = if (dedupeProj == null) null else dedupeProj(ur)
+        if (dk == null || !inHeap.contains(dk)) {
+          val key = keyProj(ur)
+          val heap = heaps.get(key) match {
+            case Some(h) => h
+            case None =>
+              val h = scala.collection.mutable.PriorityQueue
+                .empty[(UnsafeRow, UnsafeRow)](pairOrdering)
+              heaps.put(key.copy(), h)
+              h
+          }
+          if (heap.size < kLocal) {
+            held += 1
+            if (held > maxRows) throw new IllegalStateException(
+              s"TopKPerKeyExec holds > $maxRows rows in one task " +
+                s"(k=$kLocal × ${heaps.size} keys so far): repartition on more keys, " +
+                s"lower k, use a sort-based plan, or raise ${TopKPerKeyExec.MaxRowsKey}")
+            val dkc = if (dk == null) null else dk.copy()
+            heap.enqueue((ur.copy(), dkc))
+            if (dkc != null) inHeap.add(dkc)
+          } else if (ordering.compare(ur, heap.head._1) < 0) {
+            val evicted = heap.dequeue()
+            if (evicted._2 != null) inHeap.remove(evicted._2)
+            val dkc = if (dk == null) null else dk.copy()
+            heap.enqueue((ur.copy(), dkc))
+            if (dkc != null) inHeap.add(dkc)
+          }
         }
       }
       numKeys += heaps.size
@@ -120,7 +162,10 @@ case class TopKPerKeyExec(
       numOutputRows += held
       // emit each key's rows in rank order (deterministic given a
       // total order in `order`)
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      heaps.valuesIterator.flatMap { h =>
+        val ranked: Seq[(UnsafeRow, UnsafeRow)] = h.dequeueAll
+        ranked.reverseIterator.map(_._1)
+      }
     }
   }
 
@@ -154,9 +199,10 @@ object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   import org.apache.spark.sql.internal.SQLConf
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(k, keys, order, child) =>
-      if (heapOverBudget(k, keys, child)) planLater(windowForm(k, keys, order, child)) :: Nil
-      else TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
+    case TopKPerKey(k, keys, order, child, dedupe) =>
+      if (heapOverBudget(k, keys, child))
+        planLater(windowForm(k, keys, order, child, dedupe)) :: Nil
+      else TopKPerKeyExec(k, keys, order, planLater(child), dedupe) :: Nil
     case _ => Nil
   }
 
@@ -180,13 +226,24 @@ object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   }
 
   /** The logical plan of the sort-based fallback: row_number over
-    * (keys, order) ≤ k, projected back to the child's columns.
+    * (keys, order) ≤ k, projected back to the child's columns. With
+    * `dedupe`, the child is first Distinct-ed — sound because the
+    * dedupe contract requires duplicate (keys ++ dedupe) rows to be
+    * FULLY identical, so whole-row dedup is exactly the heap's
+    * skip-in-heap behavior.
     */
   private def windowForm(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
-      child: LogicalPlan): LogicalPlan = {
+      child: LogicalPlan, dedupe: Seq[Expression] = Nil): LogicalPlan = {
+    // the Aggregate form of Distinct directly: windowForm is invoked
+    // from the STRATEGY (post-optimizer), where a logical Distinct
+    // node would never be rewritten and the planner rejects it
+    val base =
+      if (dedupe.isEmpty) child
+      else org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+        child.output, child.output, child)
     val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
     val rn = Alias(WindowExpression(RowNumber(), WindowSpecDefinition(keys, order, frame)), "__rank")()
-    val win = LogicalWindow(Seq(rn), keys, order, child)
+    val win = LogicalWindow(Seq(rn), keys, order, base)
     Project(child.output, Filter(LessThanOrEqual(rn.toAttribute, Literal(k)), win))
   }
 }
@@ -211,14 +268,15 @@ object ProjectThroughTopKPerKey
   import org.apache.spark.sql.catalyst.plans.logical.Project
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case p @ Project(projList, TopKPerKey(k, keys, order, child))
+    case p @ Project(projList, TopKPerKey(k, keys, order, child, dedupe))
         if projList.forall(_.isInstanceOf[AttributeReference]) =>
       val needed = AttributeSet(projList.map(_.toAttribute)) ++
         AttributeSet(keys.flatMap(_.references)) ++
-        AttributeSet(order.flatMap(_.references))
+        AttributeSet(order.flatMap(_.references)) ++
+        AttributeSet(dedupe.flatMap(_.references))
       if (needed.subsetOf(child.outputSet) && needed.size < child.output.size) {
         val narrowed = child.output.filter(needed.contains)
-        Project(projList, TopKPerKey(k, keys, order, Project(narrowed, child)))
+        Project(projList, TopKPerKey(k, keys, order, Project(narrowed, child), dedupe))
       } else p
   }
 }
@@ -226,9 +284,13 @@ object ProjectThroughTopKPerKey
 /** User-facing API. */
 object TopK {
   /** Top `k` rows per `keys` group under `order` (use `.desc`/`.asc`
-    * Columns; include tie-break columns for determinism).
+    * Columns; include tie-break columns for determinism). `dedupe`
+    * opts into in-heap duplicate collapse — see [[TopKPerKey]]'s
+    * contract: rows equal on (keys ++ dedupe) must be fully
+    * identical rows.
     */
-  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
+      dedupe: Seq[Column] = Nil): DataFrame = {
     val analyzed = df.queryExecution.analyzed
     val keyExprs = keys.map(Bridge.catalystExpression)
     val sortOrders = order.map { c =>
@@ -237,6 +299,7 @@ object TopK {
         case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
       }
     }
-    Bridge.ofRows(df.sparkSession, TopKPerKey(k, keyExprs, sortOrders, analyzed))
+    Bridge.ofRows(df.sparkSession, TopKPerKey(k, keyExprs, sortOrders, analyzed,
+      dedupe.map(Bridge.catalystExpression)))
   }
 }

@@ -338,7 +338,7 @@ class DedupAnnSpec extends AnyFunSuite {
     // the auto-width rule: ⌈log₂(n/target)⌉ planes, floored at 2 —
     // bucket occupancy stays ≈ target at any n, so candidate volume
     // is linear in n (a fixed width would go O(n²) past its capacity)
-    import graft.operators.SimilaritySearch.lshPlanesPerTable
+    import graft.operators.SimilaritySearch.{lshPlanesPerTable, knnPlanesPerTable}
     // the INTEGER form of the law (round 11 — oracle-replicable):
     // smallest p with 2^p·target ≥ n, floor 2, cap 24; values
     // identical to the r10 float ceil(log₂(n/target)) at every point
@@ -347,6 +347,16 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(lshPlanesPerTable(500000) == 14)          // 1000× corpus: +10 bits
     assert(lshPlanesPerTable(500000000L) == 24)      // buckets keep pace with n
     assert(lshPlanesPerTable(1L << 62) == 24)        // LshMaxPlanes cap
+    // the knn dense-regime plane (round 13): flat law at and below
+    // KnnDenseN — every gate corpus unchanged — one extra plane past
+    // it (occupancy ~32 → ~16 where bucket scoring dominates), cap
+    // preserved
+    assert(knnPlanesPerTable(500) == 4)              // gate: unchanged
+    assert(knnPlanesPerTable(2000) == 6)             // sf0.1: unchanged
+    assert(knnPlanesPerTable(4096) == 7)             // at the threshold: flat
+    assert(knnPlanesPerTable(4097) == 9)             // past it: base 8 + 1
+    assert(knnPlanesPerTable(40000) == 12)           // the 20× replica arm
+    assert(knnPlanesPerTable(1L << 62) == 24)        // cap still binds
     val plan = graft.operators.SimilaritySearch.knnGraph(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), s"bounded-heap top-k missing:\n$plan")

@@ -167,6 +167,53 @@ class TopKPerKeySpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("dedupe collapses duplicate rows exactly like DISTINCT-then-top-k") {
+    import spark.implicits._
+    // duplicates both below k (would double-fill the heap) and above
+    // it (arrive after their twin was evicted — must not re-enter);
+    // contract: equal (k, id) rows are fully identical
+    val rows = Seq(
+      ("a", 1L, 9.0), ("a", 1L, 9.0), ("a", 2L, 8.0), ("a", 3L, 7.0),
+      ("a", 4L, 6.0), ("a", 4L, 6.0), ("a", 5L, 5.0),
+      ("b", 1L, 1.0), ("b", 1L, 1.0))
+    // scramble arrival order so eviction-then-duplicate happens
+    val in = scala.util.Random.shuffle(rows).toDF("k", "id", "score")
+    val got = TopK.topKPerKey(in, Seq(col("k")),
+        Seq(col("score").desc, col("id").asc), k = 3, dedupe = Seq(col("id")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val want = rows.distinct.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+      rs.sortBy(r => (-r._3, r._2)).take(3).map(r => (k, r._2)) }.sorted
+    assert(got == want, s"got $got want $want")
+    // and equals the engine's own distinct-then-heap form
+    val viaDistinct = TopK.topKPerKey(in.distinct(), Seq(col("k")),
+        Seq(col("score").desc, col("id").asc), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == viaDistinct)
+  }
+
+  test("dedupe survives the strategy's sort-based window fallback (stats over budget)") {
+    val key = graft.plans.TopKPerKeyExec.MaxRowsKey
+    spark.conf.set(key, "100")
+    try {
+      // range carries exact rowCount stats (the fallback-test play):
+      // 10k rows > the 100-row bound → window form; the union plants
+      // a duplicate of every row, which Distinct must strip before
+      // row_number ranks them
+      val base = spark.range(10000)
+        .select((col("id") % 50).as("k"), col("id"),
+          (col("id") % 97).cast("double").as("score"))
+      val in = base.unionAll(base)
+      val got = TopK.topKPerKey(in, Seq(col("k")),
+          Seq(col("score").desc, col("id").asc), k = 2, dedupe = Seq(col("id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = TopK.topKPerKey(base, Seq(col("k")),
+          Seq(col("score").desc, col("id").asc), k = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == want,
+        s"window fallback must dedupe before ranking: got $got")
+    } finally spark.conf.unset(key)
+  }
+
   test("injected rule prunes columns through TopKPerKey (heap holds only survivors)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
