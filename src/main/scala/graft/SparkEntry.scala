@@ -354,12 +354,11 @@ object SparkEntry {
     * Produces CTEs: nodes, pairs, edges, l0..l{LpaOracleBudget}.
     */
   private def lpaCtes: String = {
-    import operators.Graph.SupplierNodeOffset
     val LpaRounds = LpaOracleBudget
     val rounds = (1 to LpaRounds).map { i =>
       val side =
-        if (i % 2 == 0) s"e.dst >= $SupplierNodeOffset"
-        else s"e.dst < $SupplierNodeOffset"
+        if (i % 2 == 0) "e.dst % 2 = 1"
+        else "e.dst % 2 = 0"
       s"""c$i AS (SELECT e.dst AS id, a.lbl, COUNT(*) AS c
         |  FROM edges e JOIN l${i - 1} a ON e.src = a.id
         |  WHERE $side GROUP BY 1, 2),
@@ -371,10 +370,10 @@ object SparkEntry {
         |  FROM l${i - 1} l LEFT JOIN b$i b ON b.id = l.id)""".stripMargin
     }.mkString(",\n")
     s"""nodes AS (
-      |  SELECT c_custkey AS id FROM customer
-      |  UNION ALL SELECT s_suppkey + $SupplierNodeOffset FROM supplier
+      |  SELECT c_custkey * 2 AS id FROM customer
+      |  UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier
       |), pairs AS (
-      |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SupplierNodeOffset AS s
+      |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |), edges AS MATERIALIZED (
       |  SELECT c AS src, s AS dst FROM pairs
@@ -3719,11 +3718,16 @@ object SparkEntry {
         |ORDER BY qi.doc_id""".stripMargin,
 
     // the engine's fixed PrIters rounds unrolled as CTEs — identical
-    // integer flooring per round (HUGEINT sum mirrors DECIMAL(38,0))
+    // integer flooring per round (HUGEINT sum mirrors DECIMAL(38,0)).
+    // AS MATERIALIZED per round (the k_core lesson, round 13): each
+    // round is referenced once, but un-materialized DuckDB plans the
+    // whole 10-round chain as ONE nested aggregation pipeline and at
+    // the 20× replica (4.2M mirrored edges × 320k nodes) exceeds a
+    // 100 GB memory + 72 GB spill budget; materialized, peak state is
+    // one 320k-row round at a time and the replica replays in ~40 s
     "pagerank" -> {
-      val off = operators.Graph.SupplierNodeOffset
       val rounds = (1 to operators.Graph.PrIters).map { i =>
-        s"""p$i AS (
+        s"""p$i AS MATERIALIZED (
           |  SELECT b.id, b.outdeg,
           |    CAST(${operators.Graph.PrTeleport} + ${operators.Graph.PrDampPct} *
           |      COALESCE(SUM(a.pr // a.outdeg), 0) // 100 AS BIGINT) AS pr
@@ -3733,22 +3737,22 @@ object SparkEntry {
           |  GROUP BY b.id, b.outdeg)""".stripMargin
       }.mkString(",\n")
       s"""WITH nodes AS (
-        |  SELECT c_custkey AS id FROM customer
-        |  UNION ALL SELECT s_suppkey + $off FROM supplier
+        |  SELECT c_custkey * 2 AS id FROM customer
+        |  UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier
         |), pairs AS (
-        |  SELECT DISTINCT o_custkey AS c, l_suppkey + $off AS s
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |), edges AS (
+        |), edges AS MATERIALIZED (
         |  SELECT c AS src, s AS dst FROM pairs
         |  UNION ALL SELECT s AS src, c AS dst FROM pairs
         |), deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
-        |n0 AS (
+        |n0 AS MATERIALIZED (
         |  SELECT n.id, COALESCE(d.outdeg, 0) AS outdeg
         |  FROM nodes n LEFT JOIN deg d ON d.src = n.id
         |), p0 AS (SELECT id, outdeg, CAST(${operators.Graph.PrScale} AS BIGINT) AS pr FROM n0),
         |$rounds
         |SELECT id AS node_id,
-        |  CASE WHEN id >= $off THEN 's' ELSE 'c' END AS node_type,
+        |  CASE WHEN id % 2 = 1 THEN 's' ELSE 'c' END AS node_type,
         |  outdeg AS degree, pr AS pr_ppb
         |FROM p${operators.Graph.PrIters}
         |ORDER BY node_id""".stripMargin
@@ -3765,7 +3769,7 @@ object SparkEntry {
     // MORE than 16 rounds would diverge from the engine loudly
     // (hash mismatch), never silently agree.
     "k_core" -> {
-      import operators.Graph.{KCoreK, SupplierNodeOffset}
+      import operators.Graph.KCoreK
       val rounds = 16
       // AS MATERIALIZED: DuckDB inlines CTEs by default, and each
       // round references its predecessor 2× — un-materialized, the
@@ -3778,7 +3782,7 @@ object SparkEntry {
           |  JOIN a$i x ON e.src = x.src JOIN a$i y ON e.dst = y.src)""".stripMargin
       }.mkString(",\n")
       s"""WITH pairs AS (
-        |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SupplierNodeOffset AS s
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |), e0 AS MATERIALIZED (
         |  SELECT c AS src, s AS dst FROM pairs
@@ -3786,7 +3790,7 @@ object SparkEntry {
         |),
         |$peel
         |SELECT CAST(src AS BIGINT) AS node_id,
-        |  CASE WHEN src >= $SupplierNodeOffset THEN 's' ELSE 'c' END AS node_type,
+        |  CASE WHEN src % 2 = 1 THEN 's' ELSE 'c' END AS node_type,
         |  CAST(COUNT(*) AS BIGINT) AS core_degree
         |FROM e$rounds GROUP BY 1, 2
         |ORDER BY node_id""".stripMargin
@@ -3804,12 +3808,11 @@ object SparkEntry {
     // converged labeling exactly. Shared with the community_stats
     // oracle via lpaCtes (nodes/pairs/edges/l0..l{B}).
     "graph_communities" -> {
-      import operators.Graph.SupplierNodeOffset
       s"""WITH $lpaCtes,
         |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS csize
         |  FROM l$LpaOracleBudget GROUP BY 1)
         |SELECT l.id AS node_id,
-        |  CASE WHEN l.id >= $SupplierNodeOffset THEN 's' ELSE 'c' END AS node_type,
+        |  CASE WHEN l.id % 2 = 1 THEN 's' ELSE 'c' END AS node_type,
         |  CAST(l.lbl AS BIGINT) AS community, sz.csize
         |FROM l$LpaOracleBudget l JOIN sz ON sz.lbl = l.lbl
         |ORDER BY node_id""".stripMargin

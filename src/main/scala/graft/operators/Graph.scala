@@ -3,7 +3,7 @@ package graft.operators
 import graft.Materialize
 import graft.Materialize.MatOps
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the star schema (SURVEY §2 #62): iterative
@@ -29,10 +29,28 @@ object Graph {
     */
   val PrIters = 10
 
-  /** Supplier node ids live above this offset (disjoint from
-    * customer keys at any realistic SF).
+  /** Trade-graph node-id encoding: customers map to EVEN ids
+    * (2·c_custkey), suppliers to ODD ids (2·s_suppkey + 1) — exact
+    * at every key range up to 2⁶²; decode key = id div 2, side =
+    * id % 2. Replaces the r12 `SupplierNodeOffset = 10⁶`, a frozen
+    * constant of the LSH-width / IVF-cells / Bloom-bits / LpaRounds
+    * class: past 10⁶ customers (sf ≈ 7 — any production key range)
+    * customer ids spilled into the "supplier" id range, silently
+    * mis-typing node_type AND putting the spilled customers on the
+    * supplier HALF-ROUND of the bipartite LPA schedule, so
+    * semi-synchronous label propagation degenerated to synchronous —
+    * the textbook oscillation case the schedule exists to prevent.
+    * Found by measurement at the 20× replica (keys to 1.9·10⁸): the
+    * degenerate schedule left LPA oscillating to the budget cap
+    * (88 s, converged = 0) where the true bipartite schedule
+    * converges in 4 cycles (~20 s); the r12 code truncated the same
+    * oscillation at its frozen 8 rounds and shipped the mid-swing
+    * state without a word.
     */
-  val SupplierNodeOffset = 1000000L
+  private[graft] def custNode(key: Column): Column = key * lit(2L)
+  private[graft] def suppNode(key: Column): Column = key * lit(2L) + lit(1L)
+  private[graft] def nodeType(id: Column): Column =
+    when(pmod(id, lit(2L)) === 1L, lit("s")).otherwise(lit("c"))
 
   private[graft] val PrTeleport = PrScale * (100 - PrDampPct) / 100
 
@@ -102,7 +120,7 @@ object Graph {
     val pairs = lineitem
       .join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), (col("l_suppkey") + SupplierNodeOffset).as("s"))
+      .select(custNode(col("o_custkey")).as("c"), suppNode(col("l_suppkey")).as("s"))
       .distinct()
     pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
@@ -112,8 +130,7 @@ object Graph {
 
   private def pagerankRounds(customer: DataFrame, supplier: DataFrame,
       orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val nodes = customer.select(col("c_custkey").as("id"))
-      .unionAll(supplier.select((col("s_suppkey") + SupplierNodeOffset).as("id")))
+    val nodes = tradeNodes(customer, supplier)
     val edges = mirroredTradeEdges(orders, lineitem)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // the STATIC per-node state (id, outdeg), materialized once —
@@ -184,7 +201,7 @@ object Graph {
     Materialize.release(base)
     rounds.foreach(Materialize.release)
     pr.select(col("id").as("node_id"),
-        when(col("id") >= SupplierNodeOffset, lit("s")).otherwise(lit("c")).as("node_type"),
+        nodeType(col("id")).as("node_type"),
         col("outdeg").as("degree"), col("pr").as("pr_ppb"))
       .orderBy(col("node_id"))
   }
@@ -403,8 +420,7 @@ object Graph {
     val out = Materialize.eager(
       edges.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
         .select(col("src").as("node_id"),
-          when(col("src") >= SupplierNodeOffset, lit("s")).otherwise(lit("c"))
-            .as("node_type"),
+          nodeType(col("src")).as("node_type"),
           col("core_degree")))
     if (prev != null) Materialize.release(prev)
     Materialize.release(edges)
@@ -465,8 +481,8 @@ object Graph {
   }
 
   private def tradeNodes(customer: DataFrame, supplier: DataFrame): DataFrame =
-    customer.select(col("c_custkey").as("id"))
-      .unionAll(supplier.select((col("s_suppkey") + SupplierNodeOffset).as("id")))
+    customer.select(custNode(col("c_custkey")).as("id"))
+      .unionAll(supplier.select(suppNode(col("s_suppkey")).as("id")))
 
   /** The shared LPA FIXPOINT loop: alternating bipartite half-rounds
     * (customers odd, suppliers even — the semi-synchronous schedule;
@@ -551,7 +567,7 @@ object Graph {
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
     labels.join(sizes.hint("SHUFFLE_HASH"), Seq("lbl"))
       .select(col("id").as("node_id"),
-        when(col("id") >= SupplierNodeOffset, lit("s")).otherwise(lit("c")).as("node_type"),
+        nodeType(col("id")).as("node_type"),
         col("lbl").as("community"), col("csize"))
       .orderBy(col("node_id"))
   }
@@ -711,8 +727,8 @@ object Graph {
   private[graft] def lpaRound(edges: DataFrame, labels: DataFrame,
       updateSuppliers: Boolean, carryPrev: Boolean = false): DataFrame = {
     val side =
-      if (updateSuppliers) col("dst") >= SupplierNodeOffset
-      else col("dst") < SupplierNodeOffset
+      if (updateSuppliers) pmod(col("dst"), lit(2L)) === 1L
+      else pmod(col("dst"), lit(2L)) === 0L
     val counted = edges.filter(side)
       .join(labels.hint("SHUFFLE_HASH"), edges("src") === labels("id"))
       .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))

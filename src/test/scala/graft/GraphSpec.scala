@@ -36,19 +36,18 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
     // rebuild the same graph with plain Scala
     import spark.implicits._
-    val off = operators.Graph.SupplierNodeOffset
-    val custs = t.customer.select("c_custkey").as[Long].collect().toSeq
-    val supps = t.supplier.select("s_suppkey").as[Long].collect().toSeq.map(_ + off)
+    val custs = t.customer.select("c_custkey").as[Long].collect().toSeq.map(_ * 2)
+    val supps = t.supplier.select("s_suppkey").as[Long].collect().toSeq.map(_ * 2 + 1)
     val li = t.lineitem
     val ord = t.orders
     val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select("o_custkey", "l_suppkey").as[(Long, Long)]
-      .collect().toSeq.map { case (c, s) => (c, s + off) }.distinct
+      .collect().toSeq.map { case (c, s) => (c * 2, s * 2 + 1) }.distinct
     val edges = pairs ++ pairs.map(_.swap)
     val ref = referencePr(custs ++ supps, edges)
     assert(got.length == (custs.size + supps.size))
     for ((id, (tpe, deg, pr)) <- got) {
-      assert(tpe == (if (id >= off) "s" else "c"))
+      assert(tpe == (if (id % 2 == 1) "s" else "c"))
       val (refDeg, refPr) = ref(id)
       assert(deg == refDeg, s"node $id degree $deg != $refDeg")
       assert(pr == refPr, s"node $id pr $pr != $refPr")
@@ -64,9 +63,9 @@ class GraphSpec extends AnyFunSuite {
     val lineitem = Seq((10L, 7L), (11L, 7L)).toDF("l_orderkey", "l_suppkey")
     val got = operators.Graph.pagerankOn(customer, supplier, orders, lineitem)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
-    assert(got(99L) == operators.Graph.PrTeleport, "isolated node must keep teleport only")
-    val hub = operators.Graph.SupplierNodeOffset + 7L
-    assert(got(hub) > got(1L) && got(hub) > got(99L),
+    assert(got(2L * 99L) == operators.Graph.PrTeleport, "isolated node must keep teleport only")
+    val hub = 2L * 7L + 1L
+    assert(got(hub) > got(2L * 1L) && got(hub) > got(2L * 99L),
       "the hub supplier must out-rank its leaf customers")
   }
 
@@ -161,8 +160,8 @@ class GraphSpec extends AnyFunSuite {
     val pairs = t.lineitem
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey"),
-        (col("l_suppkey") + operators.Graph.SupplierNodeOffset).as("s"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
     // reference: peel undirected adjacency until fixpoint
     var adj: Map[Long, Set[Long]] = (pairs.flatMap { case (c, s) =>
@@ -185,7 +184,7 @@ class GraphSpec extends AnyFunSuite {
     val types = operators.Graph.kCore(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     types.foreach { case (id, tp) =>
-      assert(tp == (if (id >= operators.Graph.SupplierNodeOffset) "s" else "c"))
+      assert(tp == (if (id % 2 == 1) "s" else "c"))
     }
   }
 
@@ -202,8 +201,7 @@ class GraphSpec extends AnyFunSuite {
     */
   private def lpaHalfRound(nodes: Seq[Long], adj: Map[Long, Seq[Long]],
       lbl: Map[Long, Long], r: Int): Map[Long, Long] = {
-    val off = operators.Graph.SupplierNodeOffset
-    nodes.filter(n => if (r % 2 == 0) n >= off else n < off).flatMap { n =>
+    nodes.filter(n => if (r % 2 == 0) n % 2 == 1 else n % 2 == 0).flatMap { n =>
       val votes = adj.getOrElse(n, Seq.empty).map(lbl)
       if (votes.isEmpty) None
       else {
@@ -260,9 +258,8 @@ class GraphSpec extends AnyFunSuite {
   }
 
   private def pathNodesAdj(k: Int, pairs: Seq[(Long, Long)]) = {
-    val off = operators.Graph.SupplierNodeOffset
-    val nodes = (1L to k.toLong) ++ (1L to k.toLong).map(_ + off)
-    val adj = pairs.flatMap { case (c, s) => Seq(c -> (s + off), (s + off) -> c) }
+    val nodes = (1L to k.toLong).map(_ * 2) ++ (1L to k.toLong).map(_ * 2 + 1)
+    val adj = pairs.flatMap { case (c, s) => Seq(c * 2 -> (s * 2 + 1), (s * 2 + 1) -> c * 2) }
       .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
     (nodes, adj)
   }
@@ -358,15 +355,14 @@ class GraphSpec extends AnyFunSuite {
 
   test("graph_communities equals the in-memory semi-synchronous LPA fixpoint reference") {
     import org.apache.spark.sql.functions._
-    val off = operators.Graph.SupplierNodeOffset
     val t = Tables(spark, sf)
     val pairs = t.lineitem
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey"), (col("l_suppkey") + off).as("s"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
-    val nodes = (t.customer.select(col("c_custkey")).collect().map(_.getLong(0)) ++
-      t.supplier.select(col("s_suppkey") + off).collect().map(_.getLong(0))).toSeq
+    val nodes = (t.customer.select(col("c_custkey") * 2).collect().map(_.getLong(0)) ++
+      t.supplier.select(col("s_suppkey") * 2 + 1).collect().map(_.getLong(0))).toSeq
     val adj: Map[Long, Seq[Long]] = pairs.toSeq.flatMap { case (c, s) =>
       Seq(c -> s, s -> c) }.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
     val (lbl, refRounds, refConverged) = referenceLpa(nodes, adj)
@@ -390,12 +386,11 @@ class GraphSpec extends AnyFunSuite {
     }
     val types = operators.Graph.graphCommunities(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    types.foreach { case (id, tp) => assert(tp == (if (id >= off) "s" else "c")) }
+    types.foreach { case (id, tp) => assert(tp == (if (id % 2 == 1) "s" else "c")) }
   }
 
   test("community_stats equals the in-memory modularity recomputation over the LPA labeling") {
     import org.apache.spark.sql.functions._
-    val off = operators.Graph.SupplierNodeOffset
     // labels from the registered operator (already proven against the
     // in-JVM LPA reference above); recompute the card's integers
     val labels = operators.Graph.graphCommunities(spark, sf).collect()
@@ -404,14 +399,14 @@ class GraphSpec extends AnyFunSuite {
     val pairs = t.lineitem
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey"), (col("l_suppkey") + off).as("s"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
     val mirrored = pairs.flatMap { case (c, s) => Seq(c -> s, s -> c) }
     val mMir = mirrored.length.toLong
     val deg = mirrored.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
     // convergence meta from the in-JVM fixpoint reference
-    val nodes = (t.customer.select(col("c_custkey")).collect().map(_.getLong(0)) ++
-      t.supplier.select(col("s_suppkey") + off).collect().map(_.getLong(0))).toSeq
+    val nodes = (t.customer.select(col("c_custkey") * 2).collect().map(_.getLong(0)) ++
+      t.supplier.select(col("s_suppkey") * 2 + 1).collect().map(_.getLong(0))).toSeq
     val adj: Map[Long, Seq[Long]] = mirrored.toSeq.groupBy(_._1)
       .map { case (n, es) => n -> es.map(_._2) }
     val (_, refRounds, refConverged) = referenceLpa(nodes, adj)
@@ -444,10 +439,10 @@ class GraphSpec extends AnyFunSuite {
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val off = operators.Graph.SupplierNodeOffset
-      val edges = Seq((1L, off + 2L), (off + 2L, 1L), (2L, off + 2L), (off + 2L, 2L))
+      // parity ids: customers 2, 4; supplier node 2·2+1 = 5
+      val edges = Seq((2L, 5L), (5L, 2L), (4L, 5L), (5L, 4L))
         .toDF("src", "dst").repartition(col("src")).localCheckpoint(true)
-      val labels = Seq((1L, 1L), (2L, 2L), (off + 2L, off + 2L))
+      val labels = Seq((2L, 2L), (4L, 4L), (5L, 5L))
         .toDF("id", "lbl").repartition(col("id")).localCheckpoint(true)
       val round = operators.Graph.lpaRound(edges, labels, updateSuppliers = true)
       val plan = round.queryExecution.executedPlan.toString

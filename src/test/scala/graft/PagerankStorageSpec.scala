@@ -47,9 +47,9 @@ class PagerankStorageSpec extends AnyFunSuite {
     val t = Tables(spark, sf)
     val edges = operators.Graph.mirroredTradeEdges(t.orders, t.lineitem)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nodes = t.customer.select(col("c_custkey").as("id"))
+    val nodes = t.customer.select((col("c_custkey") * 2).as("id"))
       .unionAll(t.supplier.select(
-        (col("s_suppkey") + operators.Graph.SupplierNodeOffset).as("id")))
+        (col("s_suppkey") * 2 + 1).as("id")))
     val base = Materialize.eager(nodes
       .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))

@@ -71,7 +71,9 @@ UPPER = LOWER.upper()
 
 
 def rotated(r: int) -> tuple[str, str]:
-    """(from, to) alphabets for DuckDB translate() at replica r."""
+    """(from, to) alphabets for DuckDB translate() at replica r
+    (cycles past 26 — see the R > 26 warning in main)."""
+    r = r % 26
     lo = LOWER[r:] + LOWER[:r]
     return LOWER + UPPER, lo + lo.upper()
 
@@ -92,7 +94,17 @@ def signed_perm_sql(r: int, dim: int, elem_cast: str) -> str:
 
 def main() -> None:
     src, out, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    assert reps <= 26, "letter rotation supports at most 26 distinct replicas"
+    # Letter rotations are pairwise-everywhere-distinct only up to 26
+    # (a Latin-square bound: no larger family of permutations of one
+    # alphabet disagrees at every position). Past 26 the rotations
+    # CYCLE (r mod 26), so replicas 26 apart share identical text —
+    # cross-replica duplicate artifacts return for the TEXT families.
+    # Embedding signed-permutations have no such bound (dim! maps),
+    # so an R > 26 corpus is valid for the EMBEDDING/ANN families
+    # only; keep text-family scale points at R <= 26.
+    if reps > 26:
+        print(f"WARNING: R={reps} > 26 — text rotations cycle; use this "
+              "corpus for embedding/ANN measurements only", file=sys.stderr)
     con = duckdb.connect()
     import os
     os.makedirs(out, exist_ok=True)

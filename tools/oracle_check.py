@@ -62,6 +62,13 @@ def main() -> None:
         except (AttributeError, OSError, ValueError):
             mem = "16GB"
     con.execute(f"SET memory_limit='{mem}'")
+    # bound spill so a heavy replica replay fails inside DuckDB's
+    # budget instead of filling the host disk (the r100 ann_ivf run
+    # wrote .tmp/ until the device was full); overridable
+    tmp = os.environ.get("ORACLE_TMP", ".tmp")
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute("SET max_temp_directory_size='"
+                + os.environ.get("ORACLE_TMP_MAX", "60GB") + "'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
