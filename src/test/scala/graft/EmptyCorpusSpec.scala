@@ -65,6 +65,16 @@ class EmptyCorpusSpec extends AnyFunSuite {
         Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"),
         Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"))
     }),
+    // the fixpoint loop on zero nodes converges at the 2-half-round
+    // minimum and the card (incl. the 1-row meta broadcast) is empty
+    "community_stats" -> (d => {
+      import d.sparkSession.implicits._
+      operators.Graph.communityStatsOn(
+        Seq.empty[Long].toDF("c_custkey"),
+        Seq.empty[Long].toDF("s_suppkey"),
+        Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"),
+        Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"))
+    }),
     // round-7 wave-8 retrieval pair
     "bm25_search" -> (d => operators.Retrieval.bm25SearchOn(d)),
     "ann_maxsim" -> (d => operators.Retrieval.annMaxsimOn(d)),
