@@ -141,10 +141,18 @@ object Bench {
       .mkString("{", ",", "}")
     // medians of the ≥ 3 runs (the r12 advisory): the median is the
     // variance-robust per-query number a round-over-round diff should
-    // read — a regression moves the median, weather moves the spread
+    // read — a regression moves the median, weather moves the spread.
+    // Even-sized run lists (the damping rule's 4/6-pass queries)
+    // take the conventional midpoint of the two middle elements —
+    // the upper-middle alone biased exactly the divergent queries
+    // high (the r13 advisory)
     def medianOf(runs: Seq[Double]): Double =
       if (runs.exists(_ < 0)) -1.0
-      else { val s = runs.sorted; s(s.size / 2) }
+      else {
+        val s = runs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
     val medians = allRuns.map { case (n, rs) => n -> medianOf(rs) }
     val mediansJson = medians
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

@@ -2283,19 +2283,21 @@ object SparkEntry {
     },
 
     // both snapshots derive from the same fixture moduli, status by
-    // full-outer presence + fingerprint compare
+    // full-outer presence + fingerprint compare; snapshot ids are
+    // parity-encoded (real = 2·id, fixture-added = 2·id+1 — the
+    // retired-offset recipe), moduli classify on the RAW id
     "corpus_diff" -> {
-      import operators.Curation.{DiffAddMod, DiffAddOffset, DiffEditMod, DiffRemoveMod}
+      import operators.Curation.{DiffAddMod, DiffEditMod, DiffRemoveMod}
       val norm2 = normSql.replace("lower(text)", "lower(text2)")
       s"""WITH v2d AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id * 2 AS doc_id,
         |    CASE WHEN doc_id % $DiffEditMod = 3 THEN text || ' v2 edit'
         |      ELSE text END AS text2
         |  FROM documents WHERE doc_id % $DiffRemoveMod <> 5
         |  UNION ALL
-        |  SELECT doc_id + $DiffAddOffset, text || ' brand new'
+        |  SELECT doc_id * 2 + 1, text || ' brand new'
         |  FROM documents WHERE doc_id % $DiffAddMod = 2),
-        |v1 AS (SELECT doc_id, md5($normSql) AS fp1 FROM documents),
+        |v1 AS (SELECT doc_id * 2 AS doc_id, md5($normSql) AS fp1 FROM documents),
         |v2 AS (SELECT doc_id, md5($norm2) AS fp2 FROM v2d)
         |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
         |  CASE WHEN fp2 IS NULL THEN 'removed'
@@ -2946,13 +2948,15 @@ object SparkEntry {
         |LEFT JOIN reb ON doc.doc_id = reb.doc_id
         |ORDER BY doc.doc_id""".stripMargin,
 
+    // batch ids parity-encoded (real = 2·id, echo = 2·id+1 — the
+    // retired-offset recipe; monotone, so MIN semantics carry over)
     "dedup_incremental" ->
       s"""WITH f AS (SELECT doc_id, md5($normSql) AS fingerprint FROM documents),
         |hist AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 4 <> 0),
         |batch AS (
-        |  SELECT doc_id, fingerprint FROM f WHERE doc_id % 2 = 0
+        |  SELECT doc_id * 2 AS doc_id, fingerprint FROM f WHERE doc_id % 2 = 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, fingerprint FROM f WHERE doc_id % 8 = 0
+        |  SELECT doc_id * 2 + 1 AS doc_id, fingerprint FROM f WHERE doc_id % 8 = 0
         |), fib AS (SELECT fingerprint, MIN(doc_id) AS first_id FROM batch GROUP BY 1)
         |SELECT b.doc_id, b.fingerprint,
         |  CASE WHEN hist.fingerprint IS NOT NULL THEN 'dup_history'
@@ -3617,12 +3621,14 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     // SCD2 MERGE: the three UNION branches mirror the engine's one
-    // full-outer-join + explode (old-kept / old-closed / new-version)
+    // full-outer-join + explode (old-kept / old-closed / new-version);
+    // dimension keys parity-encoded (existing = 2·k, fixture inserts
+    // = 2·k+1 — the retired-offset recipe), moduli on the RAW key
     "scd2_merge" ->
       s"""WITH dim AS (
-        |  SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal FROM customer
+        |  SELECT c_custkey * 2 AS k, c_mktsegment AS seg, c_acctbal AS bal FROM customer
         |), upd AS (
-        |  SELECT c_custkey AS k,
+        |  SELECT c_custkey * 2 AS k,
         |    CASE WHEN c_custkey % 5 = 2 THEN 'MACHINERY' ELSE c_mktsegment END AS useg,
         |    CASE WHEN c_custkey % 3 = 1
         |      THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + CAST(100.00 AS DECIMAL(18,2)) AS DOUBLE)
@@ -3632,7 +3638,7 @@ object SparkEntry {
         |  FROM customer
         |  WHERE c_custkey % 3 = 1 OR c_custkey % 5 = 2
         |  UNION ALL
-        |  SELECT c_custkey + ${operators.Warehouse.Scd2InsertOffset}, c_mktsegment, c_acctbal, true
+        |  SELECT c_custkey * 2 + 1, c_mktsegment, c_acctbal, true
         |  FROM customer WHERE c_custkey % 50 = 0
         |)
         |SELECT k AS c_custkey, CAST(0 AS BIGINT) AS valid_from_ms,

@@ -191,25 +191,53 @@ object StreamBench {
     val base = "target/tmp/streambench"
     rm(new java.io.File(base))
 
-    // untimed warmup at the small SF (engine + sink init, JIT)
+    // untimed warmup at the small SF (engine + sink init, JIT), then
+    // MEDIANS of ≥ 3 big-SF passes (the Bench methodology, extended
+    // here per the r13 verdict: three same-commit single-run totals
+    // spanned 37-53 s with no streaming code change — micro-batch
+    // trigger wall-clock is multi-second weather on this class of
+    // box, and a single sample cannot separate a regression from it).
+    // Two small-SF passes give the slope denominator the same
+    // treatment (median of 2 = midpoint).
     runSf(spark, smallDir, s"$base/warm")
-    val small = runSf(spark, smallDir, s"$base/small")
-    val big = runSf(spark, bigDir, s"$base/big")
+    val smallRuns = (1 to 2).map(i => runSf(spark, smallDir, s"$base/small$i"))
+    val bigRuns = (1 to 3).map(i => runSf(spark, bigDir, s"$base/big$i"))
 
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     def fmt(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val paths = small.keys.toSeq.sorted.map { k =>
-      val s = small(k); val b = big(k)
-      val slope = if (s.sec > 0.3) b.sec / s.sec else b.sec / 0.3
+    val keys = bigRuns.head.keys.toSeq.sorted
+    val paths = keys.map { k =>
+      val sSecs = smallRuns.map(_(k).sec)
+      val bSecs = bigRuns.map(_(k).sec)
+      val sSec = median(sSecs); val bSec = median(bSecs)
+      val rowsS = smallRuns.head(k).rows; val rowsB = bigRuns.head(k).rows
+      val rpsS = if (sSec > 0) (rowsS / sSec).toLong else 0L
+      val rpsB = if (bSec > 0) (rowsB / bSec).toLong else 0L
+      val slope = if (sSec > 0.3) bSec / sSec else bSec / 0.3
       "\"" + k + "\":{" +
-        s""""rows_small":${s.rows},"sec_small":${fmt(s.sec)},"rps_small":${s.rps},""" +
-        s""""rows_big":${b.rows},"sec_big":${fmt(b.sec)},"rps_big":${b.rps},""" +
+        s""""rows_small":$rowsS,"sec_small":${fmt(sSec)},"rps_small":$rpsS,""" +
+        s""""rows_big":$rowsB,"sec_big":${fmt(bSec)},"rps_big":$rpsB,""" +
+        s""""runs_big":${bSecs.map(fmt).mkString("[", ",", "]")},""" +
         s""""slope":${fmt(slope)}}"""
     }.mkString("{", ",", "}")
-    val total = fmt(big.values.map(_.sec).sum)
-    val line = s"""{"metric":"stream_total","value":$total,"unit":"sec","sf":"$bigDir","slope_vs":"$smallDir","paths":$paths}"""
-    val out = new java.io.PrintWriter("target/stream_bench.json")
-    try out.println(line) finally out.close()
+    // headline = sum of per-path big medians; run totals ride along so
+    // the artifact itself shows the weather band
+    val total = fmt(keys.map(k => median(bigRuns.map(_(k).sec))).sum)
+    val runTotals = bigRuns.map(r => fmt(r.values.map(_.sec).sum))
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"stream_total","value":$total,"unit":"sec","methodology":"median_of_3","run_totals":$runTotals,"sf":"$bigDir","slope_vs":"$smallDir","paths":$paths}"""
+    // target/ copy (historic location) + a COMMITTED evidence/ copy —
+    // the r12 skew artifact was wiped by a later build from target/
+    Seq("target/stream_bench.json", "evidence/stream_bench.json").foreach { p =>
+      val f = new java.io.File(p)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val out = new java.io.PrintWriter(f)
+      try out.println(line) finally out.close()
+    }
     println(line)
     spark.stop()
   }

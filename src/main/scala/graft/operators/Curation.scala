@@ -431,12 +431,18 @@ object Curation {
 
   /** Fixture moduli for [[corpusDiff]]'s deterministic v2 snapshot
     * (the scd2Updates in-query-fixture convention): removals, edits,
-    * additions.
+    * additions. Fixture-spawned ADDITIONS are parity-encoded — real
+    * snapshot rows carry doc_id·2 (even), brand-new fixture docs
+    * doc_id·2+1 (odd); decode real id = id div 2 — the same recipe
+    * that retired the graph family's SupplierNodeOffset (r13): the
+    * old `DiffAddOffset = 10⁶` aliased a synthetic id with a real one
+    * past 10⁶ documents (any production corpus), collapsing the
+    * fixture's id-distinctness. Parity is collision-free at every key
+    * range to 2⁶², with no constant left to freeze.
     */
   val DiffRemoveMod = 13L
   val DiffEditMod = 7L
   val DiffAddMod = 11L
-  val DiffAddOffset = 1000000L
 
   /** corpus_diff — dataset-version delta (the snapshot-diff
     * primitive a versioned training corpus needs before every
@@ -458,14 +464,18 @@ object Curation {
     */
   def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
+    // moduli classify on the RAW doc_id; both snapshots then carry
+    // parity-encoded ids (real = 2·id, fixture-added = 2·id+1) so a
+    // synthetic addition can never alias a real doc at any key range
+    val v1 = docs.select((col("doc_id") * 2).as("doc_id"), col("text"))
     val v2 = docs.filter(col("doc_id") % DiffRemoveMod =!= 5)
-      .select(col("doc_id"),
+      .select((col("doc_id") * 2).as("doc_id"),
         when(col("doc_id") % DiffEditMod === 3,
           concat(col("text"), lit(" v2 edit"))).otherwise(col("text")).as("text"))
       .unionAll(docs.filter(col("doc_id") % DiffAddMod === 2)
-        .select((col("doc_id") + DiffAddOffset).as("doc_id"),
+        .select((col("doc_id") * 2 + 1).as("doc_id"),
           concat(col("text"), lit(" brand new")).as("text")))
-    corpusDiffOn(docs, v2)
+    corpusDiffOn(v1, v2)
   }
 
   private[graft] def corpusDiffOn(v1docs: DataFrame, v2docs: DataFrame): DataFrame = {

@@ -81,18 +81,13 @@ object Graph {
 
   private[graft] def pagerankOn(customer: DataFrame, supplier: DataFrame,
       orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    // AQE off for the driver loop only: adaptive execution re-plans
-    // at every shuffle boundary, which is pure latency when the loop
-    // body is 10× the same three-stage plan over already-partitioned
-    // cached inputs (the broadcast/skew decisions AQE would make are
-    // fixed here by construction). Standard practice for iterative
-    // graph jobs; restored before returning so only the rounds run
-    // static.
+    // AQE off + the loop shuffle-partition law for the driver loop
+    // only ([[withStaticPlan]] / [[loopShufflePartitions]] rationale);
+    // restored before returning so only the rounds run static.
     val spark = customer.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try pagerankRounds(customer, supplier, orders, lineitem)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    val parts = loopShufflePartitions(spark, lineitem.count())
+    withStaticPlan(spark, parts)(
+      pagerankRounds(customer, supplier, orders, lineitem))
   }
 
   /** The mirrored, src-hash-partitioned trade edge list SHARED by
@@ -382,12 +377,11 @@ object Graph {
   }
 
   private[graft] def kCoreOn(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    // AQE off for the driver loop only (the pagerank rationale)
+    // AQE off + the loop partition law for the driver loop only (the
+    // pagerank rationale)
     val spark = orders.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try kCoreRounds(orders, lineitem)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    val parts = loopShufflePartitions(spark, lineitem.count())
+    withStaticPlan(spark, parts)(kCoreRounds(orders, lineitem))
   }
 
   private def kCoreRounds(orders: DataFrame, lineitem: DataFrame): DataFrame = {
@@ -469,15 +463,65 @@ object Graph {
   private val lpaCache = new graft.ArtifactCache("lpa_labels",
     "converged LPA trade-graph labeling (id, lbl, rounds_used, converged) per corpus dir")
 
+  /** Target mirrored-edge rows per shuffle partition for the graph
+    * driver loops — ~500k × 48 B/row ≈ 24 MB partitions, well under
+    * executor task memory at any skew the trade graph can produce.
+    */
+  private[graft] val LoopRowsPerPartition = 500000L
+
+  /** Loop shuffle-partition LAW (round-14 driver-bench finding): the
+    * graph loops run 7-10 stages per round over node/edge-count-sized
+    * state, so per-stage task-launch overhead multiplies by rounds ×
+    * stages — and at gate SF the session's shuffle.partitions (sized
+    * for the scan-heavy relational queries) overshards a 1.1M-row
+    * edge list into 32 × ~35k-row tasks whose fixed cost dominates
+    * the stage (measured: LPA cycles 1.8 s at 32 partitions vs 0.6 s
+    * at 2-4, same plan — the r13 driver regression's real substrate).
+    * This is exactly what AQE partition coalescing fixes for DAGs,
+    * but AQE is off inside the loops (re-planning latency, see
+    * [[withStaticPlan]]) and AQE's per-query coalescing would break
+    * the round-over-round co-partitioning contract (each round's
+    * checkpoint must keep the partitioning the NEXT round's
+    * zero-exchange joins expect). So the loops size their shuffles
+    * statically: partitions = min(session conf, ceil(2·|lineitem| /
+    * [[LoopRowsPerPartition]])) — the mirrored edge list is at most
+    * 2× the fact-table rows, so the derived term never undersizes a
+    * partition target, and the SESSION conf stays the ceiling (a
+    * production deployment states its intended parallelism there;
+    * the law only removes oversharding below it, it never second-
+    * guesses the cluster upward). Floor 1; derived from a fact-table
+    * COUNT (parquet count(*) is a footer-metadata scan — one cheap
+    * action per loop query). Results are partitioning-invariant
+    * (integer lattice + order-free aggs; GraphSpec pins invariance),
+    * so the law moves wall-clock only, never hashes.
+    */
+  private[graft] def loopShufflePartitions(spark: SparkSession,
+      factRows: Long): Int = {
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val derived = ((2L * factRows + LoopRowsPerPartition - 1) /
+      LoopRowsPerPartition).max(1L).min(Int.MaxValue.toLong).toInt
+    math.max(1, math.min(session, derived))
+  }
+
   /** AQE off for a driver loop (the pagerank rationale: adaptive
     * re-planning at every shuffle boundary is pure latency when the
     * loop body is the same three-stage plan over already-partitioned
-    * cached inputs), restored after.
+    * cached inputs), shuffle partitions pinned to the
+    * [[loopShufflePartitions]] law for the scope (every exchange the
+    * loop plans — the edge build's distinct/repartition, the label
+    * joins, the per-round aggs — inherits it, so round state and
+    * edges stay co-partitioned at the SAME count and the
+    * zero-exchange join plans survive), both restored after.
     */
-  private def withStaticPlan[A](spark: SparkSession)(body: => A): A = {
+  private def withStaticPlan[A](spark: SparkSession, parts: Int)(body: => A): A = {
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try body finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
+    }
   }
 
   private def tradeNodes(customer: DataFrame, supplier: DataFrame): DataFrame =
@@ -550,13 +594,20 @@ object Graph {
     * the ledger owns it.
     */
   private def lpaLabels(spark: SparkSession, dir: String,
-      sharedEdges: Option[DataFrame]): DataFrame =
+      sharedEdges: Option[DataFrame], parts: Int): DataFrame =
     lpaCache.getOrCompute(spark, dir) {
-      val t = Tables(spark, dir)
-      val nodes = tradeNodes(t.customer, t.supplier)
-      val edges = sharedEdges.getOrElse(mirroredTradeEdges(t.orders, t.lineitem))
-      try withStaticPlan(spark)(lpaFixpoint(nodes, edges))
-      finally if (sharedEdges.isEmpty) Materialize.release(edges)
+      // the whole compute — INCLUDING a cold edge build — runs under
+      // the loop partition law, so edges and round state co-partition
+      // at the same count (a lent sharedEdges frame must have been
+      // built under the same law: both callers derive `parts` from
+      // the same lineitem count)
+      withStaticPlan(spark, parts) {
+        val t = Tables(spark, dir)
+        val nodes = tradeNodes(t.customer, t.supplier)
+        val edges = sharedEdges.getOrElse(mirroredTradeEdges(t.orders, t.lineitem))
+        try lpaFixpoint(nodes, edges)
+        finally if (sharedEdges.isEmpty) Materialize.release(edges)
+      }
     }
 
   /** Final [[graphCommunities]] assembly over a labeling: community
@@ -596,8 +647,19 @@ object Graph {
     * community sizes; the labeling itself is the shared [[lpaCache]]
     * artifact [[communityStats]] grades without re-running the loop.
     */
-  def graphCommunities(spark: SparkSession, dir: String): DataFrame =
-    communitiesFrom(lpaLabels(spark, dir, None))
+  def graphCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val parts = loopShufflePartitions(spark, t.lineitem.count())
+    val labels = lpaLabels(spark, dir, None, parts)
+    // EAGER copy, inside the loop scope: (a) the returned frame no
+    // longer references the ledger-owned `lpa_labels` blocks, so a
+    // CacheLedger.drain / fingerprint eviction between construction
+    // and the caller's collect can no longer kill the collect (the
+    // r13 advisory window); (b) the assembly's two exchanges run at
+    // the loop partition law instead of the session width. The copy
+    // is one write+read of the result (node-count-sized, linear).
+    withStaticPlan(spark, parts)(Materialize.eager(communitiesFrom(labels)))
+  }
 
   /** Uncached fixture/spec path: same loop, same assembly, no
     * artifact retention (EmptyCorpusSpec and the GraphSpec planted
@@ -606,13 +668,16 @@ object Graph {
   private[graft] def graphCommunitiesOn(customer: DataFrame,
       supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val spark = customer.sparkSession
-    val edges = mirroredTradeEdges(orders, lineitem)
-    val labels =
-      try withStaticPlan(spark)(lpaFixpoint(tradeNodes(customer, supplier), edges))
-      finally Materialize.release(edges)
-    val out = Materialize.eager(communitiesFrom(labels))
-    Materialize.release(labels)
-    out
+    val parts = loopShufflePartitions(spark, lineitem.count())
+    withStaticPlan(spark, parts) {
+      val edges = mirroredTradeEdges(orders, lineitem)
+      val labels =
+        try lpaFixpoint(tradeNodes(customer, supplier), edges)
+        finally Materialize.release(edges)
+      val out = Materialize.eager(communitiesFrom(labels))
+      Materialize.release(labels)
+      out
+    }
   }
 
   /** community_stats — the community QUALITY card over
@@ -643,28 +708,33 @@ object Graph {
     */
   def communityStats(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // edges built HERE and lent to a cold labeling compute, so a
-    // cold card builds the mirrored list exactly once; a warm card
-    // (labeling artifact hot) pays only the card's own passes
-    val edges = mirroredTradeEdges(t.orders, t.lineitem)
-    try {
-      val labels = lpaLabels(spark, dir, Some(edges))
-      withStaticPlan(spark)(gradeCommunities(labels, edges))
-    } finally Materialize.release(edges)
+    val parts = loopShufflePartitions(spark, t.lineitem.count())
+    withStaticPlan(spark, parts) {
+      // edges built HERE and lent to a cold labeling compute, so a
+      // cold card builds the mirrored list exactly once; a warm card
+      // (labeling artifact hot) pays only the card's own passes
+      val edges = mirroredTradeEdges(t.orders, t.lineitem)
+      try {
+        val labels = lpaLabels(spark, dir, Some(edges), parts)
+        gradeCommunities(labels, edges)
+      } finally Materialize.release(edges)
+    }
   }
 
   /** Uncached fixture/spec path (the [[graphCommunitiesOn]] twin). */
   private[graft] def communityStatsOn(customer: DataFrame,
       supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val spark = customer.sparkSession
-    val edges = mirroredTradeEdges(orders, lineitem)
-    try {
-      val labels =
-        withStaticPlan(spark)(lpaFixpoint(tradeNodes(customer, supplier), edges))
-      val out = withStaticPlan(spark)(gradeCommunities(labels, edges))
-      Materialize.release(labels)
-      out
-    } finally Materialize.release(edges)
+    val parts = loopShufflePartitions(spark, lineitem.count())
+    withStaticPlan(spark, parts) {
+      val edges = mirroredTradeEdges(orders, lineitem)
+      try {
+        val labels = lpaFixpoint(tradeNodes(customer, supplier), edges)
+        val out = gradeCommunities(labels, edges)
+        Materialize.release(labels)
+        out
+      } finally Materialize.release(edges)
+    }
   }
 
   /** The modularity-card passes over a finished labeling (EAGER

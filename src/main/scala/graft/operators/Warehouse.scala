@@ -18,10 +18,16 @@ object Warehouse {
     */
   val Scd2EffMs = 1000000000L
 
-  /** Key offset that makes a fixture row a brand-new dimension key
-    * (the MERGE insert path).
+  /** The fixture's brand-new dimension keys (the MERGE insert path)
+    * are PARITY-encoded: existing dimension keys ride as
+    * c_custkey·2 (even), fixture inserts as c_custkey·2+1 (odd);
+    * decode real key = k div 2. Replaces the r13
+    * `Scd2InsertOffset = 10⁷`, a frozen constant of the retired
+    * SupplierNodeOffset class: past 10⁷ customers (any production
+    * dimension) an insert key aliased a real key and the fixture's
+    * key-distinctness collapsed. Parity is collision-free at every
+    * key range to 2⁶², with no constant left to freeze.
     */
-  val Scd2InsertOffset = 10000000L
 
   /** scd2_merge — Slowly-Changing-Dimension Type-2 merge of an
     * update batch into the `customer` dimension: matched+changed
@@ -34,7 +40,8 @@ object Warehouse {
     * DECIMAL addition), every key ≡ 2 (mod 5) moves to segment
     * MACHINERY (a no-op for rows already there — exercising change
     * detection), and every key ≡ 0 (mod 50) also arrives as a brand
-    * new key (+[[Scd2InsertOffset]]).
+    * new key (parity-encoded 2·k+1 — see the note above; existing
+    * keys ride as 2·k).
     *
     * Scale shape: ONE full-outer shuffle join on the dimension key
     * followed by a map-side explode of per-key version arrays — the
@@ -59,19 +66,19 @@ object Warehouse {
       .otherwise(col("c_acctbal"))
     val upserts = customer
       .filter(k % 3 === 1 || k % 5 === 2)
-      .select(k.as("k"), uSeg.as("u_seg"), uBal.as("u_bal"),
+      .select((k * 2).as("k"), uSeg.as("u_seg"), uBal.as("u_bal"),
         // +100 always changes the balance; the segment move may be a
         // no-op — integer/string comparison only, never float equality
         (k % 3 === 1 || uSeg =!= col("c_mktsegment")).as("changed"))
     val inserts = customer
       .filter(k % 50 === 0)
-      .select((k + Scd2InsertOffset).as("k"), col("c_mktsegment").as("u_seg"),
+      .select((k * 2 + 1).as("k"), col("c_mktsegment").as("u_seg"),
         col("c_acctbal").as("u_bal"), lit(true).as("changed"))
     upserts.unionAll(inserts)
   }
 
   private[graft] def scd2MergeOn(customer: DataFrame): DataFrame = {
-    val dim = customer.select(col("c_custkey").as("k"),
+    val dim = customer.select((col("c_custkey") * 2).as("k"),
       col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"),
       lit(1).as("in_dim"))
     val upd = scd2Updates(customer).withColumn("in_upd", lit(1))

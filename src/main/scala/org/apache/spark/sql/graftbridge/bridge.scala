@@ -30,4 +30,14 @@ object Bridge {
     */
   def catalystExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Block until the listener bus has delivered every queued event
+    * (`SparkContext.listenerBus` is `private[spark]`, hence exposed
+    * from inside the package): the DETERMINISTIC settle point for
+    * job-count assertions — sleep-polling a counter can under-count
+    * on a loaded host when delivery lags the poll window (the r13
+    * advisory on GraphSpec's warm/cold artifact test).
+    */
+  def waitListenerBusEmpty(spark: SparkSession, timeoutMs: Long = 60000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 }

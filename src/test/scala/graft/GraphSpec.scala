@@ -328,14 +328,11 @@ class GraphSpec extends AnyFunSuite {
       }
     }
     def settled(): Int = {
-      // listener delivery is async: poll until the count stabilizes
-      var last = -1
-      var cur = counter.get()
-      var spins = 0
-      while (cur != last && spins < 100) {
-        last = cur; Thread.sleep(50); cur = counter.get(); spins += 1
-      }
-      cur
+      // listener delivery is async: drain the bus deterministically
+      // (the r13 advisory: sleep-polling could under-count on a
+      // loaded host when delivery lags the poll window)
+      org.apache.spark.sql.graftbridge.Bridge.waitListenerBusEmpty(spark)
+      counter.get()
     }
     spark.sparkContext.addSparkListener(listener)
     try {

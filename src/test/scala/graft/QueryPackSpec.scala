@@ -670,15 +670,17 @@ class QueryPackSpec extends AnyFunSuite {
 
   test("dedup_incremental: statuses partition the batch by construction") {
     val out = operators.Text.dedupIncremental(spark, sf).cache()
-    val eo = operators.Text.EchoOffset
+    // batch ids are parity-encoded: real = 2·id (even), echo = 2·id+1
+    // (odd); raw id classes map to encoded % 8 classes (2·(4j+2) =
+    // 8j+4, 2·(4j) = 8j)
     // echoed docs duplicate an earlier same-fingerprint batch doc that
     // is NOT in history (base doc_id % 8 == 0 → % 4 == 0)
-    assert(out.filter(col("doc_id") >= eo && col("status") =!= "dup_batch").count() == 0)
-    // batch docs with doc_id % 4 == 2 are in history
-    assert(out.filter(col("doc_id") < eo && col("doc_id") % 4 === 2 &&
+    assert(out.filter(col("doc_id") % 2 === 1 && col("status") =!= "dup_batch").count() == 0)
+    // batch docs with raw doc_id % 4 == 2 (encoded % 8 == 4) are in history
+    assert(out.filter(col("doc_id") % 8 === 4 &&
       col("status") =!= "dup_history").count() == 0)
-    // batch docs with doc_id % 4 == 0 are new and first → kept
-    assert(out.filter(col("doc_id") < eo && col("doc_id") % 4 === 0 &&
+    // batch docs with raw doc_id % 4 == 0 (encoded % 8 == 0) are new and first → kept
+    assert(out.filter(col("doc_id") % 8 === 0 &&
       col("status") =!= "kept").count() == 0)
     // all three classes occur
     assert(out.select(col("status")).distinct().count() == 3)

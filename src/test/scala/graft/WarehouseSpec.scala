@@ -39,24 +39,28 @@ class WarehouseSpec extends AnyFunSuite {
       count(lit(1)).as("nv"),
       max(when(col("is_current") === 0, cents("c_acctbal"))).as("old_cents"),
       max(when(col("is_current") === 1, cents("c_acctbal"))).as("new_cents"))
-    val balKeys = customer.filter(col("c_custkey") % 3 === 1)
+    // output keys are parity-encoded (existing = 2·k, inserts =
+    // 2·k+1), so raw customer keys join via the same encoding
+    def enc(df: DataFrame) = df.select((col("c_custkey") * 2).as("c_custkey"))
+    val balKeys = enc(customer.filter(col("c_custkey") % 3 === 1))
     // every balance-updated key carries exactly two versions, +100.00 apart
     val bad = two.join(balKeys, "c_custkey")
       .filter(col("nv") =!= 2 || col("new_cents") - col("old_cents") =!= 10000L)
     assert(bad.count() == 0, "balance update must close old and open +100.00 new")
     // change detection: a segment 'update' to the segment the row
     // already has must NOT create a version
-    val noop = customer.filter(col("c_custkey") % 5 === 2 &&
-      col("c_mktsegment") === "MACHINERY" && col("c_custkey") % 3 =!= 1)
+    val noop = enc(customer.filter(col("c_custkey") % 5 === 2 &&
+      col("c_mktsegment") === "MACHINERY" && col("c_custkey") % 3 =!= 1))
     val noopVersions = two.join(noop, "c_custkey").filter(col("nv") =!= 1)
     assert(noopVersions.count() == 0, "no-op updates must not version")
-    // inserts: brand-new keys appear exactly once, opening at EffMs
-    val ins = merged.filter(col("c_custkey") >= operators.Warehouse.Scd2InsertOffset)
+    // inserts: brand-new (odd, parity-encoded) keys appear exactly
+    // once, opening at EffMs
+    val ins = merged.filter(col("c_custkey") % 2 === 1)
     assert(ins.count() == customer.filter(col("c_custkey") % 50 === 0).count())
     assert(ins.filter(col("valid_from_ms") =!= operators.Warehouse.Scd2EffMs ||
       col("is_current") =!= 1).count() == 0)
     // untouched keys: one open version with the original balance
-    val untouched = customer.filter(col("c_custkey") % 3 =!= 1 && col("c_custkey") % 5 =!= 2)
+    val untouched = enc(customer.filter(col("c_custkey") % 3 =!= 1 && col("c_custkey") % 5 =!= 2))
     val u = two.join(untouched, "c_custkey").filter(col("nv") =!= 1)
     assert(u.count() == 0, "untouched dimension rows must stay single-version")
   }

@@ -102,12 +102,24 @@ def main() -> None:
     # Embedding signed-permutations have no such bound (dim! maps),
     # so an R > 26 corpus is valid for the EMBEDDING/ANN families
     # only; keep text-family scale points at R <= 26.
-    if reps > 26:
-        print(f"WARNING: R={reps} > 26 — text rotations cycle; use this "
-              "corpus for embedding/ANN measurements only", file=sys.stderr)
+    # R > 26 therefore requires the EXPLICIT --embedding-only opt-in
+    # (the r13 advisory: a stderr warning alone let a scripted caller
+    # build a text corpus with byte-identical replicas 26 apart and
+    # trust text-family dedup measurements on it), and the corpus dir
+    # gets a TEXT_ROTATIONS_CYCLE marker file text-family tooling can
+    # check.
+    if reps > 26 and "--embedding-only" not in sys.argv:
+        sys.exit(f"ERROR: R={reps} > 26 — text rotations cycle past 26, so "
+                 "this corpus would carry byte-identical text replicas. "
+                 "Pass --embedding-only to build it for embedding/ANN "
+                 "measurements only.")
     con = duckdb.connect()
     import os
     os.makedirs(out, exist_ok=True)
+    if reps > 26:
+        with open(os.path.join(out, "TEXT_ROTATIONS_CYCLE"), "w") as f:
+            f.write(f"R={reps} > 26: text replicas cycle r % 26 — "
+                    "embedding/ANN measurements only\n")
     for table, keys in KEYS.items():
         cols = [c[0] for c in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{src}/{table}.parquet')").fetchall()]
