@@ -157,10 +157,23 @@ object Bench {
     val mediansJson = medians
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val medianTotal = fmt(medians.map(_._2).filter(_ >= 0).sum)
+    // box state IN the artifact (the r13 builder-vs-driver 35% band
+    // took cross-session runs to attribute — this box class moves
+    // whole bands between sessions, so the artifact records the
+    // load/uptime it was measured under)
+    val boxJson = {
+      def slurp(p: String): String =
+        try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8").trim
+        catch { case _: Throwable => "" }
+      val load = slurp("/proc/loadavg").split(" ").take(3).mkString(",")
+      val up = slurp("/proc/uptime").split(" ").headOption.getOrElse("")
+      s""","box":{"loadavg_end":"$load","uptime_s":"$up","cpus":"$cpus"}"""
+    }
     // cold_artifacts: every pass runs behind a CacheLedger drain, so
     // per-query times are cold operator cost (no warm memoized pair
     // sets / models / scores — the r9 advisory)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_artifacts":true,"queries":$qs,"medians":$mediansJson,"median_total":$medianTotal,"runs":$runsJson,"sf":"$sfDir"$slopeJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_artifacts":true,"queries":$qs,"medians":$mediansJson,"median_total":$medianTotal,"runs":$runsJson,"sf":"$sfDir"$slopeJson$boxJson}"""
     // persist to a file first: log capture truncates long lines (r02's
     // tail lost the front half of the per-query map), the file never
     // two copies: target/bench.json (historic location) and a

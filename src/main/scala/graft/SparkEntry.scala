@@ -2072,17 +2072,45 @@ object SparkEntry {
     // the all-pairs k-NN graph, oracle-replicated end to end
     // (round-11 promotion): same hash60-lattice signatures (knn tag),
     // the KnnBucketCap skew guard as a bucket-frequency filter,
-    // bucket self-join candidates, exact-cosine re-rank per source
+    // bucket self-join candidates, exact-cosine re-rank per source.
+    // Round 14 adds the dense-regime multi-probe arm: 1-bit (t, m)
+    // probes admitted cheapest-first under the measured-volume budget
+    // (cum·100 ≤ V0·pct — integer multiply-compare, no division),
+    // gated like the width bump on n > KnnDenseN, so every gate
+    // corpus replays the empty probe set. fc/idx are MATERIALIZED
+    // (multiply referenced — the k_core CTE-inlining lesson).
     "knn_graph" -> {
       val ss = operators.SimilaritySearch
       s"""WITH ${lshSigCtes("knn", ss.KnnTables, denseBumpOver = ss.KnnDenseN)},
         |f AS (SELECT t, sig, COUNT(*) AS bf FROM sg GROUP BY 1, 2),
         |small AS (SELECT t, sig FROM f WHERE bf <= ${ss.KnnBucketCap}),
-        |idx AS (SELECT s.vec_id, s.t, s.sig
+        |fc AS MATERIALIZED (SELECT f.t, f.sig, f.bf
+        |  FROM f JOIN small USING (t, sig)),
+        |idx AS MATERIALIZED (SELECT s.vec_id, s.t, s.sig
         |  FROM sg s JOIN small USING (t, sig)),
-        |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-        |  FROM idx a JOIN idx b
-        |  ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+        |v0 AS (SELECT COALESCE(SUM(bf * bf), 0) AS v FROM fc),
+        |pmk AS (SELECT t.t, (CAST(1 AS BIGINT) << i.i) AS m
+        |  FROM range(0, ${ss.KnnTables}) t(t),
+        |    range(0, ${ss.LshMaxPlanes}) i(i)
+        |  WHERE i.i < (SELECT p FROM w)
+        |    AND (SELECT n FROM nn) > ${ss.KnnDenseN}),
+        |pv AS (SELECT a.t, pmk.m, SUM(a.bf * b.bf) AS vol
+        |  FROM pmk JOIN fc a ON a.t = pmk.t
+        |    JOIN fc b ON b.t = pmk.t AND b.sig = xor(a.sig, pmk.m)
+        |  GROUP BY 1, 2),
+        |adm AS (SELECT t, m FROM (
+        |    SELECT t, m, vol, SUM(vol) OVER (ORDER BY vol, t, m
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM pv)
+        |  WHERE cum * 100 <= (SELECT v FROM v0) * ${ss.KnnProbeBudgetPct}),
+        |cand AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |    FROM idx a JOIN idx b
+        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id
+        |  UNION ALL
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |    FROM adm JOIN idx a ON a.t = adm.t
+        |    JOIN idx b ON b.t = adm.t AND b.sig = xor(a.sig, adm.m)
+        |    WHERE a.vec_id <> b.vec_id)),
         |sc AS (SELECT src, dst, list_cosine_similarity(es.v, ed.v) AS rawsim
         |  FROM cand JOIN e es ON es.vec_id = src
         |    JOIN e ed ON ed.vec_id = dst),

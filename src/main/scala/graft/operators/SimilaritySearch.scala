@@ -834,6 +834,32 @@ object SimilaritySearch {
 
   private[graft] val KnnTables = 8
 
+  /** Candidate-volume budget for the dense-regime MULTI-PROBE arm of
+    * [[knnGraphOn]], in percent of the hamming-0 candidate volume:
+    * 1-bit probe (table, mask) pairs are admitted cheapest-first —
+    * by their MEASURED volume Σ_sig f(t,sig)·f(t,sig⊕m) over the
+    * capped bucket histogram — while the cumulative admitted volume
+    * stays ≤ V0 · pct/100 (integer multiply-compare, replayed
+    * bit-exactly in SQL). Why budgeted rather than fixed-radius (the
+    * ann_lsh hamming ≤ 2 convention): in the corpus-to-corpus regime
+    * EVERY element probes, so probe cost is corpus-squared-shaped —
+    * on a uniform histogram each 1-bit mask costs ≈ V0 (probing is
+    * strictly less selective than the hamming-0 bucket: a cosine-0.5
+    * pair lands in a specific 1-bit-neighbor bucket with probability
+    * q^(p−1)(1−q) vs q^p in its own, a (1−q)/q ≈ 0.5 factor, while a
+    * random pair pays 0.5^p either way) — but on a SKEWED histogram
+    * (clustered corpora: hot buckets beside near-empty neighbors)
+    * most masks are nearly free and the budget admits them. The law
+    * therefore spends probe volume exactly where the measured corpus
+    * makes it cheap, and declines it where recall would cost linear
+    * candidate growth — the r13 finding that mid-band recall on a
+    * uniform adversarial corpus is not purchasable at bounded volume,
+    * now embodied as a measured decision instead of prose. Engages
+    * with the dense regime (n > [[KnnDenseN]]) so every gate corpus
+    * is byte-identical; 50 admits ≤ half of V0 in extra candidates.
+    */
+  val KnnProbeBudgetPct = 50L
+
   /** knn_graph — the all-pairs k-NN graph over the embedding corpus:
     * for EVERY vector, its k most-cosine-similar neighbors. This is
     * the structure graph-based curation consumes — SemDeDup-style
@@ -855,14 +881,21 @@ object SimilaritySearch {
   def knnGraph(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
     knnGraphOn(embDouble(spark, dir).filter(col("v").isNotNull), k)
 
-  private[graft] def knnGraphOn(emb: DataFrame, k: Int): DataFrame = {
+  private[graft] def knnGraphOn(emb: DataFrame, k: Int,
+      denseN: Long = KnnDenseN,
+      probeBudgetPct: Long = KnnProbeBudgetPct): DataFrame = {
     // width law sizes from the NON-NULL vector count — same population
     // annLshOn counts and the oracle's `nn` CTE replays; counting raw
     // rows would pick a different plane count whenever null rows
-    // straddle a KnnBucketTarget·2^p boundary (r11 ADVICE)
+    // straddle a KnnBucketTarget·2^p boundary (r11 ADVICE).
+    // `denseN`/`probeBudgetPct` parameterize the dense threshold and
+    // probe budget FOR THE SPEC ONLY (a unit-test corpus can engage
+    // the dense arm without 4096 vectors); every production caller
+    // uses the defaults, which make the width law ≡ knnPlanesPerTable.
     val nonNull = emb.filter(col("v").isNotNull)
     val n = math.max(1L, nonNull.count())
-    val planesPerTable = knnPlanesPerTable(n)
+    val planesPerTable = math.min(LshMaxPlanes,
+      lshPlanesPerTable(n) + (if (n > denseN) 1 else 0))
     val planes = lshLatPlanes("knn", KnnTables, planesPerTable)
     // NOT materialized: the bucket histogram and both self-join
     // sides all consume the signature table through the SAME
@@ -873,10 +906,10 @@ object SimilaritySearch {
     val sigs = nonNull.select(col("vec_id"),
       posexplode(hyperplaneSignaturesLat(col("v"), planes, planesPerTable,
         PQLattice)).as(Seq("t", "sig")))
-    val smallBuckets = sigs.groupBy(col("t"), col("sig"))
+    val hist = sigs.groupBy(col("t"), col("sig"))
       .agg(count(lit(1)).as("f"))
       .filter(col("f") <= KnnBucketCap)
-      .select(col("t"), col("sig"))
+    val smallBuckets = hist.select(col("t"), col("sig"))
     val indexed = sigs.join(smallBuckets, Seq("t", "sig"))
     // NO corpus-wide DISTINCT on the pair table: cross-table
     // duplicates are rare (0.3 % measured at the 20× replica) but a
@@ -886,10 +919,50 @@ object SimilaritySearch {
     // SAME deterministic cosine, so the bounded heap collapses them
     // in-place (topKPerKey's dedupe contract) for one ≤ k-entry set
     // probe per row.
-    val candidates = indexed.as("a").join(indexed.as("b"),
+    val hamming0 = indexed.as("a").join(indexed.as("b"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    // dense-regime MULTI-PROBE arm (see [[KnnProbeBudgetPct]]): 1-bit
+    // probe (table, mask) pairs admitted cheapest-first under the
+    // measured-volume budget. The admission runs over the bucket
+    // HISTOGRAM (≤ tables·planes candidate rows after the volume
+    // agg — metadata-sized, so the single-partition cumulative-sum
+    // window is the sample_mixture scalar-card class, and the
+    // admitted set broadcasts); the probe self-join mirrors the
+    // hamming-0 join with b.sig = a.sig ⊕ m — XOR is symmetric, so
+    // one join per admitted mask yields both pair directions, and
+    // cross-arm duplicates collapse in the heap like cross-table
+    // ones. Below the dense threshold the arm is absent from the
+    // plan entirely (gate corpora byte-identical).
+    val candidates = if (n > denseN) {
+      val masks = (0 until planesPerTable).map(i => lit(1L << i))
+      val probeVol = hist
+        .select(col("t"), col("sig"), col("f"),
+          explode(array(masks: _*)).as("m"))
+        .join(hist.select(col("t").as("t2"), col("sig").as("sig2"),
+            col("f").as("f2")),
+          col("t") === col("t2") &&
+            col("sig2") === col("sig").bitwiseXOR(col("m")))
+        .groupBy(col("t"), col("m")).agg(sum(col("f") * col("f2")).as("vol"))
+      val v0 = hist.agg(coalesce(sum(col("f") * col("f")), lit(0L)).as("v0"))
+      val cumW = Window.orderBy(col("vol"), col("t"), col("m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // integer multiply-compare (cum·100 ≤ V0·pct ⟺ cum ≤ V0·pct/100
+      // for integers) — no division, bit-exact in both engines
+      val admitted = probeVol.withColumn("cum", sum(col("vol")).over(cumW))
+        .crossJoin(broadcast(v0))
+        .filter(col("cum") * 100 <= col("v0") * lit(probeBudgetPct))
+        .select(col("t").as("pt"), col("m").as("pm"))
+      val probed = indexed.as("a")
+        .join(broadcast(admitted), col("a.t") === col("pt"))
+        .join(indexed.as("b"),
+          col("b.t") === col("a.t") &&
+            col("b.sig") === col("a.sig").bitwiseXOR(col("pm")) &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      hamming0.unionAll(probed)
+    } else hamming0
     val scored = candidates
       .join(emb.select(col("vec_id").as("src"), col("v").as("sv")), "src")
       .join(emb.select(col("vec_id").as("dst"), col("v").as("dv")), "dst")

@@ -364,6 +364,42 @@ class DedupAnnSpec extends AnyFunSuite {
       s"knn_graph degenerated to an unbucketed pair join:\n$plan")
   }
 
+  test("knn_graph probe arm: budget-nested candidate sets, per-rank sims monotone, recall never drops") {
+    import graft.operators.SimilaritySearch
+    val emb = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    // denseN = 8 engages the dense arm on this 500-vector corpus;
+    // budget 0 admits only zero-volume masks (no candidates) — the
+    // three runs share IDENTICAL signatures, so their candidate sets
+    // are nested by the admission law's prefix property:
+    // ∅-probes ⊆ budget-50 probes ⊆ all-probes
+    def run(pct: Long) =
+      SimilaritySearch.knnGraphOn(emb, 8, denseN = 8L, probeBudgetPct = pct)
+        .collect()
+        .groupBy(_.getAs[Long]("src"))
+        .map { case (s, rows) =>
+          s -> rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim")).toSeq }
+    val base = run(0L)
+    val mid = run(SimilaritySearch.KnnProbeBudgetPct)
+    val all = run(1000000L)
+    def dominates(hi: Map[Long, Seq[Double]], lo: Map[Long, Seq[Double]]): Unit = {
+      lo.keySet.foreach(s => assert(hi.contains(s),
+        s"src $s lost its neighborhood when probes were ADDED"))
+      lo.foreach { case (s, ls) =>
+        val hs = hi(s)
+        assert(hs.length >= ls.length)
+        // more candidates can only raise the sim at each rank
+        ls.indices.foreach(i => assert(hs(i) >= ls(i),
+          s"src $s rank ${i + 1}: ${hs(i)} < ${ls(i)} after adding probes"))
+      }
+    }
+    dominates(mid, base)
+    dominates(all, mid)
+    // the full-probe run must find strictly more or equal pair mass
+    assert(all.values.map(_.length).sum >= base.values.map(_.length).sum)
+  }
+
   test("dedup_embedding block decomposition is exact: block-count invariant (incl. auto-sizing)") {
     val a = graft.operators.Dedup.embedding(spark, sf, blocks = 3).collect().map(_.toSeq).toSeq
     val b = graft.operators.Dedup.embedding(spark, sf, blocks = 16).collect().map(_.toSeq).toSeq
