@@ -307,13 +307,18 @@ object Dedup {
     // asserted in GraphSpec for that twin loop). Edges materialize
     // with AQE still on (the candidate-pair plan feeding `pairs` is
     // shuffle-heavy and wants adaptive sizing); only the fixed-shape
-    // rounds run static.
+    // rounds run static — at the graph-loop shuffle-partition law
+    // (round 14: mirrored pair rows from the materialized pair
+    // count, one cheap block-scan action), session conf the ceiling.
+    val spark = docs.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      Graph.loopShufflePartitions(spark, p.count()).toString)
     val edges = p.union(p.select(col("d2"), col("d1")))
       .toDF("src", "dst").repartition(col("dst")).cache()
     edges.count()
-    val spark = docs.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     var labels = docs.withColumn("label", col("doc_id"))
       .repartition(col("doc_id")).materialized
     try {
@@ -342,6 +347,7 @@ object Dedup {
       require(converged, s"label propagation did not converge in $maxIters rounds")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
       // release INSIDE the finally: the non-convergence require above
       // is an expected exit for pathological graphs (the diameter-40
       // spec provokes it), and an edges.cache() pin that survives the
@@ -440,10 +446,19 @@ object Dedup {
     // rounds run with AQE off (the pagerank/propagation discipline:
     // fixed-shape tiny stages over checkpointed inputs re-planned
     // adaptively is pure latency); the candidate-pair plan above
-    // already materialized adaptively
+    // already materialized adaptively. Shuffle partitions pinned to
+    // the graph-loop law for the rounds (round 14: the session width
+    // oversharded the near-dup pair graph — output-sized, orders
+    // below the corpus — into launch-bound tasks for every one of
+    // the ~5 contraction rounds; the edge COUNT is already in hand
+    // from the convergence fingerprint, so the law costs no extra
+    // action). The session conf stays the ceiling at scale.
     val spark = docs.sparkSession
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      Graph.loopShufflePartitions(spark, fp._1).toString)
     try {
       var converged = false
       var it = 0
@@ -457,7 +472,10 @@ object Dedup {
         it += 1
       }
       require(converged, s"star contraction did not converge in $maxIters rounds")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
+    }
     // star state: every non-root points straight at its component min
     val nonRoots = edges.groupBy(col("u")).agg(min(col("v")).as("label"))
       .select(col("u").as("doc_id"), col("label"))
