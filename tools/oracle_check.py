@@ -78,8 +78,34 @@ def main() -> None:
         try:
             exp = norm(con.execute(sql).fetchdf())
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            continue
+            # Out-of-memory retry at 75% of the limit (round-14
+            # finding, k_core@r60): DuckDB's managed spilling only
+            # engages as the memory limit approaches, so a limit set
+            # near the box's PHYSICAL ceiling can OOM on allocation
+            # where a tighter limit spills and completes. One retry,
+            # one step down — a replay that fails both ways is
+            # genuinely method-bound.
+            if "Out of Memory" in str(e):
+                try:
+                    cur = con.execute(
+                        "SELECT current_setting('memory_limit')").fetchone()[0]
+                    gib = float(str(cur).split()[0].rstrip("GiB"))
+                    lower = f"{gib * 0.75:.1f}GB"
+                    print(f"WARN {name}: OOM at {cur}; retrying once at {lower} "
+                          "(managed spilling engages earlier)", file=sys.stderr)
+                    con.execute(f"SET memory_limit='{lower}'")
+                    exp = norm(con.execute(sql).fetchdf())
+                    con.execute(f"SET memory_limit='{mem}'")
+                except Exception as e2:
+                    print(f"FAIL {name}: duckdb error after OOM retry: {e2}")
+                    try:
+                        con.execute(f"SET memory_limit='{mem}'")
+                    except Exception:
+                        pass
+                    continue
+            else:
+                print(f"FAIL {name}: duckdb error: {e}")
+                continue
         try:
             got = norm(pd.read_parquet(f"{out_dir}/{name}"))
         except Exception as e:
