@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Materialize.MatOps
+import graft.PlanScope
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -301,64 +302,66 @@ object Dedup {
     // is output-sized — orders of magnitude below the candidate
     // volume that produced it — so pinning it is cheap at any scale
     val p = pairs.materialized
-    // hash-partition the (usually large) edge list on its join key
-    // ONCE before caching — the per-round dst-keyed join then serves
-    // it straight from the cache (the pagerank discipline; plan
-    // asserted in GraphSpec for that twin loop). Edges materialize
-    // with AQE still on (the candidate-pair plan feeding `pairs` is
-    // shuffle-heavy and wants adaptive sizing); only the fixed-shape
-    // rounds run static — at the graph-loop shuffle-partition law
-    // (round 14: mirrored pair rows from the materialized pair
-    // count, one cheap block-scan action), session conf the ceiling.
+    // Only the candidate-pair plan (already materialized in `p`
+    // above) ran adaptively; from here on the loop plans on a
+    // conf-ISOLATED session clone ([[graft.PlanScope]], round 15 —
+    // the caller's session is never mutated, so a concurrent query
+    // keeps its AQE/partitions) with AQE off and shuffle partitions
+    // pinned to the graph-loop law (round 14: mirrored pair rows
+    // from the materialized pair count, one cheap block-scan action;
+    // session conf the ceiling). The edge build runs INSIDE the
+    // scope on purpose: hash-partitioning the (usually large) edge
+    // list on its join key ONCE at the law's width before caching
+    // lets every round's dst-keyed join read it straight from the
+    // cache, co-partitioned with the round state (the pagerank
+    // discipline; plan asserted in GraphSpec for that twin loop).
     val spark = docs.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      Graph.loopShufflePartitions(spark, p.count()).toString)
-    val edges = p.union(p.select(col("d2"), col("d1")))
-      .toDF("src", "dst").repartition(col("dst")).cache()
-    edges.count()
-    var labels = docs.withColumn("label", col("doc_id"))
-      .repartition(col("doc_id")).materialized
-    try {
-      var converged = false
-      var it = 0
-      var prevUpd: DataFrame = labels // the seed frame dies with round 1
-      while (!converged && it < maxIters) {
-        // localCheckpoint, not cache: the round's plan references
-        // `labels` twice (here and in the changed-count below), so
-        // without lineage truncation the LOGICAL plan doubles per round
-        // and optimizer time goes exponential past ~10 rounds — cache
-        // only dodges recomputation, not re-planning. The round carries
-        // its own `chg` flag, so the convergence check is a filter-count
-        // over the materialized checkpoint — no extra join job.
-        val updated = graft.Materialize.round(propagationRound(edges, labels), eager = true)
-        // the round before last is dead once this round's EAGER
-        // checkpoint exists (labels is a projection over `updated`,
-        // so `updated` itself must outlive the loop)
-        if (prevUpd != null) graft.Materialize.release(prevUpd)
-        prevUpd = updated
-        val changed = updated.filter(col("chg")).count()
-        labels = updated.select(col("doc_id"), col("label"))
-        converged = changed == 0
-        it += 1
+    val parts = Graph.loopShufflePartitions(spark, p.count())
+    PlanScope.static(spark, parts) { scope =>
+      val ps = PlanScope.rebind(scope, p)
+      val edges = ps.union(ps.select(col("d2"), col("d1")))
+        .toDF("src", "dst").repartition(col("dst")).cache()
+      edges.count()
+      var labels = PlanScope.rebind(scope, docs)
+        .withColumn("label", col("doc_id"))
+        .repartition(col("doc_id")).materialized
+      try {
+        var converged = false
+        var it = 0
+        var prevUpd: DataFrame = labels // the seed frame dies with round 1
+        while (!converged && it < maxIters) {
+          // localCheckpoint, not cache: the round's plan references
+          // `labels` twice (here and in the changed-count below), so
+          // without lineage truncation the LOGICAL plan doubles per round
+          // and optimizer time goes exponential past ~10 rounds — cache
+          // only dodges recomputation, not re-planning. The round carries
+          // its own `chg` flag, so the convergence check is a filter-count
+          // over the materialized checkpoint — no extra join job.
+          val updated = graft.Materialize.round(propagationRound(edges, labels), eager = true)
+          // the round before last is dead once this round's EAGER
+          // checkpoint exists (labels is a projection over `updated`,
+          // so `updated` itself must outlive the loop)
+          if (prevUpd != null) graft.Materialize.release(prevUpd)
+          prevUpd = updated
+          val changed = updated.filter(col("chg")).count()
+          labels = updated.select(col("doc_id"), col("label"))
+          converged = changed == 0
+          it += 1
+        }
+        require(converged, s"label propagation did not converge in $maxIters rounds")
+        labels
+      } finally {
+        // release INSIDE the finally: the non-convergence require above
+        // is an expected exit for pathological graphs (the diameter-40
+        // spec provokes it), and an edges.cache() pin that survives the
+        // exception is exactly the CacheManager leak DupSkewSpec's
+        // hygiene assert exists to catch. The TREE form on purpose:
+        // edges' plan nests the dead materialized pair frame `p`, whose
+        // checkpoint blocks the cache unpersist alone would leak to the
+        // async ContextCleaner — both frames are owned by this loop.
+        graft.Materialize.releaseTree(edges)
       }
-      require(converged, s"label propagation did not converge in $maxIters rounds")
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
-      // release INSIDE the finally: the non-convergence require above
-      // is an expected exit for pathological graphs (the diameter-40
-      // spec provokes it), and an edges.cache() pin that survives the
-      // exception is exactly the CacheManager leak DupSkewSpec's
-      // hygiene assert exists to catch. The TREE form on purpose:
-      // edges' plan nests the dead materialized pair frame `p`, whose
-      // checkpoint blocks the cache unpersist alone would leak to the
-      // async ContextCleaner — both frames are owned by this loop.
-      graft.Materialize.releaseTree(edges)
     }
-    labels
   }
 
   /** One min-label propagation round over (src, dst) edges and
@@ -439,10 +442,10 @@ object Dedup {
     // round; checkpointing truncates the lineage to the materialized
     // partitions (propagation's one-join rounds tolerate the growth,
     // these multi-op rounds do not)
-    var edges = pairs
+    val pairEdges = pairs
       .select(greatest(col("d1"), col("d2")).as("u"), least(col("d1"), col("d2")).as("v"))
       .filter(col("u") =!= col("v")).distinct().materialized
-    var fp = fingerprint(edges)
+    val fp0 = fingerprint(pairEdges)
     // rounds run with AQE off (the pagerank/propagation discipline:
     // fixed-shape tiny stages over checkpointed inputs re-planned
     // adaptively is pure latency); the candidate-pair plan above
@@ -452,14 +455,16 @@ object Dedup {
     // below the corpus — into launch-bound tasks for every one of
     // the ~5 contraction rounds; the edge COUNT is already in hand
     // from the convergence fingerprint, so the law costs no extra
-    // action). The session conf stays the ceiling at scale.
+    // action). The session conf stays the ceiling at scale. The
+    // scope is a conf-isolated session clone ([[graft.PlanScope]],
+    // round 15): the caller's session is never mutated, and the
+    // final star state is rebound to it — so the label stitch below
+    // plans under the caller's own conf, as before.
     val spark = docs.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      Graph.loopShufflePartitions(spark, fp._1).toString)
-    try {
+    val star = PlanScope.static(spark,
+        Graph.loopShufflePartitions(spark, fp0._1)) { scope =>
+      var edges = PlanScope.rebind(scope, pairEdges)
+      var fp = fp0
       var converged = false
       var it = 0
       while (!converged && it < maxIters) {
@@ -472,12 +477,10 @@ object Dedup {
         it += 1
       }
       require(converged, s"star contraction did not converge in $maxIters rounds")
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
+      edges
     }
     // star state: every non-root points straight at its component min
-    val nonRoots = edges.groupBy(col("u")).agg(min(col("v")).as("label"))
+    val nonRoots = star.groupBy(col("u")).agg(min(col("v")).as("label"))
       .select(col("u").as("doc_id"), col("label"))
     docs.join(nonRoots, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))

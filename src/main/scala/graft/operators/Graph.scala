@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Materialize
+import graft.{Materialize, PlanScope}
 import graft.Materialize.MatOps
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -82,12 +82,16 @@ object Graph {
   private[graft] def pagerankOn(customer: DataFrame, supplier: DataFrame,
       orders: DataFrame, lineitem: DataFrame): DataFrame = {
     // AQE off + the loop shuffle-partition law for the driver loop
-    // only ([[withStaticPlan]] / [[loopShufflePartitions]] rationale);
-    // restored before returning so only the rounds run static.
+    // only ([[PlanScope]] / [[loopShufflePartitions]] rationale) —
+    // on a conf-isolated session clone, so a concurrent query on the
+    // caller's session never sees the loop's conf.
     val spark = customer.sparkSession
     val parts = loopShufflePartitions(spark, lineitem.count())
-    withStaticPlan(spark, parts)(
-      pagerankRounds(customer, supplier, orders, lineitem))
+    PlanScope.static(spark, parts) { loop =>
+      pagerankRounds(PlanScope.rebind(loop, customer),
+        PlanScope.rebind(loop, supplier), PlanScope.rebind(loop, orders),
+        PlanScope.rebind(loop, lineitem))
+    }
   }
 
   /** The mirrored, src-hash-partitioned trade edge list SHARED by
@@ -378,10 +382,12 @@ object Graph {
 
   private[graft] def kCoreOn(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     // AQE off + the loop partition law for the driver loop only (the
-    // pagerank rationale)
+    // pagerank rationale), conf-isolated via [[PlanScope]]
     val spark = orders.sparkSession
     val parts = loopShufflePartitions(spark, lineitem.count())
-    withStaticPlan(spark, parts)(kCoreRounds(orders, lineitem))
+    PlanScope.static(spark, parts) { loop =>
+      kCoreRounds(PlanScope.rebind(loop, orders), PlanScope.rebind(loop, lineitem))
+    }
   }
 
   private def kCoreRounds(orders: DataFrame, lineitem: DataFrame): DataFrame = {
@@ -479,7 +485,7 @@ object Graph {
     * at 2-4, same plan — the r13 driver regression's real substrate).
     * This is exactly what AQE partition coalescing fixes for DAGs,
     * but AQE is off inside the loops (re-planning latency, see
-    * [[withStaticPlan]]) and AQE's per-query coalescing would break
+    * [[graft.PlanScope.static]]) and AQE's per-query coalescing would break
     * the round-over-round co-partitioning contract (each round's
     * checkpoint must keep the partitioning the NEXT round's
     * zero-exchange joins expect). So the loops size their shuffles
@@ -503,26 +509,18 @@ object Graph {
     math.max(1, math.min(session, derived))
   }
 
-  /** AQE off for a driver loop (the pagerank rationale: adaptive
-    * re-planning at every shuffle boundary is pure latency when the
-    * loop body is the same three-stage plan over already-partitioned
-    * cached inputs), shuffle partitions pinned to the
-    * [[loopShufflePartitions]] law for the scope (every exchange the
-    * loop plans — the edge build's distinct/repartition, the label
-    * joins, the per-round aggs — inherits it, so round state and
-    * edges stay co-partitioned at the SAME count and the
-    * zero-exchange join plans survive), both restored after.
-    */
-  private def withStaticPlan[A](spark: SparkSession, parts: Int)(body: => A): A = {
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try body finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
-    }
-  }
+  // AQE off for a driver loop (the pagerank rationale: adaptive
+  // re-planning at every shuffle boundary is pure latency when the
+  // loop body is the same three-stage plan over already-partitioned
+  // cached inputs), shuffle partitions pinned to the
+  // [[loopShufflePartitions]] law for the scope (every exchange the
+  // loop plans — the edge build's distinct/repartition, the label
+  // joins, the per-round aggs — inherits it, so round state and
+  // edges stay co-partitioned at the SAME count and the
+  // zero-exchange join plans survive). Round 15: the scope runs on a
+  // conf-ISOLATED session clone ([[graft.PlanScope.static]]) instead
+  // of mutate-and-restore on the caller's session — a concurrent
+  // query on the same session must never plan with the loop's conf.
 
   private def tradeNodes(customer: DataFrame, supplier: DataFrame): DataFrame =
     customer.select(custNode(col("c_custkey")).as("id"))
@@ -601,10 +599,11 @@ object Graph {
       // at the same count (a lent sharedEdges frame must have been
       // built under the same law: both callers derive `parts` from
       // the same lineitem count)
-      withStaticPlan(spark, parts) {
-        val t = Tables(spark, dir)
+      PlanScope.static(spark, parts) { loop =>
+        val t = Tables(loop, dir)
         val nodes = tradeNodes(t.customer, t.supplier)
-        val edges = sharedEdges.getOrElse(mirroredTradeEdges(t.orders, t.lineitem))
+        val edges = sharedEdges.map(PlanScope.rebind(loop, _))
+          .getOrElse(mirroredTradeEdges(t.orders, t.lineitem))
         try lpaFixpoint(nodes, edges)
         finally if (sharedEdges.isEmpty) Materialize.release(edges)
       }
@@ -657,8 +656,16 @@ object Graph {
     // and the caller's collect can no longer kill the collect (the
     // r13 advisory window); (b) the assembly's two exchanges run at
     // the loop partition law instead of the session width. The copy
-    // is one write+read of the result (node-count-sized, linear).
-    withStaticPlan(spark, parts)(Materialize.eager(communitiesFrom(labels)))
+    // is one write+read of the result (node-count-sized, linear) —
+    // and MEMOIZED next to the labeling (sub="communities", the r14
+    // advisory: repeated warm calls used to pin a fresh eager copy
+    // each until the ContextCleaner caught up; now they return the
+    // one ledger-owned frame, which consumers must not release).
+    lpaCache.getOrCompute(spark, dir, sub = "communities") {
+      PlanScope.static(spark, parts) { loop =>
+        Materialize.eager(communitiesFrom(PlanScope.rebind(loop, labels)))
+      }
+    }
   }
 
   /** Uncached fixture/spec path: same loop, same assembly, no
@@ -669,10 +676,12 @@ object Graph {
       supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val spark = customer.sparkSession
     val parts = loopShufflePartitions(spark, lineitem.count())
-    withStaticPlan(spark, parts) {
-      val edges = mirroredTradeEdges(orders, lineitem)
+    PlanScope.static(spark, parts) { loop =>
+      val edges = mirroredTradeEdges(PlanScope.rebind(loop, orders),
+        PlanScope.rebind(loop, lineitem))
       val labels =
-        try lpaFixpoint(tradeNodes(customer, supplier), edges)
+        try lpaFixpoint(tradeNodes(PlanScope.rebind(loop, customer),
+          PlanScope.rebind(loop, supplier)), edges)
         finally Materialize.release(edges)
       val out = Materialize.eager(communitiesFrom(labels))
       Materialize.release(labels)
@@ -709,14 +718,18 @@ object Graph {
   def communityStats(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val parts = loopShufflePartitions(spark, t.lineitem.count())
-    withStaticPlan(spark, parts) {
+    PlanScope.static(spark, parts) { loop =>
       // edges built HERE and lent to a cold labeling compute, so a
       // cold card builds the mirrored list exactly once; a warm card
       // (labeling artifact hot) pays only the card's own passes
-      val edges = mirroredTradeEdges(t.orders, t.lineitem)
+      val tl = Tables(loop, dir)
+      val edges = mirroredTradeEdges(tl.orders, tl.lineitem)
       try {
+        // lpaLabels runs its OWN isolated scope off the parent and
+        // rebinds the lent edges into it; the returned ledger frame
+        // is parent-bound, so rebind it into THIS scope for the card
         val labels = lpaLabels(spark, dir, Some(edges), parts)
-        gradeCommunities(labels, edges)
+        gradeCommunities(PlanScope.rebind(loop, labels), edges)
       } finally Materialize.release(edges)
     }
   }
@@ -726,10 +739,12 @@ object Graph {
       supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val spark = customer.sparkSession
     val parts = loopShufflePartitions(spark, lineitem.count())
-    withStaticPlan(spark, parts) {
-      val edges = mirroredTradeEdges(orders, lineitem)
+    PlanScope.static(spark, parts) { loop =>
+      val edges = mirroredTradeEdges(PlanScope.rebind(loop, orders),
+        PlanScope.rebind(loop, lineitem))
       try {
-        val labels = lpaFixpoint(tradeNodes(customer, supplier), edges)
+        val labels = lpaFixpoint(tradeNodes(PlanScope.rebind(loop, customer),
+          PlanScope.rebind(loop, supplier)), edges)
         val out = gradeCommunities(labels, edges)
         Materialize.release(labels)
         out

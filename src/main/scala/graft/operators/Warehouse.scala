@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{PlanScope, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -176,11 +176,14 @@ object Warehouse {
     hierarchyOn(Tables(spark, dir).part)
 
   private[graft] def hierarchyOn(part: DataFrame): DataFrame = {
+    // conf-isolated AQE-off scope (graft.PlanScope, round 15): the
+    // caller's session is never mutated, so a concurrent query keeps
+    // its adaptive planning while the loop's fixed-shape rounds skip
+    // the re-planning latency.
     val spark = part.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try hierarchyRounds(part)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    PlanScope.staticAqe(spark) { scope =>
+      hierarchyRounds(PlanScope.rebind(scope, part))
+    }
   }
 
   private def hierarchyRounds(part: DataFrame): DataFrame = {

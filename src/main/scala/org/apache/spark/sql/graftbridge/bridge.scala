@@ -31,6 +31,20 @@ object Bridge {
   def catalystExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Conf-isolated twin of `spark`: same SparkContext, shared
+    * external catalog and cached data, and — unlike `newSession()` —
+    * a CLONE of the session state, so every runtime conf the caller
+    * set (time zone, ANSI mode, graft.* strategy keys), registered
+    * function and temp view carries over. `cloneSession` is
+    * `private[sql]`, hence exposed from inside the package. Used by
+    * graft's driver loops to pin AQE/shuffle-partition settings for
+    * a loop's plans WITHOUT mutating the caller's session (a
+    * concurrent query on the caller's session must never see the
+    * loop's conf).
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
   /** Block until the listener bus has delivered every queued event
     * (`SparkContext.listenerBus` is `private[spark]`, hence exposed
     * from inside the package): the DETERMINISTIC settle point for

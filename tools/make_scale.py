@@ -44,6 +44,7 @@ Timestamps, floats and categorical columns are kept verbatim.
 
 Usage: python3 tools/make_scale.py <src_sf_dir> <out_dir> <replicas>
 """
+import argparse
 import sys
 
 import duckdb
@@ -93,7 +94,20 @@ def signed_perm_sql(r: int, dim: int, elem_cast: str) -> str:
 
 
 def main() -> None:
-    src, out, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    # argparse (round-15 fix): the old raw sys.argv[1..3] positional
+    # read silently corrupted parsing when --embedding-only preceded
+    # the positionals (src became the flag string instead of the
+    # opt-in engaging).
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("src", help="source sf dir (parquet tables)")
+    ap.add_argument("out", help="output corpus dir")
+    ap.add_argument("reps", type=int, help="replication factor R")
+    ap.add_argument("--embedding-only", action="store_true",
+                    help="allow R > 26 (text rotations cycle past 26; "
+                         "the corpus is valid for embedding/ANN only)")
+    ns = ap.parse_args()
+    src, out, reps = ns.src, ns.out, ns.reps
     # Letter rotations are pairwise-everywhere-distinct only up to 26
     # (a Latin-square bound: no larger family of permutations of one
     # alphabet disagrees at every position). Past 26 the rotations
@@ -108,7 +122,7 @@ def main() -> None:
     # trust text-family dedup measurements on it), and the corpus dir
     # gets a TEXT_ROTATIONS_CYCLE marker file text-family tooling can
     # check.
-    if reps > 26 and "--embedding-only" not in sys.argv:
+    if reps > 26 and not ns.embedding_only:
         sys.exit(f"ERROR: R={reps} > 26 — text rotations cycle past 26, so "
                  "this corpus would carry byte-identical text replicas. "
                  "Pass --embedding-only to build it for embedding/ANN "

@@ -15,6 +15,7 @@ Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [--approx]
 """
 import json
 import os
+import re
 import sys
 
 import duckdb
@@ -61,6 +62,17 @@ def main() -> None:
             mem = f"{max(1, min(64, int(phys_gb)))}GB"
         except (AttributeError, OSError, ValueError):
             mem = "16GB"
+    # numeric GB value of `mem`, kept for the OOM-retry step-down so
+    # the retry never re-parses current_setting's pretty-printed
+    # value (round-15 fix: a MiB/TiB-unit print misparsed under the
+    # old rstrip-based parse, masking the original OOM). Accepts the
+    # unit spellings DuckDB does; unit-less means bytes.
+    m = re.match(r"^\s*([0-9.]+)\s*([KMGT]i?B)?\s*$", str(mem), re.IGNORECASE)
+    unit_gb = {None: 2**-30, "KB": 1e3 / 2**30, "KIB": 2**-20,
+               "MB": 1e6 / 2**30, "MIB": 2**-10, "GB": 1e9 / 2**30,
+               "GIB": 1.0, "TB": 1e12 / 2**30, "TIB": 2**10}
+    mem_gib = (float(m.group(1)) * unit_gb[m.group(2) and m.group(2).upper()]
+               if m else 16.0)
     con.execute(f"SET memory_limit='{mem}'")
     # bound spill so a heavy replica replay fails inside DuckDB's
     # budget instead of filling the host disk (the r100 ann_ivf run
@@ -87,11 +99,10 @@ def main() -> None:
             # genuinely method-bound.
             if "Out of Memory" in str(e):
                 try:
-                    cur = con.execute(
-                        "SELECT current_setting('memory_limit')").fetchone()[0]
-                    gib = float(str(cur).split()[0].rstrip("GiB"))
-                    lower = f"{gib * 0.75:.1f}GB"
-                    print(f"WARN {name}: OOM at {cur}; retrying once at {lower} "
+                    # step down from the script's OWN numeric value —
+                    # never re-parse current_setting's pretty print
+                    lower = f"{max(mem_gib * 0.75, 0.1):.1f}GiB"
+                    print(f"WARN {name}: OOM at {mem}; retrying once at {lower} "
                           "(managed spilling engages earlier)", file=sys.stderr)
                     con.execute(f"SET memory_limit='{lower}'")
                     exp = norm(con.execute(sql).fetchdf())
