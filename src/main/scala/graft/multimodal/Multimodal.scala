@@ -724,16 +724,24 @@ object Multimodal {
     val qSig = ss.tableSigs(q, "qv", planes, p)
       .select(col("qid"), col("qv"), col("t"),
         explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
-    val candidates = corpus.join(broadcast(qSig),
+    // score in the JOIN's stage and drop both vectors BEFORE any
+    // exchange (round 15, the knn_graph r13 in-heap-dedupe play): the
+    // old plan ran DISTINCT over candidate rows still carrying the
+    // two 64-dim arrays — at sf0.1 a ~500k-row × ~1 KB/row shuffle
+    // that dominated the query (measured ~3.5 s of its 4.3 s). A
+    // duplicate (qid, media_id) candidate — same pair from several
+    // tables/probes — scores to the IDENTICAL sim (pure function of
+    // the two vectors), so TopKPerKey's dedupe collapses duplicates
+    // in the heap and the result is unchanged; the redundant scoring
+    // flops are noise next to the exchange they replace.
+    val scored = corpus.join(broadcast(qSig),
         corpus("t") === qSig("t") && corpus("sig") === qSig("sig"))
-      .select(col("qid"), col("qv"), col("media_id"), col("mime"), col("v"))
-      .distinct()
-    val scored = candidates
-      .withColumn("sim", cosineSim(col("qv"), col("v")))
-      .select(col("qid"), col("media_id"), col("mime"), col("sim"))
+      .select(col("qid"), col("media_id"), col("mime"),
+        cosineSim(col("qv"), col("v")).as("sim"))
     val topk = graft.plans.TopK.topKPerKey(scored,
       keys = Seq(col("qid")),
-      order = Seq(col("sim").desc, col("media_id").asc), k = k)
+      order = Seq(col("sim").desc, col("media_id").asc), k = k,
+      dedupe = Seq(col("media_id")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("media_id"))
     topk
       .withColumn("rank", row_number().over(w).cast("long"))

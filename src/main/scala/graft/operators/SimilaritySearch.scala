@@ -765,17 +765,22 @@ object SimilaritySearch {
     val qSig = tableSigs(q, "qv", planes, p)
       .select(col("qid"), col("qv"), col("t"),
         explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
-    val candidates = corpus.join(broadcast(qSig),
+    // score in the join's stage and drop both vectors BEFORE any
+    // exchange; duplicate (qid, vec_id) candidates from different
+    // tables/probes score identically (sim is a pure function of the
+    // two vectors), so TopKPerKey's in-heap dedupe replaces the old
+    // DISTINCT — which shuffled every candidate still carrying two
+    // 64-dim arrays (the mm_crossmodal round-15 measurement: the
+    // vector-laden exchange dominated the query).
+    val scored = corpus.join(broadcast(qSig),
         corpus("t") === qSig("t") && corpus("sig") === qSig("sig") &&
           col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qv"), col("vec_id"), col("v"))
-      .distinct()
-    val scored = candidates
-      .withColumn("sim", cosineSim(col("qv"), col("v")))
-      .select(col("qid"), col("vec_id"), col("sim"))
+      .select(col("qid"), col("vec_id"),
+        cosineSim(col("qv"), col("v")).as("sim"))
     val topk = graft.plans.TopK.topKPerKey(scored,
       keys = Seq(col("qid")),
-      order = Seq(col("sim").desc, col("vec_id").asc), k = k)
+      order = Seq(col("sim").desc, col("vec_id").asc), k = k,
+      dedupe = Seq(col("vec_id")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     topk
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -179,9 +179,14 @@ object Warehouse {
     // conf-isolated AQE-off scope (graft.PlanScope, round 15): the
     // caller's session is never mutated, so a concurrent query keeps
     // its adaptive planning while the loop's fixed-shape rounds skip
-    // the re-planning latency.
+    // the re-planning latency. The loop also runs under the graph
+    // shuffle-partition law: the pointer table is node-count-sized
+    // (the same rounds × stages × oversharding shape as the LPA
+    // loops; the count is a parquet footer scan), session conf the
+    // ceiling.
     val spark = part.sparkSession
-    PlanScope.staticAqe(spark) { scope =>
+    val parts = Graph.loopShufflePartitions(spark, part.count())
+    PlanScope.static(spark, parts) { scope =>
       hierarchyRounds(PlanScope.rebind(scope, part))
     }
   }
