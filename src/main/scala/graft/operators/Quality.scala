@@ -190,24 +190,33 @@ object Quality {
     * admitted one), score as tiebreak, id for determinism.
     *
     * Composition of REGISTERED operators (cluster labels via the
-    * shared artifact, gate/score via the single rule definitions), so
-    * the keep-list can't drift from what dedup_clusters and
-    * gopher_quality each report. Scale shape: the label artifact's
-    * machinery (star contraction, O(log n) rounds), two map-heavy
-    * per-doc chains joined on unique doc_id, and the per-cluster
-    * argmax on the bounded heap ([[graft.plans.TopK]], k = 1) — a
-    * boilerplate cluster holding 10% of the corpus is exactly the
-    * group a cluster_id window would serialize on one task; the heap
-    * tracks one row per cluster per partition map-side. The best-id
-    * join back is cluster-keyed, output-sized.
+    * shared artifact, gate/score via the single rule definitions —
+    * [[Text.withGopherFlags]] and [[Text.withQualityScore]], the
+    * exact expression trees gopher_quality and quality_score
+    * register), so the keep-list can't drift from what
+    * dedup_clusters and gopher_quality each report. Scale shape: the
+    * label artifact's machinery (star contraction, O(log n) rounds),
+    * then ONE map-heavy scan computing BOTH the gate and the score
+    * (round 15: the two chains share the same normalized word array
+    * — `words(text)` ≡ withQualityScore's `w` by definition — so
+    * stacking the rule definitions on one projection is
+    * bit-identical to the two standalone operators while cutting a
+    * full corpus scan AND one of the two doc_id shuffle joins; at
+    * 100 TB the quality side of this query is one map stage + one
+    * join, not two of each), and the per-cluster argmax on the
+    * bounded heap ([[graft.plans.TopK]], k = 1) — a boilerplate
+    * cluster holding 10% of the corpus is exactly the group a
+    * cluster_id window would serialize on one task; the heap tracks
+    * one row per cluster per partition map-side. The best-id join
+    * back is cluster-keyed, output-sized.
     */
   def dedupKeepbest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val labels = Dedup.labelArtifact(spark, dir)
       .select(col("doc_id"), col("cluster_id"))
-    val gate = Text.gopherQualityOn(docs).select(col("doc_id"), col("keep").as("gq"))
-    val score = Text.qualityScoreOn(docs).select(col("doc_id"), col("score"))
-    val base = labels.join(gate, "doc_id").join(score, "doc_id")
+    val qual = Text.withGopherFlags(Text.withQualityScore(docs))
+      .select(col("doc_id"), col("keep").as("gq"), col("score"))
+    val base = labels.join(qual, "doc_id")
     val best = graft.plans.TopK.topKPerKey(base,
         keys = Seq(col("cluster_id")),
         order = Seq(col("gq").desc, col("score").desc, col("doc_id").asc), k = 1)
