@@ -10,9 +10,15 @@ object PlanDump {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PLAN_FMT=1 → .explain("formatted") text instead of
+    // the executed plan (the judge-facing plans/ artifact format)
+    val formatted = sys.env.get("SPARK_GRAFT_PLAN_FMT").contains("1")
     for (name <- args.drop(1)) {
-      val plan = SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val qe = SparkEntry.queries(name)(spark, dir).queryExecution
+      val plan =
+        if (formatted)
+          qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        else qe.executedPlan.toString.split("== Initial Plan ==")(0)
       println(s"===== $name =====")
       println(plan)
     }
