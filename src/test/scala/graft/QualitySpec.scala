@@ -136,6 +136,69 @@ class QualitySpec extends AnyFunSuite {
     assert(got.forall(r => r._1 < r._2) && got.size == 10)
   }
 
+  test("quality_ensemble: fused scan preserves melt semantics when ccnet covers a strict subset") {
+    import spark.implicits._
+    import operators.Quality.EnsembleScoreFloor
+    // every third doc is a single word → no bigram → absent from
+    // ccnet's frame (the lmScore ≥2-word contract): the 4 pair rows
+    // involving ccnet must count only covered docs — the exact
+    // semantics the old doc_id self-join had, now carried by the
+    // in_ccnet presence flag inside the fused aggregation
+    val docs = (0 until 36).map { i =>
+      val text =
+        if (i % 3 == 0) "solo"
+        else (Seq.fill(i % 7 + 2)(Seq("the", "fox", "runs", "far")(i % 4))
+          ++ Seq("and", "it", "is", "a", "good", "day", "to", "run")).mkString(" ")
+      (i.toLong, text, if (i % 2 == 0) "en" else "de", s"src${i % 4}",
+        text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // reference: gate vectors straight from the registered single
+    // definitions, paired with INTERSECTION coverage (= the old
+    // melt's inner self-join on doc_id)
+    val gates: Map[String, Map[Long, Long]] = Map(
+      "gopher" -> operators.Text.gopherQualityOn(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep")).toMap,
+      "score" -> operators.Text.qualityScoreOn(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (if (r.getAs[Double]("score") >= EnsembleScoreFloor) 1L else 0L)).toMap,
+      "url" -> operators.Text.urlFilterOn(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (if (r.getAs[String]("verdict") == "pass") 1L else 0L)).toMap,
+      "lang" -> operators.Text.langIdOn(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (if (r.getAs[String]("pred_lang") == r.getAs[String]("labeled_lang")) 1L
+           else 0L)).toMap,
+      "ccnet" -> operators.LangModel.ccnetBucketsOn(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (if (r.getAs[String]("bucket") == "head") 1L else 0L)).toMap)
+    assert(gates("ccnet").size < gates("gopher").size,
+      "fixture must exercise the subset-coverage branch")
+    val names = gates.keys.toSeq.sorted
+    val expected = (for {
+      i <- names.indices; j <- i + 1 until names.size
+    } yield {
+      val (a, b) = (names(i), names(j))
+      val (ga, gb) = (gates(a), gates(b))
+      val ids = ga.keySet intersect gb.keySet
+      val n = ids.size.toLong
+      val bk = ids.count(id => ga(id) == 1 && gb(id) == 1).toLong
+      val bd = ids.count(id => ga(id) == 0 && gb(id) == 0).toLong
+      val ka = ids.toSeq.map(ga).sum; val kb = ids.toSeq.map(gb).sum
+      val peN = BigInt(ka) * kb + BigInt(n - ka) * (n - kb)
+      val den = BigInt(n) * n - peN
+      val kappa = if (den == 0) 0L
+        else ((BigInt(bk + bd) * n - peN) * 1000000 / den).toLong
+      (a, b, n, bk, bd, n - bk - bd, (bk + bd) * 1000000L / n, kappa)
+    }).sortBy(t => (t._1, t._2))
+    val got = operators.Quality.qualityEnsembleOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expected, s"got\n${got.mkString("\n")}\nwant\n${expected.mkString("\n")}")
+    // empty corpus: every pair vanishes, exactly like the old groupBy
+    val empty = operators.Quality.qualityEnsembleOn(docs.filter(col("doc_id") < 0))
+    assert(empty.collect().isEmpty)
+  }
+
   test("dedup_keepbest: one best per cluster, argmax law, labels agree with dedup_clusters") {
     val sf = "/root/testdata/sf0.001"
     val rows = operators.Quality.dedupKeepbest(spark, sf).collect()
