@@ -62,8 +62,119 @@ object Tokenizer {
       .orderBy(col("rank"))
   }
 
-  /** The merge list itself, for callers composing an encoder. */
+  /** Driver-side merge-loop bound: the in-memory loop engages only
+    * while the word-frequency VOCABULARY (never the corpus — Heaps'
+    * law keeps it sublinear) fits comfortably on the driver. 2¹⁷
+    * (word, freq) rows is a few MB — the broadcast-dimension class,
+    * the same order as the Bloom filters and codebooks the engine
+    * already ships driver-side. Above it the vocabulary-sized
+    * distributed loop runs unchanged, so the bound is volume-adaptive
+    * (guide §1.2/§5), never a local-core-count constant.
+    */
+  val DriverVocabCap = 1 << 17
+
+  /** The merge list itself, for callers composing an encoder.
+    *
+    * Volume-adaptive (optimization guide §1.2 — fix the distributed
+    * algorithm first): ONE corpus pass builds the word-frequency
+    * vocabulary either way; when the vocabulary is driver-bounded
+    * (≤ [[DriverVocabCap]] rows) the [[NumMerges]] merge rounds run
+    * in-memory on the collected table — each distributed round is a
+    * vocabulary-SIZED job whose cost at any corpus scale is pure
+    * job/checkpoint overhead (measured ~90 ms × 32 rounds ≈ 2.9 s at
+    * sf0.1 over a 31-row vocabulary) — and above the cap the
+    * distributed loop runs as before. Both paths implement the
+    * identical algorithm (same pair counting, same (count DESC, l, r)
+    * UTF-8-binary argmax, same greedy left-to-right rewrite, same
+    * min-frequency-2 stop), so the merge table is bit-identical by
+    * construction; TokenizerSpec pins in-memory ≡ distributed ≡ the
+    * independent reference trainer, and bpe_train's oracle hash
+    * covers the registered query.
+    */
   private[graft] def trainMerges(docs: DataFrame,
+      numMerges: Int): Seq[(Long, String, String, Long)] = {
+    // the one corpus pass both paths share, checkpointed so the
+    // distributed fallback never re-scans the corpus
+    val wordFreq = docs
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .transform(graft.Materialize.round(_))
+    val head = wordFreq.limit(DriverVocabCap + 1).collect()
+    if (head.length <= DriverVocabCap) {
+      graft.Materialize.release(wordFreq)
+      trainMergesInMemory(
+        head.map(r => (r.getString(0), r.getLong(1))), numMerges)
+    } else
+      try trainMergesDistributed(wordFreq, numMerges)
+      finally graft.Materialize.release(wordFreq)
+  }
+
+  /** The merge loop on the collected (word, freq) vocabulary — the
+    * exact distributed algorithm run where the data already is:
+    * count adjacent symbol pairs frequency-weighted, argmax by
+    * (count DESC, l, r) in UTF-8 BINARY order (UTF8String.compareTo —
+    * what the distributed orderBy sorts strings by), rewrite with
+    * [[BpeFunctions.mergeOnce]], stop below min frequency 2.
+    */
+  private[graft] def trainMergesInMemory(wordFreq: Array[(String, Long)],
+      numMerges: Int): Seq[(Long, String, String, Long)] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    var vocab: Array[(Array[String], Long)] =
+      wordFreq.map { case (w, f) => (BpeFunctions.initialSymbols(w), f) }
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      for ((syms, f) <- vocab) {
+        var i = 0
+        while (i + 1 < syms.length) {
+          counts.merge((syms(i), syms(i + 1)), f, _ + _)
+          i += 1
+        }
+      }
+      // deterministic argmax: max count, ties to the UTF-8-binary
+      // smallest (l, r) — Spark's string order, the winnow lesson
+      var best: (String, String) = null
+      var bestCnt = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val k = e.getKey; val c = e.getValue
+        val better = best == null || c > bestCnt || (c == bestCnt && {
+          val l = UTF8String.fromString(k._1).compareTo(UTF8String.fromString(best._1))
+          l < 0 || (l == 0 &&
+            UTF8String.fromString(k._2).compareTo(UTF8String.fromString(best._2)) < 0)
+        })
+        if (better) { best = k; bestCnt = c }
+      }
+      if (best == null || bestCnt < 2) done = true
+      else {
+        val (l, rr) = best
+        merges += ((r.toLong, l, rr, bestCnt))
+        if (r < numMerges) vocab = vocab.map { case (syms, f) =>
+          // rewrite only words containing the pair (the encodeText
+          // pre-check — the common no-op merge allocates nothing)
+          var hit = false
+          var i = 0
+          while (!hit && i + 1 < syms.length) {
+            if (syms(i) == l && syms(i + 1) == rr) hit = true
+            i += 1
+          }
+          (if (hit) BpeFunctions.mergeOnce(syms, l, rr) else syms, f)
+        }
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The distributed merge loop over a MATERIALIZED (word, freq)
+    * vocabulary — the 100 TB path for vocabularies past
+    * [[DriverVocabCap]].
+    */
+  private[graft] def trainMergesDistributed(wordFreq: DataFrame,
       numMerges: Int): Seq[(Long, String, String, Long)] = {
     val chars = expr(
       "transform(sequence(1, length(word)), i -> substring(word, CAST(i AS INT), 1))")
@@ -71,10 +182,7 @@ object Tokenizer {
     // side effect of the NEXT round's argmax job, so each round costs
     // ONE job (an eager checkpoint would double it) while lineage
     // still truncates (the dedup_clusters exponential-plan lesson)
-    var vocab = docs
-      .select(explode(words(col("text"))).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var vocab = wordFreq
       .select(col("freq"),
         concat(chars, array(lit(BpeFunctions.EndOfWord))).as("syms"))
       .transform(graft.Materialize.round(_))

@@ -100,9 +100,15 @@ class QueryPackSpec extends AnyFunSuite {
     // ≤ |langs| kilobyte sketches — the scalar class
     // cluster_stats' one scalar is the 1-row corpus word total the
     // ppm column divides by (the word_pmi/bm25 corpus-scalar shape)
+    // quality_ensemble (round 15 fusion, the round-16 carry-in fix:
+    // the driver's r15 test run caught it missing here): all 10 pair
+    // contingency tables collapse in ONE map-side-combinable global
+    // aggregation — 31 partial sums into a single output row, the
+    // q24_funnel whole-corpus-scalar class — then reshape by stack()
     val singlePartOk = Set("q20_subquery", "sample_mixture",
       "q24_funnel", "freq_words", "sketch_cube", "word_pmi",
-      "bm25_search", "drift_check", "cluster_stats", "hybrid_search")
+      "bm25_search", "drift_check", "cluster_stats", "hybrid_search",
+      "quality_ensemble")
     for ((name, fn) <- SparkEntry.queries) {
       spark.catalog.clearCache()
       val plan = fn(spark, sf).queryExecution.executedPlan.toString

@@ -127,4 +127,28 @@ class TokenizerSpec extends AnyFunSuite {
     assert(plan.split("Exchange").length - 1 == 1,
       s"bpe_encode should shuffle only for the output sort:\n$plan")
   }
+
+  test("bpe_train: the in-memory and distributed merge loops are bit-identical") {
+    // the round-16 volume-adaptive trainer runs the merge rounds
+    // driver-side while the vocabulary fits DriverVocabCap; this pins
+    // the two paths to each other on the same word-frequency table
+    // (the registered query is additionally pinned to the independent
+    // reference trainer above and to the DuckDB oracle)
+    import graft.functions.TextFunctions.words
+    val wf = Tables(spark, sf).documents
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val mat = graft.Materialize.eager(wf)
+    try {
+      val dist = operators.Tokenizer.trainMergesDistributed(
+        mat, operators.Tokenizer.NumMerges)
+      val mem = operators.Tokenizer.trainMergesInMemory(
+        mat.collect().map(r => (r.getString(0), r.getLong(1))),
+        operators.Tokenizer.NumMerges)
+      assert(dist.nonEmpty)
+      assert(mem == dist,
+        s"paths diverge at rank ${mem.zip(dist).indexWhere(t => t._1 != t._2) + 1}")
+    } finally graft.Materialize.release(mat)
+  }
 }
