@@ -215,3 +215,87 @@ object ResizeKernel {
     org.apache.spark.sql.catalyst.InternalRow(r00, r77, checksum)
   }
 }
+
+/** Landmark-array evaluator for mm_audio_match (round 16, guide §4 +
+  * §2.4): ONE tight loop over the stub-PCM sample lattice emits a
+  * track's (t, h) landmark pairs — h = en(f)·AnchorBase + en(f+1)
+  * over consecutive frame energies — replacing (a) the interpreted
+  * `aggregate(sequence(...))` per-frame energy fold (the
+  * [[AudioFpKernel]] cost class), (b) the per-side window-`lead`
+  * that paired consecutive energies (one exchange + sort per side:
+  * energies are a pure function of (fp60, f), so the successor
+  * energy is computable, never shuffled-for), and (c) the clip-side
+  * explode + re-aggregate that re-derived per-doc constants.
+  *
+  * `clip = false`: the full track's landmarks, t = f ∈
+  * [0, n_frames − 2]. `clip = true`: the derived query excerpt —
+  * empty unless the doc is long enough (n_frames ≥ ClipLen + 2),
+  * cut at k = fp60 mod (n_frames − ClipLen), t = f − k ∈
+  * [0, ClipLen − 2]. PCM function, framing, anchor encoding and the
+  * eligibility/cut arithmetic are IDENTICAL to the SQL form the
+  * DuckDB oracle runs — the oracle hash-match is the equivalence
+  * proof (geometry constants are asserted against the operator's in
+  * Multimodal).
+  */
+case class AudioMarksKernel(child: Expression, clip: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t", LongType),
+    StructField("h", LongType))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(fp: Any): Any =
+    AudioMarksKernel.eval(fp.asInstanceOf[Long], clip)
+
+  override protected def withNewChildInternal(c: Expression): AudioMarksKernel =
+    copy(child = c)
+}
+
+object AudioMarksKernel {
+  // geometry constants mirrored from Multimodal (single source of
+  // truth is the operator object; asserted equal there)
+  val Frame = 64L
+  val MinSamples = 512L
+  val SamplesMod = 1024L
+  val AnchorBase = 4194304L
+  val ClipLen = 6L
+
+  def audioMarks(fp60: Column, clip: Boolean): Column =
+    Bridge.column(AudioMarksKernel(Bridge.expression(fp60), clip))
+
+  private def energy(fp60: Long, f: Long): Long = {
+    var e = 0L
+    var t = f * Frame
+    val end = t + Frame
+    while (t < end) {
+      val s = java.lang.Math.floorMod(fp60 + 37 * t + (t * t) % 97, 65536L) - 32768L
+      e += java.lang.Math.abs(s)
+      t += 1
+    }
+    e
+  }
+
+  private[functions] def eval(fp60: Long, clip: Boolean): Any = {
+    val nSamples = fp60 % SamplesMod + MinSamples
+    val nFrames = nSamples / Frame
+    val (from, len) =
+      if (!clip) (0L, nFrames)
+      else if (nFrames < ClipLen + 2) (0L, 0L)
+      else (java.lang.Math.floorMod(fp60, nFrames - ClipLen), ClipLen)
+    if (len < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val out = new Array[Any]((len - 1).toInt)
+    var prev = energy(fp60, from)
+    var t = 0L
+    while (t < len - 1) {
+      val next = energy(fp60, from + t + 1)
+      out(t.toInt) = org.apache.spark.sql.catalyst.InternalRow(
+        t, prev * AnchorBase + next)
+      prev = next
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

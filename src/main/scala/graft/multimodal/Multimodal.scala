@@ -493,7 +493,14 @@ object Multimodal {
     mmAudioMatchOn(Tables(spark, dir).documents)
 
   private[graft] def mmAudioMatchOn(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.AudioMarksKernel
+    // the kernel mirrors the geometry constants; a drifted edit here
+    // must fail loudly, not produce a subtly different lattice
+    require(AudioMarksKernel.Frame == AudioFrame &&
+      AudioMarksKernel.MinSamples == AudioMinSamples &&
+      AudioMarksKernel.SamplesMod == AudioSamplesMod &&
+      AudioMarksKernel.AnchorBase == AudioAnchorBase &&
+      AudioMarksKernel.ClipLen == AudioMatchClipLen)
     // TRACK side collapses to one representative per distinct audio
     // content (min doc_id per fp60 — the dedup-family collapse guard
     // applied to media): m copies of one boilerplate payload would
@@ -502,44 +509,32 @@ object Multimodal {
     // UNCHANGED — the per-clip argmax tie-break (votes desc, track
     // asc) already elected the min-id copy — only the plan improves;
     // SkewBench measures the difference on the 10%-duplicate corpus.
+    //
+    // Round 16 (guide §4 + §2.4): each side's landmark set is ONE
+    // [[graft.functions.AudioMarksKernel]] eval per row + explode —
+    // the r15 shape paid an interpreted aggregate(sequence(...)) per
+    // frame, a window-`lead` exchange+sort PER SIDE to pair
+    // consecutive energies (pure function of (fp60, f) — nothing to
+    // shuffle for), and a clip-side explode + re-aggregate; the
+    // before/after plans show Exchange 8 → 5 and both Window nodes
+    // gone. Landmarks are bit-identical (same integer lattice), so
+    // votes/argmax — unchanged below — produce the same rows.
     val withFp = docs
       .withColumn("fp60", hash60(normalize(col("text"))))
     val reps = withFp.groupBy(col("fp60"))
       .agg(min(col("doc_id")).as("doc_id"))
-    def energyFrames(d: DataFrame): DataFrame = d
-      .withColumn("n_samples", col("fp60") % AudioSamplesMod + AudioMinSamples)
-      .withColumn("n_frames", expr(s"n_samples div $AudioFrame"))
-      .select(col("doc_id"), col("fp60"), col("n_frames"),
-        explode(expr(s"sequence(0L, n_frames - 1)")).as("f"))
-      .withColumn("en", expr(
-        s"""aggregate(sequence(f * $AudioFrame, f * $AudioFrame + ${AudioFrame - 1}),
-           |  0L, (a, t) -> a + abs(${pcmExpr("t")}))""".stripMargin))
-    val trackFrames = energyFrames(reps)
-    // CLIP side stays per-doc: every eligible doc is a query
-    val frames = energyFrames(withFp.select(col("doc_id"), col("fp60")))
-    def landmarks(fr: DataFrame, idCol: String, tCol: String): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col(tCol))
-      fr.withColumn("en1", lead(col("en"), 1).over(w))
-        .filter(col("en1").isNotNull)
-        .select(col(idCol), col(tCol).as("t"),
-          (col("en") * AudioAnchorBase + col("en1")).as("h"))
-    }
-    val trackMarks = landmarks(
-      trackFrames.select(col("doc_id").as("track_id"), col("f"), col("en")),
-      "track_id", "f")
-    // clip definitions: source track, cut offset k derived from fp60
-    val clipDef = frames
-      .filter(col("doc_id") % AudioMatchClipMod === 0 &&
-        col("n_frames") >= AudioMatchClipLen + 2)
-      .groupBy(col("doc_id"), col("fp60"), col("n_frames")).agg(count(lit(1)).as("nf"))
+    val trackMarks = reps
+      .select(col("doc_id").as("track_id"),
+        explode(AudioMarksKernel.audioMarks(col("fp60"), clip = false)).as("m"))
+      .select(col("track_id"), col("m.t").as("t"), col("m.h").as("h"))
+    // CLIP side stays per-doc: every eligible doc is a query (the
+    // kernel's clip form applies the eligibility gate and the
+    // fp60-derived cut internally — an ineligible doc emits no rows)
+    val clipMarks = withFp
+      .filter(col("doc_id") % AudioMatchClipMod === 0)
       .select(col("doc_id").as("clip_id"),
-        (col("fp60") % (col("n_frames") - AudioMatchClipLen)).as("k"))
-    val clipFrames = frames
-      .join(clipDef, frames("doc_id") === clipDef("clip_id"))
-      .filter(col("f") >= col("k") && col("f") < col("k") + AudioMatchClipLen)
-      .select(col("clip_id"), (col("f") - col("k")).as("tc"), col("en"))
-    val clipMarks = landmarks(clipFrames, "clip_id", "tc")
-      .select(col("clip_id"), col("t").as("tc"), col("h"))
+        explode(AudioMarksKernel.audioMarks(col("fp60"), clip = true)).as("m"))
+      .select(col("clip_id"), col("m.t").as("tc"), col("m.h").as("h"))
     val votes = clipMarks
       .join(trackMarks.hint("SHUFFLE_HASH"), "h")
       .groupBy(col("clip_id"), col("track_id"),
