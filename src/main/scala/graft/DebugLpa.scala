@@ -3,17 +3,58 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-/** Dev-only A/B for the LPA half-round exchange cut (not committed):
-  * the shipped half-round plans TWO exchanges (partial-agged
-  * (dst,lbl) pairs to hash(dst,lbl), then the per-dst rows to
-  * hash(dst)); the candidate pre-partitions the joined rows by dst
-  * alone so both aggregations AND the join-back reuse one exchange.
-  * Runs the REAL fixpoint driver (cycle stepping, lazy first half,
-  * carry column, release discipline) with the round function
-  * parameterized, alternating variants, and asserts label equality
-  * once per dir. runMain graft.DebugLpa <dir> [n]
+/** Dev A/B for the LPA half-round exchange cut (round-16 ADVICE fix:
+  * the round-15 copy compared Graph.lpaRound against itself after
+  * the one-exchange shape SHIPPED — `oldRound` is now the shipped
+  * skew-safe fallback [[operators.Graph.lpaRoundSkewSafe]], which IS
+  * the pre-r15 two-exchange body, so the A/B is meaningful again):
+  * the default half-round ([[operators.Graph.lpaRound]]) pre-
+  * partitions the joined (dst, lbl) rows by dst alone so both
+  * aggregations and the join-back plan zero-exchange behind ONE
+  * exchange; the skew-safe shape exchanges twice (partial-agged
+  * (dst,lbl) pairs to hash(dst,lbl), then the counted rows to
+  * hash(dst)) and its map-side combine is the hub protection —
+  * the trade LpaSkewBench measures. Runs the REAL fixpoint driver
+  * (cycle stepping, lazy first half, carry column, release
+  * discipline) with the round function parameterized, alternating
+  * variants, and asserts label equality once per dir.
+  * runMain graft.DebugLpa <dir> [n]
   */
 object DebugLpa {
+
+  type Round = (DataFrame, DataFrame, Boolean, Boolean) => DataFrame
+
+  /** The real fixpoint driver with the round function parameterized —
+    * identical cycle stepping, lazy first half, carry column and
+    * release discipline to [[operators.Graph.lpaFixpoint]], shared
+    * with LpaSkewBench so both harnesses measure the shipped loop
+    * shape, not an approximation.
+    */
+  def fixpoint(nodes: DataFrame, edges: DataFrame, round: Round): DataFrame = {
+    import operators.Graph
+    var labels = Materialize.eager(
+      nodes.select(col("id"), col("id").as("lbl")).repartition(col("id")))
+    val cap = Graph.lpaCapHalfRounds(labels.count())
+    var r = 0
+    var converged = false
+    while (!converged && r < cap) {
+      val half1 = Materialize.round(round(edges, labels, false, false))
+      val half2 = Materialize.round(round(edges, half1, true, true))
+      val row = half2.agg(
+        coalesce(sum(col("pchg")), lit(0L)).as("c1"),
+        coalesce(sum(col("chg")), lit(0L)).as("c2")).head()
+      r += 2
+      Materialize.release(labels)
+      Materialize.release(half1)
+      labels = half2
+      converged = row.getLong(0) == 0L && row.getLong(1) == 0L
+    }
+    val out = Materialize.eager(labels.select(col("id"), col("lbl"),
+      lit(r.toLong).as("rounds_used"), lit(if (converged) 1L else 0L).as("converged")))
+    Materialize.release(labels)
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val n = if (args.length > 1) args(1).toInt else 4
@@ -22,53 +63,11 @@ object DebugLpa {
     spark.sparkContext.setLogLevel("WARN")
     import operators.Graph
 
-    type Round = (DataFrame, DataFrame, Boolean, Boolean) => DataFrame
-
     val oldRound: Round = (edges, labels, updateSuppliers, carryPrev) =>
+      Graph.lpaRoundSkewSafe(edges, labels, updateSuppliers, carryPrev)
+
+    val newRound: Round = (edges, labels, updateSuppliers, carryPrev) =>
       Graph.lpaRound(edges, labels, updateSuppliers, carryPrev)
-
-    val newRound: Round = (edges, labels, updateSuppliers, carryPrev) => {
-      val side =
-        if (updateSuppliers) pmod(col("dst"), lit(2L)) === 1L
-        else pmod(col("dst"), lit(2L)) === 0L
-      val counted = edges.filter(side)
-        .join(labels.hint("SHUFFLE_HASH"), edges("src") === labels("id"))
-        .select(col("dst"), col("lbl"))
-        .repartition(col("dst"))
-        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
-        .groupBy(col("dst")).agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("dst"), (-col("m.nl")).as("best"))
-      val base = Seq(col("id"), coalesce(col("best"), col("lbl")).as("lbl"),
-        when(col("best").isNotNull && col("best") =!= col("lbl"), lit(1L))
-          .otherwise(lit(0L)).as("chg"))
-      labels.join(counted.hint("SHUFFLE_HASH"),
-          labels("id") === counted("dst"), "left")
-        .select((if (carryPrev) base :+ col("chg").as("pchg") else base): _*)
-    }
-
-    def fixpoint(nodes: DataFrame, edges: DataFrame, round: Round): DataFrame = {
-      var labels = Materialize.eager(
-        nodes.select(col("id"), col("id").as("lbl")).repartition(col("id")))
-      val cap = Graph.lpaCapHalfRounds(labels.count())
-      var r = 0
-      var converged = false
-      while (!converged && r < cap) {
-        val half1 = Materialize.round(round(edges, labels, false, false))
-        val half2 = Materialize.round(round(edges, half1, true, true))
-        val row = half2.agg(
-          coalesce(sum(col("pchg")), lit(0L)).as("c1"),
-          coalesce(sum(col("chg")), lit(0L)).as("c2")).head()
-        r += 2
-        Materialize.release(labels)
-        Materialize.release(half1)
-        labels = half2
-        converged = row.getLong(0) == 0L && row.getLong(1) == 0L
-      }
-      val out = Materialize.eager(labels.select(col("id"), col("lbl"),
-        lit(r.toLong).as("rounds_used"), lit(if (converged) 1L else 0L).as("converged")))
-      Materialize.release(labels)
-      out
-    }
 
     def runOnce(tag: String, round: Round): (Long, Long) = {
       CacheLedger.drain(spark); System.gc()

@@ -560,13 +560,20 @@ object Graph {
     // the law is even by construction (4·bits + 8, clamps 16/96) —
     // cycle stepping and the SQL LEAST(conv, cap) replay rely on it
     require(cap % 2 == 0, s"lpaCapHalfRounds must be even, got $cap")
+    // hub graphs take the skew-safe two-exchange half-round; the
+    // decision is one (often short-circuited) agg — see
+    // [[lpaChooseSkewSafe]] — and both shapes are label-identical
+    val skewSafe = lpaChooseSkewSafe(edges)
+    def round(e: DataFrame, l: DataFrame, us: Boolean,
+        cp: Boolean = false): DataFrame =
+      if (skewSafe) lpaRoundSkewSafe(e, l, us, cp) else lpaRound(e, l, us, cp)
     var r = 0
     var converged = false
     while (!converged && r < cap) {
       val half1 = Materialize.round(
-        lpaRound(edges, labels, updateSuppliers = false))
+        round(edges, labels, us = false))
       val half2 = Materialize.round(
-        lpaRound(edges, half1, updateSuppliers = true, carryPrev = true))
+        round(edges, half1, us = true, cp = true))
       // the one per-cycle action (empty corpus ⇒ SUMs are NULL ⇒ 0)
       val row = half2.agg(
         coalesce(sum(col("pchg")), lit(0L)).as("c1"),
@@ -755,7 +762,7 @@ object Graph {
   /** The modularity-card passes over a finished labeling (EAGER
     * result — safe to release `edges` and `labels` after the call).
     */
-  private def gradeCommunities(labels: DataFrame, edges: DataFrame): DataFrame = {
+  private[graft] def gradeCommunities(labels: DataFrame, edges: DataFrame): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // per-community degree mass: labels(id) ⋈ deg(src) zero-exchange
     val dMass = labels
@@ -811,9 +818,6 @@ object Graph {
     */
   private[graft] def lpaRound(edges: DataFrame, labels: DataFrame,
       updateSuppliers: Boolean, carryPrev: Boolean = false): DataFrame = {
-    val side =
-      if (updateSuppliers) pmod(col("dst"), lit(2L)) === 1L
-      else pmod(col("dst"), lit(2L)) === 0L
     // ONE exchange per half-round (round 15): the old shape exchanged
     // twice — partial-agged (dst, lbl) pairs to hash(dst, lbl) for the
     // neighbor-label count, then the counted rows to hash(dst) for the
@@ -823,23 +827,107 @@ object Graph {
     // the label join all plan zero-exchange behind one 16 B/row
     // exchange. Measured (DebugLpa, fingerprint-identical labels):
     // r20 fixpoint 18.3-23.7 → 16.5-17.6 s, sf0.1 ~5% — the win is
-    // the removed exchange and grows with graph size. The lost
-    // map-side partial agg costs nothing here: duplicate (dst, lbl)
-    // pairs within a src-partition are rare off hub nodes, and a hub's
-    // rows still combine in the agg after the exchange.
-    val counted = edges.filter(side)
-      .join(labels.hint("SHUFFLE_HASH"), edges("src") === labels("id"))
-      .select(col("dst"), col("lbl"))
+    // the removed exchange and grows with graph size. The trade is
+    // skew: EVERY edge of a hub dst transits ONE partition here (the
+    // lost map-side combine was the hub protection), so
+    // [[lpaFixpoint]] measures the max degree share once per loop and
+    // routes hub-heavy graphs to [[lpaRoundSkewSafe]] instead
+    // (LpaSkewBench quantifies both shapes' per-partition spread).
+    val counted = lpaJoined(edges, labels, updateSuppliers)
       .repartition(col("dst"))
       .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
       .groupBy(col("dst")).agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
       .select(col("dst"), (-col("m.nl")).as("best"))
+    lpaJoinBack(labels, counted, carryPrev)
+  }
+
+  /** The side-filtered neighbor-label projection both round shapes
+    * count: one src-keyed zero-exchange SHUFFLE_HASH join, projected
+    * to the 16 B (dst, lbl) pair before anything exchanges.
+    */
+  private def lpaJoined(edges: DataFrame, labels: DataFrame,
+      updateSuppliers: Boolean): DataFrame = {
+    val side =
+      if (updateSuppliers) pmod(col("dst"), lit(2L)) === 1L
+      else pmod(col("dst"), lit(2L)) === 0L
+    edges.filter(side)
+      .join(labels.hint("SHUFFLE_HASH"), edges("src") === labels("id"))
+      .select(col("dst"), col("lbl"))
+  }
+
+  /** The shared join-back: non-updating and isolated nodes keep their
+    * label, `chg` flags moved labels, `carryPrev` forwards the input
+    * state's own `chg` as `pchg` (single definition so the two round
+    * shapes cannot drift).
+    */
+  private def lpaJoinBack(labels: DataFrame, counted: DataFrame,
+      carryPrev: Boolean): DataFrame = {
     val base = Seq(col("id"), coalesce(col("best"), col("lbl")).as("lbl"),
       when(col("best").isNotNull && col("best") =!= col("lbl"), lit(1L))
         .otherwise(lit(0L)).as("chg"))
     labels.join(counted.hint("SHUFFLE_HASH"),
         labels("id") === counted("dst"), "left")
       .select((if (carryPrev) base :+ col("chg").as("pchg") else base): _*)
+  }
+
+  /** [[lpaRound]]'s hub-safe twin — the pre-r15 TWO-exchange shape:
+    * the (dst, lbl) count aggregates with its grouping key as the
+    * exchange key, so the planner's map-side partial agg runs BEFORE
+    * the exchange and a hub's rows leave each map partition already
+    * combined to one row per (dst, lbl) — whether the hub's neighbor
+    * labels are diverse (hash(dst, lbl) spreads them) or converged
+    * (the combine collapses them to one row per map partition), no
+    * reducer ever receives a degree-sized partition. Costs one extra
+    * exchange per half-round (the counted rows re-keyed to
+    * hash(dst)), which is why it is the fallback and not the default:
+    * [[lpaFixpoint]] selects it only when the measured max degree
+    * share predicts a max/median ratio above [[LpaSkewRatio]]
+    * (guide §2.5 — the classic hot-key aggregation trade). Label
+    * output is bit-identical to [[lpaRound]]'s (GraphSpec pins
+    * fingerprint equality on a planted-hub fixture).
+    */
+  private[graft] def lpaRoundSkewSafe(edges: DataFrame, labels: DataFrame,
+      updateSuppliers: Boolean, carryPrev: Boolean = false): DataFrame = {
+    val counted = lpaJoined(edges, labels, updateSuppliers)
+      .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      .groupBy(col("dst")).agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+      .select(col("dst"), (-col("m.nl")).as("best"))
+    lpaJoinBack(labels, counted, carryPrev)
+  }
+
+  /** Estimated max/median task ratio above which [[lpaFixpoint]]
+    * abandons the one-exchange half-round for [[lpaRoundSkewSafe]]
+    * (the guide's "max/median above ~5 is worth fixing" band, taken
+    * at its conservative edge).
+    */
+  private[graft] val LpaSkewRatio = 4.0
+
+  /** One measured decision per fixpoint (degrees are a property of
+    * the edge list — they never change round-over-round): predict the
+    * one-exchange shape's max/median task ratio per bipartite side —
+    * the hub's partition holds maxDegree + sideRows/parts rows
+    * against a median of ~sideRows/parts, so the estimate is
+    * 1 + maxDegree · parts / sideRows (calibrated against the modeled
+    * deal in evidence/lpa_skew.json) — and fall back to the skew-safe
+    * shape when either side exceeds [[LpaSkewRatio]]. When
+    * parts ≤ ratio the check SHORT-CIRCUITS without running any job —
+    * a P-partition exchange cannot produce a meaningful max/median
+    * above ~P, so small loop-law widths (gate SFs land at 2-4 under
+    * [[loopShufflePartitions]]) pay zero extra actions; at cluster
+    * widths the one combinable degree agg (map-side partial count —
+    * itself hub-safe) amortizes over every round of the loop.
+    */
+  private[graft] def lpaChooseSkewSafe(edges: DataFrame): Boolean = {
+    val parts =
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    parts > LpaSkewRatio && {
+      val sides = edges.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+        .groupBy(pmod(col("dst"), lit(2L)).as("side"))
+        .agg(max(col("d")).as("mx"), sum(col("d")).as("tot"))
+        .collect()
+      sides.exists(r => r.getLong(1).toDouble * parts >
+        (LpaSkewRatio - 1.0) * r.getLong(2).toDouble)
+    }
   }
 
   /** One peel round: keep edges whose BOTH endpoints survive —

@@ -244,7 +244,9 @@ object Quality {
     // machinery: the LM model + tertile thresholds) joins back once
     // on the unique doc_id, and all 10 pair contingency tables
     // collapse in a single map-side-combinable aggregation. No melt,
-    // no self-join, no doc-keyed exchange of gate rows at any scale.
+    // no self-join; one doc-keyed join-back for ccnet remains (the
+    // committed plan's SortMergeJoin exchanges both the fused
+    // four-gate projection and ccnet's frame on doc_id).
     // Row-set semantics are preserved exactly: ccnet's frame covers
     // only scored docs (the lmScore ≥ 2-word contract), so presence
     // rides as an indicator column and every sum conditions on it

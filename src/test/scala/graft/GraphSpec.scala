@@ -456,4 +456,95 @@ class GraphSpec extends AnyFunSuite {
         s"a half-round must not broadcast the node-count-sized label table:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
+
+  // planted-hub fixture: one supplier node (id 7) holds 20 of 24
+  // mirrored-edge endpoints on the supplier side — the celebrity
+  // shape lpaChooseSkewSafe must route to the two-exchange round
+  private def hubFixture(s: org.apache.spark.sql.SparkSession) = {
+    import org.apache.spark.sql.functions.col
+    val ss = s
+    import ss.implicits._
+    val pairs = (1L to 20L).map(c => (c * 2, 7L)) ++
+      Seq((2L, 9L), (4L, 11L), (6L, 13L), (8L, 15L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .toDF("src", "dst").repartition(col("src")).localCheckpoint(true)
+    val nodes = ((1L to 20L).map(_ * 2) ++ Seq(7L, 9L, 11L, 13L, 15L))
+      .toDF("id").repartition(col("id")).localCheckpoint(true)
+    (nodes, edges)
+  }
+
+  test("the skew-safe LPA half-round is label-identical and keeps the combine-first plan shape") {
+    import org.apache.spark.sql.functions.col
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (nodes, edges) = hubFixture(spark)
+      val labels = nodes.select(col("id"), col("id").as("lbl"))
+        .repartition(col("id")).localCheckpoint(true)
+      val a = operators.Graph.lpaRound(edges, labels, updateSuppliers = true)
+      val b = operators.Graph.lpaRoundSkewSafe(edges, labels, updateSuppliers = true)
+      assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet,
+        "round shapes diverge on the hub fixture")
+      // full-fixpoint fingerprints must also match (both sides, all rounds)
+      def fp(rd: DebugLpa.Round): Seq[Seq[Any]] = {
+        val out = DebugLpa.fixpoint(nodes, edges, rd)
+        val rows = out.collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+        Materialize.release(out)
+        rows
+      }
+      assert(fp((e, l, us, cp) => operators.Graph.lpaRound(e, l, us, cp)) ==
+        fp((e, l, us, cp) => operators.Graph.lpaRoundSkewSafe(e, l, us, cp)),
+        "fixpoint labelings diverge between round shapes")
+      // plan shape: the count's grouping key IS the exchange key, so
+      // the map-side combine runs BEFORE the exchange; the agg path's
+      // budget is the (dst, lbl) count exchange + the dst argmax
+      // exchange (the tiny fixture's label frames may re-exchange on
+      // id — a checkpoint-fixture artifact the dst-keyed assertions
+      // below deliberately ignore)
+      val plan = b.queryExecution.executedPlan.toString
+      val perRound = "Exchange hashpartitioning\\([^)]*\\), ENSURE_REQUIREMENTS".r
+        .findAllIn(plan).toSeq
+      val dstKeyed = perRound.filter(_.contains("dst#"))
+      assert(dstKeyed.size == 2,
+        s"skew-safe round must plan exactly 2 dst-keyed exchanges, got ${dstKeyed.size}:\n$plan")
+      assert(dstKeyed.exists(e => e.contains("lbl#")),
+        s"the count exchange must key (dst, lbl) so the partial agg combines below it:\n$plan")
+      assert(!perRound.exists(_.contains("src#")),
+        s"the materialized edge list is being re-shuffled on src:\n$plan")
+      assert(plan.contains("partial_count"),
+        s"the (dst, lbl) count must plan a map-side partial aggregation:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"a half-round must not broadcast the node-count-sized label table:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("lpaChooseSkewSafe fires on a hub at cluster widths and short-circuits at loop-law widths") {
+    import org.apache.spark.sql.functions.col
+    val ss = spark
+    import ss.implicits._
+    def onClone(parts: Int)(body: org.apache.spark.sql.SparkSession => Boolean): Boolean = {
+      val c = org.apache.spark.sql.graftbridge.Bridge.cloneSession(spark)
+      c.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      body(c)
+    }
+    val (_, hubEdges) = hubFixture(spark)
+    // a 64-partition exchange would deal the hub ~53x its median — fire
+    assert(onClone(64) { s =>
+      operators.Graph.lpaChooseSkewSafe(PlanScope.rebind(s, hubEdges))
+    }, "hub at 64 partitions must choose the skew-safe round")
+    // at the gate-SF loop-law width (<= 4) no deal can exceed the
+    // ratio — the decision short-circuits to the one-exchange round
+    assert(!onClone(4) { s =>
+      operators.Graph.lpaChooseSkewSafe(PlanScope.rebind(s, hubEdges))
+    }, "parts <= ratio must short-circuit to the one-exchange round")
+    // an even graph at cluster width stays on the one-exchange round
+    // (big enough that keys outnumber partitions — the regime the
+    // estimate is calibrated for)
+    val evenPairs = (1L to 200L).map(c => (c * 2, c * 2 + 1))
+    val evenEdges = (evenPairs ++ evenPairs.map(p => (p._2, p._1)))
+      .toDF("src", "dst").repartition(col("src")).localCheckpoint(true)
+    assert(!onClone(64) { s =>
+      operators.Graph.lpaChooseSkewSafe(PlanScope.rebind(s, evenEdges))
+    }, "an even-degree graph must keep the one-exchange round")
+  }
 }
