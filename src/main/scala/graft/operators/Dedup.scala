@@ -181,6 +181,32 @@ object Dedup {
         "jaccard", lit(1.0), sh.select(col("doc_id")).distinct())
       .orderBy(col("d1"), col("d2"))
 
+  /** [[minhashFrom]] without the presentation sort (the
+    * [[Text.ngramJaccardFromUnordered]] rationale — the dedup_eval
+    * artifact path feeds aggregations only).
+    */
+  private[graft] def minhashFromUnordered(sh: DataFrame,
+      membership: DataFrame): DataFrame =
+    stripTrailingSort(minhashFrom(sh, membership))
+
+  /** Drop a frame's top-level global Sort (and nothing deeper): the
+    * single-definition way to expose an unordered ARTIFACT shape of
+    * an operator whose public contract is ordered output, without
+    * duplicating its body. Identity when the plan has no trailing
+    * sort.
+    */
+  private[operators] def stripTrailingSort(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+    df.queryExecution.analyzed match {
+      case s: Sort if s.global =>
+        org.apache.spark.sql.graftbridge.Bridge.ofRows(df.sparkSession, s.child)
+      case Project(list, s: Sort) if s.global =>
+        org.apache.spark.sql.graftbridge.Bridge.ofRows(df.sparkSession,
+          Project(list, s.child))
+      case _ => df
+    }
+  }
+
   /** LSH band-bucket candidate pairs over a (doc_id, h) shingle-hash
     * set — the stage whose volume the skew guard bounds (DupSkewSpec
     * measures it with and without collapse).
@@ -739,7 +765,7 @@ object Dedup {
   private[graft] def ngramJaccardPairs(spark: SparkSession,
       dir: String): DataFrame =
     pairArtifact("ngram_jaccard", dir, spark)(
-      graft.operators.Text.ngramJaccard(spark, dir)
+      stripTrailingSort(graft.operators.Text.ngramJaccard(spark, dir))
         .select(col("d1"), col("d2")))
 
   /** Cluster-LABEL artifact (the pairArtifact contract applied to the
@@ -815,22 +841,27 @@ object Dedup {
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val methods: Seq[(String, DataFrame)] =
       try {
+        // each arm materializes its UNORDERED artifact shape (round
+        // 16): the grading below and split_leak's cells aggregate, so
+        // the methods' presentation sorts (a bounds-sampling job + a
+        // range exchange + a per-partition sort, per arm) are dead
+        // weight here — see ngramJaccardFromUnordered
         val futs = Seq(
           "ngram_jaccard" -> scala.concurrent.Future(
             pairArtifact("ngram_jaccard", dir, spark)( // graded 4x
-              Text.ngramJaccardFrom(shingleSet, collapsed._2, 0.5)
+              Text.ngramJaccardFromUnordered(shingleSet, collapsed._2, 0.5)
                 .select(col("d1"), col("d2")))),
           "dedup_minhash" -> scala.concurrent.Future(
             pairArtifact("dedup_minhash", dir, spark)(
-              minhashFrom(shingleHash, collapsed._2)
+              minhashFromUnordered(shingleHash, collapsed._2)
                 .select(col("d1"), col("d2")))),
           "winnow_pairs" -> scala.concurrent.Future(
             pairArtifact("winnow_pairs", dir, spark)(
-              Text.winnowPairsCollapsed(collapsed._1, collapsed._2)
+              Text.winnowPairsCollapsedUnordered(collapsed._1, collapsed._2)
                 .select(col("id1").as("d1"), col("id2").as("d2")))),
           "dedup_fuzzy_text" -> scala.concurrent.Future(
             pairArtifact("dedup_fuzzy_text", dir, spark)(
-              Text.dedupFuzzyTextCollapsed(collapsed._1, collapsed._2)
+              Text.dedupFuzzyTextCollapsedUnordered(collapsed._1, collapsed._2)
                 .select(col("id1").as("d1"), col("id2").as("d2")))))
         futs.map { case (n, f) =>
           n -> scala.concurrent.Await.result(f,
