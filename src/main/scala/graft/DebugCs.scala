@@ -39,6 +39,20 @@ object DebugCs {
         println(f"[debugcs] run$i parts=$parts tables=${(t1 - t0) / 1e9}%.3f " +
           f"edges=${(t2 - t1) / 1e9}%.3f fixpoint=${(t3 - t2) / 1e9}%.3f " +
           f"grade=${(t4 - t3) / 1e9}%.3f total=${(t4 - t0) / 1e9}%.3f")
+        if (i == 1) {
+          // the internal pass's exchange volume: raw per-edge rows
+          // (the pre-r16 shape) vs combined (dst, slbl) rows (the
+          // aggregate-before-exchange shape) on THIS converged
+          // labeling — the §2.3 bytes evidence
+          val lblOnly = labels.select(col("id"), col("lbl"))
+          val joined = edges
+            .join(lblOnly.hint("SHUFFLE_HASH"), edges("src") === lblOnly("id"))
+            .select(col("dst"), col("lbl").as("slbl"))
+          val raw = joined.count()
+          val combined = joined.groupBy(col("dst"), col("slbl")).count().count()
+          println(f"[debugcs] internal-exchange rows: raw=$raw combined=$combined" +
+            f" (x${raw.toDouble / math.max(combined, 1L)}%.1f)")
+        }
         Materialize.release(labels)
         Materialize.release(edges)
         graded

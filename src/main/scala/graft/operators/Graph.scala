@@ -770,16 +770,25 @@ object Graph {
         Seq("id"), "left")
       .groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"),
         sum(coalesce(col("d"), lit(0L))).as("degree_sum"))
-    // mirrored internal edges: attach src's label zero-exchange,
-    // then dst's label (one exchange), keep same-community pairs
+    // mirrored internal edges: attach src's label zero-exchange, then
+    // AGGREGATE BEFORE THE EXCHANGE (round 16, guide §2.3): the old
+    // shape shuffled every per-edge (dst, slbl) row to hash(dst) for
+    // the dst-label join — edge-count-sized bytes. Counting per
+    // (dst, slbl) first rides the lpaRound combine play: the map-side
+    // partial collapses a node's same-label neighbors (which is most
+    // of them on a converged labeling — and ALL of a hub's at the
+    // fixpoint, the skew protection), so both exchanges downstream of
+    // the count carry combined rows, never raw edges. Σ pc over the
+    // same-label filter ≡ counting matching edges row-for-row.
     val lblOnly = labels.select(col("id"), col("lbl"))
     val internal = edges
       .join(lblOnly.hint("SHUFFLE_HASH"), edges("src") === lblOnly("id"))
       .select(col("dst"), col("lbl").as("slbl"))
+      .groupBy(col("dst"), col("slbl")).agg(count(lit(1)).as("pc"))
       .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl"))
         .hint("SHUFFLE_HASH"), Seq("dst"))
       .filter(col("slbl") === col("dlbl"))
-      .groupBy(col("slbl").as("lbl")).agg(count(lit(1)).as("e_mir"))
+      .groupBy(col("slbl").as("lbl")).agg(sum(col("pc")).as("e_mir"))
     val mMir = edges.agg(count(lit(1)).as("m_mir"))
     // every labeling row carries the loop's constant convergence
     // meta; limit(1) lifts it to the 1-row scalar-card broadcast
