@@ -52,6 +52,17 @@ object DebugCs {
           val combined = joined.groupBy(col("dst"), col("slbl")).count().count()
           println(f"[debugcs] internal-exchange rows: raw=$raw combined=$combined" +
             f" (x${raw.toDouble / math.max(combined, 1L)}%.1f)")
+          // the grade subtrees' formatted plans (they materialize at
+          // construction time inside gradeCommunities, so PlanDump's
+          // query-level output never shows them)
+          val fmtM = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+          println("===== grade_combined =====")
+          println(Graph.gradeCombined(labels, edges)
+            .queryExecution.explainString(fmtM))
+          println("===== grade_card =====")
+          println(Graph.gradeCard(labels,
+              Materialize.eager(Graph.gradeCombined(labels, edges)))
+            .queryExecution.explainString(fmtM))
         }
         Materialize.release(labels)
         Materialize.release(edges)
