@@ -938,19 +938,35 @@ object Dedup {
     val labels = labelArtifact(spark, dir)
     val nw = docs.select(col("doc_id"),
       size(words(col("text"))).cast("long").as("nw"))
+    // ONE corpus scan (round 16, guide §1.2): the old shape scanned
+    // AND tokenized documents twice — once under the labels join,
+    // once more for the 1-row corpus word total (two subtrees over
+    // the same source never share a scan). Every doc carries a label
+    // row (the clusters contract: one row per doc, singletons
+    // keeper-flagged), so the total is Σ cluster word mass —
+    // rollup(size_class) folds it into the SAME aggregation as the
+    // null-key grand-total row (size_class = least(csize, cap) is
+    // never null, so the null row is unambiguous). The ≤10-row result
+    // materializes once and the total re-attaches as the usual scalar
+    // broadcast; column values are bit-identical.
     val perCluster = labels.join(nw, "doc_id")
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("csize"),
         sum(when(col("is_keeper") === 0, col("nw")).otherwise(lit(0L)))
-          .as("rm_words"))
-    val total = nw.agg(coalesce(sum(col("nw")), lit(0L)).as("total_words"))
-    perCluster
+          .as("rm_words"),
+        sum(col("nw")).as("cl_words"))
+    val rolled = perCluster
       .withColumn("size_class", least(col("csize"), lit(ClusterSizeCap)))
-      .groupBy(col("size_class"))
+      .rollup(col("size_class"))
       .agg(count(lit(1)).as("n_clusters"),
         sum(col("csize")).as("n_docs"),
         sum(col("csize") - 1).as("n_removable"),
-        sum(col("rm_words")).as("removable_words"))
+        sum(col("rm_words")).as("removable_words"),
+        sum(col("cl_words")).as("class_words"))
+      .materialized
+    val total = rolled.filter(col("size_class").isNull)
+      .select(coalesce(col("class_words"), lit(0L)).as("total_words"))
+    rolled.filter(col("size_class").isNotNull)
       .crossJoin(broadcast(total))
       .select(col("size_class"), col("n_clusters"), col("n_docs"),
         col("n_removable"), col("removable_words"),

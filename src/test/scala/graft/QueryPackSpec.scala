@@ -98,8 +98,10 @@ class QueryPackSpec extends AnyFunSuite {
     // aggregate row, freq_words's final rank runs on one
     // ≤ FreqCapacity sketch row, and sketch_cube's rollup unions
     // ≤ |langs| kilobyte sketches — the scalar class
-    // cluster_stats' one scalar is the 1-row corpus word total the
-    // ppm column divides by (the word_pmi/bm25 corpus-scalar shape)
+    // cluster_stats left this set in round 16: its corpus word total
+    // is now the rollup's null-key grand-total row (one aggregation,
+    // one corpus scan), so the query plans NO single-partition
+    // exchange at all — the stricter default branch guards it
     // quality_ensemble (round 15 fusion, the round-16 carry-in fix:
     // the driver's r15 test run caught it missing here): all 10 pair
     // contingency tables collapse in ONE map-side-combinable global
@@ -107,7 +109,7 @@ class QueryPackSpec extends AnyFunSuite {
     // q24_funnel whole-corpus-scalar class — then reshape by stack()
     val singlePartOk = Set("q20_subquery", "sample_mixture",
       "q24_funnel", "freq_words", "sketch_cube", "word_pmi",
-      "bm25_search", "drift_check", "cluster_stats", "hybrid_search",
+      "bm25_search", "drift_check", "hybrid_search",
       "quality_ensemble")
     for ((name, fn) <- SparkEntry.queries) {
       spark.catalog.clearCache()
