@@ -13,8 +13,15 @@ object PlanDump {
     // SPARK_GRAFT_PLAN_FMT=1 → .explain("formatted") text instead of
     // the executed plan (the judge-facing plans/ artifact format)
     val formatted = sys.env.get("SPARK_GRAFT_PLAN_FMT").contains("1")
+    // SPARK_GRAFT_PLAN_EXEC=1 → run the query (noop sink) FIRST and
+    // print the post-execution plan, so AQE's runtime decisions
+    // (ReusedExchange, AQEShuffleRead, join rewrites) are visible —
+    // the pre-execution dump shows isFinalPlan=false shapes only
+    val exec = sys.env.get("SPARK_GRAFT_PLAN_EXEC").contains("1")
     for (name <- args.drop(1)) {
-      val qe = SparkEntry.queries(name)(spark, dir).queryExecution
+      val df = SparkEntry.queries(name)(spark, dir)
+      if (exec) df.write.format("noop").mode("overwrite").save()
+      val qe = df.queryExecution
       val plan =
         if (formatted)
           qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

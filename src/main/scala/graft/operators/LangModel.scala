@@ -106,7 +106,7 @@ object LangModel {
     * `when` guard keeps sequence(0, -1) from fabricating grams on
     * sub-2-word docs (the doc_chunk corner).
     */
-  private def bigramInstances(docs: DataFrame): DataFrame =
+  private[graft] def bigramInstances(docs: DataFrame): DataFrame =
     docs.withColumn("w", words(col("text")))
       .select(col("doc_id"),
         explode(when(size(col("w")) >= 2,
@@ -122,7 +122,18 @@ object LangModel {
     // — reused blocks, no CacheManager pin under the default strategy
     lmPpmFromBi(bigramInstances(docs).materialized)
 
-  private def lmPpmFromBi(bi: DataFrame): DataFrame = {
+  // Round-16 note (measured, left alone): deriving c1/vocab from the
+  // pair-count table instead of the instances looks like two saved
+  // passes, but each of the three agg branches already combines
+  // map-side to a vocabulary-sized exchange and all three run as
+  // PARALLEL subtrees of one job over the materialized blocks — the
+  // derived form either duplicates c2's subtree (no ReuseExchange
+  // across the branches in this plan shape, verified on the executed
+  // plan) or serializes the job behind an eager c2 (measured 0.3-0.5 s
+  // SLOWER at sf0.1). The gate trainer below is the different case:
+  // its consumers are separate collect ACTIONS, so there the shared
+  // materialized pair table genuinely removes full instance scans.
+  private[graft] def lmPpmFromBi(bi: DataFrame): DataFrame = {
     val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val v = bi.agg(countDistinct(col("w2")).as("vocab"))
@@ -179,11 +190,18 @@ object LangModel {
   private[graft] def perplexityGateData(docs: DataFrame,
       modelCap: Int = GateModelCap)
       : (Map[(String, String), Long], Map[String, Long], Long, Seq[(String, Long)]) = {
+    // ONE pass over the corpus-sized instances (round 16, the
+    // lmPpmFromBi play): the capped c2 collect, the c1 marginal and
+    // the vocab scalar all derive from the pair-count table — the
+    // instances release as soon as it materializes
     val bi = bigramInstances(docs).materialized
-    val c2m = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val pc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .materialized
+    graft.Materialize.release(bi)
+    val c2m = pc
       .orderBy(col("c2").desc, col("w1"), col("w2")).limit(modelCap)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val c1agg = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c1agg = pc.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val c1top = c1agg.orderBy(col("c1").desc, col("w1")).limit(modelCap)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // CONSISTENCY law: every retained bigram's context must keep its
@@ -206,9 +224,9 @@ object LangModel {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       c1top ++ extra
     }
-    val vRow = bi.agg(countDistinct(col("w2"))).collect()
+    val vRow = pc.agg(countDistinct(col("w2"))).collect()
     val vocab = if (vRow.isEmpty || vRow(0).isNullAt(0)) 0L else vRow(0).getLong(0)
-    graft.Materialize.release(bi) // all count consumers collected — release the blocks
+    graft.Materialize.release(pc) // all count consumers collected — release the blocks
     // tail thresholds calibrated on the SHIPPED model's own scores
     // (one map-side kernel pass — the exact expression the ingest
     // gate evaluates): model file and cutoffs are ONE artifact, so a

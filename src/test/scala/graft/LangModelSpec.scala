@@ -189,4 +189,25 @@ class LangModelSpec extends AnyFunSuite {
       Tables(spark, sf).events.repartition(13)).collect().toSeq
     assert(base == shuffled)
   }
+
+  test("the LM scoring core matches an independent in-JVM recomputation") {
+    import org.apache.spark.sql.functions.col
+    val bi = operators.LangModel.bigramInstances(
+      Tables(spark, sf).documents).localCheckpoint(true)
+    val scored = operators.LangModel.lmPpmFromBi(bi)
+    val rows = bi.collect().map(r => (r.getString(1), r.getString(2)))
+    val c2 = rows.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = rows.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val vocab = rows.map(_._2).distinct.length.toLong
+    val byDoc = bi.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(_._1)
+    val want = byDoc.map { case (d, gs) =>
+      val ppms = gs.map { case (_, w1, w2) =>
+        (BigInt(c2((w1, w2)) + 1) * 1000000 / (c1(w1) + vocab)).toLong
+      }
+      (d, gs.length.toLong, ppms.sum / gs.length)
+    }.toSet
+    val got = scored.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "lm_ppm differs from the independent recomputation")
+  }
 }
