@@ -1077,12 +1077,32 @@ object SimilaritySearch {
     val truth = annTopKOn(emb, k)
       .select(col("qid"), col("nid")).materialized // graded 5x
     val qids = truth.select(col("qid")).distinct()
-    val methods: Seq[(String, DataFrame)] = Seq(
-      "ann_topk" -> truth,
-      "ann_lsh" -> annLshOn(emb, k),
-      "ann_ivf" -> annIvfOn(emb, k, 4, trained = true),
-      "ann_pq" -> annPqOn(emb.filter(col("v").isNotNull), k, 4),
-      "ann_ivf_pq" -> annIvfPqOn(emb, k, 4, 4))
+    // the four approximate pipelines CONSTRUCT independently — and
+    // construction is where their quantizer/codebook training jobs
+    // run (stride collects + Lloyd refinement), serially ~half this
+    // card's cost. Schedule them concurrently (the dedupEval §2.6
+    // play: one arm's driver round-trips leave executors idle another
+    // arm can fill; Await preserves the method order).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val methods: Seq[(String, DataFrame)] =
+      try {
+        val futs = Seq[(String, scala.concurrent.Future[DataFrame])](
+          "ann_topk" -> scala.concurrent.Future.successful(truth),
+          "ann_lsh" -> scala.concurrent.Future(annLshOn(emb, k)),
+          "ann_ivf" -> scala.concurrent.Future(annIvfOn(emb, k, 4, trained = true)),
+          "ann_pq" -> scala.concurrent.Future(
+            annPqOn(emb.filter(col("v").isNotNull), k, 4)),
+          "ann_ivf_pq" -> scala.concurrent.Future(annIvfPqOn(emb, k, 4, 4)))
+        futs.map { case (n, f) =>
+          n -> scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf)
+        }
+      } finally {
+        pool.shutdown()
+        pool.awaitTermination(1L, java.util.concurrent.TimeUnit.DAYS)
+      }
     methods.map { case (name, df) =>
       val hits = df.select(col("qid"), col("nid"))
         .join(truth, Seq("qid", "nid"))
