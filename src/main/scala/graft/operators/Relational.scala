@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Exact, Tables}
+import graft.Materialize.MatOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -997,7 +998,12 @@ object Relational {
         .filter(expr("rn = (n + 1) div 2"))
         .select(col("user_id"), col(c).as(out))
     }
-    val med = lowerMedian(ev, "micro", "med")
+    // med is user-count-sized but its subtree carries a full corpus
+    // window sort — lazily it re-planned under BOTH dev consumers
+    // (round 16: two sorts where the algorithm needs one); the
+    // corpus-sized dev stays lazy on purpose (recomputing a broadcast
+    // join is cheaper than checkpointing corpus rows — guide §5)
+    val med = lowerMedian(ev, "micro", "med").materialized
     val dev = ev.join(med, "user_id")
       .withColumn("dev", abs(col("micro") - col("med")))
     val mad = lowerMedian(dev, "dev", "mad")
@@ -1124,8 +1130,14 @@ object Relational {
     val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
     val v = ev.filter(col("value").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"), cents.as("cents"))
+    // MATERIALIZED for its consumers (round 16): lazily, the stats /
+    // segment / cumulative subtrees each re-planned this corpus-sized
+    // rollup — four events scans in the executed plan where the
+    // design says one; the stored frame is distinct-value-sized (the
+    // step-1 contract), so the checkpoint is the cheap side of the
+    // trade at any scale
     val c = v.groupBy(col("event_type"), col("cents"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")).materialized
     val stats = c.groupBy(col("event_type"))
       .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
         sum(col("cnt")).as("n"))

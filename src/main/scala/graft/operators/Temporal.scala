@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Exact, Tables}
+import graft.Materialize.MatOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -206,10 +207,16 @@ object Temporal {
     val c = events.select(col("event_id"), col("event_type"),
       hour(col("ts")).cast("long").as("hod"),
       (dec2(col("value")) * 100).cast("long").as("value_cents"))
+    // prof is |types|·24-bounded but its subtree is a corpus
+    // aggregation — lazily it re-planned under BOTH scored consumers
+    // (round 16: three corpus scans for one profile); the corpus-
+    // sized scored frame stays lazy on purpose (recomputing a
+    // broadcast join beats checkpointing corpus rows — guide §5)
     val prof = c.groupBy(col("event_type"), col("hod"))
       .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sc"))
       .select(col("event_type"), col("hod"),
         expr("(sc - pmod(sc, n)) div n").as("seasonal_cents"))
+      .materialized
     val scored = c.join(broadcast(prof), Seq("event_type", "hod"))
       .withColumn("resid_cents", col("value_cents") - col("seasonal_cents"))
     val spread = scored.groupBy(col("event_type"))
